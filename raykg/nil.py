@@ -1,0 +1,242 @@
+"""NIL prediction: feature assembly + logistic scoring.
+
+Reproduces the reference's two-piece chain (SURVEY.md §2.2 M7-M9, §2.3
+T4): the driver's ``prepare_for_nil_prediction``
+(``scripts/eval_kbp.py:302-328``) extracts ``max_bi`` (top candidate
+score), mention / top title strings and the top-candidate list; the
+nilpredictor service (``pipeline/nilpredictor/__main__.py:43-103``)
+derives ``jaccard`` / ``levenshtein`` (lowercased,
+textdistance-normalized), ``mean`` / ``median`` / ``stdev`` /
+``secondiff`` over the candidate scores, and applies a
+StandardScaler+LogisticRegression pipeline returning
+``P(correct link)``; the driver thresholds ``is_nil = score < 0.5``
+(``scripts/eval_kbp.py:489-491``).
+
+Faithfulness notes:
+  * the service's dummy-candidate filter (``'dummy' not in c``,
+    ``__main__.py:77``) iterates a pydantic model and is therefore a
+    no-op — stats here intentionally include dummy scores to match;
+  * ``stdev`` is the sample standard deviation (``statistics.stdev``,
+    ddof=1);
+  * mentions with an empty candidate list are NIL immediately with
+    ``nil_score = 0`` (``eval_kbp.py:306-308,432``).
+
+The shipped reference model uses features ``(max_bi, secondiff)``
+(``pipeline/docker-compose.yml:54``). Since the trained pickle targets
+BLINK score scales, the default model here is a fixed logistic on the
+same two features calibrated for the hash-encoder score scale; a
+training path (IRLS, sklearn-equivalent L2 objective) is provided for
+the feature-ablation workflow (``scripts/feature_ablation_study.py``).
+
+This whole stage is stateless and vectorized — a plain ``map_batches``
+function (model coefficients broadcast via closure), no actor needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from raykg.schema import INDEXER_KB, NIL_THRESHOLD, entity_uri_kb
+from raykg.text import batch_jaccard_sim, batch_levenshtein_sim
+
+FEATURE_NAMES = (
+    "max_bi",
+    "secondiff",
+    "jaccard",
+    "levenshtein",
+    "mean",
+    "median",
+    "stdev",
+)
+
+
+class LogisticModel:
+    """Minimal StandardScaler+LogisticRegression equivalent (numpy)."""
+
+    def __init__(self, features, coef, intercept, mean=None, scale=None):
+        self.features = tuple(features)
+        self.coef = np.asarray(coef, dtype=np.float64)
+        self.intercept = float(intercept)
+        self.mean = None if mean is None else np.asarray(mean, dtype=np.float64)
+        self.scale = None if scale is None else np.asarray(scale, dtype=np.float64)
+
+    def predict_proba1(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, dtype=np.float64)
+        if self.mean is not None:
+            X = (X - self.mean) / self.scale
+        z = X @ self.coef + self.intercept
+        return 1.0 / (1.0 + np.exp(-z))
+
+    @classmethod
+    def fit(cls, X: np.ndarray, y: np.ndarray, features, C: float = 1.0,
+            max_iter: int = 200, tol: float = 1e-8) -> "LogisticModel":
+        """IRLS on the sklearn objective: min ½/C·‖w‖² + Σ log-loss
+        (intercept unpenalized), after standard scaling."""
+        X = np.asarray(X, dtype=np.float64)
+        mean = X.mean(axis=0)
+        scale = X.std(axis=0)
+        scale[scale == 0.0] = 1.0
+        Xs = (X - mean) / scale
+        n, d = Xs.shape
+        Xb = np.concatenate([Xs, np.ones((n, 1))], axis=1)
+        w = np.zeros(d + 1)
+        reg = np.eye(d + 1) / C
+        reg[d, d] = 0.0
+        for _ in range(max_iter):
+            z = Xb @ w
+            p = 1.0 / (1.0 + np.exp(-z))
+            W = np.maximum(p * (1 - p), 1e-10)
+            grad = Xb.T @ (p - y) + reg @ w
+            H = (Xb * W[:, None]).T @ Xb + reg
+            step = np.linalg.solve(H, grad)
+            w -= step
+            if np.abs(step).max() < tol:
+                break
+        return cls(features, w[:d], w[d], mean=mean, scale=scale)
+
+
+# Calibrated for the HashEncoder score scale (correct links ≈ 95-100,
+# typo/abbreviation/out-of-KB best matches ≲ 85; see raykg.encode).
+DEFAULT_NIL_MODEL = LogisticModel(
+    features=("max_bi", "secondiff"), coef=(0.5, 0.02), intercept=-44.5
+)
+
+
+def _candidate_field(batch_cands: pa.ListArray, name: str):
+    """Flattened struct field + list offsets helpers."""
+    if isinstance(batch_cands, pa.ChunkedArray):
+        batch_cands = batch_cands.combine_chunks()
+    values = batch_cands.values
+    return values.field(name), batch_cands.offsets.to_numpy().astype(np.int64)
+
+
+def nil_features_table(batch: pa.Table) -> dict[str, np.ndarray]:
+    """Vectorized per-mention NIL features from the candidates column."""
+    cands = batch.column("candidates")
+    if isinstance(cands, pa.ChunkedArray):
+        cands = cands.combine_chunks()
+    n = len(cands)
+    offsets = cands.offsets.to_numpy().astype(np.int64)
+    counts = np.diff(offsets)
+    scores = cands.values.field("score").to_numpy(zero_copy_only=False).astype(np.float64)
+    titles = cands.values.field("title").to_pylist()
+    wikis = cands.values.field("wikipedia_id").to_numpy(zero_copy_only=False)
+    ids = cands.values.field("id").to_numpy(zero_copy_only=False)
+    indexers = cands.values.field("indexer").to_numpy(zero_copy_only=False)
+    mentions = batch.column("mention").to_pylist()
+
+    has = counts > 0
+
+    # segment stats over each mention's candidate scores (on the true
+    # flat arrays, before any sentinel padding)
+    seg = np.repeat(np.arange(n), counts)
+    sums = np.zeros(n)
+    np.add.at(sums, seg, scores)
+    mean = np.where(has, sums / np.maximum(counts, 1), 0.0)
+    sq = np.zeros(n)
+    np.add.at(sq, seg, (scores - mean[seg]) ** 2)
+    stdev = np.where(counts > 1, np.sqrt(sq / np.maximum(counts - 1, 1)), 0.0)
+    order = np.lexsort((scores, seg))
+    s_sorted = scores[order]
+
+    if scores.size == 0:
+        # pad flat arrays with one sentinel so the masked gathers below
+        # stay in-bounds (all rows have has == False)
+        scores = np.zeros(1)
+        s_sorted = np.zeros(1)
+        titles = [""]
+        wikis = np.zeros(1, dtype=np.int64)
+        ids = -np.ones(1, dtype=np.int64)
+        indexers = -np.ones(1, dtype=np.int32)
+
+    first = np.where(has, offsets[:-1], 0)
+    second = np.where(counts > 1, offsets[:-1] + 1, first)
+
+    max_bi = np.where(has, scores[first], 0.0)
+    secondiff = np.where(counts > 1, scores[first] - scores[second], 0.0)
+
+    lo = np.where(has, offsets[:-1] + (counts - 1) // 2, 0)
+    hi = np.where(has, offsets[:-1] + counts // 2, 0)
+    median = np.where(has, (s_sorted[lo] + s_sorted[hi]) / 2.0, 0.0)
+
+    top_title = [titles[f] if h else "" for f, h in zip(first, has)]
+    mention_l = [m.lower() for m in mentions]
+    title_l = [t.lower() for t in top_title]
+    jaccard = batch_jaccard_sim(mention_l, title_l)
+    levenshtein = batch_levenshtein_sim(mention_l, title_l)
+
+    return {
+        "max_bi": max_bi,
+        "secondiff": secondiff,
+        "jaccard": jaccard,
+        "levenshtein": levenshtein,
+        "mean": mean,
+        "median": median,
+        "stdev": stdev,
+        "_has": has,
+        "_top_title": np.asarray(top_title, dtype=object),
+        "_top_wikipedia_id": np.where(has, wikis[first], 0).astype(np.int64),
+        "_top_id": np.where(has, ids[first], -1).astype(np.int64),
+        "_top_indexer": np.where(has, indexers[first], -1).astype(np.int32),
+    }
+
+
+class NilStage:
+    """Stateless map_batches callable: + nil features, nil_score, is_nil,
+    top_* and entity_uri columns.
+
+    ``rw_uris``: canonical URIs of previously minted NIL entities,
+    indexed by RW-index position — resolves a top candidate from the RW
+    index to its stable entity id (replaces the reference's
+    prev_clusters bookkeeping, ``scripts/eval_kbp.py:649-652``).
+    """
+
+    def __init__(self, model: LogisticModel = DEFAULT_NIL_MODEL,
+                 rw_uris: list[str] | None = None,
+                 threshold: float = NIL_THRESHOLD):
+        self.model = model
+        self.rw_uris = rw_uris or []
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        f = nil_features_table(batch)
+        X = np.stack([f[name] for name in self.model.features], axis=1)
+        nil_score = self.model.predict_proba1(X)
+        # empty candidate list => immediately NIL with score 0
+        nil_score = np.where(f["_has"], nil_score, 0.0)
+        is_nil = nil_score < self.threshold
+
+        kb_top = f["_top_indexer"] == INDEXER_KB
+        uris = np.empty(len(nil_score), dtype=object)
+        for i in range(len(uris)):
+            if is_nil[i]:
+                uris[i] = ""  # resolved after clustering
+            elif kb_top[i]:
+                uris[i] = entity_uri_kb(int(f["_top_wikipedia_id"][i]))
+            else:
+                uris[i] = self.rw_uris[int(f["_top_id"][i])]
+
+        out = batch
+        for name in FEATURE_NAMES:
+            out = out.append_column(name, pa.array(f[name], type=pa.float32()))
+        out = out.append_column(
+            "nil_score", pa.array(nil_score, type=pa.float32())
+        )
+        out = out.append_column("is_nil", pa.array(is_nil, type=pa.bool_()))
+        out = out.append_column(
+            "top_title", pa.array(f["_top_title"].tolist(), type=pa.string())
+        )
+        out = out.append_column(
+            "top_wikipedia_id", pa.array(f["_top_wikipedia_id"], type=pa.int64())
+        )
+        out = out.append_column(
+            "top_id", pa.array(f["_top_id"], type=pa.int64())
+        )
+        out = out.append_column(
+            "top_indexer", pa.array(f["_top_indexer"], type=pa.int32())
+        )
+        out = out.append_column(
+            "entity_uri", pa.array(uris.tolist(), type=pa.string())
+        )
+        return out

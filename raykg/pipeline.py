@@ -1,0 +1,379 @@
+"""The incremental KG-construction pipeline (epoch driver).
+
+One Ray Data streaming DAG per epoch (the reference's per-batch loop,
+``scripts/eval_kbp.py:780-785``), with the incremental barrier the
+semantics require (SURVEY.md §7.7.2): entities minted from NIL clusters
+in epoch k are retrievable from epoch k+1 on, never within k
+(``scripts/eval_kbp.py:626-652``).
+
+Per epoch:
+
+    read_parquet(transcripts/epoch=K)           # column-pruned read
+      -> map_batches(detect_mentions)           # stateless, Arrow
+      -> map_batches(MentionEncoder, pool)      # stateful actor pool
+      -> map_batches(Retriever, pool)           # KB broadcast by ray.put
+      -> map_batches(NilStage)                  # stateless, vectorized
+      -> write_parquet(mentions/epoch=K)        # checkpointed artifact
+    read back (pruned) -> filter is_nil
+      -> groupby(block).map_groups(clusterer)   # per-group, sorted by
+                                                #   mention_id inside
+      -> canonical ids + clusters/epoch=K + KB delta
+    read back mentions -> triples -> dedup -> triples/epoch=K
+
+The mentions table is written once and *read back* for the clustering
+and triple stages instead of re-executing or materializing the upstream
+DAG — this is also what makes a killed run resumable: the manifest marks
+completed epochs, whose outputs (including the KB delta needed to
+rebuild retrieval state) are simply reloaded.
+
+Blocking choices for the NIL clustering shuffle (SURVEY.md §4.3):
+``global`` reproduces the reference exactly (all NIL mentions of the
+epoch clustered jointly — one group); ``surface`` blocks by lowercased
+surface form first (the scale path: greedy clustering at θ≈81 only ever
+merges near-identical surfaces, so exact-surface blocking is a
+near-lossless decomposition that turns an O(n²) epoch-global problem
+into many tiny per-surface ones; hot surfaces are bounded by the
+per-group cap exactly like the reference's >25-unique breakup).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from raykg.canon import RwState
+from raykg.cluster import run_clusterer
+from raykg.detect import detect_mentions
+from raykg.encode import MentionEncoder, column_to_vectors
+from raykg.index import Retriever, kb_index_from_table
+from raykg.nil import DEFAULT_NIL_MODEL, LogisticModel, NilStage
+from raykg.schema import DIM, TOP_K
+from raykg.triples import cluster_triples, dedup_triples, mention_triples
+
+
+@dataclass
+class PipelineConfig:
+    dim: int = DIM
+    top_k: int = TOP_K
+    clusterer: str = "greedy"  # greedy | feature | threestep
+    blocking: str = "global"  # global | surface
+    nil_model: LogisticModel = field(default_factory=lambda: DEFAULT_NIL_MODEL)
+    detect_batch: int = 4096
+    encode_batch: int = 2048
+    retrieve_batch: int = 2048
+    nil_batch: int = 4096
+    pool_size: int | None = None  # actor pool max; None -> cpus//2
+    write_candidates: bool = False  # full candidate structs in mentions output
+
+    def digest(self) -> str:
+        payload = {
+            k: v
+            for k, v in self.__dict__.items()
+            if k != "nil_model"
+        }
+        payload["nil_model"] = [
+            list(self.nil_model.features),
+            list(self.nil_model.coef),
+            self.nil_model.intercept,
+        ]
+        return hashlib.sha256(
+            json.dumps(payload, sort_keys=True).encode()
+        ).hexdigest()[:16]
+
+
+def _pool(cfg: PipelineConfig) -> tuple[int, int]:
+    if cfg.pool_size is not None:
+        return (1, cfg.pool_size)
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return (1, max(2, cpus // 2))
+
+
+def load_kb_ref(kb_path: str):
+    """KB parquet -> broadcast tuple (one ray.put for the whole run)."""
+    tbl = pq.read_table(kb_path)
+    idx = kb_index_from_table(tbl)
+    return ray.put(
+        (idx.vectors, idx.wikipedia_ids, list(idx.titles), list(idx.types),
+         idx.tombstone)
+    )
+
+
+def _compact_candidates(batch: pa.Table) -> pa.Table:
+    """Replace the heavy candidates list<struct> with a compact
+    list<int64> of candidate wikipedia_ids (what eval needs for
+    recall@k) before the mentions write."""
+    cands = batch.column("candidates")
+    if isinstance(cands, pa.ChunkedArray):
+        cands = cands.combine_chunks()
+    wiki_list = pa.ListArray.from_arrays(
+        cands.offsets, cands.values.field("wikipedia_id")
+    )
+    out = batch.drop_columns(["candidates"])
+    return out.append_column("cand_wikipedia_ids", wiki_list)
+
+
+def _cluster_group(group: pa.Table, strategy: str) -> pa.Table:
+    """Per-block clustering. Sorts by mention_id first — greedy label
+    propagation is order dependent (SURVEY.md §7.7.1) and Ray block
+    order must not leak into results."""
+    idx = pa.compute.sort_indices(group.column("mention_id"))
+    group = group.take(idx)
+    ids = group.column("mention_id").to_pylist()
+    mentions = group.column("mention").to_pylist()
+    encodings = column_to_vectors(group.column("encoding"))
+    clusters = run_clusterer(
+        strategy,
+        ids,
+        mentions,
+        encodings,
+        group.column("context_left").to_pylist(),
+        group.column("context_right").to_pylist(),
+    )
+    rows = {
+        "min_mention_id": pa.array(
+            [min(c.mention_ids) for c in clusters], type=pa.int64()
+        ),
+        "title": pa.array([c.title() for c in clusters], type=pa.string()),
+        "nelements": pa.array([c.nelements for c in clusters], type=pa.int64()),
+        "mention_ids": pa.array(
+            [c.mention_ids for c in clusters], type=pa.list_(pa.int64())
+        ),
+        "mentions": pa.array(
+            [c.mentions for c in clusters], type=pa.list_(pa.string())
+        ),
+        "center": pa.array(
+            [c.center().tolist() for c in clusters],
+            type=pa.list_(pa.float32()),
+        ),
+    }
+    return pa.table(rows)
+
+
+def _add_block_key(batch: pa.Table, blocking: str) -> pa.Table:
+    if blocking == "global":
+        key = pa.array(np.zeros(batch.num_rows, dtype=np.int64))
+    elif blocking == "surface":
+        from raykg.util import hash_strings
+
+        key = pa.array(
+            (hash_strings([m.lower() for m in batch.column("mention").to_pylist()])
+             % np.uint64(1 << 62)).astype(np.int64)
+        )
+    else:
+        raise ValueError(f"unknown blocking: {blocking}")
+    return batch.append_column("block", key)
+
+
+def run_epoch(
+    fixture_dir: str,
+    out_dir: str,
+    epoch: int,
+    kb_ref,
+    rw_state: RwState,
+    cfg: PipelineConfig,
+) -> dict:
+    t0 = time.time()
+    pool = _pool(cfg)
+    tr_path = os.path.join(fixture_dir, "transcripts", f"epoch={epoch}")
+
+    rw_ref = (
+        ray.put((rw_state.vectors, list(rw_state.titles)))
+        if rw_state.ntotal
+        else None
+    )
+    nil_stage = NilStage(cfg.nil_model, rw_uris=list(rw_state.uris))
+
+    ds = rd.read_parquet(tr_path, columns=["conv_id", "turn_idx", "text"])
+    ds = ds.map_batches(
+        detect_mentions, batch_format="pyarrow", batch_size=cfg.detect_batch
+    )
+    ds = ds.map_batches(
+        MentionEncoder,
+        fn_constructor_kwargs={"dim": cfg.dim},
+        batch_format="pyarrow",
+        batch_size=cfg.encode_batch,
+        concurrency=pool,
+    )
+    ds = ds.map_batches(
+        Retriever,
+        fn_constructor_kwargs={
+            "kb_ref": kb_ref,
+            "rw_ref": rw_ref,
+            "top_k": cfg.top_k,
+        },
+        batch_format="pyarrow",
+        batch_size=cfg.retrieve_batch,
+        concurrency=pool,
+    )
+    ds = ds.map_batches(
+        nil_stage, batch_format="pyarrow", batch_size=cfg.nil_batch
+    )
+    if not cfg.write_candidates:
+        ds = ds.map_batches(_compact_candidates, batch_format="pyarrow")
+    mentions_dir = os.path.join(out_dir, "mentions", f"epoch={epoch}")
+    ds.write_parquet(mentions_dir)
+
+    # ---- NIL clustering (read back the checkpointed mentions) ----
+    nil_ds = rd.read_parquet(
+        mentions_dir,
+        columns=[
+            "mention_id",
+            "mention",
+            "context_left",
+            "context_right",
+            "encoding",
+            "is_nil",
+        ],
+    )
+    nil_ds = nil_ds.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("is_nil"), True)).drop_columns(
+            ["is_nil"]
+        ),
+        batch_format="pyarrow",
+    )
+    nil_ds = nil_ds.map_batches(
+        lambda t: _add_block_key(t, cfg.blocking), batch_format="pyarrow"
+    )
+    strategy = cfg.clusterer
+    cluster_parts = nil_ds.groupby("block").map_groups(
+        lambda g: _cluster_group(g, strategy), batch_format="pyarrow"
+    )
+    # clusters are the small side (one row per novel entity) — safe to
+    # collect for canonical id assignment + KB delta
+    parts = cluster_parts.to_pandas()
+    clusters_table = _assemble_clusters_table(parts, epoch, cfg.dim)
+    clusters_dir = os.path.join(out_dir, "clusters")
+    os.makedirs(clusters_dir, exist_ok=True)
+    pq.write_table(
+        clusters_table, os.path.join(clusters_dir, f"epoch={epoch}.parquet")
+    )
+    rw_state.add_clusters(clusters_table)
+
+    # ---- triples ----
+    nil_uri_map: dict[int, str] = {}
+    for row in clusters_table.select(["cluster_id", "mention_ids"]).to_pylist():
+        for mid in row["mention_ids"]:
+            nil_uri_map[mid] = row["cluster_id"]
+
+    linked = rd.read_parquet(
+        mentions_dir,
+        columns=["mention_id", "conv_id", "turn_idx", "is_nil", "entity_uri"],
+    )
+    triple_ds = linked.map_batches(
+        lambda t: mention_triples(t, nil_uri_map, epoch), batch_format="pyarrow"
+    )
+    ctriples = cluster_triples(clusters_table, epoch)
+    if ctriples.num_rows:
+        triple_ds = triple_ds.union(rd.from_arrow(ctriples))
+    triple_ds = dedup_triples(triple_ds)
+    triples_dir = os.path.join(out_dir, "triples", f"epoch={epoch}")
+    triple_ds.write_parquet(triples_dir)
+
+    stats = {
+        "epoch": epoch,
+        "input": tr_path,
+        "n_clusters": int(clusters_table.num_rows),
+        "rw_total": rw_state.ntotal,
+        "config": cfg.digest(),
+        "wall_s": round(time.time() - t0, 3),
+    }
+    lineage_dir = os.path.join(out_dir, "_lineage")
+    os.makedirs(lineage_dir, exist_ok=True)
+    with open(os.path.join(lineage_dir, f"epoch={epoch}.json"), "w") as f:
+        json.dump(stats, f)
+    return stats
+
+
+def _assemble_clusters_table(parts: pd.DataFrame, epoch: int, dim: int) -> pa.Table:
+    """Canonical ids over the collected per-block cluster rows (rank =
+    smallest member mention_id across all blocks)."""
+    from raykg.encode import vectors_to_column
+    from raykg.schema import entity_uri_nil
+
+    parts = parts.sort_values("min_mention_id").reset_index(drop=True)
+    n = len(parts)
+    centers = (
+        np.stack([np.asarray(c, dtype=np.float32) for c in parts["center"]])
+        if n
+        else np.zeros((0, dim), dtype=np.float32)
+    )
+    return pa.table(
+        {
+            "cluster_id": pa.array(
+                [entity_uri_nil(epoch, r) for r in range(n)], type=pa.string()
+            ),
+            "epoch": pa.array(np.full(n, epoch, dtype=np.int32)),
+            "title": pa.array(parts["title"].tolist(), type=pa.string()),
+            "nelements": pa.array(parts["nelements"].tolist(), type=pa.int64()),
+            "mention_ids": pa.array(
+                [list(x) for x in parts["mention_ids"]], type=pa.list_(pa.int64())
+            ),
+            "mentions": pa.array(
+                [list(x) for x in parts["mentions"]], type=pa.list_(pa.string())
+            ),
+            "center": vectors_to_column(centers),
+        }
+    )
+
+
+def list_epochs(fixture_dir: str) -> list[int]:
+    tdir = os.path.join(fixture_dir, "transcripts")
+    return sorted(
+        int(d.split("=")[1]) for d in os.listdir(tdir) if d.startswith("epoch=")
+    )
+
+
+def run_pipeline(
+    fixture_dir: str,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+    epochs: list[int] | None = None,
+    resume: bool = True,
+) -> dict:
+    """Driver loop over epochs with manifest checkpointing.
+
+    On resume, completed epochs are skipped and the RW state is rebuilt
+    from their materialized cluster deltas."""
+    cfg = cfg or PipelineConfig()
+    if cfg.clusterer not in ("greedy", "feature", "threestep"):
+        raise ValueError(f"unknown clustering strategy: {cfg.clusterer}")
+    if cfg.blocking not in ("global", "surface"):
+        raise ValueError(f"unknown blocking mode: {cfg.blocking}")
+    epochs = epochs if epochs is not None else list_epochs(fixture_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    manifest = {"completed_epochs": [], "config": cfg.digest()}
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            prev = json.load(f)
+        if prev.get("config") == cfg.digest():
+            manifest = prev
+
+    kb_ref = load_kb_ref(os.path.join(fixture_dir, "kb.parquet"))
+    rw_state = RwState(cfg.dim)
+    stats = []
+    for epoch in epochs:
+        if epoch in manifest["completed_epochs"]:
+            delta = os.path.join(out_dir, "clusters", f"epoch={epoch}.parquet")
+            if os.path.exists(delta):
+                rw_state.add_clusters(pq.read_table(delta))
+            continue
+        stats.append(run_epoch(fixture_dir, out_dir, epoch, kb_ref, rw_state, cfg))
+        manifest["completed_epochs"].append(epoch)
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, manifest_path)
+    return {"epochs_run": [s["epoch"] for s in stats], "stats": stats,
+            "rw_total": rw_state.ntotal}

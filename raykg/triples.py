@@ -1,0 +1,121 @@
+"""Triple emission, exact dedup, partitioned graph-store write.
+
+Bridges the reference's final per-mention artifact (a resolved entity id
+— KB wikipedia_id or minted NIL cluster, ``scripts/eval_kbp.py:486-496,
+626-652``) to a (subj, pred, obj) graph store (SURVEY.md §7.6):
+
+    (mention:{id},        kg:linksTo,   entity_uri)
+    (turn:{conv}:{idx},   kg:mentions,  entity_uri)
+    (nil_uri,             kg:hasMember, mention:{id})   per cluster member
+    (nil_uri,             kg:label,     modal title)    per cluster
+
+Dedup key is (subj, pred, obj). At scale this is the hash-partition +
+per-partition-first pattern (SURVEY.md §4.3): a deterministic FNV bucket
+column (NEVER python hash — process-salted) -> groupby(bucket) ->
+drop_duplicates per group. Output is one Parquet partition per epoch so
+a resumed run skips finished epochs entirely.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from raykg.schema import (
+    PRED_HAS_MEMBER,
+    PRED_LABEL,
+    PRED_LINKS_TO,
+    PRED_MENTIONS,
+)
+from raykg.util import hash_string_columns
+
+DEDUP_BUCKETS = 256
+
+
+def mention_triples(batch: pa.Table, nil_uri_map: dict[int, str], epoch: int) -> pa.Table:
+    """Linked-mention rows -> linksTo + turn-mentions triples.
+
+    ``nil_uri_map``: mention_id -> minted cluster uri for the epoch's
+    NIL mentions (broadcast via ray.put; scale path for a huge NIL set
+    is a hash join on mention_id, same output)."""
+    mids = batch.column("mention_id").to_pylist()
+    convs = batch.column("conv_id").to_pylist()
+    turns = batch.column("turn_idx").to_pylist()
+    is_nil = batch.column("is_nil").to_pylist()
+    uris = batch.column("entity_uri").to_pylist()
+
+    subj, pred, obj, conv_out = [], [], [], []
+    for mid, conv, ti, nil, uri in zip(mids, convs, turns, is_nil, uris):
+        ent = nil_uri_map.get(mid, "") if nil else uri
+        if not ent:
+            continue  # unresolved (should not happen: every NIL mention clusters)
+        m_uri = f"mention:{mid}"
+        t_uri = f"turn:{conv}:{ti}"
+        subj.extend((m_uri, t_uri))
+        pred.extend((PRED_LINKS_TO, PRED_MENTIONS))
+        obj.extend((ent, ent))
+        conv_out.extend((conv, conv))
+    return pa.table(
+        {
+            "subj": pa.array(subj, type=pa.string()),
+            "pred": pa.array(pred, type=pa.string()),
+            "obj": pa.array(obj, type=pa.string()),
+            "epoch": pa.array(np.full(len(subj), epoch, dtype=np.int32)),
+            "conv_id": pa.array(conv_out, type=pa.string()),
+        }
+    )
+
+
+def cluster_triples(clusters_table: pa.Table, epoch: int) -> pa.Table:
+    subj, pred, obj = [], [], []
+    for row in clusters_table.to_pylist():
+        uri = row["cluster_id"]
+        subj.append(uri)
+        pred.append(PRED_LABEL)
+        obj.append(row["title"])
+        for mid in row["mention_ids"]:
+            subj.append(uri)
+            pred.append(PRED_HAS_MEMBER)
+            obj.append(f"mention:{mid}")
+    return pa.table(
+        {
+            "subj": pa.array(subj, type=pa.string()),
+            "pred": pa.array(pred, type=pa.string()),
+            "obj": pa.array(obj, type=pa.string()),
+            "epoch": pa.array(np.full(len(subj), epoch, dtype=np.int32)),
+            "conv_id": pa.array([""] * len(subj), type=pa.string()),
+        }
+    )
+
+
+def _add_bucket(batch: pa.Table) -> pa.Table:
+    h = hash_string_columns(
+        batch.column("subj").to_pylist(),
+        batch.column("pred").to_pylist(),
+        batch.column("obj").to_pylist(),
+    )
+    bucket = (h % np.uint64(DEDUP_BUCKETS)).astype(np.int32)
+    # local pre-dedup cuts shuffle volume before the bucket exchange
+    tbl = batch.append_column("bucket", pa.array(bucket, type=pa.int32()))
+    df = tbl.to_pandas()
+    df = df.drop_duplicates(subset=["subj", "pred", "obj"])
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+def _dedup_group(group: pd.DataFrame) -> pd.DataFrame:
+    return group.drop_duplicates(subset=["subj", "pred", "obj"]).drop(
+        columns=["bucket"]
+    )
+
+
+def dedup_triples(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact (subj,pred,obj) dedup: local pre-dedup -> hash-bucket
+    shuffle -> per-bucket drop_duplicates."""
+    return (
+        ds.map_batches(_add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_dedup_group, batch_format="pandas")
+    )

@@ -1,0 +1,33 @@
+import pytest
+
+import ray
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def small_fixture(tmp_path_factory):
+    """Shared small synthetic world (seeded, deterministic)."""
+    from raykg import fixtures
+
+    d = str(tmp_path_factory.mktemp("fixture"))
+    fixtures.write_fixture(
+        d, n_convs=60, n_kb=80, n_nil=12, n_tomb=5, n_epochs=3, seed=42
+    )
+    return d

@@ -1,0 +1,117 @@
+import numpy as np
+import pyarrow as pa
+
+from raykg.encode import HashEncoder, vectors_to_column
+from raykg.index import FlatIndex, Retriever, candidates_column
+from raykg.schema import DUMMY_SCORE, INDEXER_KB, INDEXER_RW
+
+
+def _toy_index(n=20, d=8, seed=0, indexer=INDEXER_KB, tomb_idx=()):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    tomb = np.zeros(n, dtype=bool)
+    for i in tomb_idx:
+        tomb[i] = True
+    return FlatIndex(
+        vecs,
+        np.arange(n, dtype=np.int64) + 100,
+        [f"ent {i}" for i in range(n)],
+        None,
+        tomb,
+        indexer,
+    )
+
+
+def test_search_matches_bruteforce():
+    idx = _toy_index()
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(5, 8)).astype(np.float32)
+    scores, ids = idx.search_knn(q, 4)
+    brute = q @ idx.vectors.T
+    for r in range(5):
+        order = np.lexsort((np.arange(20), -brute[r]))[:4]
+        np.testing.assert_array_equal(ids[r], order)
+        np.testing.assert_allclose(scores[r], brute[r][order], rtol=1e-6)
+
+
+def test_search_fewer_than_k_pads():
+    idx = _toy_index(n=3)
+    q = np.ones((2, 8), dtype=np.float32)
+    scores, ids = idx.search_knn(q, 10)
+    assert ids.shape == (2, 10)
+    assert (ids[:, 3:] == -1).all()
+
+
+def test_candidates_tombstone_dummy():
+    idx = _toy_index(tomb_idx=(0,))
+    # query exactly at vector 0 so it is the top candidate
+    q = idx.vectors[:1].copy()
+    col = candidates_column(q, [idx], 3)
+    cands = col.to_pylist()[0]
+    assert len(cands) == 3
+    # dummy sorts last with score -1000 and blanked metadata
+    assert cands[-1]["dummy"] is True
+    assert cands[-1]["score"] == DUMMY_SCORE
+    assert cands[-1]["title"] == ""
+    assert cands[-1]["wikipedia_id"] == 0
+    assert not cands[0]["dummy"]
+    # non-dummies sorted desc
+    s = [c["score"] for c in cands[:-1]]
+    assert s == sorted(s, reverse=True)
+
+
+def test_multi_index_union_sorted():
+    a = _toy_index(n=6, seed=0, indexer=INDEXER_KB)
+    b = _toy_index(n=6, seed=7, indexer=INDEXER_RW)
+    q = np.ones((1, 8), dtype=np.float32)
+    col = candidates_column(q, [a, b], 4)
+    cands = col.to_pylist()[0]
+    assert len(cands) == 8
+    scores = [c["score"] for c in cands]
+    assert scores == sorted(scores, reverse=True)
+    assert {c["indexer"] for c in cands} == {INDEXER_KB, INDEXER_RW}
+
+
+def test_empty_index_contributes_nothing():
+    a = _toy_index(n=4)
+    empty = FlatIndex(
+        np.zeros((0, 8), dtype=np.float32),
+        np.zeros(0, dtype=np.int64),
+        [],
+        None,
+        None,
+        INDEXER_RW,
+    )
+    q = np.ones((2, 8), dtype=np.float32)
+    col = candidates_column(q, [a, empty], 3)
+    assert [len(x) for x in col.to_pylist()] == [3, 3]
+
+
+def test_norm_score():
+    idx = _toy_index()
+    q = idx.vectors[:1] * 2.0  # q norm > e norm
+    col = candidates_column(q, [idx], 1)
+    c = col.to_pylist()[0][0]
+    qn = np.linalg.norm(q)
+    expected = c["score"] / qn**2
+    assert abs(c["norm_score"] - expected) < 1e-5
+
+
+def test_retriever_stage_inline():
+    enc = HashEncoder(dim=16)
+    titles = ["Alpha Beta", "Gamma Delta"]
+    vecs = enc.encode_entities(titles, ["Alpha Beta desc", "Gamma Delta desc"])
+    kb = (
+        vecs,
+        np.array([11, 22], dtype=np.int64),
+        titles,
+        ["", ""],
+        np.zeros(2, dtype=bool),
+    )
+    r = Retriever(kb, None, top_k=2)
+    m = enc.encode_mentions(["Alpha Beta"], ["x"], ["y"])
+    batch = pa.table({"encoding": vectors_to_column(m)})
+    out = r(batch)
+    cands = out.column("candidates").to_pylist()[0]
+    assert cands[0]["wikipedia_id"] == 11
+    assert cands[0]["score"] > 90

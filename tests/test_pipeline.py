@@ -1,0 +1,115 @@
+import json
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from raykg.pipeline import PipelineConfig, list_epochs, run_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(small_fixture, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out"))
+    res = run_pipeline(small_fixture, out, PipelineConfig())
+    return small_fixture, out, res
+
+
+def _triples(out):
+    return rd.read_parquet(os.path.join(out, "triples")).to_pandas()
+
+
+def test_runs_all_epochs(pipeline_out):
+    fx, out, res = pipeline_out
+    assert res["epochs_run"] == list_epochs(fx) == [0, 1, 2]
+
+
+def test_triple_shapes(pipeline_out):
+    _, out, _ = pipeline_out
+    tri = _triples(out)
+    assert set(tri.columns) == {"subj", "pred", "obj", "epoch", "conv_id"}
+    preds = set(tri.pred.unique())
+    assert preds == {"kg:linksTo", "kg:mentions", "kg:hasMember", "kg:label"}
+    # dedup: no (s,p,o) duplicates
+    assert not tri.duplicated(subset=["subj", "pred", "obj"]).any()
+
+
+def test_every_gold_mention_linked(pipeline_out, small_fixture):
+    _, out, _ = pipeline_out
+    tri = _triples(out)
+    gold = pq.read_table(os.path.join(small_fixture, "gold.parquet")).to_pandas()
+    links = tri[tri.pred == "kg:linksTo"]
+    linked_ids = set(int(s.split(":")[1]) for s in links.subj)
+    assert linked_ids == set(gold.mention_id)
+
+
+def test_incremental_linking_to_minted_entities(pipeline_out):
+    """Entities minted in epoch k must be linkable from epoch k+1
+    (scripts/eval_kbp.py:626-652 semantics)."""
+    _, out, _ = pipeline_out
+    tri = _triples(out)
+    links = tri[tri.pred == "kg:linksTo"]
+    nil_links = links[links.obj.str.startswith("nil:")]
+    minted_epoch = nil_links.obj.str.split(":").str[1].astype(int)
+    cross = nil_links[minted_epoch < nil_links.epoch]
+    assert len(cross) > 0, "no later-epoch mention linked to a minted entity"
+    # and never the other way (epoch k cannot see entities minted in k)
+    assert (minted_epoch <= nil_links.epoch).all()
+
+
+def test_linking_quality_vs_gold(pipeline_out, small_fixture):
+    """Non-NIL gold mentions with exact-title surfaces should link to
+    their gold KB entity."""
+    _, out, _ = pipeline_out
+    tri = _triples(out)
+    gold = pq.read_table(os.path.join(small_fixture, "gold.parquet")).to_pandas()
+    links = tri[tri.pred == "kg:linksTo"].copy()
+    links["mention_id"] = links.subj.str.split(":").str[1].astype(int)
+    merged = gold.merge(links, on="mention_id")
+    exact = merged[(~merged.NIL) & (merged.mention == merged.Wikipedia_title)]
+    correct = (
+        exact.obj == "ent:kb:" + exact.Wikipedia_ID.astype(str)
+    ).mean()
+    assert correct > 0.95
+
+
+def test_resume_skips_completed(pipeline_out, capsys):
+    fx, out, _ = pipeline_out
+    res2 = run_pipeline(fx, out, PipelineConfig())
+    assert res2["epochs_run"] == []
+    # rw state was rebuilt from the materialized deltas
+    clusters = rd.read_parquet(os.path.join(out, "clusters")).to_pandas()
+    assert res2["rw_total"] == len(clusters)
+
+
+def test_lineage_records(pipeline_out):
+    _, out, _ = pipeline_out
+    for epoch in (0, 1, 2):
+        p = os.path.join(out, "_lineage", f"epoch={epoch}.json")
+        with open(p) as f:
+            rec = json.load(f)
+        assert rec["epoch"] == epoch
+        assert "config" in rec and "input" in rec
+
+
+def test_deterministic_across_runs(small_fixture, tmp_path_factory):
+    out2 = str(tmp_path_factory.mktemp("out2"))
+    run_pipeline(small_fixture, out2, PipelineConfig())
+    out3 = str(tmp_path_factory.mktemp("out3"))
+    run_pipeline(small_fixture, out3, PipelineConfig())
+    a = _triples(out2).sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    b = _triples(out3).sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_surface_blocking_mode(small_fixture, tmp_path_factory):
+    """The scale path (surface blocking) still produces a valid triple
+    set covering every mention."""
+    out = str(tmp_path_factory.mktemp("out_sb"))
+    run_pipeline(small_fixture, out, PipelineConfig(blocking="surface"))
+    tri = _triples(out)
+    gold = pq.read_table(os.path.join(small_fixture, "gold.parquet")).to_pandas()
+    links = tri[tri.pred == "kg:linksTo"]
+    assert set(int(s.split(":")[1]) for s in links.subj) == set(gold.mention_id)
