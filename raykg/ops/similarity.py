@@ -1,0 +1,167 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is the small side
+(broadcast once via ray.put); each corpus block does one matmul and
+emits its local top-k per query; a final groupby(query) merge keeps the
+global top-k. Wall-clock scales with corpus blocks, memory with
+k × queries.
+
+Scale path: IVF — coarse centroids from a driver-side k-means on a
+sample (small), every vector assigned to its nearest centroid in one
+broadcast map_batches pass; queries probe only the nprobe nearest
+partitions. Same output contract as brute force (approximate recall).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from raykg.encode import column_to_vectors
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1
+    return M / n
+
+
+def knn_bruteforce(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """-> Dataset(qid, vec_id, rank) — global cosine top-k per query.
+
+    Ranks are 1-based by (cosine desc, vec_id asc); similarity is
+    computed in float64 so results are reproducible against SQL oracles.
+    """
+    Qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), Qn))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, Q = ray.get(qref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        M = _normalize(column_to_vectors(batch.column(vec_col)).astype(np.float64))
+        sims = Q @ M.T  # (nq, nblock)
+        kk = min(k, sims.shape[1])
+        # per query: top-kk by (sim desc, id asc)
+        order = np.lexsort((ids[None, :].repeat(len(Q), 0), -sims), axis=1)[:, :kk]
+        out_q = np.repeat(qids, kk)
+        out_v = ids[order].reshape(-1)
+        out_s = np.take_along_axis(sims, order, axis=1).reshape(-1)
+        return pa.table(
+            {
+                "qid": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", "vec_id", "rank"]]
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def kmeans_lite(
+    X: np.ndarray, n_clusters: int, n_iter: int = 10, seed: int = 3
+) -> np.ndarray:
+    """Plain Lloyd's k-means on a (sample) matrix — centroid builder for
+    IVF. Deterministic in seed."""
+    rng = np.random.default_rng(seed)
+    X = np.asarray(X, dtype=np.float64)
+    centers = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        for c in range(len(centers)):
+            members = X[lab == c]
+            if len(members):
+                centers[c] = members.mean(axis=0)
+    return centers
+
+
+def build_ivf(ds, n_lists: int = 16, sample_n: int = 2048,
+              vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 3):
+    """-> (centroids, assigned Dataset with a 'list_id' column)."""
+    sample = ds.limit(sample_n).take_all()
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    centers = kmeans_lite(_normalize(X), n_lists, seed=seed)
+    cref = ray.put(centers)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        M = _normalize(column_to_vectors(batch.column(vec_col)).astype(np.float64))
+        lab = (M @ C.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("list_id", pa.array(lab))
+
+    return centers, ds.map_batches(assign, batch_format="pyarrow")
+
+
+def knn_ivf(
+    assigned_ds,
+    centers: np.ndarray,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Approximate top-k: each query searches only its nprobe nearest
+    inverted lists. Corpus blocks skip queries that don't probe any of
+    the block's lists."""
+    Qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(Qn @ centers.T), axis=1)[:, :nprobe]
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), Qn, probes))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, Q, P = ray.get(qref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = batch.column("list_id").to_numpy(zero_copy_only=False)
+        M = _normalize(column_to_vectors(batch.column(vec_col)).astype(np.float64))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(Q)):
+            mask = np.isin(lists, P[qi])
+            if not mask.any():
+                continue
+            sims = M[mask] @ Q[qi]
+            sub_ids = ids[mask]
+            kk = min(k, len(sims))
+            order = np.lexsort((sub_ids, -sims))[:kk]
+            out_q.extend([qids[qi]] * kk)
+            out_v.extend(sub_ids[order].tolist())
+            out_s.extend(sims[order].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", "vec_id", "rank"]]
+
+    return (
+        assigned_ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(merge, batch_format="pandas")
+    )

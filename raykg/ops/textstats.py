@@ -1,0 +1,139 @@
+"""Text analysis operators over a document corpus.
+
+All stages are stateless vectorized ``map_batches`` transforms (or an
+actor pool where state — compiled patterns, stopword tables — warrants
+it): token counting (whitespace + BPE-ish word/punct split), quality
+scoring (length / punctuation / stopword / uppercase ratios), language
+identification (character n-gram + stopword heuristic), and rolling-hash
+document fingerprinting.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+_WS_RE = re.compile(r"\s+")
+# BPE-ish pre-tokenizer: word pieces, numbers, punctuation runs
+_BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+
+_STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "dans", "pour"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "en", "para", "que"},
+    "it": {"il", "la", "gli", "e", "è", "un", "una", "per", "che", "di"},
+}
+
+
+def token_count_whitespace(texts: pd.Series) -> pd.Series:
+    """Number of whitespace-delimited tokens; '' -> 0. Matches DuckDB
+    ``length(regexp_split_to_array(trim(text), '\\s+'))`` on non-empty
+    trimmed text."""
+    stripped = texts.str.strip()
+    n = stripped.str.count(_WS_RE.pattern) + 1
+    return n.where(stripped.str.len() > 0, 0).astype("int64")
+
+
+def token_count_bpeish(texts: pd.Series) -> pd.Series:
+    """Sub-word-ish token count via the word/number/punct pre-split."""
+    return texts.str.count(_BPE_RE.pattern).astype("int64")
+
+
+class QualityScorer:
+    """Actor-pool stage: per-document quality features.
+
+    Emits n_chars_comp, n_tokens, avg_token_len, punct_ratio,
+    stop_ratio, upper_ratio, quality_score (a simple monotone combo —
+    the point is the plumbing and determinism, not linguistic truth).
+    """
+
+    def __init__(self, lang: str = "en"):
+        self.stop = _STOPWORDS[lang]
+        self.word_re = re.compile(r"[A-Za-z]+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        n_chars = texts.str.len().astype("int64")
+        n_tokens = token_count_whitespace(texts)
+        n_punct = texts.str.count(_PUNCT_RE.pattern)
+        n_upper = texts.str.count(r"[A-Z]")
+        words = texts.str.findall(self.word_re)
+        stop_ratio = words.map(
+            lambda ws: sum(w.lower() in self.stop for w in ws) / max(1, len(ws))
+        )
+        avg_tok = (n_chars / n_tokens.clip(lower=1)).astype("float64")
+        batch = batch.copy()
+        batch["n_chars_comp"] = n_chars
+        batch["n_tokens"] = n_tokens
+        batch["avg_token_len"] = avg_tok
+        batch["punct_ratio"] = (n_punct / n_chars.clip(lower=1)).astype("float64")
+        batch["upper_ratio"] = (n_upper / n_chars.clip(lower=1)).astype("float64")
+        batch["stop_ratio"] = stop_ratio.astype("float64")
+        batch["quality_score"] = (
+            0.4 * np.clip(n_tokens / 100.0, 0, 1)
+            + 0.3 * (1 - batch["punct_ratio"])
+            + 0.3 * np.clip(batch["stop_ratio"] * 5, 0, 1)
+        )
+        return batch
+
+
+class LangId:
+    """Actor-pool stage: character-n-gram + stopword language guesser.
+
+    Scores each supported language by stopword hits plus a tiny
+    char-trigram profile; deterministic; 'und' (undetermined) when no
+    evidence. A model-based identifier would occupy the same slot.
+    """
+
+    _PROFILES = {
+        "en": ("th", "he", "in", "er", "an"),
+        "de": ("en", "er", "ch", "de", "ei"),
+        "fr": ("es", "le", "de", "en", "on"),
+        "es": ("de", "en", "el", "la", "os"),
+        "it": ("di", "la", "er", "to", "re"),
+    }
+
+    def __init__(self):
+        self.word_re = re.compile(r"[a-zA-ZäöüßéèêàùìòáíóúñÄÖÜ]+")
+
+    def _score_one(self, text: str) -> str:
+        words = [w.lower() for w in self.word_re.findall(text)]
+        if not words:
+            return "und"
+        best, best_score = "und", 0.0
+        joined = " ".join(words)
+        for lang, stops in _STOPWORDS.items():
+            s = sum(w in stops for w in words) / len(words)
+            s += 0.1 * sum(joined.count(bg) for bg in self._PROFILES[lang]) / max(
+                len(joined), 1
+            )
+            if s > best_score:
+                best, best_score = lang, s
+        return best if best_score > 0.02 else "und"
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["lang_pred"] = [self._score_one(t) for t in batch["text"].fillna("")]
+        return batch
+
+
+def fingerprint(texts: list[str], window: int = 8) -> np.ndarray:
+    """Winnowing-style rolling-hash fingerprint: min over the rolling
+    k-gram hashes of the lowercased text (k=window). Deterministic
+    uint64 per document; equal fingerprints => near-identical prefixes
+    of content with high probability."""
+    from raykg.util import hash_strings
+
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        t = (t or "").lower()
+        if len(t) < window:
+            out[i] = hash_strings([t])[0]
+            continue
+        grams = [t[j : j + window] for j in range(len(t) - window + 1)]
+        out[i] = hash_strings(grams).min()
+    return out

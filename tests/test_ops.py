@@ -1,0 +1,227 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data as rd
+
+from raykg.ops.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    jaccard_ngrams,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_pairs,
+    simhash_signatures,
+)
+from raykg.ops.multimodal import (
+    DecodeStage,
+    FrameSampleStage,
+    ResizeStage,
+    synth_media_table,
+)
+from raykg.ops.similarity import build_ivf, knn_bruteforce, knn_ivf
+from raykg.ops.textstats import (
+    LangId,
+    QualityScorer,
+    fingerprint,
+    token_count_whitespace,
+)
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+    "the quick brown fox jumped over the lazy dog",  # near dup
+    "completely different content about databases and queries",
+    "der hund und die katze sind nicht im haus",
+    "",
+]
+
+
+def _docs_ds():
+    return rd.from_arrow(
+        pa.table({"doc_id": list(range(len(DOCS))), "text": DOCS})
+    )
+
+
+def test_exact_dedup():
+    out = exact_dedup(_docs_ds()).to_pandas()
+    assert sorted(out.doc_id) == [0, 2, 3, 4, 5]  # doc 1 removed, min id kept
+    assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_minhash_estimates_jaccard():
+    sigs = minhash_signatures(DOCS[:4], num_perm=256)
+    est = (sigs[0] == sigs[2]).mean()
+    true = jaccard_ngrams(DOCS[0], DOCS[2])
+    assert abs(est - true) < 0.15
+    assert (sigs[0] == sigs[1]).all()  # identical docs -> identical sigs
+
+
+def test_minhash_lsh_finds_near_dups():
+    pairs = minhash_lsh_pairs(_docs_ds(), threshold=0.5).to_pandas()
+    found = set(zip(pairs.id_a, pairs.id_b))
+    assert (0, 1) in found
+    assert (0, 2) in found
+    assert (0, 3) not in found
+    assert (pairs.jaccard >= 0.5).all()
+
+
+def test_simhash_pairs():
+    pairs = simhash_pairs(_docs_ds(), max_hamming=3).to_pandas()
+    found = set(zip(pairs.id_a, pairs.id_b))
+    assert (0, 1) in found  # identical docs, hamming 0
+    s = simhash_signatures(DOCS)
+    assert s[0] == s[1]
+
+
+def test_embedding_cosine_pairs():
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(5, 16)).astype(np.float32)
+    vecs = np.concatenate([base, base[:2] + 0.001])  # 5,6 dup 0,1
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": list(range(7)),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    pairs = embedding_cosine_pairs(ds, threshold=0.99).to_pandas()
+    found = set(zip(pairs.id_a, pairs.id_b))
+    assert (0, 5) in found and (1, 6) in found
+    assert all(a < b for a, b in found)
+
+
+def test_knn_bruteforce_vs_numpy():
+    rng = np.random.default_rng(1)
+    M = rng.normal(size=(50, 8))
+    ids = np.arange(50, dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": ids,
+                "embedding": pa.array(
+                    [v.tolist() for v in M.astype(np.float32)],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+    ).repartition(4)
+    Q = M[:3]
+    out = knn_bruteforce(ds, Q, ids[:3], k=5).to_pandas()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    # oracle in float64 on float32-rounded inputs, matching the op
+    M32 = M.astype(np.float32).astype(np.float64)
+    M32n = M32 / np.linalg.norm(M32, axis=1, keepdims=True)
+    sims = (M32n[:3]) @ M32n.T
+    for qi in range(3):
+        want = np.lexsort((ids, -sims[qi]))[:5]
+        got = out[out.qid == qi].sort_values("rank").vec_id.to_numpy()
+        np.testing.assert_array_equal(got, want)
+    assert out.groupby("qid").size().eq(5).all()
+
+
+def test_ivf_recall_reasonable():
+    rng = np.random.default_rng(2)
+    M = rng.normal(size=(200, 8)).astype(np.float32)
+    ids = np.arange(200, dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": ids,
+                "embedding": pa.array(
+                    [v.tolist() for v in M], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+    ).repartition(4)
+    centers, assigned = build_ivf(ds, n_lists=8)
+    got = knn_ivf(assigned, centers, M[:5], ids[:5], k=3, nprobe=4).to_pandas()
+    brute = knn_bruteforce(ds, M[:5], ids[:5], k=3).to_pandas()
+    inter = len(
+        set(zip(got.qid, got.vec_id)) & set(zip(brute.qid, brute.vec_id))
+    )
+    assert inter / len(brute) > 0.5  # probing half the lists
+
+
+def test_token_count_matches_duckdb():
+    import duckdb
+
+    texts = ["a b  c", " x ", "", "one", "tab\tsep words"]
+    got = token_count_whitespace(pd.Series(texts)).tolist()
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT CASE WHEN trim(?) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(?), '\\s+')) END",
+            [t, t],
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
+
+
+def test_quality_scorer():
+    batch = pd.DataFrame({"doc_id": [1, 2], "text": ["The quick, brown fox!", ""]})
+    out = QualityScorer()(batch)
+    assert out.n_tokens.tolist() == [4, 0]
+    assert 0 < out.punct_ratio.iloc[0] < 0.2
+    assert out.quality_score.between(0, 1).all()
+
+
+def test_langid():
+    batch = pd.DataFrame(
+        {
+            "text": [
+                "the cat is in the house and it is warm",
+                "der hund und die katze sind nicht im haus",
+                "el perro es un animal y la casa es grande",
+                "12345 !!!",
+            ]
+        }
+    )
+    out = LangId()(batch)
+    assert out.lang_pred.tolist()[:3] == ["en", "de", "es"]
+    assert out.lang_pred.tolist()[3] == "und"
+
+
+def test_fingerprint_deterministic():
+    fp1 = fingerprint(DOCS)
+    fp2 = fingerprint(DOCS)
+    np.testing.assert_array_equal(fp1, fp2)
+    assert fp1[0] == fp1[1]  # identical docs
+    assert fp1[0] != fp1[3]
+
+
+def test_multimodal_plumbing():
+    tbl = synth_media_table(30)
+    ds = rd.from_arrow(tbl)
+    feats = ds.map_batches(
+        DecodeStage,
+        fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+    ).to_pandas()
+    assert len(feats) == 30
+    assert len(feats.features.iloc[0]) == 8
+    # determinism of the fake decode
+    feats2 = DecodeStage(fake=True)(tbl).to_pandas()
+    a = np.stack(feats.sort_values("media_id").features.to_numpy())
+    b = np.stack(feats2.sort_values("media_id").features.to_numpy())
+    np.testing.assert_array_equal(a, b)
+
+    resized = ResizeStage(16, 16)(tbl)
+    imgs = resized.to_pandas().query("kind == 'image'")
+    assert (imgs.width == 16).all() and (imgs.height == 16).all()
+
+    frames = FrameSampleStage(every_ms=250)(tbl).to_pandas()
+    assert (frames.ts_ms % 250 == 0).all()
+    assert frames.groupby("media_id").frame_idx.min().eq(0).all()
+
+    with pytest.raises(NotImplementedError):
+        DecodeStage(fake=False)(tbl)

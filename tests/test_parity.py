@@ -1,0 +1,60 @@
+"""The P/R gate: the Ray engine's emitted triples vs the reference-
+equivalent single-process oracle (BASELINE.md protocol step 2)."""
+
+import os
+
+import pytest
+
+import ray.data as rd
+
+from raykg.oracle import run_reference_chain
+from raykg.pipeline import PipelineConfig, run_pipeline
+
+
+def _pr(pred: set, gold: set) -> tuple[float, float]:
+    tp = len(pred & gold)
+    p = tp / len(pred) if pred else 1.0
+    r = tp / len(gold) if gold else 1.0
+    return p, r
+
+
+@pytest.fixture(scope="module")
+def engine_triples(small_fixture, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("parity_out"))
+    run_pipeline(small_fixture, out, PipelineConfig())
+    tri = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
+    return set(zip(tri.subj, tri.pred, tri.obj))
+
+
+@pytest.fixture(scope="module")
+def oracle_result(small_fixture):
+    return run_reference_chain(small_fixture)
+
+
+def test_triple_parity(engine_triples, oracle_result):
+    p, r = _pr(engine_triples, oracle_result["triples"])
+    assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_links_to_parity(engine_triples, oracle_result):
+    pred = {t for t in engine_triples if t[1] == "kg:linksTo"}
+    gold = {t for t in oracle_result["triples"] if t[1] == "kg:linksTo"}
+    p, r = _pr(pred, gold)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_cluster_membership_parity(engine_triples, oracle_result):
+    pred = {t for t in engine_triples if t[1] == "kg:hasMember"}
+    gold = {t for t in oracle_result["triples"] if t[1] == "kg:hasMember"}
+    p, r = _pr(pred, gold)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_threestep_parity(small_fixture, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("parity3_out"))
+    run_pipeline(small_fixture, out, PipelineConfig(clusterer="threestep"))
+    tri = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
+    pred = set(zip(tri.subj, tri.pred, tri.obj))
+    gold = run_reference_chain(small_fixture, clusterer="threestep")["triples"]
+    p, r = _pr(pred, gold)
+    assert p >= 0.95 and r >= 0.95, (p, r)
