@@ -1,0 +1,166 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Headline: the flagship incremental KG pipeline (read transcripts ->
+detect -> encode -> retrieve -> NIL -> cluster -> triples, 5 epochs)
+over a deterministic synthetic transcript fixture sized for the chosen
+sf; plus individual operator pipelines over the $GRAFT_SF_DIR tables.
+
+    python bench.py                 # sf from $GRAFT_SF_DIR (default sf0.1),
+                                    # cpus from $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling       # same job at 8 and 32 cpus in fresh
+                                    # processes; prints throughputs +
+                                    # scaling efficiency (BASELINE.md §4)
+
+Fixture generation is excluded from timing (it is input data and is
+cached in /tmp); each timed pipeline run starts from a clean output dir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# bench fixture scale per sf: (n_convs, n_kb, n_nil, n_tomb, n_epochs,
+# dim). The KB is large and the embedding dim is raised to 256 (tests
+# use 64; the reference runs 1024) — retrieval against a big KB is the
+# dominant compute of the real workload, and the higher dim gives it
+# the arithmetic intensity of the real system instead of a memory-bound
+# toy, which is what makes CPU scaling measurable.
+BENCH_SCALE = {
+    "sf0.001": (120, 2000, 100, 20, 3, 64),
+    "sf0.01": (3600, 15000, 400, 50, 3, 256),
+    "sf0.1": (36000, 50000, 2000, 200, 3, 256),
+}
+
+
+def _run_bench(sf_dir: str, num_cpus: int) -> dict:
+    os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+    sys.path.insert(0, REPO)
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from raykg.fixtures import write_fixture
+    from raykg.pipeline import PipelineConfig, run_pipeline
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    scale = BENCH_SCALE.get(sf_name, BENCH_SCALE["sf0.1"])
+    n_convs, n_kb, n_nil, n_tomb, n_epochs, dim = scale
+    fx = f"/tmp/raykg_bench_fixture_{sf_name}"
+    write_fixture(fx, n_convs=n_convs, n_kb=n_kb, n_nil=n_nil,
+                  n_tomb=n_tomb, n_epochs=n_epochs, seed=42, dim=dim)
+    with open(os.path.join(fx, "fixture_manifest.json")) as f:
+        n_turns = json.load(f)["n_turns"]
+
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    for name in ("lineitem", "events", "documents", "embeddings"):
+        pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
+
+    queries: dict[str, float] = {}
+
+    out = f"/tmp/raykg_bench_out_{sf_name}_{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    # surface blocking is the at-scale configuration (SURVEY.md §4.3):
+    # NIL clustering decomposes by exact lowercased surface instead of
+    # one epoch-global O(n²) group; parity tests cover both modes
+    run_pipeline(fx, out, PipelineConfig(blocking="surface", dim=dim),
+                 resume=False)
+    kg_sec = time.time() - t0
+    queries["kg_pipeline"] = round(kg_sec, 3)
+
+    if not os.environ.get("RAYKG_BENCH_KG_ONLY"):
+        import __ray_entry__ as em
+
+        def timed(name, fn):
+            t = time.time()
+            res = fn(sf_dir)
+            # consume lazily-built datasets fully
+            if isinstance(res, rd.Dataset):
+                res.count()
+            queries[name] = round(time.time() - t, 3)
+
+        timed("agg_pricing_summary", em._q_pricing_summary)
+        timed("window_hourly_events", em._q_hourly_events)
+        timed("join_top_revenue_orders", em._q_top_revenue_orders)
+        timed("dedup_documents_exact", em._q_dedup_documents)
+        timed("minhash_near_dup_pairs", em._q_minhash_pairs)
+        timed("knn_bruteforce", em._q_knn)
+        timed("text_quality", em._q_quality)
+
+    result = {
+        "metric": "kg_pipeline_wall",
+        "value": round(kg_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_name,
+        "num_cpus": num_cpus,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / kg_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def _scaling() -> None:
+    """Same job, same input, fresh ray.init per level (BASELINE.md §4).
+
+    Two N->4N pairs are measured: 2->8 CPUs (both levels comfortably
+    inside this VM's uncontended range — the cleanest stand-in for
+    N- vs 4N-node clusters, which scale aggregate memory bandwidth with
+    node count) and 8->32 (the full machine; 32-way concurrency on one
+    box shares one memory subsystem, which a real 4N-node cluster would
+    not)."""
+    levels = (2, 8, 32)
+    vals = {}
+    for n in levels:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), RAYKG_BENCH_KG_ONLY="1")
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True, cwd=REPO,
+        ).stdout
+        vals[n] = json.loads(out.strip().splitlines()[-1])
+    tput = {n: vals[n]["turns_per_sec"] for n in levels}
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round((tput[8] / tput[2]) / 4, 3),
+        "unit": "ratio",
+        "pair": [2, 8],
+        "secondary": {
+            "pair": [8, 32],
+            "efficiency": round((tput[32] / tput[8]) / 4, 3),
+        },
+        "sec": {str(n): vals[n]["value"] for n in levels},
+        "turns_per_sec": {str(n): tput[n] for n in levels},
+        "sf": vals[8]["sf"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        _scaling()
+    else:
+        sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(_run_bench(sf_dir, num_cpus)))

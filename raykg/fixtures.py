@@ -154,11 +154,18 @@ def generate_world(
     kb_emb = emb  # row-aligned with kb
 
     # Zipf skew over entities (head-entity skew per
-    # notebooks/create_dataset.Rmd:133-136).
+    # notebooks/create_dataset.Rmd:133-136). Sampling goes through the
+    # inverse CDF (searchsorted) so drawing is O(log n) per mention,
+    # not O(n) — required for large synthetic KBs. Within-turn entity
+    # repeats are allowed (a turn can mention the same entity twice).
     ranks = np.arange(1, n_entities + 1, dtype=np.float64)
     probs = 1.0 / ranks**1.1
     probs /= probs.sum()
+    cum = np.cumsum(probs)
     ent_order = rng.permutation(n_entities)  # decouple rank from id
+
+    def draw_entities(k: int) -> np.ndarray:
+        return ent_order[np.searchsorted(cum, rng.random(k), side="right")]
 
     trans_rows = []
     gold_rows = []
@@ -182,7 +189,7 @@ def generate_world(
             else:
                 tmpl = [_TEMPLATES_1, _TEMPLATES_2, _TEMPLATES_3][k - 1]
                 template = tmpl[int(rng.integers(len(tmpl)))]
-                ents = ent_order[rng.choice(n_entities, size=k, p=probs, replace=False)]
+                ents = draw_entities(k)
                 surfaces = [_variant(rng, titles[e]) for e in ents]
                 parts = template.split("{}")
                 text = ""

@@ -67,28 +67,81 @@ class FlatIndex:
         )
         self.norms = np.linalg.norm(self.vectors, axis=1) if n else np.zeros(0)
         self.indexer_id = indexer_id
+        self._score_buf: np.ndarray | None = None  # reused per-chunk GEMM output
 
     @property
     def ntotal(self) -> int:
         return len(self.vectors)
 
+    # queries per inner chunk: bounds the (chunk, ntotal) score matrix
+    # to ~chunk*n*4 bytes regardless of the caller's batch size
+    SEARCH_CHUNK = 256
+
     def search_knn(self, queries: np.ndarray, top_k: int):
         """-> (scores (m,k) f32, ids (m,k) int64); ids are index-local
         positions, −1-padded when the index holds fewer than k vectors.
-        Ties broken by id asc (deterministic under retries)."""
+        Ties broken by id asc (deterministic under retries). Large query
+        batches are processed in fixed-size chunks so the dense score
+        matrix never exceeds SEARCH_CHUNK × ntotal."""
         m = len(queries)
+        if m > self.SEARCH_CHUNK and self.ntotal > 0:
+            parts = [
+                self.search_knn(queries[lo : lo + self.SEARCH_CHUNK], top_k)
+                for lo in range(0, m, self.SEARCH_CHUNK)
+            ]
+            return (
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+            )
         k = min(top_k, self.ntotal)
         if k == 0:
             return (
                 np.zeros((m, top_k), dtype=np.float32),
                 -np.ones((m, top_k), dtype=np.int64),
             )
-        scores = queries.astype(np.float32, copy=False) @ self.vectors.T  # (m, n)
-        if k < self.ntotal:
-            part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        n = self.ntotal
+        # GEMM into a reused buffer: a fresh ~chunk×n float32 allocation
+        # per call means mmap/page-fault churn that serializes badly
+        # across a node full of concurrent workers
+        if self._score_buf is None or self._score_buf.shape[0] < m:
+            self._score_buf = np.empty((max(m, self.SEARCH_CHUNK), n), dtype=np.float32)
+        scores = np.matmul(
+            queries.astype(np.float32, copy=False), self.vectors.T,
+            out=self._score_buf[:m],
+        )
+        if k < n and n >= 4096:
+            # Exact block-pruned top-k: a full argpartition over (m, n)
+            # is memory-bandwidth-bound and dominates large-KB search.
+            # Instead: per-row block maxima (one sequential pass via
+            # reduceat), select the top (k + slack) blocks — any block
+            # containing a top-k element has max >= the k-th best value,
+            # and at most k-1 blocks can have a strictly greater max, so
+            # the true top-k always lives inside the selected blocks —
+            # then a small argpartition over only those columns.
+            BW = 128
+            starts = np.arange(0, n, BW)
+            bmax = np.maximum.reduceat(scores, starts, axis=1)  # (m, nb)
+            nb = bmax.shape[1]
+            B = min(nb, k + 6)
+            if B < nb:
+                blk = np.argpartition(bmax, nb - B, axis=1)[:, nb - B:]
+            else:
+                blk = np.broadcast_to(np.arange(nb), (m, nb)).copy()
+            cols = (blk[:, :, None] * BW + np.arange(BW)[None, None, :]).reshape(m, -1)
+            oob = cols >= n
+            np.clip(cols, 0, n - 1, out=cols)
+            sub = np.take_along_axis(scores, cols, axis=1)
+            sub[oob] = -np.inf
+            loc = np.argpartition(sub, sub.shape[1] - k, axis=1)[:, sub.shape[1] - k:]
+            part = np.take_along_axis(cols, loc, axis=1)
+            part_scores = np.take_along_axis(sub, loc, axis=1)
+        elif k < n:
+            # top-k from the RIGHT tail of an ascending partition — no
+            # negated copy of the (m, n) score matrix
+            part = np.argpartition(scores, n - k, axis=1)[:, n - k:]
             part_scores = np.take_along_axis(scores, part, axis=1)
         else:
-            part = np.broadcast_to(np.arange(self.ntotal), (m, self.ntotal)).copy()
+            part = np.broadcast_to(np.arange(n), (m, n)).copy()
             part_scores = scores
         # order the k candidates: score desc, id asc
         order = np.lexsort((part, -part_scores), axis=1)
@@ -214,6 +267,94 @@ def candidates_column(
     return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), struct)
 
 
+def compact_candidate_columns(
+    queries: np.ndarray, indexes: list[FlatIndex], top_k: int
+) -> dict:
+    """Compact retrieval output: per-mention candidate id/score lists +
+    top-candidate scalars, WITHOUT the heavy list<struct> column.
+
+    Downstream (NIL features, eval recall@k) needs only: all candidate
+    scores (dummies included), candidate wikipedia_ids, and the top
+    candidate's (score, title, wikipedia_id, id, indexer). Gathering
+    titles for every candidate — 20 object-array lookups per mention —
+    is the single biggest cost of the full struct mode; here only the
+    top-1 title is gathered."""
+    m = len(queries)
+    score_parts, id_parts, meta = [], [], []
+    for index in indexes:
+        if index.ntotal == 0:
+            continue
+        s, ids = index.search_knn(queries, top_k)
+        safe = np.maximum(ids, 0)
+        tomb = np.where(ids >= 0, index.tombstone[safe], False)
+        wiki = np.where(np.where(ids >= 0, ~tomb, False), index.wikipedia_ids[safe], 0)
+        score_parts.append(np.where(tomb, np.float32(DUMMY_SCORE), s))
+        id_parts.append(ids)
+        meta.append((wiki, np.full((m, s.shape[1]), index.indexer_id, dtype=np.int32)))
+
+    if not score_parts:
+        empty_i = pa.ListArray.from_arrays(
+            pa.array(np.zeros(m + 1, dtype=np.int32)), pa.array([], type=pa.int64())
+        )
+        empty_f = pa.ListArray.from_arrays(
+            pa.array(np.zeros(m + 1, dtype=np.int32)), pa.array([], type=pa.float32())
+        )
+        return {
+            "cand_wikipedia_ids": empty_i,
+            "cand_scores": empty_f,
+            "top_score": np.zeros(m, dtype=np.float32),
+            "top_title": [""] * m,
+            "top_wikipedia_id": np.zeros(m, dtype=np.int64),
+            "top_id": -np.ones(m, dtype=np.int64),
+            "top_indexer": -np.ones(m, dtype=np.int32),
+            "has": np.zeros(m, dtype=bool),
+        }
+
+    scores = np.concatenate(score_parts, axis=1)
+    ids = np.concatenate(id_parts, axis=1)
+    wikis = np.concatenate([mt[0] for mt in meta], axis=1)
+    indexers = np.concatenate([mt[1] for mt in meta], axis=1)
+    order = np.argsort(-scores, axis=1, kind="stable")
+    scores = np.take_along_axis(scores, order, axis=1)
+    ids = np.take_along_axis(ids, order, axis=1)
+    wikis = np.take_along_axis(wikis, order, axis=1)
+    indexers = np.take_along_axis(indexers, order, axis=1)
+    valid = ids >= 0
+
+    counts = valid.sum(axis=1)
+    offsets = np.zeros(m + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    wiki_col = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(wikis[valid], type=pa.int64())
+    )
+    score_col = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(scores[valid], type=pa.float32())
+    )
+
+    has = counts > 0
+    top_score = np.where(has, scores[:, 0], 0.0).astype(np.float32)
+    top_id = np.where(has, ids[:, 0], -1).astype(np.int64)
+    top_wiki = np.where(has, wikis[:, 0], 0).astype(np.int64)
+    top_indexer = np.where(has, indexers[:, 0], -1).astype(np.int32)
+    # only the winning title is looked up, and only for real candidates
+    by_indexer = {ix.indexer_id: ix for ix in indexes}
+    top_title = [""] * m
+    for r in np.flatnonzero(has):
+        if scores[r, 0] == np.float32(DUMMY_SCORE):
+            continue  # tombstone won: blank title like the dummy struct
+        top_title[r] = by_indexer[int(top_indexer[r])].titles[top_id[r]]
+    return {
+        "cand_wikipedia_ids": wiki_col,
+        "cand_scores": score_col,
+        "top_score": top_score,
+        "top_title": top_title,
+        "top_wikipedia_id": top_wiki,
+        "top_id": top_id,
+        "top_indexer": top_indexer,
+        "has": has,
+    }
+
+
 class Retriever:
     """Actor-pool stage: + ``candidates`` column.
 
@@ -225,7 +366,9 @@ class Retriever:
     entities minted in epochs < k (SURVEY.md §2.9 I1/I2).
     """
 
-    def __init__(self, kb_ref, rw_ref=None, top_k: int = TOP_K):
+    def __init__(self, kb_ref, rw_ref=None, top_k: int = TOP_K,
+                 compact: bool = False):
+        self.compact = compact
         kb = ray.get(kb_ref) if not isinstance(kb_ref, tuple) else kb_ref
         vectors, wikipedia_ids, titles, types, tombstone = kb
         self.indexes = [
@@ -255,5 +398,22 @@ class Retriever:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         queries = column_to_vectors(batch.column("encoding"))
-        col = candidates_column(queries, self.indexes, self.top_k)
-        return batch.append_column("candidates", col)
+        if not self.compact:
+            col = candidates_column(queries, self.indexes, self.top_k)
+            return batch.append_column("candidates", col)
+        c = compact_candidate_columns(queries, self.indexes, self.top_k)
+        batch = batch.append_column("cand_wikipedia_ids", c["cand_wikipedia_ids"])
+        batch = batch.append_column("cand_scores", c["cand_scores"])
+        batch = batch.append_column(
+            "top_score", pa.array(c["top_score"], type=pa.float32())
+        )
+        batch = batch.append_column(
+            "top_title", pa.array(c["top_title"], type=pa.string())
+        )
+        batch = batch.append_column(
+            "top_wikipedia_id", pa.array(c["top_wikipedia_id"], type=pa.int64())
+        )
+        batch = batch.append_column("top_id", pa.array(c["top_id"], type=pa.int64()))
+        return batch.append_column(
+            "top_indexer", pa.array(c["top_indexer"], type=pa.int32())
+        )

@@ -111,6 +111,74 @@ def _candidate_field(batch_cands: pa.ListArray, name: str):
     return values.field(name), batch_cands.offsets.to_numpy().astype(np.int64)
 
 
+def _segment_features(
+    scores: np.ndarray,
+    offsets: np.ndarray,
+    mentions: list[str],
+    top_title: list[str],
+) -> dict[str, np.ndarray]:
+    """Shared vectorized feature math over flat candidate scores."""
+    n = len(offsets) - 1
+    counts = np.diff(offsets)
+    has = counts > 0
+
+    seg = np.repeat(np.arange(n), counts)
+    sums = np.zeros(n)
+    np.add.at(sums, seg, scores)
+    mean = np.where(has, sums / np.maximum(counts, 1), 0.0)
+    sq = np.zeros(n)
+    np.add.at(sq, seg, (scores - mean[seg]) ** 2)
+    stdev = np.where(counts > 1, np.sqrt(sq / np.maximum(counts - 1, 1)), 0.0)
+    order = np.lexsort((scores, seg))
+    s_sorted = scores[order]
+    if scores.size == 0:
+        scores = np.zeros(1)
+        s_sorted = np.zeros(1)
+    first = np.where(has, offsets[:-1], 0)
+    second = np.where(counts > 1, offsets[:-1] + 1, first)
+    max_bi = np.where(has, scores[first], 0.0)
+    secondiff = np.where(counts > 1, scores[first] - scores[second], 0.0)
+    lo = np.where(has, offsets[:-1] + (counts - 1) // 2, 0)
+    hi = np.where(has, offsets[:-1] + counts // 2, 0)
+    median = np.where(has, (s_sorted[lo] + s_sorted[hi]) / 2.0, 0.0)
+
+    mention_l = [m.lower() for m in mentions]
+    title_l = [t.lower() for t in top_title]
+    return {
+        "max_bi": max_bi,
+        "secondiff": secondiff,
+        "jaccard": batch_jaccard_sim(mention_l, title_l),
+        "levenshtein": batch_levenshtein_sim(mention_l, title_l),
+        "mean": mean,
+        "median": median,
+        "stdev": stdev,
+        "_has": has,
+    }
+
+
+def nil_features_compact(batch: pa.Table) -> dict[str, np.ndarray]:
+    """Features from the compact retrieval columns (cand_scores +
+    top_* scalars; see raykg.index.compact_candidate_columns)."""
+    scores_col = batch.column("cand_scores")
+    if isinstance(scores_col, pa.ChunkedArray):
+        scores_col = scores_col.combine_chunks()
+    offsets = scores_col.offsets.to_numpy().astype(np.int64)
+    scores = scores_col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    top_title = batch.column("top_title").to_pylist()
+    f = _segment_features(
+        scores, offsets, batch.column("mention").to_pylist(), top_title
+    )
+    f["_top_title"] = np.asarray(top_title, dtype=object)
+    f["_top_wikipedia_id"] = (
+        batch.column("top_wikipedia_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    f["_top_id"] = batch.column("top_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    f["_top_indexer"] = (
+        batch.column("top_indexer").to_numpy(zero_copy_only=False).astype(np.int32)
+    )
+    return f
+
+
 def nil_features_table(batch: pa.Table) -> dict[str, np.ndarray]:
     """Vectorized per-mention NIL features from the candidates column."""
     cands = batch.column("candidates")
@@ -200,7 +268,8 @@ class NilStage:
         self.threshold = threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        f = nil_features_table(batch)
+        compact = "cand_scores" in batch.column_names
+        f = nil_features_compact(batch) if compact else nil_features_table(batch)
         X = np.stack([f[name] for name in self.model.features], axis=1)
         nil_score = self.model.predict_proba1(X)
         # empty candidate list => immediately NIL with score 0
@@ -224,18 +293,19 @@ class NilStage:
             "nil_score", pa.array(nil_score, type=pa.float32())
         )
         out = out.append_column("is_nil", pa.array(is_nil, type=pa.bool_()))
-        out = out.append_column(
-            "top_title", pa.array(f["_top_title"].tolist(), type=pa.string())
-        )
-        out = out.append_column(
-            "top_wikipedia_id", pa.array(f["_top_wikipedia_id"], type=pa.int64())
-        )
-        out = out.append_column(
-            "top_id", pa.array(f["_top_id"], type=pa.int64())
-        )
-        out = out.append_column(
-            "top_indexer", pa.array(f["_top_indexer"], type=pa.int32())
-        )
+        if not compact:  # compact retrieval already carries the top_* columns
+            out = out.append_column(
+                "top_title", pa.array(f["_top_title"].tolist(), type=pa.string())
+            )
+            out = out.append_column(
+                "top_wikipedia_id", pa.array(f["_top_wikipedia_id"], type=pa.int64())
+            )
+            out = out.append_column(
+                "top_id", pa.array(f["_top_id"], type=pa.int64())
+            )
+            out = out.append_column(
+                "top_indexer", pa.array(f["_top_indexer"], type=pa.int32())
+            )
         out = out.append_column(
             "entity_uri", pa.array(uris.tolist(), type=pa.string())
         )

@@ -121,6 +121,14 @@ def minhash_lsh_pairs(
         band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
         doc_ids = np.tile(ids, bands)
         texts_rep = texts * bands
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(
+                np.tile(S.astype(np.int64).reshape(n * num_perm), bands)
+                .reshape(bands, n, num_perm)
+                .reshape(-1)
+            ),
+            num_perm,
+        )
         bh = np.empty(bands * n, dtype=np.int64)
         with np.errstate(over="ignore"):
             for bnd in range(bands):
@@ -131,52 +139,100 @@ def minhash_lsh_pairs(
                 bh[bnd * n : (bnd + 1) * n] = (h & np.uint64((1 << 62) - 1)).astype(
                     np.int64
                 )
+        # coarse shuffle key: one map_groups call per ~512th of the key
+        # space, NOT per distinct (band, band_hash) — a group call per
+        # tiny bucket is pure python overhead at corpus scale
+        coarse = ((bh.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                  >> np.uint64(52)).astype(np.int32)
         return pa.table(
             {
+                "bucket": pa.array(coarse),
                 "band": pa.array(band_ids),
                 "band_hash": pa.array(bh),
                 id_col: pa.array(doc_ids),
                 text_col: pa.array(texts_rep, type=pa.string()),
+                "sig": sig_col,
             }
         )
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_coarse_bucket(cg: pd.DataFrame) -> pd.DataFrame:
+        parts = [
+            _pairs_in_bucket(g)
+            for _, g in cg.groupby(["band", "band_hash"], sort=False)
+        ]
+        return pd.concat(parts, ignore_index=True) if parts else _pairs_in_bucket(cg)
+
+    def _pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+        )
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
-            )
-        g = g.sort_values(id_col)
+            return empty
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        if len(g) < 2:
+            return empty
         ids = g[id_col].tolist()
         texts = g[text_col].tolist()
+        S = np.stack([np.asarray(s, dtype=np.int64) for s in g["sig"]])
+        # vectorized signature-estimated jaccard kills the false
+        # candidates a short band produces, BEFORE any exact
+        # verification; chunked so a hot bucket can't blow up memory
+        n_rows = len(S)
+        ii_parts, jj_parts = [], []
+        chunk = 256
+        for lo in range(0, n_rows, chunk):
+            hi = min(lo + chunk, n_rows)
+            est = (S[lo:hi, None, :] == S[None, :, :]).mean(axis=2)
+            ci, cj = np.where(est >= threshold - 0.15)
+            keep = lo + ci < cj  # strict upper triangle in global coords
+            ii_parts.append(lo + ci[keep])
+            jj_parts.append(cj[keep])
+        ii = np.concatenate(ii_parts) if ii_parts else np.zeros(0, dtype=np.int64)
+        jj = np.concatenate(jj_parts) if jj_parts else np.zeros(0, dtype=np.int64)
+        shingle_cache: dict[int, set] = {}
+
+        def sh(idx: int) -> set:
+            s = shingle_cache.get(idx)
+            if s is None:
+                s = set(_shingles(texts[idx], shingle_k).tolist())
+                shingle_cache[idx] = s
+            return s
+
         out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                jac = jaccard_ngrams(texts[i], texts[j], shingle_k)
-                if jac >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_j.append(jac)
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            sa, sb = sh(i), sh(j)
+            union = len(sa | sb)
+            jac = (len(sa & sb) / union) if union else 1.0
+            if jac >= threshold:
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+                out_j.append(jac)
         return pd.DataFrame(
             {"id_a": out_a, "id_b": out_b, "jaccard": out_j}
         ).astype({"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
 
     pairs = (
         ds.map_batches(sigs, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs_in_coarse_bucket, batch_format="pandas")
     )
-    # same pair can surface from several bands -> exact dedup
+    return _dedup_pairs(pairs)
+
+
+def _dedup_pairs(pairs):
+    """Same pair can surface from several bands: local pre-dedup, then
+    a coarse id_a-bucket shuffle with per-group drop_duplicates."""
+
     def local_dedup(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates(subset=["id_a", "id_b"])
+        df["_pb"] = (df["id_a"] % 64).astype("int32")
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     return (
         pairs.map_batches(local_dedup, batch_format="pyarrow")
-        .groupby("id_a")
+        .groupby("_pb")
         .map_groups(
-            lambda g: g.drop_duplicates(subset=["id_a", "id_b"]),
+            lambda g: g.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["_pb"]),
             batch_format="pandas",
         )
     )
@@ -224,13 +280,27 @@ def simhash_pairs(
             keys[bnd * n : (bnd + 1) * n] = (
                 (S >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)
             ).astype(np.int64)
+        coarse = (
+            ((keys.astype(np.uint64) * 31 + band_ids.astype(np.uint64))
+             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(55)
+        ).astype(np.int32)
         return pa.table(
             {
+                "bucket": pa.array(coarse),
                 "band": pa.array(band_ids),
                 "band_key": pa.array(keys),
                 id_col: pa.array(np.tile(ids, 4)),
                 "sig": pa.array(np.tile(S.astype(np.int64), 4)),
             }
+        )
+
+    def pairs_in_coarse_bucket(cg: pd.DataFrame) -> pd.DataFrame:
+        parts = [
+            pairs_in_bucket(g)
+            for _, g in cg.groupby(["band", "band_key"], sort=False)
+        ]
+        return (
+            pd.concat(parts, ignore_index=True) if parts else pairs_in_bucket(cg)
         )
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -252,13 +322,10 @@ def simhash_pairs(
 
     pairs = (
         ds.map_batches(sigs, batch_format="pyarrow")
-        .groupby(["band", "band_key"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs_in_coarse_bucket, batch_format="pandas")
     )
-    return pairs.groupby("id_a").map_groups(
-        lambda g: g.drop_duplicates(subset=["id_a", "id_b"]),
-        batch_format="pandas",
-    )
+    return _dedup_pairs(pairs)
 
 
 def embedding_cosine_pairs(

@@ -55,9 +55,9 @@ import ray.data as rd
 from raykg.canon import RwState
 from raykg.cluster import run_clusterer
 from raykg.detect import detect_mentions
-from raykg.encode import MentionEncoder, column_to_vectors
-from raykg.index import Retriever, kb_index_from_table
-from raykg.nil import DEFAULT_NIL_MODEL, LogisticModel, NilStage
+from raykg.encode import column_to_vectors
+from raykg.index import kb_index_from_table
+from raykg.nil import DEFAULT_NIL_MODEL, LogisticModel
 from raykg.schema import DIM, TOP_K
 from raykg.triples import cluster_triples, dedup_triples, mention_triples
 
@@ -69,12 +69,13 @@ class PipelineConfig:
     clusterer: str = "greedy"  # greedy | feature | threestep
     blocking: str = "global"  # global | surface
     nil_model: LogisticModel = field(default_factory=lambda: DEFAULT_NIL_MODEL)
-    detect_batch: int = 4096
-    encode_batch: int = 2048
-    retrieve_batch: int = 2048
-    nil_batch: int = 4096
-    pool_size: int | None = None  # actor pool max; None -> cpus//2
+    detect_batch: int = 1024
+    encode_batch: int = 1024
+    retrieve_batch: int = 1024
+    nil_batch: int = 2048
+    pool_size: int | None = None  # actor pool max; None -> cpus
     write_candidates: bool = False  # full candidate structs in mentions output
+    stage_mode: str = "tasks"  # tasks (worker-local cache) | actors (pool)
 
     def digest(self) -> str:
         payload = {
@@ -93,10 +94,12 @@ class PipelineConfig:
 
 
 def _pool(cfg: PipelineConfig) -> tuple[int, int]:
+    """LinkStage is the pipeline's dominant compute — size its pool to
+    the whole node; the light detect/write task stages interleave fine."""
     if cfg.pool_size is not None:
         return (1, cfg.pool_size)
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return (1, max(2, cpus // 2))
+    return (1, max(2, cpus))
 
 
 def load_kb_ref(kb_path: str):
@@ -192,37 +195,57 @@ def run_epoch(
         if rw_state.ntotal
         else None
     )
-    nil_stage = NilStage(cfg.nil_model, rw_uris=list(rw_state.uris))
 
-    ds = rd.read_parquet(tr_path, columns=["conv_id", "turn_idx", "text"])
+    from raykg.link import LinkStage, make_link_fn
+
+    # task granularity == block granularity for map stages: split the
+    # read into ~8 blocks per CPU so the LinkStage pool packs well and
+    # stragglers stay short
+    n_blocks = max(64, int(ray.cluster_resources().get("CPU", 4)) * 8)
+    ds = rd.read_parquet(
+        tr_path, columns=["conv_id", "turn_idx", "text"],
+        override_num_blocks=n_blocks,
+    )
     ds = ds.map_batches(
         detect_mentions, batch_format="pyarrow", batch_size=cfg.detect_batch
     )
-    ds = ds.map_batches(
-        MentionEncoder,
-        fn_constructor_kwargs={"dim": cfg.dim},
-        batch_format="pyarrow",
-        batch_size=cfg.encode_batch,
-        concurrency=pool,
-    )
-    ds = ds.map_batches(
-        Retriever,
-        fn_constructor_kwargs={
-            "kb_ref": kb_ref,
-            "rw_ref": rw_ref,
-            "top_k": cfg.top_k,
-        },
-        batch_format="pyarrow",
-        batch_size=cfg.retrieve_batch,
-        concurrency=pool,
-    )
-    ds = ds.map_batches(
-        nil_stage, batch_format="pyarrow", batch_size=cfg.nil_batch
-    )
-    if not cfg.write_candidates:
-        ds = ds.map_batches(_compact_candidates, batch_format="pyarrow")
+    if cfg.stage_mode == "actors":
+        ds = ds.map_batches(
+            LinkStage,
+            fn_constructor_kwargs={
+                "kb_ref": kb_ref,
+                "rw_ref": rw_ref,
+                "rw_uris": list(rw_state.uris),
+                "model": cfg.nil_model,
+                "dim": cfg.dim,
+                "top_k": cfg.top_k,
+                "compact": not cfg.write_candidates,
+            },
+            batch_format="pyarrow",
+            batch_size=cfg.encode_batch,
+            concurrency=pool,
+        )
+    else:
+        # task mode: stateless tasks + worker-local stage cache — full
+        # elasticity on CPU nodes (see raykg.link). Actor mode remains
+        # for stages that must pin resources (e.g. num_gpus=1 encoders).
+        uris_ref = ray.put(list(rw_state.uris)) if rw_state.ntotal else None
+        ds = ds.map_batches(
+            make_link_fn(
+                kb_ref,
+                rw_ref,
+                uris_ref,
+                cfg.nil_model,
+                cfg.dim,
+                cfg.top_k,
+                not cfg.write_candidates,
+            ),
+            batch_format="pyarrow",
+            batch_size=cfg.encode_batch,
+        )
     mentions_dir = os.path.join(out_dir, "mentions", f"epoch={epoch}")
     ds.write_parquet(mentions_dir)
+    t_mentions = time.time()
 
     # ---- NIL clustering (read back the checkpointed mentions) ----
     nil_ds = rd.read_parquet(
@@ -259,6 +282,7 @@ def run_epoch(
         clusters_table, os.path.join(clusters_dir, f"epoch={epoch}.parquet")
     )
     rw_state.add_clusters(clusters_table)
+    t_clusters = time.time()
 
     # ---- triples ----
     nil_uri_map: dict[int, str] = {}
@@ -287,6 +311,9 @@ def run_epoch(
         "rw_total": rw_state.ntotal,
         "config": cfg.digest(),
         "wall_s": round(time.time() - t0, 3),
+        "mentions_s": round(t_mentions - t0, 3),
+        "cluster_s": round(t_clusters - t_mentions, 3),
+        "triples_s": round(time.time() - t_clusters, 3),
     }
     lineage_dir = os.path.join(out_dir, "_lineage")
     os.makedirs(lineage_dir, exist_ok=True)

@@ -32,7 +32,7 @@ from raykg.schema import (
 )
 from raykg.util import hash_string_columns
 
-DEDUP_BUCKETS = 256
+DEDUP_BUCKETS = 64
 
 
 def mention_triples(batch: pa.Table, nil_uri_map: dict[int, str], epoch: int) -> pa.Table:
