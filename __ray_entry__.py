@@ -410,6 +410,155 @@ SELECT label, dim, round(avg(e), 6) AS val FROM (
 """
 
 
+def _q_semi_join_orders(sf_dir: str):
+    """Semi-join via broadcast key set (ray_guide: broadcast the small
+    side, filter inside map_batches — no shuffle)."""
+    import pyarrow.parquet as pq
+
+    keys = set(
+        pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+        )
+        .to_pandas()
+        .query("c_mktsegment == 'BUILDING'")
+        .c_custkey
+    )
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pa.array(
+            np.isin(t.column("o_custkey").to_numpy(zero_copy_only=False),
+                    np.fromiter(keys, dtype=np.int64))
+        )
+        return t.filter(mask).select(["o_orderkey"])
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+_SQL_SEMI_JOIN = """
+SELECT o_orderkey FROM orders
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+"""
+
+
+def _q_anti_join_customers(sf_dir: str):
+    """Anti-join via broadcast key set: customers with no recent orders
+    (row-group filter pushed into the key-side read)."""
+    import pyarrow.parquet as pq
+
+    import datetime
+
+    cutoff = datetime.datetime(1998, 6, 1)
+    otbl = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+        filters=[("o_orderdate", ">=", cutoff)],
+    )
+    keys = np.unique(otbl.column("o_custkey").to_numpy(zero_copy_only=False))
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pa.array(
+            ~np.isin(t.column("c_custkey").to_numpy(zero_copy_only=False), keys)
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+_SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-06-01')
+"""
+
+
+def _q_sample_events(sf_dir: str):
+    """Deterministic 1/16 sample by key residue (resumable sampling —
+    the engine's stand-in for seeded random_sample where the oracle
+    must agree)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "value"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t.column("event_id"), 15), 0)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_SAMPLE_EVENTS = """
+SELECT event_id, event_type, value FROM events WHERE event_id % 16 = 0
+"""
+
+
+def _q_sessionize_events(sf_dir: str):
+    """Session windows (30-min gap) per user over the event log."""
+    from raykg.ops.windows import sessionize
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return sessionize(ds, key="user_id", ts_col="ts", gap_minutes=30)
+
+
+_SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+def _q_eval_report(sf_dir: str):
+    """Full evaluation-report pipeline over the KG run output
+    (recall@k, NIL CMs, B-Cubed/MUC/B3/CEAF-e, overall accuracy)."""
+    from raykg.report import run_eval
+
+    out = _kg_out(sf_dir)
+    name = _sf_name(sf_dir)
+    fx = f"/tmp/raykg_fixture_{name}"
+    _, df = run_eval(out, fx)
+    return df.drop(columns=[c for c in df.columns if df[c].dtype == object
+                            and c != "batch"], errors="ignore")
+
+
+def _q_nil_ablation(sf_dir: str):
+    """Feature-ablation training workflow (subset of the reference's
+    grid) over the KG run's mention features."""
+    import shutil
+
+    from raykg.ablation import ablation_tasks, build_training_table, run_ablation
+
+    out = _kg_out(sf_dir)
+    name = _sf_name(sf_dir)
+    fx = f"/tmp/raykg_fixture_{name}"
+    table = build_training_table(out, fx)
+    train = table[table.mention_id % 2 == 0]
+    test = table[table.mention_id % 2 == 1]
+    tasks = [t for t in ablation_tasks() if t["name"] in
+             ("nilp_bi_max", "nilp_bi_max_secondiff", "nilp_under_bi_max",
+              "nilp_bi_max_stats10_levenshtein_jaccard")]
+    mdir = f"/tmp/raykg_ablation_{name}"
+    shutil.rmtree(mdir, ignore_errors=True)
+    return run_ablation(train, test, mdir, tasks=tasks)
+
+
 # -------------------------------------------------- rows-only queries
 
 def _q_minhash_pairs(sf_dir: str):
@@ -532,6 +681,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_docs_by_len": _q_docs_by_len,
         "knn_bruteforce": _q_knn,
         "agg_label_centroids": _q_label_centroids,
+        "join_semi_orders": _q_semi_join_orders,
+        "join_anti_customers": _q_anti_join_customers,
+        "filter_sample_events": _q_sample_events,
+        "window_sessionize_events": _q_sessionize_events,
         # rows-only (model-/sketch-based, not SQL-expressible)
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "simhash_near_dup_pairs": _q_simhash_pairs,
@@ -542,6 +695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprints": _q_fingerprints,
         "media_frame_sample": _q_media_frames,
         "media_decode_features": _q_media_features,
+        "kg_eval_report": _q_eval_report,
+        "kg_nil_ablation": _q_nil_ablation,
     }
 
 
@@ -558,4 +713,8 @@ def oracle_sql() -> dict[str, str]:
         "sort_docs_by_len": _SQL_DOCS_BY_LEN,
         "knn_bruteforce": _SQL_KNN,
         "agg_label_centroids": _SQL_CENTROIDS,
+        "join_semi_orders": _SQL_SEMI_JOIN,
+        "join_anti_customers": _SQL_ANTI_JOIN,
+        "filter_sample_events": _SQL_SAMPLE_EVENTS,
+        "window_sessionize_events": _SQL_SESSIONIZE,
     }

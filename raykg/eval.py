@@ -186,6 +186,61 @@ def eval_clustering(true_clusters: dict, pred_clusters: dict, total: int) -> dic
     }
 
 
+# ------------------------------------------------- correct-steps oracle
+
+def correct_linking_candidates(
+    cand_wiki_lists, cand_score_lists, gold_ids, nil_flags
+):
+    """The ``--correct-steps`` oracle rewriter
+    (``scripts/eval_kbp.py:438-471``): per non-NIL mention, move the
+    gold candidate to the front by dropping higher-ranked candidates and
+    pad with repeats of the worst one; drop the mention when the gold
+    candidate is absent or was the last candidate. Returns
+    (wiki_lists, score_lists, keep_mask, dropped_count)."""
+    out_w, out_s = [], []
+    keep = np.ones(len(gold_ids), dtype=bool)
+    dropped = 0
+    for i, (wikis, scores, gold, is_nil) in enumerate(
+        zip(cand_wiki_lists, cand_score_lists, gold_ids, nil_flags)
+    ):
+        wikis = list(wikis)
+        scores = list(scores)
+        if is_nil:
+            out_w.append(wikis)
+            out_s.append(scores)
+            continue
+        if gold not in wikis:
+            keep[i] = False
+            dropped += 1
+            out_w.append(wikis)
+            out_s.append(scores)
+            continue
+        idx = wikis.index(gold)
+        prev_len = len(wikis)
+        wikis, scores = wikis[idx:], scores[idx:]
+        if len(wikis) == 1:
+            keep[i] = False
+            dropped += 1
+            out_w.append(wikis)
+            out_s.append(scores)
+            continue
+        pad = prev_len - len(wikis)
+        wikis = wikis + [wikis[-1]] * pad
+        scores = scores + [scores[-1]] * pad
+        out_w.append(wikis)
+        out_s.append(scores)
+    return out_w, out_s, keep, dropped
+
+
+def gold_clusters(nil_mentions: pd.DataFrame) -> dict:
+    """``--correct-steps`` gold clustering (``scripts/eval_kbp.py:
+    609-623``): NIL mentions grouped by gold Wikipedia_ID."""
+    return {
+        int(wid): set(g.mention_id)
+        for wid, g in nil_mentions.groupby("Wikipedia_ID")
+    }
+
+
 # ------------------------------------------------------------ epoch report
 
 def epoch_report(
@@ -280,6 +335,6 @@ def incremental_report(rows: list[dict]) -> pd.DataFrame:
                 row[k] = v
         flat.append(row)
     df = pd.DataFrame(flat)
-    avg = df.mean(numeric_only=True)
+    avg = df.mean(numeric_only=True).astype(object)
     avg["batch"] = "incremental_overall"
     return pd.concat([df, avg.to_frame().T], ignore_index=True)
