@@ -103,14 +103,6 @@ DEFAULT_NIL_MODEL = LogisticModel(
 )
 
 
-def _candidate_field(batch_cands: pa.ListArray, name: str):
-    """Flattened struct field + list offsets helpers."""
-    if isinstance(batch_cands, pa.ChunkedArray):
-        batch_cands = batch_cands.combine_chunks()
-    values = batch_cands.values
-    return values.field(name), batch_cands.offsets.to_numpy().astype(np.int64)
-
-
 def _segment_features(
     scores: np.ndarray,
     offsets: np.ndarray,
@@ -180,74 +172,37 @@ def nil_features_compact(batch: pa.Table) -> dict[str, np.ndarray]:
 
 
 def nil_features_table(batch: pa.Table) -> dict[str, np.ndarray]:
-    """Vectorized per-mention NIL features from the candidates column."""
+    """Vectorized per-mention NIL features from the full candidates
+    list<struct> column (compact pipelines use nil_features_compact)."""
     cands = batch.column("candidates")
     if isinstance(cands, pa.ChunkedArray):
         cands = cands.combine_chunks()
-    n = len(cands)
     offsets = cands.offsets.to_numpy().astype(np.int64)
     counts = np.diff(offsets)
+    has = counts > 0
     scores = cands.values.field("score").to_numpy(zero_copy_only=False).astype(np.float64)
     titles = cands.values.field("title").to_pylist()
     wikis = cands.values.field("wikipedia_id").to_numpy(zero_copy_only=False)
     ids = cands.values.field("id").to_numpy(zero_copy_only=False)
     indexers = cands.values.field("indexer").to_numpy(zero_copy_only=False)
-    mentions = batch.column("mention").to_pylist()
-
-    has = counts > 0
-
-    # segment stats over each mention's candidate scores (on the true
-    # flat arrays, before any sentinel padding)
-    seg = np.repeat(np.arange(n), counts)
-    sums = np.zeros(n)
-    np.add.at(sums, seg, scores)
-    mean = np.where(has, sums / np.maximum(counts, 1), 0.0)
-    sq = np.zeros(n)
-    np.add.at(sq, seg, (scores - mean[seg]) ** 2)
-    stdev = np.where(counts > 1, np.sqrt(sq / np.maximum(counts - 1, 1)), 0.0)
-    order = np.lexsort((scores, seg))
-    s_sorted = scores[order]
 
     if scores.size == 0:
-        # pad flat arrays with one sentinel so the masked gathers below
-        # stay in-bounds (all rows have has == False)
-        scores = np.zeros(1)
-        s_sorted = np.zeros(1)
+        # sentinel padding keeps the masked gathers below in-bounds
         titles = [""]
         wikis = np.zeros(1, dtype=np.int64)
         ids = -np.ones(1, dtype=np.int64)
         indexers = -np.ones(1, dtype=np.int32)
-
     first = np.where(has, offsets[:-1], 0)
-    second = np.where(counts > 1, offsets[:-1] + 1, first)
-
-    max_bi = np.where(has, scores[first], 0.0)
-    secondiff = np.where(counts > 1, scores[first] - scores[second], 0.0)
-
-    lo = np.where(has, offsets[:-1] + (counts - 1) // 2, 0)
-    hi = np.where(has, offsets[:-1] + counts // 2, 0)
-    median = np.where(has, (s_sorted[lo] + s_sorted[hi]) / 2.0, 0.0)
-
     top_title = [titles[f] if h else "" for f, h in zip(first, has)]
-    mention_l = [m.lower() for m in mentions]
-    title_l = [t.lower() for t in top_title]
-    jaccard = batch_jaccard_sim(mention_l, title_l)
-    levenshtein = batch_levenshtein_sim(mention_l, title_l)
 
-    return {
-        "max_bi": max_bi,
-        "secondiff": secondiff,
-        "jaccard": jaccard,
-        "levenshtein": levenshtein,
-        "mean": mean,
-        "median": median,
-        "stdev": stdev,
-        "_has": has,
-        "_top_title": np.asarray(top_title, dtype=object),
-        "_top_wikipedia_id": np.where(has, wikis[first], 0).astype(np.int64),
-        "_top_id": np.where(has, ids[first], -1).astype(np.int64),
-        "_top_indexer": np.where(has, indexers[first], -1).astype(np.int32),
-    }
+    f = _segment_features(
+        scores, offsets, batch.column("mention").to_pylist(), top_title
+    )
+    f["_top_title"] = np.asarray(top_title, dtype=object)
+    f["_top_wikipedia_id"] = np.where(has, wikis[first], 0).astype(np.int64)
+    f["_top_id"] = np.where(has, ids[first], -1).astype(np.int64)
+    f["_top_indexer"] = np.where(has, indexers[first], -1).astype(np.int32)
+    return f
 
 
 class NilStage:

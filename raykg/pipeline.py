@@ -28,12 +28,12 @@ rebuild retrieval state) are simply reloaded.
 
 Blocking choices for the NIL clustering shuffle (SURVEY.md §4.3):
 ``global`` reproduces the reference exactly (all NIL mentions of the
-epoch clustered jointly — one group); ``surface`` blocks by lowercased
-surface form first (the scale path: greedy clustering at θ≈81 only ever
-merges near-identical surfaces, so exact-surface blocking is a
-near-lossless decomposition that turns an O(n²) epoch-global problem
-into many tiny per-surface ones; hot surfaces are bounded by the
-per-group cap exactly like the reference's >25-unique breakup).
+epoch clustered jointly — one group); ``surface`` hashes the lowercased
+surface into SURFACE_BUCKETS coarse buckets (the scale path: greedy
+clustering at θ≈81 only ever merges near-identical surfaces, and
+identical surfaces always share a bucket, so bucketing is a
+near-lossless decomposition of the O(n²) epoch-global problem into
+bounded per-bucket ones).
 """
 
 from __future__ import annotations
@@ -112,18 +112,9 @@ def load_kb_ref(kb_path: str):
     )
 
 
-def _compact_candidates(batch: pa.Table) -> pa.Table:
-    """Replace the heavy candidates list<struct> with a compact
-    list<int64> of candidate wikipedia_ids (what eval needs for
-    recall@k) before the mentions write."""
-    cands = batch.column("candidates")
-    if isinstance(cands, pa.ChunkedArray):
-        cands = cands.combine_chunks()
-    wiki_list = pa.ListArray.from_arrays(
-        cands.offsets, cands.values.field("wikipedia_id")
-    )
-    out = batch.drop_columns(["candidates"])
-    return out.append_column("cand_wikipedia_ids", wiki_list)
+# bucket count for surface blocking: sized so per-bucket O(n²) greedy
+# work stays tiny while group-task overhead stays bounded
+SURFACE_BUCKETS = 256
 
 
 def _cluster_group(group: pa.Table, strategy: str) -> pa.Table:
@@ -169,9 +160,13 @@ def _add_block_key(batch: pa.Table, blocking: str) -> pa.Table:
     elif blocking == "surface":
         from raykg.util import hash_strings
 
+        # coarse surface-hash buckets: identical lowercased surfaces
+        # always co-locate (the property greedy clustering needs), while
+        # the group count stays bounded — one map_groups task per bucket
+        # instead of one per distinct surface
         key = pa.array(
             (hash_strings([m.lower() for m in batch.column("mention").to_pylist()])
-             % np.uint64(1 << 62)).astype(np.int64)
+             % np.uint64(SURFACE_BUCKETS)).astype(np.int64)
         )
     else:
         raise ValueError(f"unknown blocking: {blocking}")

@@ -41,30 +41,38 @@ def mention_triples(batch: pa.Table, nil_uri_map: dict[int, str], epoch: int) ->
     ``nil_uri_map``: mention_id -> minted cluster uri for the epoch's
     NIL mentions (broadcast via ray.put; scale path for a huge NIL set
     is a hash join on mention_id, same output)."""
-    mids = batch.column("mention_id").to_pylist()
-    convs = batch.column("conv_id").to_pylist()
-    turns = batch.column("turn_idx").to_pylist()
-    is_nil = batch.column("is_nil").to_pylist()
-    uris = batch.column("entity_uri").to_pylist()
+    mid_np = batch.column("mention_id").to_numpy(zero_copy_only=False)
+    turn_np = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+    conv_np = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
+    is_nil = batch.column("is_nil").to_numpy(zero_copy_only=False)
+    ents = np.asarray(batch.column("entity_uri").to_pylist(), dtype=object)
+    # NIL rows (the small subset) resolve through the minted-uri map
+    for i in np.flatnonzero(is_nil):
+        ents[i] = nil_uri_map.get(int(mid_np[i]), "")
+    keep = ents != ""
+    n = int(keep.sum())
 
-    subj, pred, obj, conv_out = [], [], [], []
-    for mid, conv, ti, nil, uri in zip(mids, convs, turns, is_nil, uris):
-        ent = nil_uri_map.get(mid, "") if nil else uri
-        if not ent:
-            continue  # unresolved (should not happen: every NIL mention clusters)
-        m_uri = f"mention:{mid}"
-        t_uri = f"turn:{conv}:{ti}"
-        subj.extend((m_uri, t_uri))
-        pred.extend((PRED_LINKS_TO, PRED_MENTIONS))
-        obj.extend((ent, ent))
-        conv_out.extend((conv, conv))
+    m_uri = np.char.add("mention:", mid_np[keep].astype("U20"))
+    conv_k = conv_np[keep]
+    t_uri = np.char.add(
+        np.char.add(np.char.add("turn:", conv_k.astype("U40")), ":"),
+        turn_np[keep].astype("U10"),
+    )
+    ent_col = pa.array(ents[keep].tolist(), type=pa.string())
     return pa.table(
         {
-            "subj": pa.array(subj, type=pa.string()),
-            "pred": pa.array(pred, type=pa.string()),
-            "obj": pa.array(obj, type=pa.string()),
-            "epoch": pa.array(np.full(len(subj), epoch, dtype=np.int32)),
-            "conv_id": pa.array(conv_out, type=pa.string()),
+            "subj": pa.concat_arrays(
+                [pa.array(m_uri.tolist(), type=pa.string()),
+                 pa.array(t_uri.tolist(), type=pa.string())]
+            ),
+            "pred": pa.array(
+                [PRED_LINKS_TO] * n + [PRED_MENTIONS] * n, type=pa.string()
+            ),
+            "obj": pa.concat_arrays([ent_col, ent_col]),
+            "epoch": pa.array(np.full(2 * n, epoch, dtype=np.int32)),
+            "conv_id": pa.concat_arrays(
+                [pa.array(conv_k.tolist(), type=pa.string())] * 2
+            ),
         }
     )
 
@@ -98,8 +106,13 @@ def _add_bucket(batch: pa.Table) -> pa.Table:
         batch.column("obj").to_pylist(),
     )
     bucket = (h % np.uint64(DEDUP_BUCKETS)).astype(np.int32)
-    # local pre-dedup cuts shuffle volume before the bucket exchange
     tbl = batch.append_column("bucket", pa.array(bucket, type=pa.int32()))
+    # local pre-dedup cuts shuffle volume before the bucket exchange;
+    # the pandas pass is skipped entirely when the batch has no repeated
+    # hashes (the common case — exactness is still guaranteed by the
+    # per-bucket drop_duplicates after the shuffle)
+    if len(np.unique(h)) == len(h):
+        return tbl
     df = tbl.to_pandas()
     df = df.drop_duplicates(subset=["subj", "pred", "obj"])
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
