@@ -76,6 +76,11 @@ class PipelineConfig:
     pool_size: int | None = None  # actor pool max; None -> cpus
     write_candidates: bool = False  # full candidate structs in mentions output
     stage_mode: str = "tasks"  # tasks (worker-local cache) | actors (pool)
+    # >1 splits the KB across per-shard retrieval actor pools (each
+    # actor holds one shard; exact running-top-k merge between stages) —
+    # the multi-node answer to a KB that exceeds one worker's memory
+    # (SURVEY.md §7.7.5). Output is bit-identical to kb_shards=1.
+    kb_shards: int = 1
 
     def digest(self) -> str:
         payload = {
@@ -110,6 +115,22 @@ def load_kb_ref(kb_path: str):
         (idx.vectors, idx.wikipedia_ids, list(idx.titles), list(idx.types),
          idx.tombstone)
     )
+
+
+def load_kb_handles(kb_path: str, cfg: "PipelineConfig") -> dict:
+    """Broadcast handles for retrieval: whole-KB ref, plus shard refs +
+    title array when kb_shards > 1."""
+    tbl = pq.read_table(kb_path)
+    idx = kb_index_from_table(tbl)
+    kb_tuple = (idx.vectors, idx.wikipedia_ids, list(idx.titles),
+                list(idx.types), idx.tombstone)
+    handles = {"kb_ref": ray.put(kb_tuple)}
+    if cfg.kb_shards > 1:
+        from raykg.sharded import make_kb_shards
+
+        handles["shard_refs"] = make_kb_shards(kb_tuple, cfg.kb_shards)
+        handles["titles_ref"] = ray.put(list(idx.titles))
+    return handles
 
 
 # bucket count for surface blocking: sized so per-bucket O(n²) greedy
@@ -177,7 +198,7 @@ def run_epoch(
     fixture_dir: str,
     out_dir: str,
     epoch: int,
-    kb_ref,
+    kb_handles,
     rw_state: RwState,
     cfg: PipelineConfig,
 ) -> dict:
@@ -185,6 +206,9 @@ def run_epoch(
     pool = _pool(cfg)
     tr_path = os.path.join(fixture_dir, "transcripts", f"epoch={epoch}")
 
+    if not isinstance(kb_handles, dict):  # bare ref (back-compat)
+        kb_handles = {"kb_ref": kb_handles}
+    kb_ref = kb_handles["kb_ref"]
     rw_ref = (
         ray.put((rw_state.vectors, list(rw_state.titles)))
         if rw_state.ntotal
@@ -204,7 +228,58 @@ def run_epoch(
     ds = ds.map_batches(
         detect_mentions, batch_format="pyarrow", batch_size=cfg.detect_batch
     )
-    if cfg.stage_mode == "actors":
+    if cfg.kb_shards > 1:
+        from raykg.encode import MentionEncoder
+        from raykg.nil import NilStage
+        from raykg.sharded import ShardFinalizer, ShardRetriever
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        per_shard = max(1, cpus // cfg.kb_shards)
+        # fractional CPU reservation: kb_shards+1 pools must co-exist
+        # with the task stages even on small nodes — without this the
+        # pools' min actors can starve each other (deadlock)
+        actor_cpus = max(0.25, round(cpus / (2 * (cfg.kb_shards + 1)), 2))
+        ds = ds.map_batches(
+            MentionEncoder(dim=cfg.dim), batch_format="pyarrow",
+            batch_size=cfg.encode_batch,
+        )
+        for s_i, shard_ref in enumerate(kb_handles["shard_refs"]):
+            ds = ds.map_batches(
+                ShardRetriever,
+                fn_constructor_kwargs={
+                    "shard_ref": shard_ref,
+                    "top_k": cfg.top_k,
+                    "is_first": s_i == 0,
+                },
+                batch_format="pyarrow",
+                batch_size=cfg.retrieve_batch,
+                concurrency=(1, per_shard),
+                num_cpus=actor_cpus,
+            )
+        ds = ds.map_batches(
+            ShardFinalizer,
+            fn_constructor_kwargs={
+                "titles_ref": kb_handles["titles_ref"],
+                "rw_ref": rw_ref,
+                "top_k": cfg.top_k,
+            },
+            batch_format="pyarrow",
+            batch_size=cfg.retrieve_batch,
+            concurrency=(1, 4),
+            num_cpus=actor_cpus,
+        )
+        uris_ref = ray.put(list(rw_state.uris)) if rw_state.ntotal else None
+        model = cfg.nil_model
+
+        def nil_fn(batch):
+            stage = NilStage(
+                model, rw_uris=ray.get(uris_ref) if uris_ref is not None else []
+            )
+            return stage(batch)
+
+        ds = ds.map_batches(nil_fn, batch_format="pyarrow",
+                            batch_size=cfg.nil_batch)
+    elif cfg.stage_mode == "actors":
         ds = ds.map_batches(
             LinkStage,
             fn_constructor_kwargs={
@@ -382,7 +457,7 @@ def run_pipeline(
         if prev.get("config") == cfg.digest():
             manifest = prev
 
-    kb_ref = load_kb_ref(os.path.join(fixture_dir, "kb.parquet"))
+    kb_handles = load_kb_handles(os.path.join(fixture_dir, "kb.parquet"), cfg)
     rw_state = RwState(cfg.dim)
     stats = []
     for epoch in epochs:
@@ -391,7 +466,7 @@ def run_pipeline(
             if os.path.exists(delta):
                 rw_state.add_clusters(pq.read_table(delta))
             continue
-        stats.append(run_epoch(fixture_dir, out_dir, epoch, kb_ref, rw_state, cfg))
+        stats.append(run_epoch(fixture_dir, out_dir, epoch, kb_handles, rw_state, cfg))
         manifest["completed_epochs"].append(epoch)
         tmp = manifest_path + ".tmp"
         with open(tmp, "w") as f:

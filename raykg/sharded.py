@@ -1,0 +1,223 @@
+"""Sharded-KB retrieval: per-shard stages with exact running-top-k merge.
+
+The reference keeps its whole 29 GB HNSW index resident in one process
+(``README.md:35-38``); SURVEY.md §7.7.5 flags per-actor replication as
+the scale blocker. This module splits the KB into S shards and runs one
+retrieval stage per shard: each stage's workers hold ONLY their shard
+(object-store slice via ray.put), score the batch against it, and merge
+into a running top-k carried between stages in Arrow columns. The
+streaming executor pipelines the stages, so a block flows shard by
+shard with backpressure — on a real cluster each shard pool pins to the
+nodes holding that slice.
+
+Exactness: the global top-k by raw similarity is a subset of the union
+of per-shard top-ks, so merging per-shard top-ks by raw score and
+truncating to k reproduces the unsharded result bit-for-bit — including
+tombstone dummies, which occupy their raw-score slot and only collapse
+to −1000 at final assembly (``pipeline/indexer/main.py:121-135``
+semantics). `finalize_sharded` then emits the same compact columns as
+the single-index path and appends the RW (minted-entity) index search.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from raykg.encode import column_to_vectors
+from raykg.index import FlatIndex, compact_candidate_columns
+from raykg.schema import DUMMY_SCORE, INDEXER_KB, INDEXER_RW, TOP_K
+
+_ACC_COLS = ("_acc_raw", "_acc_ids", "_acc_wikis", "_acc_tomb")
+
+
+def make_kb_shards(kb_tuple, n_shards: int):
+    """(vectors, wikipedia_ids, titles, types, tombstone) -> list of
+    ray.put refs of shard tuples (shard row offset kept so global ids
+    stay stable)."""
+    vectors, wikipedia_ids, titles, types, tombstone = kb_tuple
+    n = len(vectors)
+    bounds = np.linspace(0, n, n_shards + 1).astype(int)
+    refs = []
+    for s in range(n_shards):
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        refs.append(
+            ray.put(
+                (
+                    lo,
+                    vectors[lo:hi],
+                    np.asarray(wikipedia_ids[lo:hi]),
+                    list(titles[lo:hi]),
+                    list(types[lo:hi]),
+                    np.asarray(tombstone[lo:hi]),
+                )
+            )
+        )
+    return refs
+
+
+class ShardRetriever:
+    """One stage per shard: + / merge the running top-k accumulator."""
+
+    def __init__(self, shard_ref, top_k: int = TOP_K, is_first: bool = False):
+        lo, vectors, wikis, titles, types, tomb = (
+            ray.get(shard_ref) if not isinstance(shard_ref, tuple) else shard_ref
+        )
+        self.offset = lo
+        self.index = FlatIndex(vectors, wikis, titles, types, tomb, INDEXER_KB)
+        self.top_k = top_k
+        self.is_first = is_first
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        queries = column_to_vectors(batch.column("encoding"))
+        m = len(queries)
+        k = self.top_k
+        raw, ids = self.index.search_knn(queries, k)  # raw similarity order
+        valid = ids >= 0
+        safe = np.maximum(ids, 0)
+        tomb = np.where(valid, self.index.tombstone[safe], False)
+        wikis = np.where(valid & ~tomb, self.index.wikipedia_ids[safe], 0)
+        gids = np.where(valid, ids + self.offset, -1)
+        raw = np.where(valid, raw, np.float32(-np.inf))
+
+        if self.is_first:
+            acc_raw, acc_ids = raw, gids
+            acc_wikis, acc_tomb = wikis, tomb
+        else:
+            def grab(name, dtype):
+                col = batch.column(name)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                return col.values.to_numpy(zero_copy_only=False).reshape(m, -1).astype(dtype)
+
+            acc_raw = np.concatenate([grab("_acc_raw", np.float32), raw], axis=1)
+            acc_ids = np.concatenate([grab("_acc_ids", np.int64), gids], axis=1)
+            acc_wikis = np.concatenate([grab("_acc_wikis", np.int64), wikis], axis=1)
+            acc_tomb = np.concatenate(
+                [grab("_acc_tomb", np.int8).astype(bool), tomb], axis=1
+            )
+            # keep global top-k by (raw desc, id asc) — identical
+            # ordering rule to the unsharded search
+            order = np.lexsort(
+                (np.where(acc_ids < 0, np.int64(1 << 62), acc_ids), -acc_raw),
+                axis=1,
+            )[:, :k]
+            acc_raw = np.take_along_axis(acc_raw, order, axis=1)
+            acc_ids = np.take_along_axis(acc_ids, order, axis=1)
+            acc_wikis = np.take_along_axis(acc_wikis, order, axis=1)
+            acc_tomb = np.take_along_axis(acc_tomb, order, axis=1)
+
+        batch = batch.drop_columns([c for c in _ACC_COLS if c in batch.column_names])
+
+        def put(name, mat, patype):
+            flat = np.ascontiguousarray(mat).reshape(-1)
+            return batch.append_column(
+                name,
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat, type=patype), mat.shape[1]
+                ),
+            )
+
+        batch = put("_acc_raw", acc_raw.astype(np.float32), pa.float32())
+        batch = put("_acc_ids", acc_ids.astype(np.int64), pa.int64())
+        batch = put("_acc_wikis", acc_wikis.astype(np.int64), pa.int64())
+        return put("_acc_tomb", acc_tomb.astype(np.int8), pa.int8())
+
+
+class ShardFinalizer:
+    """Collapse the accumulator to the single-index compact columns
+    (+ the RW minted-entity index, searched whole — it is small) and
+    resolve the winning title from a broadcast title array."""
+
+    def __init__(self, titles_ref, rw_ref=None, top_k: int = TOP_K):
+        self.titles = np.asarray(
+            ray.get(titles_ref) if not isinstance(titles_ref, (list, np.ndarray))
+            else titles_ref,
+            dtype=object,
+        )
+        rw = ray.get(rw_ref) if rw_ref is not None and not isinstance(rw_ref, tuple) else rw_ref
+        self.rw_index = None
+        if rw is not None:
+            rw_vectors, rw_titles = rw
+            self.rw_index = FlatIndex(
+                rw_vectors, np.full(len(rw_vectors), -1, dtype=np.int64),
+                rw_titles, None, None, INDEXER_RW,
+            )
+        self.top_k = top_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+
+        def grab(name, dtype):
+            col = batch.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return col.values.to_numpy(zero_copy_only=False).reshape(m, -1).astype(dtype)
+
+        raw = grab("_acc_raw", np.float32)
+        gids = grab("_acc_ids", np.int64)
+        wikis = grab("_acc_wikis", np.int64)
+        tomb = grab("_acc_tomb", np.int8).astype(bool)
+        valid = gids >= 0
+        scores = np.where(tomb, np.float32(DUMMY_SCORE), raw)
+        indexers = np.full(scores.shape, INDEXER_KB, dtype=np.int32)
+
+        if self.rw_index is not None and self.rw_index.ntotal:
+            queries = column_to_vectors(batch.column("encoding"))
+            rs, rids = self.rw_index.search_knn(queries, self.top_k)
+            rvalid = rids >= 0
+            scores = np.concatenate([scores, np.where(rvalid, rs, -np.inf)], axis=1)
+            raw = np.concatenate([raw, rs], axis=1)
+            gids = np.concatenate([gids, rids], axis=1)
+            wikis = np.concatenate(
+                [wikis, np.where(rvalid, -1, 0).astype(np.int64)], axis=1
+            )
+            tomb = np.concatenate([tomb, np.zeros_like(rvalid)], axis=1)
+            valid = np.concatenate([valid, rvalid], axis=1)
+            indexers = np.concatenate(
+                [indexers, np.full(rs.shape, INDEXER_RW, dtype=np.int32)], axis=1
+            )
+
+        # final candidate order: score desc, stable (KB block precedes
+        # RW, within-block by rank) — matches the unsharded union sort
+        order = np.argsort(-np.where(valid, scores, -np.inf), axis=1, kind="stable")
+        scores = np.take_along_axis(scores, order, axis=1)
+        gids = np.take_along_axis(gids, order, axis=1)
+        wikis = np.take_along_axis(wikis, order, axis=1)
+        tomb = np.take_along_axis(tomb, order, axis=1)
+        valid = np.take_along_axis(valid, order, axis=1)
+        indexers = np.take_along_axis(indexers, order, axis=1)
+
+        counts = valid.sum(axis=1)
+        offsets = np.zeros(m + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        wiki_col = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(wikis[valid], type=pa.int64())
+        )
+        score_col = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(scores[valid], type=pa.float32())
+        )
+        has = counts > 0
+        top_score = np.where(has, scores[:, 0], 0.0).astype(np.float32)
+        top_id = np.where(has, gids[:, 0], -1).astype(np.int64)
+        top_wiki = np.where(has, wikis[:, 0], 0).astype(np.int64)
+        top_indexer = np.where(has, indexers[:, 0], -1).astype(np.int32)
+        top_title = [""] * m
+        for r in np.flatnonzero(has):
+            if tomb[r, 0]:
+                continue
+            if top_indexer[r] == INDEXER_KB:
+                top_title[r] = self.titles[top_id[r]]
+            else:
+                top_title[r] = self.rw_index.titles[top_id[r]]
+
+        batch = batch.drop_columns(list(_ACC_COLS))
+        batch = batch.append_column("cand_wikipedia_ids", wiki_col)
+        batch = batch.append_column("cand_scores", score_col)
+        batch = batch.append_column("top_score", pa.array(top_score, type=pa.float32()))
+        batch = batch.append_column("top_title", pa.array(top_title, type=pa.string()))
+        batch = batch.append_column("top_wikipedia_id", pa.array(top_wiki, type=pa.int64()))
+        batch = batch.append_column("top_id", pa.array(top_id, type=pa.int64()))
+        return batch.append_column("top_indexer", pa.array(top_indexer, type=pa.int32()))
