@@ -398,6 +398,20 @@ def _assemble_clusters_table(parts: pd.DataFrame, epoch: int, dim: int) -> pa.Ta
     from raykg.encode import vectors_to_column
     from raykg.schema import entity_uri_nil
 
+    if len(parts) == 0 or "min_mention_id" not in parts.columns:
+        # an epoch with zero NIL mentions: the empty Dataset loses its
+        # schema on to_pandas — emit a typed empty clusters table
+        return pa.table(
+            {
+                "cluster_id": pa.array([], type=pa.string()),
+                "epoch": pa.array([], type=pa.int32()),
+                "title": pa.array([], type=pa.string()),
+                "nelements": pa.array([], type=pa.int64()),
+                "mention_ids": pa.array([], type=pa.list_(pa.int64())),
+                "mentions": pa.array([], type=pa.list_(pa.string())),
+                "center": vectors_to_column(np.zeros((0, dim), dtype=np.float32)),
+            }
+        )
     parts = parts.sort_values("min_mention_id").reset_index(drop=True)
     n = len(parts)
     centers = (

@@ -113,3 +113,22 @@ def test_surface_blocking_mode(small_fixture, tmp_path_factory):
     gold = pq.read_table(os.path.join(small_fixture, "gold.parquet")).to_pandas()
     links = tri[tri.pred == "kg:linksTo"]
     assert set(int(s.split(":")[1]) for s in links.subj) == set(gold.mention_id)
+
+
+def test_epoch_with_no_nil_mentions(small_fixture, tmp_path_factory):
+    """A NIL model that never fires leaves every epoch clusterless —
+    the pipeline must still emit linksTo/mentions triples and resume
+    state cleanly."""
+    from raykg.nil import LogisticModel
+
+    out = str(tmp_path_factory.mktemp("no_nil"))
+    never_nil = LogisticModel(("max_bi", "secondiff"), (0.0, 0.0), 100.0)
+    res = run_pipeline(
+        small_fixture, out, PipelineConfig(nil_model=never_nil)
+    )
+    assert res["rw_total"] == 0
+    tri = _triples(out)
+    assert set(tri.pred.unique()) == {"kg:linksTo", "kg:mentions"}
+    gold = pq.read_table(os.path.join(small_fixture, "gold.parquet")).to_pandas()
+    links = tri[tri.pred == "kg:linksTo"]
+    assert set(int(s.split(":")[1]) for s in links.subj) == set(gold.mention_id)
