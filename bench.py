@@ -50,6 +50,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        log_to_driver=False,  # keep stdout = exactly one JSON line
     )
     from ray.data import DataContext
 
