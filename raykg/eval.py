@@ -337,4 +337,9 @@ def incremental_report(rows: list[dict]) -> pd.DataFrame:
     df = pd.DataFrame(flat)
     avg = df.mean(numeric_only=True).astype(object)
     avg["batch"] = "incremental_overall"
-    return pd.concat([df, avg.to_frame().T], ignore_index=True)
+    out = pd.concat([df, avg.to_frame().T], ignore_index=True)
+    # the reference CSV's batch column is a string; keep the column
+    # single-typed so downstream sorts don't mix str and int
+    if "batch" in out.columns:
+        out["batch"] = out["batch"].astype(str)
+    return out

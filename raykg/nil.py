@@ -37,8 +37,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from raykg.schema import INDEXER_KB, NIL_THRESHOLD, entity_uri_kb
-from raykg.text import batch_jaccard_sim, batch_levenshtein_sim
+from raykg.schema import INDEXER_KB, NIL_THRESHOLD
+from raykg.text import batch_jaccard_sim, batch_levenshtein_token_sim
 
 FEATURE_NAMES = (
     "max_bi",
@@ -140,7 +140,7 @@ def _segment_features(
         "max_bi": max_bi,
         "secondiff": secondiff,
         "jaccard": batch_jaccard_sim(mention_l, title_l),
-        "levenshtein": batch_levenshtein_sim(mention_l, title_l),
+        "levenshtein": batch_levenshtein_token_sim(mention_l, title_l),
         "mean": mean,
         "median": median,
         "stdev": stdev,
@@ -232,14 +232,15 @@ class NilStage:
         is_nil = nil_score < self.threshold
 
         kb_top = f["_top_indexer"] == INDEXER_KB
-        uris = np.empty(len(nil_score), dtype=object)
-        for i in range(len(uris)):
-            if is_nil[i]:
-                uris[i] = ""  # resolved after clustering
-            elif kb_top[i]:
-                uris[i] = entity_uri_kb(int(f["_top_wikipedia_id"][i]))
-            else:
-                uris[i] = self.rw_uris[int(f["_top_id"][i])]
+        # vectorized uri assembly: NIL -> "" (resolved after clustering);
+        # KB top -> "ent:kb:<wikipedia_id>"; else the RW entity's uri
+        kb_uris = np.char.add("ent:kb:", f["_top_wikipedia_id"].astype("U20"))
+        if self.rw_uris:
+            rw_arr = np.asarray(self.rw_uris, dtype=object)
+            rw_sel = rw_arr[np.clip(f["_top_id"], 0, len(rw_arr) - 1)]
+        else:
+            rw_sel = np.full(len(nil_score), "", dtype=object)
+        uris = np.where(is_nil, "", np.where(kb_top, kb_uris, rw_sel)).astype(object)
 
         out = batch
         for name in FEATURE_NAMES:

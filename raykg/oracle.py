@@ -189,8 +189,9 @@ def run_reference_chain(
             feats["mean"] = statistics.mean(scores)
             feats["median"] = statistics.median(scores)
             feats["stdev"] = statistics.stdev(scores) if len(scores) > 1 else 0.0
-            m = data["mention"][i].lower()
-            t = cands[0]["title"].lower()
+            # textdistance Levenshtein(qval=None): whitespace-token level
+            m = data["mention"][i].lower().split()
+            t = cands[0]["title"].lower().split()
             mx = max(len(m), len(t), 1)
             feats["levenshtein"] = 1 - _py_levenshtein(m, t) / mx
             X = np.array([[feats[f] for f in nil_model.features]])

@@ -41,6 +41,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 
@@ -206,6 +207,18 @@ def run_epoch(
     pool = _pool(cfg)
     tr_path = os.path.join(fixture_dir, "transcripts", f"epoch={epoch}")
 
+    # a prior run may have died mid-epoch (or the config digest changed,
+    # resetting the manifest but not the outputs): clear this epoch's
+    # outputs so the re-run never appends beside stale partial files
+    for stale in (
+        os.path.join(out_dir, "mentions", f"epoch={epoch}"),
+        os.path.join(out_dir, "triples", f"epoch={epoch}"),
+    ):
+        shutil.rmtree(stale, ignore_errors=True)
+    stale_clusters = os.path.join(out_dir, "clusters", f"epoch={epoch}.parquet")
+    if os.path.exists(stale_clusters):
+        os.remove(stale_clusters)
+
     if not isinstance(kb_handles, dict):  # bare ref (back-compat)
         kb_handles = {"kb_ref": kb_handles}
     kb_ref = kb_handles["kb_ref"]
@@ -364,9 +377,14 @@ def run_epoch(
         mentions_dir,
         columns=["mention_id", "conv_id", "turn_idx", "is_nil", "entity_uri"],
     )
-    triple_ds = linked.map_batches(
-        lambda t: mention_triples(t, nil_uri_map, epoch), batch_format="pyarrow"
-    )
+    # the map is O(NIL mentions): broadcast once through the object store
+    # rather than pickling it into every task spec
+    nil_uri_ref = ray.put(nil_uri_map)
+
+    def _to_triples(t: pa.Table) -> pa.Table:
+        return mention_triples(t, ray.get(nil_uri_ref), epoch)
+
+    triple_ds = linked.map_batches(_to_triples, batch_format="pyarrow")
     ctriples = cluster_triples(clusters_table, epoch)
     if ctriples.num_rows:
         triple_ds = triple_ds.union(rd.from_arrow(ctriples))

@@ -4,8 +4,12 @@ Re-implements, from their public definitions, the string measures the
 reference pulls from libraries that are not available here:
 
   * ``textdistance.Levenshtein(qval=None).normalized_similarity`` —
-    char-level edit distance, similarity = 1 - d / max(len)
-    (``pipeline/nilpredictor/__main__.py:15,105-117``).
+    qval=None means textdistance splits both strings on whitespace, so
+    this is WORD-level edit distance over token sequences, similarity =
+    1 - d / max(token count) (``pipeline/nilpredictor/__main__.py:15,
+    105-117``); ``batch_levenshtein_token_sim`` implements it.
+    ``batch_levenshtein``/``batch_levenshtein_sim`` are the char-level
+    variants (used by tests and available to callers who want qval=1).
   * ``textdistance.Jaccard(qval=None).normalized_similarity`` —
     whitespace-token multiset Jaccard |A∩B| / |A∪B| with Counter
     (bag) semantics (``pipeline/nilpredictor/__main__.py:14``).
@@ -39,16 +43,37 @@ def _pad_codes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     return out, lens
 
 
-def batch_levenshtein(a: list[str], b: list[str]) -> np.ndarray:
-    """Pairwise (aligned) Levenshtein distances, vectorized across pairs."""
-    assert len(a) == len(b)
-    n = len(a)
-    if n == 0:
-        return np.zeros(0, dtype=np.int64)
-    ca, la = _pad_codes(list(a))
-    cb, lb = _pad_codes(list(b))
+def _pad_token_codes(
+    a_toks: list[list[str]], b_toks: list[list[str]]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Encode token sequences to ints via a shared vocab, zero-padded."""
+    vocab: dict[str, int] = {}
+
+    def enc(seqs: list[list[str]]) -> tuple[np.ndarray, np.ndarray]:
+        n = len(seqs)
+        lens = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=n)
+        L = int(lens.max()) if n else 0
+        out = np.zeros((n, L), dtype=np.int32)
+        for i, s in enumerate(seqs):
+            for j, w in enumerate(s):
+                code = vocab.get(w)
+                if code is None:
+                    code = len(vocab) + 1
+                    vocab[w] = code
+                out[i, j] = code
+        return out, lens
+
+    ca, la = enc(a_toks)
+    cb, lb = enc(b_toks)
+    return ca, la, cb, lb
+
+
+def _batch_lev_core(
+    ca: np.ndarray, la: np.ndarray, cb: np.ndarray, lb: np.ndarray
+) -> np.ndarray:
+    """Vectorized-across-pairs Levenshtein DP over int code arrays."""
+    n = ca.shape[0]
     La, Lb = ca.shape[1], cb.shape[1]
-    BIG = 1 << 30
     # dp over rows of a; dp[j] = edit distance between a[:i] and b[:j]
     dp = np.broadcast_to(np.arange(Lb + 1, dtype=np.int64), (n, Lb + 1)).copy()
     # positions beyond each b's length are invalid; we read results at lb
@@ -71,12 +96,36 @@ def batch_levenshtein(a: list[str], b: list[str]) -> np.ndarray:
     return dp[np.arange(n), lb]
 
 
+def batch_levenshtein(a: list[str], b: list[str]) -> np.ndarray:
+    """Pairwise (aligned) CHAR-level Levenshtein distances."""
+    assert len(a) == len(b)
+    if len(a) == 0:
+        return np.zeros(0, dtype=np.int64)
+    ca, la = _pad_codes(list(a))
+    cb, lb = _pad_codes(list(b))
+    return _batch_lev_core(ca, la, cb, lb)
+
+
 def batch_levenshtein_sim(a: list[str], b: list[str]) -> np.ndarray:
-    """textdistance-style normalized similarity: 1 - d / max(len, 1)."""
+    """Char-level normalized similarity: 1 - d / max(len, 1)."""
     d = batch_levenshtein(a, b).astype(np.float64)
     la = np.fromiter((len(x) for x in a), dtype=np.float64, count=len(a))
     lb = np.fromiter((len(x) for x in b), dtype=np.float64, count=len(b))
     mx = np.maximum(np.maximum(la, lb), 1.0)
+    return 1.0 - d / mx
+
+
+def batch_levenshtein_token_sim(a: list[str], b: list[str]) -> np.ndarray:
+    """textdistance ``Levenshtein(qval=None).normalized_similarity``:
+    whitespace-token edit distance, 1 - d / max(token count, 1)."""
+    assert len(a) == len(b)
+    if len(a) == 0:
+        return np.zeros(0, dtype=np.float64)
+    ta = [x.split() for x in a]
+    tb = [y.split() for y in b]
+    ca, la, cb, lb = _pad_token_codes(ta, tb)
+    d = _batch_lev_core(ca, la, cb, lb).astype(np.float64)
+    mx = np.maximum(np.maximum(la, lb), 1).astype(np.float64)
     return 1.0 - d / mx
 
 

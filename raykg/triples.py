@@ -54,8 +54,10 @@ def mention_triples(batch: pa.Table, nil_uri_map: dict[int, str], epoch: int) ->
 
     m_uri = np.char.add("mention:", mid_np[keep].astype("U20"))
     conv_k = conv_np[keep]
+    # size the unicode dtype from the batch so long conv_ids never truncate
+    conv_u = np.asarray(conv_k.tolist(), dtype=np.str_) if n else conv_k.astype("U1")
     t_uri = np.char.add(
-        np.char.add(np.char.add("turn:", conv_k.astype("U40")), ":"),
+        np.char.add(np.char.add("turn:", conv_u), ":"),
         turn_np[keep].astype("U10"),
     )
     ent_col = pa.array(ents[keep].tolist(), type=pa.string())

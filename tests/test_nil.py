@@ -60,9 +60,33 @@ def test_levenshtein_against_reference_dp():
 
 
 def test_levenshtein_normalized_similarity():
-    # textdistance semantics: 1 - d / max(len)
+    # char-level variant: 1 - d / max(len)
     sim = batch_levenshtein_sim(["kitten"], ["sitting"])
     assert abs(sim[0] - (1 - 3 / 7)) < 1e-12
+
+
+def test_levenshtein_token_sim_matches_textdistance_qval_none():
+    # textdistance Levenshtein(qval=None) tokenizes on whitespace
+    from raykg.text import batch_levenshtein_token_sim
+
+    a = ["new york city", "acme corp", "alpha beta", "", "one"]
+    b = ["new york", "acme corporation", "beta alpha gamma", "x y", "one"]
+
+    def ref(x, y):
+        ta, tb = x.split(), y.split()
+        dp = list(range(len(tb) + 1))
+        for i in range(1, len(ta) + 1):
+            prev = dp
+            dp = [i] + [0] * len(tb)
+            for j in range(1, len(tb) + 1):
+                dp[j] = min(prev[j] + 1, dp[j - 1] + 1,
+                            prev[j - 1] + (ta[i - 1] != tb[j - 1]))
+        d = dp[len(tb)]
+        return 1 - d / max(len(ta), len(tb), 1)
+
+    got = batch_levenshtein_token_sim(a, b)
+    for x, y, g in zip(a, b, got):
+        assert abs(g - ref(x, y)) < 1e-12, (x, y)
 
 
 def test_jaccard_multiset():

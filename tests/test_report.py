@@ -91,3 +91,39 @@ def test_ablation_workflow(run_out, tmp_path):
     p = m.predict_proba1(test[["max_bi", "secondiff"]].to_numpy(float))
     acc = ((p >= 0.5) == (test.label == 1)).mean()
     assert acc > 0.6
+
+
+def test_incremental_report_batch_column_single_typed():
+    # the averages row carries batch="incremental_overall"; every other
+    # row must also be str so sorting the column never mixes types
+    from raykg.eval import incremental_report
+
+    rows = [
+        {"batch": 0, "overall_accuracy": 0.5},
+        {"batch": 1, "overall_accuracy": 0.7},
+    ]
+    df = incremental_report(rows)
+    assert all(isinstance(b, str) for b in df["batch"])
+    df.sort_values("batch")  # must not raise
+    assert df["batch"].iloc[-1] == "incremental_overall"
+
+
+def test_mention_triples_long_conv_id_not_truncated():
+    import numpy as np
+    import pyarrow as pa
+
+    from raykg.triples import mention_triples
+
+    long_id = "conv_" + "x" * 90  # > the old U40 fixed width
+    batch = pa.table(
+        {
+            "mention_id": pa.array([7], type=pa.int64()),
+            "conv_id": pa.array([long_id], type=pa.string()),
+            "turn_idx": pa.array([3], type=pa.int64()),
+            "is_nil": pa.array([False]),
+            "entity_uri": pa.array(["ent:kb:42"], type=pa.string()),
+        }
+    )
+    out = mention_triples(batch, {}, epoch=0)
+    subjects = out.column("subj").to_pylist()
+    assert f"turn:{long_id}:3" in subjects
