@@ -158,6 +158,197 @@ class FlatIndex:
         return out_scores.astype(np.float32), ids
 
 
+def _kmeans_gemm(X: np.ndarray, k: int, seed: int = 7, n_iter: int = 10) -> np.ndarray:
+    """Lloyd's k-means with GEMM-based assignment (argmax x·c − ‖c‖²/2
+    == argmin L2) — no (n, k, d) broadcast, so it trains on large
+    samples without a memory spike. Deterministic in seed."""
+    X = np.asarray(X, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    centers = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(n_iter):
+        d = X @ centers.T - 0.5 * (centers**2).sum(axis=1)[None, :]
+        lab = d.argmax(axis=1)
+        sums = np.zeros_like(centers)
+        np.add.at(sums, lab, X)
+        counts = np.bincount(lab, minlength=k).astype(np.float64)
+        nonempty = counts > 0
+        centers[nonempty] = sums[nonempty] / counts[nonempty, None]
+        if not nonempty.all():
+            # re-seed empty centers at the worst-fit points
+            worst = np.argsort(d.max(axis=1))[: int((~nonempty).sum())]
+            centers[~nonempty] = X[worst]
+    return centers
+
+
+class IvfIndex(FlatIndex):
+    """Approximate inner-product index: IVF coarse partitions + nprobe
+    probing over the same row-aligned entity arrays as FlatIndex.
+
+    Counterpart of the reference's approximate HNSW index
+    (``pipeline/biencoder/blink/indexer/faiss_indexer.py:76-141``) with
+    its exact score recompute (``pipeline/indexer/main.py:138-152``):
+    scores returned here are exact inner products over the probed
+    subset, so only *recall* is approximate — the score scale feeding
+    NIL prediction is unchanged vs exact search.
+
+    Build is O(n·L·d) (one assignment GEMM) + k-means on a strided
+    sample; do it ONCE on the driver via ``build_meta`` and broadcast
+    the (centroids, perm, offsets) tuple through ``ray.put`` so worker
+    construction is just array wiring (``prebuilt=``).
+
+    Search groups the probe pairs BY LIST, so each inverted list does
+    one (list_rows × queries) GEMM — vectorized over queries, no
+    per-query Python loop. Ties break (score desc, id asc) exactly like
+    FlatIndex. Compute per batch is ~nprobe/L of the exact GEMM, which
+    is also what shrinks the per-batch memory-bandwidth footprint.
+    """
+
+    def __init__(
+        self,
+        vectors: np.ndarray,
+        wikipedia_ids: np.ndarray,
+        titles: list[str],
+        types: list[str] | None = None,
+        tombstone: np.ndarray | None = None,
+        indexer_id: int = INDEXER_KB,
+        n_lists: int = 128,
+        nprobe: int = 16,
+        seed: int = 7,
+        train_sample: int = 8192,
+        prebuilt: tuple | None = None,
+    ):
+        super().__init__(vectors, wikipedia_ids, titles, types, tombstone, indexer_id)
+        if prebuilt is not None:
+            self.centroids, self.list_perm, self.list_offsets = prebuilt
+        else:
+            self.centroids, self.list_perm, self.list_offsets = self.build_meta(
+                self.vectors, n_lists=n_lists, seed=seed, train_sample=train_sample
+            )
+        self.n_lists = len(self.centroids)
+        self.nprobe = min(nprobe, max(self.n_lists, 1))
+
+    @staticmethod
+    def build_meta(
+        vectors: np.ndarray,
+        n_lists: int = 128,
+        seed: int = 7,
+        train_sample: int = 8192,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """-> (centroids (L,d) f32, perm (n,) i64 rows grouped by list
+        with id asc inside, offsets (L+1,) i64). Deterministic."""
+        n = len(vectors)
+        if n == 0:
+            return (
+                np.zeros((0, vectors.shape[1] if vectors.ndim == 2 else 0),
+                         dtype=np.float32),
+                np.zeros(0, dtype=np.int64),
+                np.zeros(1, dtype=np.int64),
+            )
+        L = max(1, min(n_lists, n))
+        step = max(1, n // min(train_sample, n))
+        sample = vectors[::step][:train_sample]
+        centroids = _kmeans_gemm(sample, L, seed=seed).astype(np.float32)
+        L = len(centroids)
+        # assign every row by min L2 (chunked GEMM)
+        half_c2 = 0.5 * (centroids.astype(np.float64) ** 2).sum(axis=1)
+        assign = np.empty(n, dtype=np.int64)
+        CH = 65536
+        for lo in range(0, n, CH):
+            chunk = vectors[lo : lo + CH].astype(np.float64)
+            assign[lo : lo + CH] = (chunk @ centroids.T.astype(np.float64)
+                                    - half_c2[None, :]).argmax(axis=1)
+        perm = np.argsort(assign, kind="stable").astype(np.int64)
+        counts = np.bincount(assign, minlength=L)
+        offsets = np.zeros(L + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        return centroids, perm, offsets
+
+    def search_knn(self, queries: np.ndarray, top_k: int):
+        m = len(queries)
+        if m > self.SEARCH_CHUNK and self.ntotal > 0:
+            parts = [
+                self.search_knn(queries[lo : lo + self.SEARCH_CHUNK], top_k)
+                for lo in range(0, m, self.SEARCH_CHUNK)
+            ]
+            return (
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+            )
+        if self.ntotal == 0 or min(top_k, self.ntotal) == 0:
+            return (
+                np.zeros((m, top_k), dtype=np.float32),
+                -np.ones((m, top_k), dtype=np.int64),
+            )
+        q = queries.astype(np.float32, copy=False)
+        # probe by the SAME corrected score the assignment used
+        # (argmax q·c − ‖c‖²/2 == min L2): a probe metric that differs
+        # from the assignment metric mis-ranks lists when centroid norms
+        # vary, which silently destroys recall
+        if not hasattr(self, "_half_c2"):
+            self._half_c2 = 0.5 * (self.centroids**2).sum(axis=1)
+        qc = q @ self.centroids.T - self._half_c2[None, :]  # (m, L)
+        npb = self.nprobe
+        if npb < self.n_lists:
+            probes = np.argpartition(-qc, npb - 1, axis=1)[:, :npb]
+        else:
+            probes = np.broadcast_to(np.arange(self.n_lists), (m, self.n_lists)).copy()
+            npb = self.n_lists
+
+        # group (query, list) probe pairs by list: one GEMM per list
+        flat_q = np.repeat(np.arange(m), npb)
+        flat_l = probes.reshape(-1)
+        order_l = np.argsort(flat_l, kind="stable")
+        flat_q = flat_q[order_l]
+        flat_l = flat_l[order_l]
+        uls, starts = np.unique(flat_l, return_index=True)
+        bounds = np.append(starts, len(flat_l))
+
+        cq_parts, cr_parts, cs_parts = [], [], []
+        for i, l in enumerate(uls):
+            lo, hi = self.list_offsets[l], self.list_offsets[l + 1]
+            if hi <= lo:
+                continue
+            rows = self.list_perm[lo:hi]
+            qs = flat_q[starts[i] : bounds[i + 1]]
+            S = self.vectors[rows] @ q[qs].T  # (n_l, q_l)
+            kk = min(top_k, len(rows))
+            if kk < len(rows):
+                top = np.argpartition(-S, kk - 1, axis=0)[:kk]
+            else:
+                top = np.broadcast_to(
+                    np.arange(len(rows))[:, None], S.shape
+                ).copy()
+            sel_s = np.take_along_axis(S, top, axis=0).T.ravel()
+            sel_r = rows[top].T.ravel()
+            cq_parts.append(np.repeat(qs, kk))
+            cr_parts.append(sel_r)
+            cs_parts.append(sel_s)
+
+        if not cq_parts:
+            return (
+                np.zeros((m, top_k), dtype=np.float32),
+                -np.ones((m, top_k), dtype=np.int64),
+            )
+        cq = np.concatenate(cq_parts)
+        cr = np.concatenate(cr_parts)
+        cs = np.concatenate(cs_parts)
+        # final per-query top-k: (query asc, score desc, id asc)
+        order = np.lexsort((cr, -cs, cq))
+        cq, cr, cs = cq[order], cr[order], cs[order]
+        counts = np.bincount(cq, minlength=m)
+        offsets = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        take = np.minimum(counts, top_k)
+        out_ids = -np.ones((m, top_k), dtype=np.int64)
+        out_scores = np.zeros((m, top_k), dtype=np.float32)
+        pos = offsets[:-1][:, None] + np.arange(top_k)[None, :]
+        valid = np.arange(top_k)[None, :] < take[:, None]
+        out_ids[valid] = cr[pos[valid]]
+        out_scores[valid] = cs[pos[valid]]
+        return out_scores, out_ids
+
+
 def kb_index_from_table(tbl: pa.Table, indexer_id: int = INDEXER_KB) -> FlatIndex:
     """Build the RO KB index from a kb_entities Arrow table
     (fixtures.write_fixture layout, 'tombstone' column optional)."""
@@ -367,13 +558,27 @@ class Retriever:
     """
 
     def __init__(self, kb_ref, rw_ref=None, top_k: int = TOP_K,
-                 compact: bool = False):
+                 compact: bool = False, ann_ref=None, nprobe: int = 16):
+        """``ann_ref``: optional ray.put ref of IVF metadata
+        (centroids, perm, offsets) prebuilt once on the driver with
+        ``IvfIndex.build_meta`` — when given, the KB index is the
+        approximate IVF index (nprobe lists probed per query) instead
+        of exact flat. The RW minted-entity index is always exact: it
+        is small and rebuilt every epoch."""
         self.compact = compact
         kb = ray.get(kb_ref) if not isinstance(kb_ref, tuple) else kb_ref
         vectors, wikipedia_ids, titles, types, tombstone = kb
-        self.indexes = [
-            FlatIndex(vectors, wikipedia_ids, titles, types, tombstone, INDEXER_KB)
-        ]
+        if ann_ref is not None:
+            ann = ray.get(ann_ref) if not isinstance(ann_ref, tuple) else ann_ref
+            self.indexes = [
+                IvfIndex(vectors, wikipedia_ids, titles, types, tombstone,
+                         INDEXER_KB, nprobe=nprobe, prebuilt=ann)
+            ]
+        else:
+            self.indexes = [
+                FlatIndex(vectors, wikipedia_ids, titles, types, tombstone,
+                          INDEXER_KB)
+            ]
         rw = (
             ray.get(rw_ref)
             if rw_ref is not None and not isinstance(rw_ref, tuple)

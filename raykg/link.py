@@ -32,9 +32,12 @@ class LinkStage:
         dim: int = DIM,
         top_k: int = TOP_K,
         compact: bool = True,
+        ann_ref=None,
+        nprobe: int = 16,
     ):
         self.encode = MentionEncoder(dim=dim)
-        self.retrieve = Retriever(kb_ref, rw_ref, top_k, compact=compact)
+        self.retrieve = Retriever(kb_ref, rw_ref, top_k, compact=compact,
+                                  ann_ref=ann_ref, nprobe=nprobe)
         self.score = NilStage(model, rw_uris=rw_uris or [])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -50,18 +53,19 @@ class LinkStage:
 _STAGE_CACHE: dict = {}
 
 
-def make_link_fn(kb_ref, rw_ref, rw_uris_ref, model, dim, top_k, compact):
+def make_link_fn(kb_ref, rw_ref, rw_uris_ref, model, dim, top_k, compact,
+                 ann_ref=None, nprobe: int = 16):
     """``rw_uris_ref`` is a ray.put ref of the minted-uri list — large
     broadcast state always travels by ref, never inside the pickled
-    task closure."""
+    task closure. ``ann_ref``: prebuilt IVF metadata ref (see
+    raykg.index.Retriever); None keeps exact flat search."""
     import ray
 
+    def _key(ref):
+        return ref.hex() if hasattr(ref, "hex") else id(ref)
+
     key = (
-        kb_ref.hex() if hasattr(kb_ref, "hex") else id(kb_ref),
-        rw_ref.hex() if hasattr(rw_ref, "hex") else id(rw_ref),
-        dim,
-        top_k,
-        compact,
+        _key(kb_ref), _key(rw_ref), _key(ann_ref), nprobe, dim, top_k, compact,
     )
 
     def link_fn(batch: pa.Table) -> pa.Table:
@@ -71,7 +75,7 @@ def make_link_fn(kb_ref, rw_ref, rw_uris_ref, model, dim, top_k, compact):
             rw_uris = ray.get(rw_uris_ref) if rw_uris_ref is not None else []
             stage = LinkStage(
                 kb_ref, rw_ref, rw_uris, model, dim=dim, top_k=top_k,
-                compact=compact,
+                compact=compact, ann_ref=ann_ref, nprobe=nprobe,
             )
             _STAGE_CACHE[key] = stage
         return stage(batch)

@@ -68,7 +68,11 @@ class PipelineConfig:
     dim: int = DIM
     top_k: int = TOP_K
     clusterer: str = "greedy"  # greedy | feature | threestep
-    blocking: str = "global"  # global | surface
+    # surface is the default: bounded per-bucket clustering groups (no
+    # O(n²) epoch-global task), parity-gated ≥0.95 vs the global-mode
+    # oracle (tests/test_parity.py). "global" reproduces the reference's
+    # exact all-NIL-jointly semantics for conformance runs.
+    blocking: str = "surface"  # global | surface
     nil_model: LogisticModel = field(default_factory=lambda: DEFAULT_NIL_MODEL)
     detect_batch: int = 1024
     encode_batch: int = 1024
@@ -82,6 +86,14 @@ class PipelineConfig:
     # the multi-node answer to a KB that exceeds one worker's memory
     # (SURVEY.md §7.7.5). Output is bit-identical to kb_shards=1.
     kb_shards: int = 1
+    # "exact" reproduces the reference-equivalent oracle bit-for-bit;
+    # "ivf" probes ivf_nprobe of ivf_lists coarse partitions per query —
+    # the counterpart of the reference's approximate HNSW KB index
+    # (faiss_indexer.py:76-141), scores stay exact inner products.
+    # IVF metadata is built once on the driver and broadcast.
+    ann: str = "exact"  # exact | ivf
+    ivf_lists: int = 128
+    ivf_nprobe: int = 16
 
     def digest(self) -> str:
         payload = {
@@ -126,6 +138,13 @@ def load_kb_handles(kb_path: str, cfg: "PipelineConfig") -> dict:
     kb_tuple = (idx.vectors, idx.wikipedia_ids, list(idx.titles),
                 list(idx.types), idx.tombstone)
     handles = {"kb_ref": ray.put(kb_tuple)}
+    if cfg.ann == "ivf":
+        from raykg.index import IvfIndex
+
+        # build once on the driver, broadcast; workers just wire arrays
+        handles["ann_ref"] = ray.put(
+            IvfIndex.build_meta(idx.vectors, n_lists=cfg.ivf_lists)
+        )
     if cfg.kb_shards > 1:
         from raykg.sharded import make_kb_shards
 
@@ -303,6 +322,8 @@ def run_epoch(
                 "dim": cfg.dim,
                 "top_k": cfg.top_k,
                 "compact": not cfg.write_candidates,
+                "ann_ref": kb_handles.get("ann_ref"),
+                "nprobe": cfg.ivf_nprobe,
             },
             batch_format="pyarrow",
             batch_size=cfg.encode_batch,
@@ -322,6 +343,8 @@ def run_epoch(
                 cfg.dim,
                 cfg.top_k,
                 not cfg.write_candidates,
+                ann_ref=kb_handles.get("ann_ref"),
+                nprobe=cfg.ivf_nprobe,
             ),
             batch_format="pyarrow",
             batch_size=cfg.encode_batch,
@@ -479,6 +502,8 @@ def run_pipeline(
         raise ValueError(f"unknown clustering strategy: {cfg.clusterer}")
     if cfg.blocking not in ("global", "surface"):
         raise ValueError(f"unknown blocking mode: {cfg.blocking}")
+    if cfg.ann not in ("exact", "ivf"):
+        raise ValueError(f"unknown ann mode: {cfg.ann}")
     epochs = epochs if epochs is not None else list_epochs(fixture_dir)
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "manifest.json")

@@ -115,3 +115,71 @@ def test_retriever_stage_inline():
     cands = out.column("candidates").to_pylist()[0]
     assert cands[0]["wikipedia_id"] == 11
     assert cands[0]["score"] > 90
+
+
+def test_ivf_all_probe_equals_exact():
+    """nprobe == n_lists must reproduce exact flat search bit-for-bit
+    (same ids, same order, same tie-breaking)."""
+    import numpy as np
+
+    from raykg.index import FlatIndex, IvfIndex
+
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(3000, 32)).astype(np.float32)
+    wiki = np.arange(3000, dtype=np.int64)
+    titles = [str(i) for i in range(3000)]
+    flat = FlatIndex(X, wiki, titles)
+    ivf = IvfIndex(X, wiki, titles, n_lists=16, nprobe=16)
+    Q = rng.normal(size=(200, 32)).astype(np.float32)
+    se, ie = flat.search_knn(Q, 7)
+    sa, ia = ivf.search_knn(Q, 7)
+    assert np.array_equal(ie, ia)
+    assert np.allclose(se, sa, atol=1e-5)
+
+
+def test_ivf_recall_gate_clustered_embeddings():
+    """The ANN scale gate: on clustered embeddings (the structure real
+    encoder output has), IVF at nprobe=4/64 must hold recall@10 >= 0.98
+    vs exact while probing ~1/16 of the corpus."""
+    import numpy as np
+
+    from raykg.index import FlatIndex, IvfIndex
+
+    rng = np.random.default_rng(0)
+    dim, n, C = 64, 20000, 100
+    centers = rng.normal(size=(C, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    lab = rng.integers(0, C, n)
+    X = (centers[lab] + rng.normal(size=(n, dim)) * 0.35 / np.sqrt(dim)).astype(
+        np.float32
+    )
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    wiki = np.arange(n, dtype=np.int64)
+    titles = [str(i) for i in range(n)]
+    flat = FlatIndex(X, wiki, titles)
+    ivf = IvfIndex(X, wiki, titles, n_lists=64, nprobe=4)
+    Q = (centers[rng.integers(0, C, 500)]
+         + rng.normal(size=(500, dim)) * 0.35 / np.sqrt(dim)).astype(np.float32)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    _, ie = flat.search_knn(Q, 10)
+    _, ia = ivf.search_knn(Q, 10)
+    recall = np.mean([len(set(ie[i]) & set(ia[i])) / 10 for i in range(500)])
+    assert recall >= 0.98, recall
+
+
+def test_ivf_underfill_pads_with_minus_one():
+    import numpy as np
+
+    from raykg.index import IvfIndex
+
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(5, 8)).astype(np.float32)
+    ivf = IvfIndex(X, np.arange(5, dtype=np.int64), list("abcde"),
+                   n_lists=2, nprobe=1)
+    s, ids = ivf.search_knn(rng.normal(size=(3, 8)).astype(np.float32), 10)
+    assert ids.shape == (3, 10)
+    # every query got at most one list's rows, rest padded
+    assert (ids == -1).any(axis=1).all()
+    for r in range(3):
+        got = ids[r][ids[r] >= 0]
+        assert len(set(got.tolist())) == len(got)  # no dups

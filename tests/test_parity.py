@@ -20,8 +20,9 @@ def _pr(pred: set, gold: set) -> tuple[float, float]:
 
 @pytest.fixture(scope="module")
 def engine_triples(small_fixture, tmp_path_factory):
+    # global blocking: the reference-exact conformance configuration
     out = str(tmp_path_factory.mktemp("parity_out"))
-    run_pipeline(small_fixture, out, PipelineConfig())
+    run_pipeline(small_fixture, out, PipelineConfig(blocking="global"))
     tri = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
     return set(zip(tri.subj, tri.pred, tri.obj))
 
@@ -52,9 +53,40 @@ def test_cluster_membership_parity(engine_triples, oracle_result):
 
 def test_threestep_parity(small_fixture, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("parity3_out"))
-    run_pipeline(small_fixture, out, PipelineConfig(clusterer="threestep"))
+    run_pipeline(
+        small_fixture, out,
+        PipelineConfig(clusterer="threestep", blocking="global"),
+    )
     tri = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
     pred = set(zip(tri.subj, tri.pred, tri.obj))
     gold = run_reference_chain(small_fixture, clusterer="threestep")["triples"]
     p, r = _pr(pred, gold)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_surface_blocking_parity(small_fixture, tmp_path_factory, oracle_result):
+    """Surface-bucket blocking (the DEFAULT config) must reproduce the
+    global-blocking oracle on this fixture — the property that makes it
+    a safe default at scale (identical lowercased surfaces always share
+    a bucket)."""
+    out = str(tmp_path_factory.mktemp("parity_surface_out"))
+    run_pipeline(small_fixture, out, PipelineConfig())
+    tri = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
+    pred = set(zip(tri.subj, tri.pred, tri.obj))
+    p, r = _pr(pred, oracle_result["triples"])
+    assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_ivf_mode_parity(small_fixture, tmp_path_factory, oracle_result):
+    """Approximate (IVF) retrieval mode: linked triples still match the
+    exact-search oracle at the P/R gate — the NIL model consumes only
+    the top-2 candidate scores, which IVF preserves near-perfectly."""
+    out = str(tmp_path_factory.mktemp("parity_ivf_out"))
+    run_pipeline(
+        small_fixture, out,
+        PipelineConfig(ann="ivf", ivf_lists=16, ivf_nprobe=6),
+    )
+    tri = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
+    pred = set(zip(tri.subj, tri.pred, tri.obj))
+    p, r = _pr(pred, oracle_result["triples"])
     assert p >= 0.95 and r >= 0.95, (p, r)
