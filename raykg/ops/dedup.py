@@ -7,15 +7,16 @@ Scale shapes (ray_guide patterns, SURVEY.md §4.3):
     hash-bucket shuffle -> per-bucket keep-first (min id). Never a
     global sort; never driver-side.
   * MinHash-LSH: per-batch shingling + signature (one numpy pass) ->
-    explode to (band, band_hash, doc_id) rows -> groupby band bucket ->
-    candidate pairs within buckets -> exact n-gram Jaccard verification
-    of the pairs (pair list is the small side).
+    explode to (bucket, band, band_hash, doc_id) rows ONLY (~24 B/row;
+    no text, no signature through the shuffle) -> groupby band bucket ->
+    candidate id-pairs -> dedup -> verification joins texts back for
+    candidate ids alone (candidates are the small side).
   * SimHash: 64-bit signature per doc from token hashes; candidates
     share one of four 16-bit bands; verified by Hamming distance.
-  * embedding cosine: the corpus matrix is broadcast once (ray.put);
-    each batch computes block @ all.T and emits pairs above threshold
-    (i < j). The documented scale path replaces the broadcast with
-    LSH/IVF bucketing (raykg.ops.similarity).
+  * embedding cosine: random-hyperplane LSH (n_tables sign-bit keys
+    per vector) -> within-bucket exact cosine -> cross-table pair
+    dedup. No driver materialization, no O(n^2) corpus matmul; the
+    shuffle ships (bucket, id, vector) x n_tables.
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray
+import ray.data
 
 from raykg.util import hash_strings
 
@@ -64,10 +66,22 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def _shingles(text: str, k: int) -> np.ndarray:
+    """Unique k-gram hashes — one utf-32 encode + a vectorized FNV pass
+    over the sliding-window matrix (bit-identical to hash_strings over
+    the substring list, without the per-substring Python loop)."""
     t = (text or "").lower()
     if len(t) <= k:
         return hash_strings([t])
-    return np.unique(hash_strings([t[i : i + k] for i in range(len(t) - k + 1)]))
+    from raykg.util import _FNV_OFFSET, _FNV_PRIME
+
+    codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    W = np.lib.stride_tricks.sliding_window_view(codes, k)
+    with np.errstate(over="ignore"):
+        h = np.full(len(W), _FNV_OFFSET, dtype=np.uint64)
+        h = (h ^ np.uint64(k)) * _FNV_PRIME  # length fold, as hash_strings
+        for j in range(k):
+            h = (h ^ W[:, j]) * _FNV_PRIME
+    return np.unique(h)
 
 
 def minhash_signatures(
@@ -114,21 +128,16 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
 
     def sigs(batch: pa.Table) -> pa.Table:
+        # the band explode ships ONLY (bucket, band, band_hash, doc_id)
+        # — ~24 B/row — never the text or the 64-perm signature. Texts
+        # rejoin in the verification stage for candidate ids only, so
+        # the all-to-all exchange carries no corpus payload.
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         S = minhash_signatures(texts, num_perm, shingle_k)
         n = len(texts)
         band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
         doc_ids = np.tile(ids, bands)
-        texts_rep = texts * bands
-        sig_col = pa.FixedSizeListArray.from_arrays(
-            pa.array(
-                np.tile(S.astype(np.int64).reshape(n * num_perm), bands)
-                .reshape(bands, n, num_perm)
-                .reshape(-1)
-            ),
-            num_perm,
-        )
         bh = np.empty(bands * n, dtype=np.int64)
         with np.errstate(over="ignore"):
             for bnd in range(bands):
@@ -150,73 +159,101 @@ def minhash_lsh_pairs(
                 "band": pa.array(band_ids),
                 "band_hash": pa.array(bh),
                 id_col: pa.array(doc_ids),
-                text_col: pa.array(texts_rep, type=pa.string()),
-                "sig": sig_col,
             }
         )
 
-    def pairs_in_coarse_bucket(cg: pd.DataFrame) -> pd.DataFrame:
-        parts = [
-            _pairs_in_bucket(g)
-            for _, g in cg.groupby(["band", "band_hash"], sort=False)
-        ]
-        return pd.concat(parts, ignore_index=True) if parts else _pairs_in_bucket(cg)
-
-    def _pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}).astype(
-            {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+    def candidate_pairs_in_coarse_bucket(cg: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in cg.groupby(["band", "band_hash"], sort=False):
+            ids = np.unique(g[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            # all unordered pairs within the band bucket (id_a < id_b)
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(
+                {"id_a": "int64", "id_b": "int64"}
+            )
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
-        if len(g) < 2:
-            return empty
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        if len(g) < 2:
-            return empty
-        ids = g[id_col].tolist()
-        texts = g[text_col].tolist()
-        S = np.stack([np.asarray(s, dtype=np.int64) for s in g["sig"]])
-        # vectorized signature-estimated jaccard kills the false
-        # candidates a short band produces, BEFORE any exact
-        # verification; chunked so a hot bucket can't blow up memory
-        n_rows = len(S)
-        ii_parts, jj_parts = [], []
-        chunk = 256
-        for lo in range(0, n_rows, chunk):
-            hi = min(lo + chunk, n_rows)
-            est = (S[lo:hi, None, :] == S[None, :, :]).mean(axis=2)
-            ci, cj = np.where(est >= threshold - 0.15)
-            keep = lo + ci < cj  # strict upper triangle in global coords
-            ii_parts.append(lo + ci[keep])
-            jj_parts.append(cj[keep])
-        ii = np.concatenate(ii_parts) if ii_parts else np.zeros(0, dtype=np.int64)
-        jj = np.concatenate(jj_parts) if jj_parts else np.zeros(0, dtype=np.int64)
-        shingle_cache: dict[int, set] = {}
 
-        def sh(idx: int) -> set:
-            s = shingle_cache.get(idx)
+    candidates = (
+        ds.map_batches(sigs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(candidate_pairs_in_coarse_bucket, batch_format="pandas")
+    )
+    candidates = _dedup_pairs(candidates)
+
+    # ---- verification: join texts back for candidate ids only ----
+    # The candidate-id set is the small side (near-dup candidates), so
+    # it broadcasts; the corpus streams once through a filtering pass
+    # that keeps candidate rows, which are then broadcast as an id->text
+    # lookup. At 100 TB the same two passes hold: candidates << corpus.
+    cand_tbl = candidates.to_pandas()
+    if len(cand_tbl) == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+            )
+        )
+    cand_ids = np.unique(
+        np.concatenate([cand_tbl["id_a"].to_numpy(), cand_tbl["id_b"].to_numpy()])
+    )
+    cand_ref = ray.put(cand_ids)
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(cand_ref)  # sorted unique ids
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.isin(ids, wanted, assume_unique=False)
+        return batch.filter(pa.array(mask)).select([id_col, text_col])
+
+    cand_rows = ds.map_batches(keep_candidates, batch_format="pyarrow").take_all()
+    text_map = {int(r[id_col]): r[text_col] for r in cand_rows}
+    map_ref = ray.put(text_map)
+    # sort pairs by id_a and split into blocks: verification
+    # parallelizes while pairs sharing a doc stay in one task (shingle
+    # cache locality)
+    cand_tbl = cand_tbl.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    n_blocks = int(min(32, max(1, len(cand_tbl) // 64)))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(map_ref)
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        sh_cache: dict[int, set] = {}
+
+        def sh(i: int) -> set:
+            s = sh_cache.get(i)
             if s is None:
-                s = set(_shingles(texts[idx], shingle_k).tolist())
-                shingle_cache[idx] = s
+                s = set(_shingles(lookup.get(i, ""), shingle_k).tolist())
+                sh_cache[i] = s
             return s
 
         out_a, out_b, out_j = [], [], []
-        for i, j in zip(ii.tolist(), jj.tolist()):
-            sa, sb = sh(i), sh(j)
+        for i, j in zip(a.tolist(), b.tolist()):
+            sa, sb = sh(int(i)), sh(int(j))
             union = len(sa | sb)
             jac = (len(sa & sb) / union) if union else 1.0
             if jac >= threshold:
-                out_a.append(ids[i])
-                out_b.append(ids[j])
+                out_a.append(i)
+                out_b.append(j)
                 out_j.append(jac)
-        return pd.DataFrame(
-            {"id_a": out_a, "id_b": out_b, "jaccard": out_j}
-        ).astype({"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, type=pa.int64()),
+                "id_b": pa.array(out_b, type=pa.int64()),
+                "jaccard": pa.array(out_j, type=pa.float64()),
+            }
+        )
 
-    pairs = (
-        ds.map_batches(sigs, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs_in_coarse_bucket, batch_format="pandas")
+    return (
+        ray.data.from_pandas(cand_tbl)
+        .repartition(n_blocks)
+        .map_batches(verify, batch_format="pyarrow")
     )
-    return _dedup_pairs(pairs)
 
 
 def _dedup_pairs(pairs):
@@ -333,35 +370,95 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    n_bits: int = 6,
+    n_tables: int = 8,
+    seed: int = 5,
 ):
-    """All pairs with cosine >= threshold (id_a < id_b). The full
-    (normalized) corpus matrix is broadcast once via ray.put; each batch
-    does one matmul against it."""
+    """All pairs with cosine >= threshold (id_a < id_b), via random-
+    hyperplane LSH bucketing — no driver materialization, no O(n²)
+    corpus matmul.
+
+    Each vector is hashed into ``n_tables`` sign-bit keys (``n_bits``
+    hyperplanes per table); exact cosine is computed only WITHIN
+    buckets, and pairs are deduped across tables. Recall for a pair at
+    angle θ: 1 − (1 − (1 − θ/π)^b)^T — at cosine 0.95 (θ≈18°, bit
+    agreement p≈0.899) with b=6, T=8 the miss probability is ≈0.3%.
+    The shuffle ships (bucket, id, vector) × n_tables; vectors are the
+    small column (d floats), never the documents.
+    """
     from raykg.encode import column_to_vectors
 
-    rows = ds.select_columns([id_col, vec_col]).take_all()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    M = np.stack([np.asarray(r[vec_col], dtype=np.float32) for r in rows])
-    norms = np.linalg.norm(M, axis=1, keepdims=True)
-    norms[norms == 0] = 1
-    Mn = M / norms
-    ref = ray.put((ids, Mn))
+    # draw hyperplanes once on the driver (dim from the first row)
+    first = ds.limit(1).take_all()
+    if not first:
+        return ray.data.from_pandas(_EMPTY_COSINE_PAIRS.copy())
+    dim = len(first[0][vec_col])
+    rng = np.random.default_rng(seed)
+    H = rng.normal(size=(n_tables * n_bits, dim)).astype(np.float32)
+    h_ref = ray.put(H)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
 
-    def block_pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_m = ray.get(ref)
-        bids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        B = column_to_vectors(batch.column(vec_col)).astype(np.float32)
-        bn = np.linalg.norm(B, axis=1, keepdims=True)
-        bn[bn == 0] = 1
-        sims = (B / bn) @ all_m.T
-        ii, jj = np.where(sims >= threshold)
-        keep = bids[ii] < all_ids[jj]
+    def bucketize(batch: pa.Table) -> pa.Table:
+        planes = ray.get(h_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        V = column_to_vectors(batch.column(vec_col)).astype(np.float32)
+        n = len(ids)
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0] = 1
+        Vn = V / norms
+        bits = (Vn @ planes.T) > 0  # (n, T*b)
+        keys = np.empty(n_tables * n, dtype=np.int64)
+        for t in range(n_tables):
+            block = bits[:, t * n_bits : (t + 1) * n_bits].astype(np.int64)
+            keys[t * n : (t + 1) * n] = (block @ weights) + (t << n_bits)
+        flat = np.tile(np.arange(n), n_tables)
+        vec_vals = Vn[flat].reshape(-1)
         return pa.table(
             {
-                "id_a": pa.array(bids[ii][keep], type=pa.int64()),
-                "id_b": pa.array(all_ids[jj][keep], type=pa.int64()),
-                "cosine": pa.array(sims[ii, jj][keep].astype(np.float64)),
+                "bucket": pa.array(keys, type=pa.int64()),
+                id_col: pa.array(np.tile(ids, n_tables), type=pa.int64()),
+                "_v": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vec_vals, type=pa.float32()), dim
+                ),
             }
         )
 
-    return ds.map_batches(block_pairs, batch_format="pyarrow")
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        if len(g) < 2:
+            return _EMPTY_COSINE_PAIRS.copy()
+        ids = g[id_col].to_numpy()
+        Vn = np.stack([np.asarray(v, dtype=np.float32) for v in g["_v"]])
+        out_a, out_b, out_c = [], [], []
+        # chunked upper-triangle matmul: a hot bucket never allocates
+        # more than chunk × bucket_size scores
+        chunk = 512
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            sims = Vn[lo:hi] @ Vn.T
+            ii, jj = np.where(sims >= threshold)
+            keep = (lo + ii) < jj
+            out_a.append(ids[lo + ii[keep]])
+            out_b.append(ids[jj[keep]])
+            out_c.append(sims[ii[keep], jj[keep]].astype(np.float64))
+        if not out_a:
+            return _EMPTY_COSINE_PAIRS.copy()
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+    return _dedup_pairs(pairs)
+
+
+_EMPTY_COSINE_PAIRS = pd.DataFrame(
+    {"id_a": [], "id_b": [], "cosine": []}
+).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})

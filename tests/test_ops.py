@@ -225,3 +225,39 @@ def test_multimodal_plumbing():
 
     with pytest.raises(NotImplementedError):
         DecodeStage(fake=False)(tbl)
+
+
+def test_embedding_cosine_pairs_matches_bruteforce_on_planted_dups():
+    """LSH-bucketed near-dup must find the same pairs as a brute-force
+    O(n^2) scan on a corpus with planted near-duplicates."""
+    from raykg.ops.dedup import embedding_cosine_pairs
+
+    rng = np.random.default_rng(7)
+    n, dim = 400, 32
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    # plant 40 near-dups: copies of rows 0..39 with small noise
+    planted = base[:40] + 0.02 * rng.normal(size=(40, dim)).astype(np.float32)
+    vecs = np.concatenate([base, planted])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": ids,
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    got = embedding_cosine_pairs(ds, threshold=0.95).to_pandas()
+    got_pairs = set(zip(got.id_a, got.id_b))
+
+    Vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    ii, jj = np.where(S >= 0.95)
+    truth = {(int(a), int(b)) for a, b in zip(ii, jj) if a < b}
+    assert truth  # the fixture really plants near-dups
+    # no false positives (within-bucket cosine is exact)...
+    assert got_pairs <= truth
+    # ...and recall at the LSH guarantee level
+    assert len(got_pairs) / len(truth) >= 0.97, (len(got_pairs), len(truth))
