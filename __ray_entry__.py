@@ -229,13 +229,26 @@ def _q_top_revenue_orders(sf_dir: str):
         )
         return pa.table({"o_orderkey": t.column("l_orderkey"), "rev": rev})
 
+    # top-10 without a global range-partition sort: per-block top-10
+    # after the aggregate, then a driver merge over <= 10 x n_blocks
+    # rows (the only data that ever leaves the cluster)
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["revenue", "o_orderkey"], ascending=[False, True]
+        ).head(10)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     out = (
         ds.map_batches(add_rev, batch_format="pyarrow")
         .groupby("o_orderkey")
         .aggregate(Sum("rev", alias_name="revenue"))
-        .sort(["revenue", "o_orderkey"], descending=[True, False])
-        .limit(10)
+        .map_batches(block_topk, batch_format="pyarrow")
     ).to_pandas()
+    out = (
+        out.sort_values(["revenue", "o_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
     out["revenue"] = out["revenue"].round(2)
     return out
 

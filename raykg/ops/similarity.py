@@ -130,27 +130,59 @@ def knn_ivf(
     qref = ray.put((np.asarray(query_ids, dtype=np.int64), Qn, probes))
 
     def local_topk(batch: pa.Table) -> pa.Table:
+        # grouped BY LIST, not by query: one GEMM per inverted list
+        # present in the block, vectorized over all queries probing it —
+        # scales to 10^5 queries without a per-query Python loop
         qids, Q, P = ray.get(qref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         lists = batch.column("list_id").to_numpy(zero_copy_only=False)
         M = _normalize(column_to_vectors(batch.column(vec_col)).astype(np.float64))
+        row_order = np.argsort(lists, kind="stable")
+        lists_s = lists[row_order]
+        ul, rstarts = np.unique(lists_s, return_index=True)
+        rbounds = np.append(rstarts, len(lists_s))
+
+        nq, npb = P.shape
+        flat_q = np.repeat(np.arange(nq), npb)
+        flat_l = P.reshape(-1)
+        qorder = np.argsort(flat_l, kind="stable")
+        flat_q, flat_l = flat_q[qorder], flat_l[qorder]
+        uq, qstarts = np.unique(flat_l, return_index=True)
+        qbounds = np.append(qstarts, len(flat_l))
+        q_by_list = {int(l): (qstarts[i], qbounds[i + 1]) for i, l in enumerate(uq)}
+
         out_q, out_v, out_s = [], [], []
-        for qi in range(len(Q)):
-            mask = np.isin(lists, P[qi])
-            if not mask.any():
+        for i, l in enumerate(ul):
+            span = q_by_list.get(int(l))
+            if span is None:
                 continue
-            sims = M[mask] @ Q[qi]
-            sub_ids = ids[mask]
-            kk = min(k, len(sims))
-            order = np.lexsort((sub_ids, -sims))[:kk]
-            out_q.extend([qids[qi]] * kk)
-            out_v.extend(sub_ids[order].tolist())
-            out_s.extend(sims[order].tolist())
+            qs = flat_q[span[0] : span[1]]
+            rows = row_order[rstarts[i] : rbounds[i + 1]]
+            S = M[rows] @ Q[qs].T  # (n_rows, n_qs)
+            sub_ids = ids[rows]
+            kk = min(k, len(rows))
+            # per-query top-kk within the list by (sim desc, id asc)
+            order = np.lexsort(
+                (np.broadcast_to(sub_ids[:, None], S.shape), -S), axis=0
+            )[:kk]
+            out_q.append(np.repeat(qids[qs], kk))
+            out_v.append(np.take_along_axis(
+                np.broadcast_to(sub_ids[:, None], S.shape), order, axis=0
+            ).T.ravel())
+            out_s.append(np.take_along_axis(S, order, axis=0).T.ravel())
+        if not out_q:
+            return pa.table(
+                {
+                    "qid": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
         return pa.table(
             {
-                "qid": pa.array(out_q, type=pa.int64()),
-                "vec_id": pa.array(out_v, type=pa.int64()),
-                "sim": pa.array(out_s, type=pa.float64()),
+                "qid": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
             }
         )
 

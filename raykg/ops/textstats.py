@@ -61,9 +61,17 @@ class QualityScorer:
         n_tokens = token_count_whitespace(texts)
         n_punct = texts.str.count(_PUNCT_RE.pattern)
         n_upper = texts.str.count(r"[A-Z]")
-        words = texts.str.findall(self.word_re)
-        stop_ratio = words.map(
-            lambda ws: sum(w.lower() in self.stop for w in ws) / max(1, len(ws))
+        # vectorized stopword ratio: one findall, flat explode, isin —
+        # no per-row Python lambda
+        words = texts.str.lower().str.findall(self.word_re)
+        exploded = words.explode()
+        has_word = exploded.notna()
+        stop_n = (
+            (exploded.isin(self.stop) & has_word).groupby(level=0).sum()
+        )
+        word_n = has_word.groupby(level=0).sum()
+        stop_ratio = (stop_n / word_n.clip(lower=1)).reindex(
+            texts.index, fill_value=0.0
         )
         avg_tok = (n_chars / n_tokens.clip(lower=1)).astype("float64")
         batch = batch.copy()
