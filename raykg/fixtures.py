@@ -263,31 +263,49 @@ def write_fixture(
     n_epochs: int = 5,
     seed: int = 42,
     dim: int = DIM,
+    convs_per_part: int = 512,
 ) -> dict:
-    """Writes transcripts/ (hive-partitioned by epoch), kb.parquet,
-    gold.parquet under ``out_dir``. Idempotent: skips if the manifest for
-    the same parameters already exists."""
+    """Writes transcripts/ (hive-partitioned by epoch, several part
+    files per epoch), kb.parquet, gold.parquet under ``out_dir``.
+    Idempotent: skips if the manifest for the same parameters already
+    exists."""
     import json
 
     params = dict(
         n_convs=n_convs, n_kb=n_kb, n_nil=n_nil, n_tomb=n_tomb,
         n_epochs=n_epochs, seed=seed, dim=dim,
+        convs_per_part=convs_per_part,
     )
     manifest_path = os.path.join(out_dir, "fixture_manifest.json")
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             if json.load(f).get("params") == params:
                 return params
-    transcripts, (kb, kb_emb), gold = generate_world(**params)
+    gen_params = {k: v for k, v in params.items() if k != "convs_per_part"}
+    transcripts, (kb, kb_emb), gold = generate_world(**gen_params)
     os.makedirs(out_dir, exist_ok=True)
     for epoch in range(n_epochs):
         part = transcripts[transcripts["epoch"] == epoch].drop(columns=["epoch"])
         pdir = os.path.join(out_dir, "transcripts", f"epoch={epoch}")
         os.makedirs(pdir, exist_ok=True)
-        pq.write_table(
-            pa.Table.from_pandas(part, preserve_index=False).replace_schema_metadata(None),
-            os.path.join(pdir, "part-0.parquet"),
-        )
+        # several part files per epoch (whole conversations per part),
+        # like any real sharded input — this is what per-fragment
+        # pipeline resume keys on
+        convs = part["conv_id"].unique()
+        n_parts = max(1, (len(convs) + convs_per_part - 1) // convs_per_part)
+        for j in range(n_parts):
+            sel = set(convs[j * convs_per_part : (j + 1) * convs_per_part])
+            chunk = part[part["conv_id"].isin(sel)]
+            # small row groups keep the files SPLITTABLE: Ray can only
+            # divide a parquet file into blocks at row-group boundaries,
+            # and a single giant row group caps read parallelism at one
+            # task per file
+            pq.write_table(
+                pa.Table.from_pandas(chunk, preserve_index=False)
+                .replace_schema_metadata(None),
+                os.path.join(pdir, f"part-{j:04d}.parquet"),
+                row_group_size=1024,
+            )
     kb_table = pa.Table.from_pandas(kb, preserve_index=False).replace_schema_metadata(None).append_column(
         "embedding", vectors_to_column(kb_emb)
     )

@@ -94,6 +94,14 @@ class PipelineConfig:
     ann: str = "exact"  # exact | ivf
     ivf_lists: int = 128
     ivf_nprobe: int = 16
+    # mentions are produced in n_fragments sub-jobs per epoch (input
+    # files grouped deterministically), each with its own lineage entry
+    # — a killed epoch resumes by re-running only unfinished fragments.
+    # Each fragment pays one streaming-execution ramp+tail (~2-3 s on
+    # this host), so set it where fragment compute >> that (e.g. 16-64
+    # for hour-long 100 TB epochs); 1 = a single DAG per epoch, right
+    # for short epochs.
+    n_fragments: int = 1
 
     def digest(self) -> str:
         payload = {
@@ -228,12 +236,11 @@ def run_epoch(
 
     # a prior run may have died mid-epoch (or the config digest changed,
     # resetting the manifest but not the outputs): clear this epoch's
-    # outputs so the re-run never appends beside stale partial files
-    for stale in (
-        os.path.join(out_dir, "mentions", f"epoch={epoch}"),
-        os.path.join(out_dir, "triples", f"epoch={epoch}"),
-    ):
-        shutil.rmtree(stale, ignore_errors=True)
+    # post-barrier outputs; mentions fragments are cleaned per-fragment
+    # below so finished fragments survive a mid-epoch kill
+    shutil.rmtree(
+        os.path.join(out_dir, "triples", f"epoch={epoch}"), ignore_errors=True
+    )
     stale_clusters = os.path.join(out_dir, "clusters", f"epoch={epoch}.parquet")
     if os.path.exists(stale_clusters):
         os.remove(stale_clusters)
@@ -249,108 +256,155 @@ def run_epoch(
 
     from raykg.link import LinkStage, make_link_fn
 
-    # task granularity == block granularity for map stages: split the
-    # read into ~8 blocks per CPU so the LinkStage pool packs well and
-    # stragglers stay short
-    n_blocks = max(64, int(ray.cluster_resources().get("CPU", 4)) * 8)
-    ds = rd.read_parquet(
-        tr_path, columns=["conv_id", "turn_idx", "text"],
-        override_num_blocks=n_blocks,
-    )
-    ds = ds.map_batches(
-        detect_mentions, batch_format="pyarrow", batch_size=cfg.detect_batch
-    )
-    if cfg.kb_shards > 1:
-        from raykg.encode import MentionEncoder
-        from raykg.nil import NilStage
-        from raykg.sharded import ShardFinalizer, ShardRetriever
-
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        per_shard = max(1, cpus // cfg.kb_shards)
-        # fractional CPU reservation: kb_shards+1 pools must co-exist
-        # with the task stages even on small nodes — without this the
-        # pools' min actors can starve each other (deadlock)
-        actor_cpus = max(0.25, round(cpus / (2 * (cfg.kb_shards + 1)), 2))
-        ds = ds.map_batches(
-            MentionEncoder(dim=cfg.dim), batch_format="pyarrow",
-            batch_size=cfg.encode_batch,
+    def build_link_ds(paths, n_blocks: int) -> rd.Dataset:
+        """One fragment's link DAG: pruned read -> detect -> fused
+        encode+retrieve+NIL (mode per cfg)."""
+        ds = rd.read_parquet(
+            paths, columns=["conv_id", "turn_idx", "text"],
+            override_num_blocks=n_blocks,
         )
-        for s_i, shard_ref in enumerate(kb_handles["shard_refs"]):
+        ds = ds.map_batches(
+            detect_mentions, batch_format="pyarrow", batch_size=cfg.detect_batch
+        )
+        if cfg.kb_shards > 1:
+            from raykg.encode import MentionEncoder
+            from raykg.nil import NilStage
+            from raykg.sharded import ShardFinalizer, ShardRetriever
+
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            per_shard = max(1, cpus // cfg.kb_shards)
+            # fractional CPU reservation: kb_shards+1 pools must co-exist
+            # with the task stages even on small nodes — without this the
+            # pools' min actors can starve each other (deadlock)
+            actor_cpus = max(0.25, round(cpus / (2 * (cfg.kb_shards + 1)), 2))
             ds = ds.map_batches(
-                ShardRetriever,
+                MentionEncoder(dim=cfg.dim), batch_format="pyarrow",
+                batch_size=cfg.encode_batch,
+            )
+            for s_i, shard_ref in enumerate(kb_handles["shard_refs"]):
+                ds = ds.map_batches(
+                    ShardRetriever,
+                    fn_constructor_kwargs={
+                        "shard_ref": shard_ref,
+                        "top_k": cfg.top_k,
+                        "is_first": s_i == 0,
+                    },
+                    batch_format="pyarrow",
+                    batch_size=cfg.retrieve_batch,
+                    concurrency=(1, per_shard),
+                    num_cpus=actor_cpus,
+                )
+            ds = ds.map_batches(
+                ShardFinalizer,
                 fn_constructor_kwargs={
-                    "shard_ref": shard_ref,
+                    "titles_ref": kb_handles["titles_ref"],
+                    "rw_ref": rw_ref,
                     "top_k": cfg.top_k,
-                    "is_first": s_i == 0,
                 },
                 batch_format="pyarrow",
                 batch_size=cfg.retrieve_batch,
-                concurrency=(1, per_shard),
+                concurrency=(1, 4),
                 num_cpus=actor_cpus,
             )
-        ds = ds.map_batches(
-            ShardFinalizer,
-            fn_constructor_kwargs={
-                "titles_ref": kb_handles["titles_ref"],
-                "rw_ref": rw_ref,
-                "top_k": cfg.top_k,
-            },
-            batch_format="pyarrow",
-            batch_size=cfg.retrieve_batch,
-            concurrency=(1, 4),
-            num_cpus=actor_cpus,
-        )
-        uris_ref = ray.put(list(rw_state.uris)) if rw_state.ntotal else None
-        model = cfg.nil_model
+            uris_ref = ray.put(list(rw_state.uris)) if rw_state.ntotal else None
+            model = cfg.nil_model
 
-        def nil_fn(batch):
-            stage = NilStage(
-                model, rw_uris=ray.get(uris_ref) if uris_ref is not None else []
+            def nil_fn(batch):
+                stage = NilStage(
+                    model, rw_uris=ray.get(uris_ref) if uris_ref is not None else []
+                )
+                return stage(batch)
+
+            ds = ds.map_batches(nil_fn, batch_format="pyarrow",
+                                batch_size=cfg.nil_batch)
+        elif cfg.stage_mode == "actors":
+            ds = ds.map_batches(
+                LinkStage,
+                fn_constructor_kwargs={
+                    "kb_ref": kb_ref,
+                    "rw_ref": rw_ref,
+                    "rw_uris": list(rw_state.uris),
+                    "model": cfg.nil_model,
+                    "dim": cfg.dim,
+                    "top_k": cfg.top_k,
+                    "compact": not cfg.write_candidates,
+                    "ann_ref": kb_handles.get("ann_ref"),
+                    "nprobe": cfg.ivf_nprobe,
+                },
+                batch_format="pyarrow",
+                batch_size=cfg.encode_batch,
+                concurrency=pool,
             )
-            return stage(batch)
+        else:
+            # task mode: stateless tasks + worker-local stage cache — full
+            # elasticity on CPU nodes (see raykg.link). Actor mode remains
+            # for stages that must pin resources (e.g. num_gpus=1 encoders).
+            uris_ref = ray.put(list(rw_state.uris)) if rw_state.ntotal else None
+            ds = ds.map_batches(
+                make_link_fn(
+                    kb_ref,
+                    rw_ref,
+                    uris_ref,
+                    cfg.nil_model,
+                    cfg.dim,
+                    cfg.top_k,
+                    not cfg.write_candidates,
+                    ann_ref=kb_handles.get("ann_ref"),
+                    nprobe=cfg.ivf_nprobe,
+                ),
+                batch_format="pyarrow",
+                batch_size=cfg.encode_batch,
+            )
+        return ds
 
-        ds = ds.map_batches(nil_fn, batch_format="pyarrow",
-                            batch_size=cfg.nil_batch)
-    elif cfg.stage_mode == "actors":
-        ds = ds.map_batches(
-            LinkStage,
-            fn_constructor_kwargs={
-                "kb_ref": kb_ref,
-                "rw_ref": rw_ref,
-                "rw_uris": list(rw_state.uris),
-                "model": cfg.nil_model,
-                "dim": cfg.dim,
-                "top_k": cfg.top_k,
-                "compact": not cfg.write_candidates,
-                "ann_ref": kb_handles.get("ann_ref"),
-                "nprobe": cfg.ivf_nprobe,
-            },
-            batch_format="pyarrow",
-            batch_size=cfg.encode_batch,
-            concurrency=pool,
-        )
-    else:
-        # task mode: stateless tasks + worker-local stage cache — full
-        # elasticity on CPU nodes (see raykg.link). Actor mode remains
-        # for stages that must pin resources (e.g. num_gpus=1 encoders).
-        uris_ref = ray.put(list(rw_state.uris)) if rw_state.ntotal else None
-        ds = ds.map_batches(
-            make_link_fn(
-                kb_ref,
-                rw_ref,
-                uris_ref,
-                cfg.nil_model,
-                cfg.dim,
-                cfg.top_k,
-                not cfg.write_candidates,
-                ann_ref=kb_handles.get("ann_ref"),
-                nprobe=cfg.ivf_nprobe,
-            ),
-            batch_format="pyarrow",
-            batch_size=cfg.encode_batch,
-        )
+    # ---- mentions, one sub-job per input-file fragment ----
+    # Each fragment writes mentions/epoch=K/frag_J + a lineage record;
+    # a re-run after a mid-epoch kill skips fragments whose lineage
+    # matches (same config digest, same input files) and re-runs only
+    # the rest. Worker-side stage state is keyed on the broadcast refs,
+    # so consecutive fragments reuse the same cached KB index.
     mentions_dir = os.path.join(out_dir, "mentions", f"epoch={epoch}")
-    ds.write_parquet(mentions_dir)
+    os.makedirs(mentions_dir, exist_ok=True)
+    lineage_dir = os.path.join(out_dir, "_lineage")
+    os.makedirs(lineage_dir, exist_ok=True)
+    files = sorted(
+        os.path.join(tr_path, f)
+        for f in os.listdir(tr_path)
+        if f.endswith(".parquet")
+    )
+    n_frags = max(1, min(cfg.n_fragments, len(files)))
+    groups = [files[j::n_frags] for j in range(n_frags)]
+    expected = {f"frag_{j}" for j in range(n_frags)}
+    for entry in os.listdir(mentions_dir):
+        if entry not in expected:
+            shutil.rmtree(os.path.join(mentions_dir, entry), ignore_errors=True)
+    cfg_digest = cfg.digest()
+    total_blocks = max(64, int(ray.cluster_resources().get("CPU", 4)) * 8)
+    frag_blocks = max(16, total_blocks // n_frags)
+    frags_skipped = 0
+    for j, group in enumerate(groups):
+        frag_dir = os.path.join(mentions_dir, f"frag_{j}")
+        lin_path = os.path.join(lineage_dir, f"epoch={epoch}_frag={j}.json")
+        want = {"config": cfg_digest, "files": group, "epoch": epoch}
+        if os.path.exists(lin_path) and os.path.isdir(frag_dir):
+            with open(lin_path) as f:
+                prev = json.load(f)
+            if {k: prev.get(k) for k in want} == want:
+                frags_skipped += 1
+                continue
+        shutil.rmtree(frag_dir, ignore_errors=True)
+        if os.path.exists(lin_path):
+            os.remove(lin_path)
+        tf0 = time.time()
+        # row_group_size keeps the checkpoint splittable for the
+        # clustering/triples read-backs even when few blocks reach the
+        # write (few input files -> few blocks; see fixtures note)
+        build_link_ds(group, frag_blocks).write_parquet(
+            frag_dir, row_group_size=2048
+        )
+        with open(lin_path + ".tmp", "w") as f:
+            json.dump({**want, "wall_s": round(time.time() - tf0, 3)}, f)
+        os.replace(lin_path + ".tmp", lin_path)
     t_mentions = time.time()
 
     # ---- NIL clustering (read back the checkpointed mentions) ----
@@ -425,6 +479,8 @@ def run_epoch(
         "mentions_s": round(t_mentions - t0, 3),
         "cluster_s": round(t_clusters - t_mentions, 3),
         "triples_s": round(time.time() - t_clusters, 3),
+        "n_fragments": n_frags,
+        "fragments_skipped": frags_skipped,
     }
     lineage_dir = os.path.join(out_dir, "_lineage")
     os.makedirs(lineage_dir, exist_ok=True)

@@ -132,3 +132,51 @@ def test_epoch_with_no_nil_mentions(small_fixture, tmp_path_factory):
     gold = pq.read_table(os.path.join(small_fixture, "gold.parquet")).to_pandas()
     links = tri[tri.pred == "kg:linksTo"]
     assert set(int(s.split(":")[1]) for s in links.subj) == set(gold.mention_id)
+
+
+def test_fragment_resume_skips_finished_fragments(tmp_path_factory):
+    """Mid-epoch resume: after a simulated kill (epoch incomplete, some
+    fragments finished), the re-run re-executes ONLY the unfinished
+    fragment and the final triples are identical to an uninterrupted
+    run."""
+    import json
+    import shutil
+
+    import pandas as pd
+
+    from raykg import fixtures
+
+    fx = str(tmp_path_factory.mktemp("frag_fx"))
+    fixtures.write_fixture(
+        fx, n_convs=48, n_kb=60, n_nil=8, n_tomb=3, n_epochs=2, seed=11,
+        convs_per_part=8,  # -> 3 part files per epoch
+    )
+    cfg = PipelineConfig(n_fragments=3)
+
+    out_full = str(tmp_path_factory.mktemp("frag_full"))
+    run_pipeline(fx, out_full, cfg)
+    tri_full = rd.read_parquet(os.path.join(out_full, "triples")).to_pandas()
+    full_set = set(zip(tri_full.subj, tri_full.pred, tri_full.obj, tri_full.epoch))
+
+    out = str(tmp_path_factory.mktemp("frag_out"))
+    run_pipeline(fx, out, cfg)
+    # simulate a kill during epoch 1: epoch not in manifest, fragment 1
+    # unfinished (its lineage + output removed), fragments 0/2 finished
+    mpath = os.path.join(out, "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    manifest["completed_epochs"] = [0]
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    shutil.rmtree(os.path.join(out, "mentions", "epoch=1", "frag_1"))
+    os.remove(os.path.join(out, "_lineage", "epoch=1_frag=1.json"))
+
+    res = run_pipeline(fx, out, cfg)
+    assert res["epochs_run"] == [1]
+    stats = res["stats"][0]
+    assert stats["n_fragments"] == 3
+    assert stats["fragments_skipped"] == 2  # only frag_1 re-ran
+
+    tri = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
+    got = set(zip(tri.subj, tri.pred, tri.obj, tri.epoch))
+    assert got == full_set
