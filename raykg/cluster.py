@@ -135,11 +135,36 @@ def _char_bigrams(text: str) -> list[str]:
     return [t[i : i + 2] for i in range(len(t) - 1)]
 
 
-def _tfidf_matrix(docs_tokens: list[list[str]], use_idf: bool,
-                  max_features: int | None) -> np.ndarray:
-    """Dense TF(-IDF) with sklearn semantics: counts, optional smooth
-    idf ln((1+n)/(1+df))+1, l2 row normalization; max_features keeps the
-    highest-total-count terms (ties by lexicographic order)."""
+class TfidfModel:
+    """A FITTED vectorizer: fixed vocabulary (+ idf) with sklearn
+    transform semantics — unseen terms drop, idf comes from the fit
+    corpus. The pre-fit + broadcast counterpart of the reference's
+    pickled TfidfVectorizers (``featureclustering/__main__.py:42-52,
+    137-139``)."""
+
+    def __init__(self, terms: list[str], idf: np.ndarray | None = None):
+        self.terms = list(terms)
+        self.index = {t: i for i, t in enumerate(self.terms)}
+        self.idf = None if idf is None else np.asarray(idf, dtype=np.float64)
+
+    def transform(self, docs_tokens: list[list[str]]) -> np.ndarray:
+        X = np.zeros((len(docs_tokens), len(self.terms)), dtype=np.float64)
+        for i, toks in enumerate(docs_tokens):
+            for t in toks:
+                j = self.index.get(t)
+                if j is not None:
+                    X[i, j] += 1.0
+        if self.idf is not None:
+            X *= self.idf
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        return X / norms
+
+
+def fit_tfidf(docs_tokens: list[list[str]], use_idf: bool,
+              max_features: int | None) -> TfidfModel:
+    """Fit with sklearn semantics: smooth idf ln((1+n)/(1+df))+1;
+    max_features keeps the highest-total-count terms (ties lexicographic)."""
     n = len(docs_tokens)
     vocab_count: dict[str, int] = {}
     doc_freq: dict[str, int] = {}
@@ -154,40 +179,54 @@ def _tfidf_matrix(docs_tokens: list[list[str]], use_idf: bool,
     if max_features is not None and len(terms) > max_features:
         terms = sorted(terms, key=lambda t: (-vocab_count[t], t))[:max_features]
         terms = sorted(terms)
-    index = {t: i for i, t in enumerate(terms)}
-    X = np.zeros((n, len(terms)), dtype=np.float64)
-    for i, toks in enumerate(docs_tokens):
-        for t in toks:
-            j = index.get(t)
-            if j is not None:
-                X[i, j] += 1.0
+    idf = None
     if use_idf:
         df = np.array([doc_freq[t] for t in terms], dtype=np.float64)
         idf = np.log((1.0 + n) / (1.0 + df)) + 1.0
-        X *= idf
-    norms = np.linalg.norm(X, axis=1, keepdims=True)
-    norms[norms == 0.0] = 1.0
-    return X / norms
+    return TfidfModel(terms, idf)
 
 
-def feature_scores(mentions, contexts, weights=(0.8, 0.2)) -> np.ndarray:
+def fit_feature_vectorizers(mentions: list[str], contexts: list[str]) -> dict:
+    """The reference's ``vectorizer()`` (``featureclustering/
+    __main__.py:42-52``): char-bigram TF fit on mentions, word TF-IDF
+    (max_features=10000) fit on contexts. Fit ONCE on a dev sample,
+    broadcast, transform everywhere."""
+    return {
+        "bigram": fit_tfidf([_char_bigrams(m) for m in mentions],
+                            use_idf=False, max_features=None),
+        "context": fit_tfidf([_tokenize_words(c) for c in contexts],
+                             use_idf=True, max_features=10000),
+    }
+
+
+def feature_scores(mentions, contexts, weights=(0.8, 0.2),
+                   vectorizers: dict | None = None) -> np.ndarray:
     """0.8·bigram-TF linear kernel + 0.2·word-TF-IDF linear kernel
-    (``pipeline/featureclustering/__main__.py:54-75``)."""
-    M = _tfidf_matrix([_char_bigrams(m) for m in mentions], use_idf=False,
-                      max_features=None)
-    C = _tfidf_matrix([_tokenize_words(c) for c in contexts], use_idf=True,
-                      max_features=10000)
+    (``pipeline/featureclustering/__main__.py:54-75``). With
+    ``vectorizers`` (pre-fit, the reference's flow) only transform runs
+    here; without, fit-on-the-group is a documented fallback."""
+    if vectorizers is not None:
+        M = vectorizers["bigram"].transform([_char_bigrams(m) for m in mentions])
+        C = vectorizers["context"].transform([_tokenize_words(c) for c in contexts])
+    else:
+        M = fit_tfidf([_char_bigrams(m) for m in mentions], use_idf=False,
+                      max_features=None).transform(
+                          [_char_bigrams(m) for m in mentions])
+        C = fit_tfidf([_tokenize_words(c) for c in contexts], use_idf=True,
+                      max_features=10000).transform(
+                          [_tokenize_words(c) for c in contexts])
     return weights[0] * (M @ M.T) + weights[1] * (C @ C.T)
 
 
 def feature_clusters(
     ids, mentions, encodings: np.ndarray, context_left, context_right,
     threshold: float = FEATURE_THRESHOLD,
+    vectorizers: dict | None = None,
 ) -> list[Cluster]:
     if len(mentions) == 0:
         return []
     contexts = [(l or "") + " " + (r or "") for l, r in zip(context_left, context_right)]
-    scores = feature_scores(list(mentions), contexts)
+    scores = feature_scores(list(mentions), contexts, vectorizers=vectorizers)
     return _clusters_from_labels(
         greedy_labels(scores, threshold), ids, mentions, encodings
     )
@@ -338,15 +377,18 @@ def run_clusterer(
     encodings: np.ndarray,
     context_left=None,
     context_right=None,
+    vectorizers: dict | None = None,
 ) -> list[Cluster]:
     """Strategy dispatch (the reference's one-port-many-services switch,
     SURVEY.md §2.10). Input rows MUST already be sorted by mention_id —
-    greedy propagation is order dependent."""
+    greedy propagation is order dependent. ``vectorizers``: pre-fit
+    TF-IDF models for the feature strategy (ignored by the others)."""
     if strategy == "greedy":
         return greedy_clusters(ids, mentions, encodings)
     if strategy == "feature":
         return feature_clusters(
-            ids, mentions, encodings, context_left, context_right
+            ids, mentions, encodings, context_left, context_right,
+            vectorizers=vectorizers,
         )
     if strategy == "threestep":
         return threestep_clusters(ids, mentions, encodings)

@@ -127,6 +127,7 @@ def run_reference_chain(
     nil_model: LogisticModel = DEFAULT_NIL_MODEL,
     top_k: int = TOP_K,
     dim: int = 64,
+    vectorizers: dict | None = None,
 ) -> dict:
     """Sequential epochs over the fixture; returns mentions df, clusters
     per epoch, and the full triple set."""
@@ -219,6 +220,7 @@ def run_reference_chain(
             enc[nil_rows.index.to_numpy()],
             nil_rows["context_left"].tolist(),
             nil_rows["context_right"].tolist(),
+            vectorizers=vectorizers,
         )
         clusters = sorted(clusters, key=lambda c: min(c.mention_ids))
         mid2uri = {}

@@ -94,6 +94,12 @@ class PipelineConfig:
     ann: str = "exact"  # exact | ivf
     ivf_lists: int = 128
     ivf_nprobe: int = 16
+    # feature clusterer: fit the TF-IDF vectorizers ONCE on a
+    # deterministic dev sample (first epoch's detected mentions) and
+    # broadcast — the reference's pickled-vectorizer flow
+    # (featureclustering/__main__.py:42-52,137-139). False = fit per
+    # clustered group (the round-1 fallback, kept for comparison).
+    tfidf_prefit: bool = True
     # mentions are produced in n_fragments sub-jobs per epoch (input
     # files grouped deterministically), each with its own lineage entry
     # — a killed epoch resumes by re-running only unfinished fragments.
@@ -166,10 +172,11 @@ def load_kb_handles(kb_path: str, cfg: "PipelineConfig") -> dict:
 SURFACE_BUCKETS = 256
 
 
-def _cluster_group(group: pa.Table, strategy: str) -> pa.Table:
+def _cluster_group(group: pa.Table, strategy: str, vec_ref=None) -> pa.Table:
     """Per-block clustering. Sorts by mention_id first — greedy label
     propagation is order dependent (SURVEY.md §7.7.1) and Ray block
-    order must not leak into results."""
+    order must not leak into results. ``vec_ref``: ray.put ref of
+    pre-fit TF-IDF vectorizers (feature strategy)."""
     idx = pa.compute.sort_indices(group.column("mention_id"))
     group = group.take(idx)
     ids = group.column("mention_id").to_pylist()
@@ -182,6 +189,7 @@ def _cluster_group(group: pa.Table, strategy: str) -> pa.Table:
         encodings,
         group.column("context_left").to_pylist(),
         group.column("context_right").to_pylist(),
+        vectorizers=ray.get(vec_ref) if vec_ref is not None else None,
     )
     rows = {
         "min_mention_id": pa.array(
@@ -430,7 +438,8 @@ def run_epoch(
     )
     strategy = cfg.clusterer
     cluster_parts = nil_ds.groupby("block").map_groups(
-        lambda g: _cluster_group(g, strategy), batch_format="pyarrow"
+        lambda g: _cluster_group(g, strategy, kb_handles.get("vec_ref")),
+        batch_format="pyarrow",
     )
     # clusters are the small side (one row per novel entity) — safe to
     # collect for canonical id assignment + KB delta
@@ -535,6 +544,48 @@ def _assemble_clusters_table(parts: pd.DataFrame, epoch: int, dim: int) -> pa.Ta
     )
 
 
+def fit_vectorizers_from_fixture(
+    fixture_dir: str, epoch: int, max_turns: int = 4000
+) -> dict | None:
+    """Dev-split stand-in for the reference's pickled vectorizers
+    (``featureclustering/__main__.py:137-139``, fit on dev100 offline):
+    detect mentions over a bounded, deterministic sample of the given
+    epoch's transcripts and fit the bigram/context TF-IDF models there.
+    Driver-side: the sample is small by construction."""
+    from raykg.cluster import fit_feature_vectorizers
+
+    tr_path = os.path.join(fixture_dir, "transcripts", f"epoch={epoch}")
+    if not os.path.isdir(tr_path):
+        return None
+    files = sorted(
+        os.path.join(tr_path, f)
+        for f in os.listdir(tr_path)
+        if f.endswith(".parquet")
+    )
+    mentions: list[str] = []
+    contexts: list[str] = []
+    taken = 0
+    for path in files:
+        tbl = pq.read_table(path, columns=["conv_id", "turn_idx", "text"])
+        if taken + tbl.num_rows > max_turns:
+            tbl = tbl.slice(0, max_turns - taken)
+        taken += tbl.num_rows
+        det = detect_mentions(tbl)
+        mentions.extend(det.column("mention").to_pylist())
+        contexts.extend(
+            (l or "") + " " + (r or "")
+            for l, r in zip(
+                det.column("context_left").to_pylist(),
+                det.column("context_right").to_pylist(),
+            )
+        )
+        if taken >= max_turns:
+            break
+    if not mentions:
+        return None
+    return fit_feature_vectorizers(mentions, contexts)
+
+
 def list_epochs(fixture_dir: str) -> list[int]:
     tdir = os.path.join(fixture_dir, "transcripts")
     return sorted(
@@ -571,6 +622,10 @@ def run_pipeline(
             manifest = prev
 
     kb_handles = load_kb_handles(os.path.join(fixture_dir, "kb.parquet"), cfg)
+    if cfg.clusterer == "feature" and cfg.tfidf_prefit:
+        vec = fit_vectorizers_from_fixture(fixture_dir, epochs[0]) if epochs else None
+        if vec is not None:
+            kb_handles["vec_ref"] = ray.put(vec)
     rw_state = RwState(cfg.dim)
     stats = []
     for epoch in epochs:

@@ -124,3 +124,37 @@ def test_cosine_distance_matrix():
     d = cosine_distance_matrix(X)
     assert abs(d[0, 2]) < 1e-12
     assert abs(d[0, 1] - 1.0) < 1e-12
+
+
+def test_tfidf_prefit_transform_drops_unseen_and_keeps_fit_idf():
+    import numpy as np
+
+    from raykg.cluster import TfidfModel, _tokenize_words, fit_tfidf
+
+    fit_docs = [_tokenize_words(t) for t in
+                ["alpha beta gamma", "beta gamma", "gamma delta"]]
+    model = fit_tfidf(fit_docs, use_idf=True, max_features=None)
+    # unseen term "omega" contributes nothing; idf comes from the fit set
+    X = model.transform([_tokenize_words("omega beta")])
+    assert X.shape == (1, len(model.terms))
+    nz = {model.terms[j] for j in np.flatnonzero(X[0])}
+    assert nz == {"beta"}
+    assert abs(np.linalg.norm(X[0]) - 1.0) < 1e-12
+    # fit idf: df(beta)=2, n=3 -> ln(4/3)+1
+    j = model.terms.index("beta")
+    assert abs(model.idf[j] - (np.log(4 / 3) + 1)) < 1e-12
+
+
+def test_feature_scores_prefit_vs_per_group():
+    from raykg.cluster import feature_scores, fit_feature_vectorizers
+
+    mentions = ["Acme Corp", "Acme Corp", "Zyx Labs"]
+    contexts = ["bought by acme corp", "acme corp again", "zyx labs report"]
+    vec = fit_feature_vectorizers(mentions, contexts)
+    S_pre = feature_scores(mentions, contexts, vectorizers=vec)
+    S_fit = feature_scores(mentions, contexts)
+    # fitting on the same group must equal prefit-on-that-group
+    import numpy as np
+
+    assert np.allclose(S_pre, S_fit)
+    assert S_pre[0, 1] > S_pre[0, 2]

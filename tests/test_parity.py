@@ -90,3 +90,24 @@ def test_ivf_mode_parity(small_fixture, tmp_path_factory, oracle_result):
     pred = set(zip(tri.subj, tri.pred, tri.obj))
     p, r = _pr(pred, oracle_result["triples"])
     assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_feature_clusterer_prefit_parity(small_fixture, tmp_path_factory):
+    """Feature clusterer with PRE-FIT broadcast vectorizers (the
+    reference's pickle flow): engine triples match the oracle given the
+    same fitted vectorizers."""
+    from raykg.pipeline import fit_vectorizers_from_fixture
+
+    out = str(tmp_path_factory.mktemp("parity_feat_out"))
+    run_pipeline(
+        small_fixture, out,
+        PipelineConfig(clusterer="feature", blocking="global"),
+    )
+    tri = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
+    pred = set(zip(tri.subj, tri.pred, tri.obj))
+    vec = fit_vectorizers_from_fixture(small_fixture, 0)
+    gold = run_reference_chain(
+        small_fixture, clusterer="feature", vectorizers=vec
+    )["triples"]
+    p, r = _pr(pred, gold)
+    assert p >= 0.95 and r >= 0.95, (p, r)
