@@ -175,7 +175,7 @@ def generate_world(
 
     for ci in range(n_convs):
         conv_id = f"conv_{ci:07d}"
-        epoch = ci % n_epochs
+        epoch = 0  # placeholder; stratified assignment happens below
         n_turns = int(n_turn_choices[rng.integers(len(n_turn_choices))])
         for ti in range(n_turns):
             role = "user" if ti % 2 == 0 else "assistant"
@@ -230,7 +230,31 @@ def generate_world(
         trans_rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts", "epoch"]
     )
     transcripts["turn_idx"] = transcripts["turn_idx"].astype(np.int32)
-    transcripts["epoch"] = transcripts["epoch"].astype(np.int32)
+
+    # Stratified epoch split (StratifiedKFold equivalent,
+    # ``notebooks/create_dataset.Rmd:611-659``: the NIL class "is fairly
+    # distributed among the batches"): stratify conversations by their
+    # NIL-mention count bucket, deal each stratum round-robin over
+    # epochs after a seeded shuffle — every epoch gets its fair share of
+    # NIL mentions instead of whatever `ordinal % n_epochs` happens to
+    # give.
+    nil_per_conv = np.zeros(n_convs, dtype=np.int64)
+    for row in gold_rows:
+        if row[8]:  # NIL flag
+            nil_per_conv[int(row[1].rsplit("_", 1)[1])] += 1
+    strata = np.minimum(nil_per_conv, 3)
+    conv_epoch = np.zeros(n_convs, dtype=np.int32)
+    for s in np.unique(strata):
+        members = np.flatnonzero(strata == s)
+        members = members[rng.permutation(len(members))]
+        conv_epoch[members] = np.arange(len(members)) % n_epochs
+    epoch_of = {f"conv_{ci:07d}": int(conv_epoch[ci]) for ci in range(n_convs)}
+    transcripts["epoch"] = (
+        transcripts["conv_id"].map(epoch_of).astype(np.int32)
+    )
+    gold_rows = [
+        row[:9] + (epoch_of[row[1]],) for row in gold_rows
+    ]
 
     gold = pd.DataFrame(
         gold_rows,

@@ -42,3 +42,22 @@ def test_mention_batch_reader(tmp_path):
         "Wikipedia_title", "NIL",
     }
     assert out.mention.tolist() == ["Alpha"]
+
+
+def test_stratified_epoch_split_balances_nil():
+    """O6: the epoch split is stratified on the NIL class
+    (create_dataset.Rmd:611-659) — every epoch gets a fair share of NIL
+    mentions, not whatever ordinal % n_epochs gives."""
+    import numpy as np
+
+    from raykg.fixtures import generate_world
+
+    _, _, gold = generate_world(
+        n_convs=120, n_kb=80, n_nil=15, n_tomb=5, n_epochs=4, seed=3
+    )
+    nil = gold[gold["NIL"]]
+    per_epoch = nil.groupby("batch").size().reindex(range(4), fill_value=0)
+    assert (per_epoch > 0).all()
+    # fair distribution: no epoch deviates more than 35% from the mean
+    mean = per_epoch.mean()
+    assert (np.abs(per_epoch - mean) <= 0.35 * mean + 2).all(), per_epoch.to_dict()
