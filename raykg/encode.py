@@ -83,24 +83,108 @@ def _l2_normalize(mat: np.ndarray, scale: float = 1.0) -> np.ndarray:
     return (mat / norms * scale).astype(np.float32)
 
 
-class HashEncoder:
-    """Deterministic drop-in for the BLINK biencoder towers."""
+def balance_context_window(
+    n_mention_tokens: int,
+    left_tokens: list,
+    right_tokens: list,
+    max_seq_length: int,
+) -> tuple[list, list]:
+    """The biencoder's context-window QUOTA BALANCING
+    (``pipeline/biencoder/blink/biencoder/data_process.py:45-57``):
+    each side starts with half the remaining budget; a side that
+    under-uses its quota donates the surplus to the other. Mirrors the
+    reference arithmetic exactly, including the ``[-0:]`` Python quirk
+    (a zero/negative left quota keeps the WHOLE left context — latent
+    in BLINK, reachable only when the mention alone nearly fills
+    max_seq_length). Returns (kept_left, kept_right)."""
+    left_quota = (max_seq_length - n_mention_tokens) // 2 - 1
+    right_quota = max_seq_length - n_mention_tokens - left_quota - 2
+    left_add, right_add = len(left_tokens), len(right_tokens)
+    if left_add <= left_quota:
+        if right_add > right_quota:
+            right_quota += left_quota - left_add
+    else:
+        if right_add <= right_quota:
+            left_quota += right_quota - right_add
+    return left_tokens[-left_quota:], right_tokens[:right_quota]
 
-    def __init__(self, dim: int = DIM, scale: float = VEC_SCALE):
+
+def truncate_candidate(
+    title_tokens: list, descr_tokens: list, max_seq_length: int
+) -> tuple[list, list]:
+    """The candidate tokenizer's truncation
+    (``data_process.py:71-89``): title + [title_tag] + description,
+    clipped to max_seq_length - 2 ([CLS]/[SEP] slots)."""
+    budget = max_seq_length - 2
+    cand = title_tokens[: budget]
+    remaining = budget - len(cand) - 1  # the title-tag slot
+    if remaining <= 0:
+        return cand, []
+    return cand, descr_tokens[:remaining]
+
+
+class HashEncoder:
+    """Deterministic drop-in for the BLINK biencoder towers.
+
+    ``max_seq_length`` models the real tokenizer's input budget: the
+    mention's context is whitespace-tokenized (the wordpiece stand-in;
+    a real tokenizer drops into ``tokenize``) and windowed with the
+    reference's quota balancing before encoding, and entity
+    descriptions truncate like the candidate tokenizer — so swapping a
+    transformer into this slot changes the embedding function, not the
+    truncation semantics. ``None`` disables windowing."""
+
+    def __init__(self, dim: int = DIM, scale: float = VEC_SCALE,
+                 max_seq_length: int | None = 128):
         self.dim = dim
         self.scale = scale
+        self.max_seq_length = max_seq_length
+
+    @staticmethod
+    def tokenize(text: str) -> list[str]:
+        return (text or "").split()
+
+    def _window_contexts(self, mentions, context_left, context_right):
+        msl = self.max_seq_length
+        out = []
+        for m, l, r in zip(mentions, context_left, context_right):
+            l, r = l or "", r or ""
+            # whitespace tokens take >= 2 chars each incl. separator, so
+            # a short row can never exceed the budget — skip tokenizing
+            if len(l) + len(r) + len(m or "") + 3 <= 2 * msl - 1:
+                out.append(l + " " + r)
+                continue
+            lt, rt = self.tokenize(l), self.tokenize(r)
+            # +2 for the [ENT_START]/[ENT_END] tags around the mention
+            n_m = len(self.tokenize(m)) + 2
+            if len(lt) + len(rt) + n_m > msl:
+                lt, rt = balance_context_window(n_m, lt, rt, msl)
+            out.append(" ".join(lt) + " " + " ".join(rt))
+        return out
 
     def encode_mentions(self, mentions, context_left, context_right) -> np.ndarray:
         surf = _l2_normalize(_ngram_matrix(list(mentions), self.dim))
-        ctx_texts = [
-            (l or "") + " " + (r or "") for l, r in zip(context_left, context_right)
-        ]
+        if self.max_seq_length is not None:
+            ctx_texts = self._window_contexts(mentions, context_left, context_right)
+        else:
+            ctx_texts = [
+                (l or "") + " " + (r or "")
+                for l, r in zip(context_left, context_right)
+            ]
         ctx = _l2_normalize(_ngram_matrix(ctx_texts, self.dim))
         mixed = SURFACE_WEIGHT * surf + CONTEXT_WEIGHT * ctx
         return _l2_normalize(mixed, self.scale)
 
     def encode_entities(self, titles, descrs) -> np.ndarray:
         surf = _l2_normalize(_ngram_matrix(list(titles), self.dim))
+        if self.max_seq_length is not None:
+            clipped = []
+            for t, d in zip(titles, descrs):
+                tt, dt = truncate_candidate(
+                    self.tokenize(t), self.tokenize(d), self.max_seq_length
+                )
+                clipped.append(" ".join(dt))
+            descrs = clipped
         desc = _l2_normalize(_ngram_matrix(list(descrs), self.dim))
         mixed = SURFACE_WEIGHT * surf + CONTEXT_WEIGHT * desc
         return _l2_normalize(mixed, self.scale)

@@ -237,10 +237,16 @@ def run_epoch(
     kb_handles,
     rw_state: RwState,
     cfg: PipelineConfig,
+    tr_dirs: list[str] | None = None,
 ) -> dict:
+    """``tr_dirs``: explicit transcript directories (the no-incremental
+    mode passes every epoch's dir at once); default = this epoch's."""
     t0 = time.time()
     pool = _pool(cfg)
-    tr_path = os.path.join(fixture_dir, "transcripts", f"epoch={epoch}")
+    tr_dirs = tr_dirs or [
+        os.path.join(fixture_dir, "transcripts", f"epoch={epoch}")
+    ]
+    tr_path = tr_dirs[0]
 
     # a prior run may have died mid-epoch (or the config digest changed,
     # resetting the manifest but not the outputs): clear this epoch's
@@ -376,8 +382,9 @@ def run_epoch(
     lineage_dir = os.path.join(out_dir, "_lineage")
     os.makedirs(lineage_dir, exist_ok=True)
     files = sorted(
-        os.path.join(tr_path, f)
-        for f in os.listdir(tr_path)
+        os.path.join(d, f)
+        for d in tr_dirs
+        for f in os.listdir(d)
         if f.endswith(".parquet")
     )
     n_frags = max(1, min(cfg.n_fragments, len(files)))
@@ -599,11 +606,15 @@ def run_pipeline(
     cfg: PipelineConfig | None = None,
     epochs: list[int] | None = None,
     resume: bool = True,
+    incremental: bool = True,
 ) -> dict:
     """Driver loop over epochs with manifest checkpointing.
 
     On resume, completed epochs are skipped and the RW state is rebuilt
-    from their materialized cluster deltas."""
+    from their materialized cluster deltas. ``incremental=False`` is the
+    reference's ``--no-incremental`` mode (``scripts/eval_kbp.py:
+    773-779``): every epoch's input is concatenated and processed as ONE
+    batch — no cross-epoch entity linking, one clustering pass."""
     cfg = cfg or PipelineConfig()
     if cfg.clusterer not in ("greedy", "feature", "threestep"):
         raise ValueError(f"unknown clustering strategy: {cfg.clusterer}")
@@ -612,6 +623,23 @@ def run_pipeline(
     if cfg.ann not in ("exact", "ivf"):
         raise ValueError(f"unknown ann mode: {cfg.ann}")
     epochs = epochs if epochs is not None else list_epochs(fixture_dir)
+    if not incremental:
+        os.makedirs(out_dir, exist_ok=True)
+        kb_handles = load_kb_handles(os.path.join(fixture_dir, "kb.parquet"), cfg)
+        if cfg.clusterer == "feature" and cfg.tfidf_prefit and epochs:
+            vec = fit_vectorizers_from_fixture(fixture_dir, epochs[0])
+            if vec is not None:
+                kb_handles["vec_ref"] = ray.put(vec)
+        rw_state = RwState(cfg.dim)
+        tr_dirs = [
+            os.path.join(fixture_dir, "transcripts", f"epoch={e}")
+            for e in epochs
+        ]
+        stats = [
+            run_epoch(fixture_dir, out_dir, 0, kb_handles, rw_state, cfg,
+                      tr_dirs=tr_dirs)
+        ]
+        return {"epochs_run": [0], "stats": stats, "rw_total": rw_state.ntotal}
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "manifest.json")
     manifest = {"completed_epochs": [], "config": cfg.digest()}

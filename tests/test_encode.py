@@ -72,3 +72,47 @@ def test_mention_encoder_stage():
         [" today", " yesterday"],
     )
     np.testing.assert_array_equal(column_to_vectors(out.column("encoding")), direct)
+
+
+def test_balance_context_window_reference_arithmetic():
+    from raykg.encode import balance_context_window
+
+    L = [f"l{i}" for i in range(100)]
+    R = [f"r{i}" for i in range(100)]
+    # mention 4 tokens, budget 32: left quota (32-4)//2-1=13, right 32-4-13-2=13
+    kl, kr = balance_context_window(4, L, R, 32)
+    assert len(kl) == 13 and len(kr) == 13
+    assert kl[-1] == "l99" and kr[0] == "r0"
+    # short left donates surplus to right
+    kl, kr = balance_context_window(4, L[:3], R, 32)
+    assert len(kl) == 3 and len(kr) == 13 + (13 - 3)
+    # short right donates surplus to left
+    kl, kr = balance_context_window(4, L, R[:2], 32)
+    assert len(kr) == 2 and len(kl) == 13 + (13 - 2)
+
+
+def test_candidate_truncation():
+    from raykg.encode import truncate_candidate
+
+    t = [f"t{i}" for i in range(5)]
+    d = [f"d{i}" for i in range(200)]
+    tt, dt = truncate_candidate(t, d, 32)
+    assert tt == t
+    assert len(dt) == 32 - 2 - 5 - 1  # budget minus title minus tag slot
+
+
+def test_encoder_windows_long_contexts_deterministically():
+    import numpy as np
+
+    from raykg.encode import HashEncoder
+
+    long_l = "alpha " * 300
+    long_r = "omega " * 300
+    e_win = HashEncoder(dim=32, max_seq_length=64)
+    e_raw = HashEncoder(dim=32, max_seq_length=None)
+    a = e_win.encode_mentions(["Acme Corp"], [long_l], [long_r])
+    b = e_win.encode_mentions(["Acme Corp"], [long_l], [long_r])
+    c = e_raw.encode_mentions(["Acme Corp"], [long_l], [long_r])
+    assert np.array_equal(a, b)  # deterministic
+    # windowing actually changes what gets encoded for long contexts
+    assert not np.array_equal(a, c)

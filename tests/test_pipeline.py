@@ -180,3 +180,26 @@ def test_fragment_resume_skips_finished_fragments(tmp_path_factory):
     tri = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
     got = set(zip(tri.subj, tri.pred, tri.obj, tri.epoch))
     assert got == full_set
+
+
+def test_no_incremental_mode(small_fixture, tmp_path_factory):
+    """--no-incremental (eval_kbp.py:773-779): all epochs concatenated,
+    one pass — a single epoch=0 output, no RW-index links between
+    batches, and every turn still produces its triples."""
+    out = str(tmp_path_factory.mktemp("noninc_out"))
+    res = run_pipeline(small_fixture, out, PipelineConfig(),
+                       incremental=False)
+    assert res["epochs_run"] == [0]
+    tri = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
+    assert set(tri.epoch) == {0}
+    # incremental RW linking cannot happen in a single pass: no linksTo
+    # object may be a minted nil: uri from a *different* (earlier) epoch
+    lt = tri[(tri.pred == "kg:linksTo") & tri.obj.str.startswith("ent:nil:")]
+    assert lt.empty  # minted entities only become retrievable NEXT epoch
+
+    # the incremental run over the same input covers the same turns
+    out2 = str(tmp_path_factory.mktemp("inc_out"))
+    run_pipeline(small_fixture, out2, PipelineConfig())
+    tri2 = rd.read_parquet(os.path.join(out2, "triples")).to_pandas()
+    turns = lambda t: set(t[t.pred == "kg:mentions"].subj)
+    assert turns(tri) == turns(tri2)
