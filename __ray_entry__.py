@@ -330,6 +330,114 @@ FROM documents
 """
 
 
+def _q_asof_latest_order(sf_dir: str):
+    """As-of join: each event picks the same user's latest order at or
+    before the event timestamp (raykg.ops.joins.asof_join — bucketed
+    union + per-key searchsorted; no native Ray Data join needed)."""
+    from raykg.ops.joins import asof_join
+
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    out = asof_join(
+        events, orders,
+        key="user_id", right_key="o_custkey",
+        ts="ts", right_ts="o_orderdate",
+        left_cols=["event_id"],
+        right_cols=["o_orderkey", "o_totalprice"],
+        fill={"o_orderkey": -1, "o_totalprice": 0.0},
+    ).to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out.rename(columns={"o_orderkey": "last_orderkey",
+                               "o_totalprice": "last_totalprice"})
+
+
+_SQL_ASOF_ORDER = """
+WITH ranked AS (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+         ) AS rn
+  FROM events e
+  LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT user_id, ts, event_id,
+       COALESCE(o_orderkey, -1) AS last_orderkey,
+       round(COALESCE(o_totalprice, 0.0), 2) AS last_totalprice
+FROM ranked WHERE rn = 1
+"""
+
+
+def _q_value_quantiles(sf_dir: str):
+    """Per-type p50/p95 of event value — grouped quantiles with
+    quantile_cont (linear interpolation == np.quantile default)."""
+    import pandas as pd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50": [round(float(np.quantile(v, 0.5)), 6)],
+                "p95": [round(float(np.quantile(v, 0.95)), 6)],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(q, batch_format="pandas")
+
+
+_SQL_VALUE_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type
+"""
+
+
+def _q_user_distinct_types(sf_dir: str):
+    """count(DISTINCT) per group, with local per-batch pre-dedup so the
+    shuffle carries unique (user, type) pairs, not raw events."""
+    import pandas as pd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+
+    def local_dedup(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_types": [int(g["event_type"].nunique())],
+            }
+        )
+
+    return (
+        ds.map_batches(local_dedup, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(count_distinct, batch_format="pandas")
+    )
+
+
+_SQL_USER_DISTINCT = """
+SELECT user_id, count(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
 def _q_docs_by_len(sf_dir: str):
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "n_chars"])
@@ -698,6 +806,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_anti_customers": _q_anti_join_customers,
         "filter_sample_events": _q_sample_events,
         "window_sessionize_events": _q_sessionize_events,
+        "join_asof_latest_order": _q_asof_latest_order,
+        "agg_value_quantiles": _q_value_quantiles,
+        "agg_user_distinct_types": _q_user_distinct_types,
         # rows-only (model-/sketch-based, not SQL-expressible)
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "simhash_near_dup_pairs": _q_simhash_pairs,
@@ -730,4 +841,7 @@ def oracle_sql() -> dict[str, str]:
         "join_anti_customers": _SQL_ANTI_JOIN,
         "filter_sample_events": _SQL_SAMPLE_EVENTS,
         "window_sessionize_events": _SQL_SESSIONIZE,
+        "join_asof_latest_order": _SQL_ASOF_ORDER,
+        "agg_value_quantiles": _SQL_VALUE_QUANTILES,
+        "agg_user_distinct_types": _SQL_USER_DISTINCT,
     }

@@ -261,3 +261,49 @@ def test_embedding_cosine_pairs_matches_bruteforce_on_planted_dups():
     assert got_pairs <= truth
     # ...and recall at the LSH guarantee level
     assert len(got_pairs) / len(truth) >= 0.97, (len(got_pairs), len(truth))
+
+
+def test_asof_join_matches_pandas_merge_asof():
+    """asof_join vs pandas.merge_asof on keyed timestamp data, plus
+    fill semantics for keys with no earlier right row."""
+    import pandas as pd
+
+    from raykg.ops.joins import asof_join
+
+    rng = np.random.default_rng(5)
+    n_l, n_r = 500, 200
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, n_l),
+            "t": rng.integers(0, 10_000, n_l).astype("datetime64[s]"),
+            "payload": np.arange(n_l),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": rng.integers(0, 15, n_r),  # some keys never match
+            "rt": rng.integers(0, 10_000, n_r).astype("datetime64[s]"),
+            "val": rng.integers(0, 1000, n_r),
+        }
+    )
+    # make right unique per (rk, rt) keeping max val — pins tie-breaking
+    right = (
+        right.sort_values(["rk", "rt", "val"])
+        .groupby(["rk", "rt"], as_index=False)
+        .last()
+    )
+    got = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        key="k", right_key="rk", ts="t", right_ts="rt",
+        left_cols=["payload"], right_cols=["val"], fill={"val": -1},
+    ).to_pandas().sort_values("payload").reset_index(drop=True)
+
+    exp = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("rt").rename(columns={"rk": "k", "rt": "t"}),
+        on="t", by="k", direction="backward",
+    )
+    exp["val"] = exp["val"].fillna(-1).astype("int64")
+    exp = exp.sort_values("payload").reset_index(drop=True)
+    assert (got["val"].to_numpy() == exp["val"].to_numpy()).all()
+    assert got["payload"].dtype == np.int64
