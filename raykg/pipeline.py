@@ -90,7 +90,9 @@ class PipelineConfig:
     # "ivf" probes ivf_nprobe of ivf_lists coarse partitions per query —
     # the counterpart of the reference's approximate HNSW KB index
     # (faiss_indexer.py:76-141), scores stay exact inner products.
-    # IVF metadata is built once on the driver and broadcast.
+    # IVF metadata is built once on the driver and broadcast. The
+    # kb_shards>1 path is exact-only today (each shard is already a
+    # fraction of the KB; IVF-within-shard is the obvious composition).
     ann: str = "exact"  # exact | ivf
     ivf_lists: int = 128
     ivf_nprobe: int = 16
@@ -448,8 +450,13 @@ def run_epoch(
         lambda g: _cluster_group(g, strategy, kb_handles.get("vec_ref")),
         batch_format="pyarrow",
     )
-    # clusters are the small side (one row per novel entity) — safe to
-    # collect for canonical id assignment + KB delta
+    # clusters are the small side (one row per novel entity) — collected
+    # for canonical id assignment + the KB delta. This driver hop is
+    # deliberate: the RW index of minted entities lives on the driver
+    # and is re-broadcast each epoch (the reference holds the same state
+    # as a ~33 GB in-process FAISS index). The at-scale evolution is a
+    # sharded RW actor pool (raykg/sharded.py already shards the KB
+    # side), at which point clusters flow epoch->shards directly.
     parts = cluster_parts.to_pandas()
     clusters_table = _assemble_clusters_table(parts, epoch, cfg.dim)
     clusters_dir = os.path.join(out_dir, "clusters")
