@@ -308,6 +308,12 @@ def write_fixture(
     gen_params = {k: v for k, v in params.items() if k != "convs_per_part"}
     transcripts, (kb, kb_emb), gold = generate_world(**gen_params)
     os.makedirs(out_dir, exist_ok=True)
+    # regenerating over a stale dir (e.g. params changed) must not leave
+    # old part files beside the new layout — duplicated rows + a giant
+    # unsplittable file silently poison every downstream read
+    import shutil
+
+    shutil.rmtree(os.path.join(out_dir, "transcripts"), ignore_errors=True)
     for epoch in range(n_epochs):
         part = transcripts[transcripts["epoch"] == epoch].drop(columns=["epoch"])
         pdir = os.path.join(out_dir, "transcripts", f"epoch={epoch}")
