@@ -394,7 +394,13 @@ def run_epoch(
     expected = {f"frag_{j}" for j in range(n_frags)}
     for entry in os.listdir(mentions_dir):
         if entry not in expected:
-            shutil.rmtree(os.path.join(mentions_dir, entry), ignore_errors=True)
+            path = os.path.join(mentions_dir, entry)
+            # stale FILES (e.g. an older layout's parquet) must go too —
+            # rmtree(ignore_errors) silently skips non-directories
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                os.remove(path)
     cfg_digest = cfg.digest()
     total_blocks = max(64, int(ray.cluster_resources().get("CPU", 4)) * 8)
     frag_blocks = max(16, total_blocks // n_frags)
