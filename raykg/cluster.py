@@ -61,9 +61,21 @@ class Cluster:
         return len(self.mentions)
 
     def title(self) -> str:
-        return pd.Series(self.mentions).value_counts().index[0]
+        # modal mention; ties -> first-encountered (Counter.most_common
+        # preserves insertion order for equal counts, exactly like the
+        # pandas value_counts it replaces — just without building a
+        # Series per cluster)
+        if len(self.mentions) == 1:
+            return self.mentions[0]
+        from collections import Counter
+
+        return Counter(self.mentions).most_common(1)[0][0]
 
     def center(self) -> np.ndarray:
+        if len(self.encodings) <= 2:
+            # 1 member: itself. 2 members: both are equidistant, tie ->
+            # lowest index — the medoid math would return encodings[0]
+            return self.encodings[0]
         return medoid(np.stack(self.encodings))
 
 
@@ -81,10 +93,12 @@ def medoid(encodings: np.ndarray) -> np.ndarray:
 
 def greedy_labels(scores: np.ndarray, threshold: float) -> np.ndarray:
     """Greedy NN label propagation — faithful to the reference loop
-    (order dependent by design)."""
+    (order dependent by design). The adjacency is thresholded once,
+    vectorized; the sequential assignment loop is the semantics."""
+    adj = scores > threshold
     labels = np.arange(scores.shape[0])
-    for i, row in enumerate(scores):
-        labels[row > threshold] = labels[i]
+    for i in range(len(labels)):
+        labels[adj[i]] = labels[i]
     return labels
 
 

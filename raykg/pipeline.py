@@ -173,14 +173,29 @@ def load_kb_handles(kb_path: str, cfg: "PipelineConfig") -> dict:
 # work stays tiny while group-task overhead stays bounded
 SURFACE_BUCKETS = 256
 
+# skew control for surface blocking: a bucket holding more rows than
+# MAX_CLUSTER_GROUP (a Zipf-head surface) is SALTED into ceil(n/max)
+# sub-groups by mention_id, clustered independently, and re-merged by a
+# deterministic center-dot union-find in the assembly step — bounding
+# every clustering task at O(MAX_CLUSTER_GROUP²) no matter how hot one
+# surface gets. Cold buckets are untouched (bit-identical output).
+MAX_CLUSTER_GROUP = 4096
+MAX_SALTS = 64
 
-def _cluster_group(group: pa.Table, strategy: str, vec_ref=None) -> pa.Table:
+
+def _cluster_group(group: pa.Table, strategy: str, vec_ref=None,
+                   salted: bool = False) -> pa.Table:
     """Per-block clustering. Sorts by mention_id first — greedy label
     propagation is order dependent (SURVEY.md §7.7.1) and Ray block
     order must not leak into results. ``vec_ref``: ray.put ref of
-    pre-fit TF-IDF vectorizers (feature strategy)."""
+    pre-fit TF-IDF vectorizers (feature strategy). ``salted``: the
+    block key carries a salt (key = block*MAX_SALTS + salt); the
+    emitted ``block`` column is the ORIGINAL bucket so assembly can
+    re-merge salted sub-clusters."""
     idx = pa.compute.sort_indices(group.column("mention_id"))
     group = group.take(idx)
+    key = int(group.column("block")[0].as_py())
+    orig_block = key // MAX_SALTS if salted else key
     ids = group.column("mention_id").to_pylist()
     mentions = group.column("mention").to_pylist()
     encodings = column_to_vectors(group.column("encoding"))
@@ -194,6 +209,9 @@ def _cluster_group(group: pa.Table, strategy: str, vec_ref=None) -> pa.Table:
         vectorizers=ray.get(vec_ref) if vec_ref is not None else None,
     )
     rows = {
+        "block": pa.array(
+            np.full(len(clusters), orig_block, dtype=np.int64)
+        ),
         "min_mention_id": pa.array(
             [min(c.mention_ids) for c in clusters], type=pa.int64()
         ),
@@ -240,9 +258,15 @@ def run_epoch(
     rw_state: RwState,
     cfg: PipelineConfig,
     tr_dirs: list[str] | None = None,
+    defer_triples: bool = False,
 ) -> dict:
     """``tr_dirs``: explicit transcript directories (the no-incremental
-    mode passes every epoch's dir at once); default = this epoch's."""
+    mode passes every epoch's dir at once); default = this epoch's.
+    ``defer_triples``: return after the clustering barrier with a
+    ``_finish`` callable in the stats that runs the triples phase —
+    run_pipeline invokes it from a thread so epoch k's triples overlap
+    epoch k+1's mention stage (legal: the incremental barrier needs
+    only the clusters)."""
     t0 = time.time()
     pool = _pool(cfg)
     tr_dirs = tr_dirs or [
@@ -452,8 +476,54 @@ def run_epoch(
         lambda t: _add_block_key(t, cfg.blocking), batch_format="pyarrow"
     )
     strategy = cfg.clusterer
+
+    # skew control (surface mode only; global is the conformance mode):
+    # measure the bucket histogram on the materialized NIL set, salt any
+    # bucket above MAX_CLUSTER_GROUP by mention_id so no single
+    # map_groups task exceeds the bound; assembly re-merges.
+    salt_counts = None
+    if cfg.blocking == "surface":
+        nil_ds = nil_ds.materialize()
+
+        def _bc(t: pa.Table) -> pa.Table:
+            c = np.bincount(
+                t.column("block").to_numpy(zero_copy_only=False),
+                minlength=SURFACE_BUCKETS,
+            )
+            return pa.table(
+                {"block": pa.array(np.arange(SURFACE_BUCKETS, dtype=np.int64)),
+                 "n": pa.array(c.astype(np.int64))}
+            )
+
+        hist_df = nil_ds.map_batches(_bc, batch_format="pyarrow").to_pandas()
+        if len(hist_df) == 0:  # zero NIL mentions this epoch
+            hist_df = pd.DataFrame(
+                {"block": range(SURFACE_BUCKETS), "n": 0}
+            )
+        hist = (
+            hist_df.groupby("block")["n"].sum()
+            .reindex(range(SURFACE_BUCKETS), fill_value=0)
+        )
+        n_salts = np.minimum(
+            MAX_SALTS,
+            np.maximum(1, -(-hist.to_numpy() // MAX_CLUSTER_GROUP)),
+        ).astype(np.int64)
+        if (n_salts > 1).any():
+            salt_counts = n_salts
+
+            def _salt(t: pa.Table) -> pa.Table:
+                b = t.column("block").to_numpy(zero_copy_only=False)
+                mid = t.column("mention_id").to_numpy(zero_copy_only=False)
+                key = b * MAX_SALTS + (mid % salt_counts[b])
+                i = t.column_names.index("block")
+                return t.set_column(i, "block", pa.array(key, type=pa.int64()))
+
+            nil_ds = nil_ds.map_batches(_salt, batch_format="pyarrow")
+
+    salted = salt_counts is not None
     cluster_parts = nil_ds.groupby("block").map_groups(
-        lambda g: _cluster_group(g, strategy, kb_handles.get("vec_ref")),
+        lambda g: _cluster_group(g, strategy, kb_handles.get("vec_ref"),
+                                 salted=salted),
         batch_format="pyarrow",
     )
     # clusters are the small side (one row per novel entity) — collected
@@ -464,7 +534,9 @@ def run_epoch(
     # sharded RW actor pool (raykg/sharded.py already shards the KB
     # side), at which point clusters flow epoch->shards directly.
     parts = cluster_parts.to_pandas()
-    clusters_table = _assemble_clusters_table(parts, epoch, cfg.dim)
+    clusters_table = _assemble_clusters_table(
+        parts, epoch, cfg.dim, salt_counts=salt_counts
+    )
     clusters_dir = os.path.join(out_dir, "clusters")
     os.makedirs(clusters_dir, exist_ok=True)
     pq.write_table(
@@ -473,30 +545,59 @@ def run_epoch(
     rw_state.add_clusters(clusters_table)
     t_clusters = time.time()
 
-    # ---- triples ----
-    nil_uri_map: dict[int, str] = {}
-    for row in clusters_table.select(["cluster_id", "mention_ids"]).to_pylist():
-        for mid in row["mention_ids"]:
-            nil_uri_map[mid] = row["cluster_id"]
+    # ---- triples (deferrable: next epoch only needs the RW clusters,
+    # so the caller may run this phase concurrently with epoch k+1's
+    # mention stage — see run_pipeline's epoch pipelining) ----
+    def run_triples() -> float:
+        t_start = time.time()
+        nil_uri_map: dict[int, str] = {}
+        for row in clusters_table.select(
+            ["cluster_id", "mention_ids"]
+        ).to_pylist():
+            for mid in row["mention_ids"]:
+                nil_uri_map[mid] = row["cluster_id"]
 
-    linked = rd.read_parquet(
-        mentions_dir,
-        columns=["mention_id", "conv_id", "turn_idx", "is_nil", "entity_uri"],
-    )
-    # the map is O(NIL mentions): broadcast once through the object store
-    # rather than pickling it into every task spec
-    nil_uri_ref = ray.put(nil_uri_map)
+        linked = rd.read_parquet(
+            mentions_dir,
+            columns=["mention_id", "conv_id", "turn_idx", "is_nil",
+                     "entity_uri"],
+        )
+        # the map is O(NIL mentions): broadcast once through the object
+        # store rather than pickling it into every task spec
+        nil_uri_ref = ray.put(nil_uri_map)
 
-    def _to_triples(t: pa.Table) -> pa.Table:
-        return mention_triples(t, ray.get(nil_uri_ref), epoch)
+        def _to_triples(t: pa.Table) -> pa.Table:
+            return mention_triples(t, ray.get(nil_uri_ref), epoch)
 
-    triple_ds = linked.map_batches(_to_triples, batch_format="pyarrow")
-    ctriples = cluster_triples(clusters_table, epoch)
-    if ctriples.num_rows:
-        triple_ds = triple_ds.union(rd.from_arrow(ctriples))
-    triple_ds = dedup_triples(triple_ds)
-    triples_dir = os.path.join(out_dir, "triples", f"epoch={epoch}")
-    triple_ds.write_parquet(triples_dir)
+        triple_ds = linked.map_batches(_to_triples, batch_format="pyarrow")
+        # only the turn-mentions rows can still collide (batch-boundary
+        # stragglers after the in-batch dedup); linksTo rows are unique
+        # by mention_id and the cluster triples by construction — so the
+        # dedup SHUFFLE runs over the mentions-pred slice alone instead
+        # of the whole triple stream
+        from raykg.schema import PRED_MENTIONS as _PM
+
+        mat = triple_ds.materialize()
+
+        def _keep(pred_eq: bool):
+            def f(t: pa.Table) -> pa.Table:
+                mask = pa.compute.equal(t.column("pred"), _PM)
+                return t.filter(mask if pred_eq else pa.compute.invert(mask))
+            return f
+
+        unique_part = mat.map_batches(_keep(False), batch_format="pyarrow")
+        ment_part = dedup_triples(
+            mat.map_batches(_keep(True), batch_format="pyarrow")
+        )
+        triple_ds = unique_part.union(ment_part)
+        ctriples = cluster_triples(clusters_table, epoch)
+        if ctriples.num_rows:
+            triple_ds = triple_ds.union(rd.from_arrow(ctriples))
+        triples_dir = os.path.join(out_dir, "triples", f"epoch={epoch}")
+        triple_ds.write_parquet(triples_dir)
+        return time.time() - t_start
+
+    triples_s = run_triples() if not defer_triples else None
 
     stats = {
         "epoch": epoch,
@@ -507,22 +608,99 @@ def run_epoch(
         "wall_s": round(time.time() - t0, 3),
         "mentions_s": round(t_mentions - t0, 3),
         "cluster_s": round(t_clusters - t_mentions, 3),
-        "triples_s": round(time.time() - t_clusters, 3),
+        "triples_s": round(triples_s, 3) if triples_s is not None else None,
         "n_fragments": n_frags,
         "fragments_skipped": frags_skipped,
     }
-    lineage_dir = os.path.join(out_dir, "_lineage")
-    os.makedirs(lineage_dir, exist_ok=True)
-    with open(os.path.join(lineage_dir, f"epoch={epoch}.json"), "w") as f:
-        json.dump(stats, f)
-    return stats
+
+    def finish(stats=stats) -> dict:
+        """Run the deferred triples phase (if any) and persist lineage."""
+        if stats["triples_s"] is None:
+            stats["triples_s"] = round(run_triples(), 3)
+            stats["wall_s"] = round(time.time() - t0, 3)
+        lineage_dir = os.path.join(out_dir, "_lineage")
+        os.makedirs(lineage_dir, exist_ok=True)
+        with open(os.path.join(lineage_dir, f"epoch={epoch}.json"), "w") as f:
+            json.dump({k: v for k, v in stats.items()
+                       if not k.startswith("_")}, f)
+        return stats
+
+    if defer_triples:
+        stats["_finish"] = finish
+        return stats
+    return finish()
 
 
-def _assemble_clusters_table(parts: pd.DataFrame, epoch: int, dim: int) -> pa.Table:
+def _merge_salted_clusters(
+    parts: pd.DataFrame, salt_counts: np.ndarray, merge_dot: float
+) -> pd.DataFrame:
+    """Re-merge sub-clusters of salted (hot) buckets: union-find over
+    center dot products > merge_dot within each original bucket.
+    Deterministic: components ordered by min member id; the merged
+    center is the smallest-min_mention_id sub-cluster's center (the
+    member rows needed for an exact re-medoid live on the cluster, not
+    here — documented approximation, only for oversize buckets)."""
+    out = []
+    for blk, grp in parts.groupby("block", sort=True):
+        if int(salt_counts[int(blk)]) <= 1 or len(grp) <= 1:
+            out.append(grp)
+            continue
+        grp = grp.sort_values("min_mention_id").reset_index(drop=True)
+        C = np.stack([np.asarray(c, dtype=np.float32) for c in grp["center"]])
+        S = C @ C.T
+        n = len(grp)
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ei, ej = np.where(S > merge_dot)
+        for a, b in zip(ei.tolist(), ej.tolist()):
+            if a < b:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(n)])
+        rows = []
+        for r in np.unique(roots):
+            members = np.flatnonzero(roots == r)
+            if len(members) == 1:
+                rows.append(grp.iloc[members[0]])
+                continue
+            sub = grp.iloc[members]  # already min_mention_id-ordered
+            mention_ids = [m for lst in sub["mention_ids"] for m in lst]
+            mentions = [m for lst in sub["mentions"] for m in lst]
+            from collections import Counter
+
+            row = sub.iloc[0].copy()
+            row["min_mention_id"] = int(min(mention_ids))
+            row["nelements"] = len(mention_ids)
+            row["mention_ids"] = mention_ids
+            row["mentions"] = mentions
+            row["title"] = Counter(mentions).most_common(1)[0][0]
+            rows.append(row)
+        out.append(pd.DataFrame(rows))
+    return pd.concat(out, ignore_index=True)
+
+
+def _assemble_clusters_table(
+    parts: pd.DataFrame, epoch: int, dim: int,
+    salt_counts: np.ndarray | None = None,
+) -> pa.Table:
     """Canonical ids over the collected per-block cluster rows (rank =
     smallest member mention_id across all blocks)."""
     from raykg.encode import vectors_to_column
-    from raykg.schema import entity_uri_nil
+    from raykg.schema import GREEDY_THRESHOLD, entity_uri_nil
+
+    if (
+        salt_counts is not None
+        and len(parts)
+        and "block" in parts.columns
+    ):
+        parts = _merge_salted_clusters(parts, salt_counts, GREEDY_THRESHOLD)
 
     if len(parts) == 0 or "min_mention_id" not in parts.columns:
         # an epoch with zero NIL mentions: the empty Dataset loses its
@@ -669,17 +847,57 @@ def run_pipeline(
             kb_handles["vec_ref"] = ray.put(vec)
     rw_state = RwState(cfg.dim)
     stats = []
+
+    # epoch pipelining: epoch k's triples phase runs on a worker thread
+    # while epoch k+1's mention stage executes (both are independent Ray
+    # Dataset jobs; the streaming executor interleaves their tasks).
+    # The manifest records epoch k only after its triples thread joins,
+    # so resume semantics are unchanged.
+    import threading
+
+    pending: tuple[int, dict, threading.Thread, list] | None = None
+
+    def _mark_complete(epoch: int, st: dict) -> None:
+        st.pop("_finish", None)
+        stats.append(st)
+        manifest["completed_epochs"].append(epoch)
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, manifest_path)
+
+    def _join_pending() -> None:
+        nonlocal pending
+        if pending is None:
+            return
+        p_epoch, p_st, p_th, p_err = pending
+        p_th.join()
+        pending = None
+        if p_err:
+            raise p_err[0]
+        _mark_complete(p_epoch, p_st)
+
     for epoch in epochs:
         if epoch in manifest["completed_epochs"]:
             delta = os.path.join(out_dir, "clusters", f"epoch={epoch}.parquet")
             if os.path.exists(delta):
                 rw_state.add_clusters(pq.read_table(delta))
             continue
-        stats.append(run_epoch(fixture_dir, out_dir, epoch, kb_handles, rw_state, cfg))
-        manifest["completed_epochs"].append(epoch)
-        tmp = manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, manifest_path)
+        st = run_epoch(fixture_dir, out_dir, epoch, kb_handles, rw_state, cfg,
+                       defer_triples=True)
+        err: list = []
+        finish = st["_finish"]
+
+        def _runner(finish=finish, err=err):
+            try:
+                finish()
+            except BaseException as e:  # surfaced at join
+                err.append(e)
+
+        th = threading.Thread(target=_runner, name=f"triples-{epoch}")
+        _join_pending()
+        th.start()
+        pending = (epoch, st, th, err)
+    _join_pending()
     return {"epochs_run": [s["epoch"] for s in stats], "stats": stats,
             "rw_total": rw_state.ntotal}

@@ -61,19 +61,36 @@ def mention_triples(batch: pa.Table, nil_uri_map: dict[int, str], epoch: int) ->
         turn_np[keep].astype("U10"),
     )
     ent_col = pa.array(ents[keep].tolist(), type=pa.string())
+    # in-batch dedup of the turn-mentions rows (a turn mentioning the
+    # same entity twice yields identical triples); the mention: rows are
+    # unique by construction (mention_id is unique), so only the
+    # turn-side rows ever collide — and after this local dedup only
+    # batch-boundary stragglers remain for the shuffle stage
+    if n:
+        pair_keys = np.char.add(np.char.add(t_uri, "\x1f"),
+                                ents[keep].astype(np.str_))
+        _, uniq_idx = np.unique(pair_keys, return_index=True)
+        uniq_idx.sort()
+    else:
+        uniq_idx = np.zeros(0, dtype=np.int64)
+    t_uri_u = t_uri[uniq_idx]
+    ent_u = ent_col.take(pa.array(uniq_idx, type=pa.int64()))
+    conv_u = conv_k[uniq_idx]
+    nu = len(uniq_idx)
     return pa.table(
         {
             "subj": pa.concat_arrays(
                 [pa.array(m_uri.tolist(), type=pa.string()),
-                 pa.array(t_uri.tolist(), type=pa.string())]
+                 pa.array(t_uri_u.tolist(), type=pa.string())]
             ),
             "pred": pa.array(
-                [PRED_LINKS_TO] * n + [PRED_MENTIONS] * n, type=pa.string()
+                [PRED_LINKS_TO] * n + [PRED_MENTIONS] * nu, type=pa.string()
             ),
-            "obj": pa.concat_arrays([ent_col, ent_col]),
-            "epoch": pa.array(np.full(2 * n, epoch, dtype=np.int32)),
+            "obj": pa.concat_arrays([ent_col, ent_u]),
+            "epoch": pa.array(np.full(n + nu, epoch, dtype=np.int32)),
             "conv_id": pa.concat_arrays(
-                [pa.array(conv_k.tolist(), type=pa.string())] * 2
+                [pa.array(conv_k.tolist(), type=pa.string()),
+                 pa.array(conv_u.tolist(), type=pa.string())]
             ),
         }
     )

@@ -203,3 +203,56 @@ def test_no_incremental_mode(small_fixture, tmp_path_factory):
     tri2 = rd.read_parquet(os.path.join(out2, "triples")).to_pandas()
     turns = lambda t: set(t[t.pred == "kg:mentions"].subj)
     assert turns(tri) == turns(tri2)
+
+
+def test_hot_bucket_salting_merges_back():
+    """Skew control: a Zipf-head surface salted into sub-groups must
+    re-merge into ONE cluster covering every member (identical surfaces
+    score far above the merge threshold)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from raykg.encode import HashEncoder, vectors_to_column
+    from raykg.pipeline import (
+        MAX_SALTS,
+        _add_block_key,
+        _assemble_clusters_table,
+        _cluster_group,
+    )
+
+    n = 900
+    enc = HashEncoder(dim=64)
+    mentions = ["Hotname Corp"] * n
+    E = enc.encode_mentions(mentions, [""] * n, [""] * n)
+    t = pa.table(
+        {
+            "mention_id": pa.array(np.arange(n, dtype=np.int64)),
+            "mention": pa.array(mentions, type=pa.string()),
+            "context_left": pa.array([""] * n, type=pa.string()),
+            "context_right": pa.array([""] * n, type=pa.string()),
+            "encoding": vectors_to_column(E),
+        }
+    )
+    t = _add_block_key(t, "surface")
+    blk = t.column("block")[0].as_py()
+    n_salts = 3
+    salt_counts = np.ones(256, dtype=np.int64)
+    salt_counts[blk] = n_salts
+    mids = t.column("mention_id").to_numpy(zero_copy_only=False)
+    keys = blk * MAX_SALTS + (mids % n_salts)
+    t = t.set_column(t.column_names.index("block"), "block",
+                     pa.array(keys, type=pa.int64()))
+    parts = []
+    for k in np.unique(keys):
+        sub = t.filter(pa.compute.equal(t.column("block"), int(k)))
+        parts.append(_cluster_group(sub, "greedy", salted=True).to_pandas())
+    parts = pd.concat(parts, ignore_index=True)
+    assert len(parts) == n_salts  # one sub-cluster per salt before merge
+    tbl = _assemble_clusters_table(parts, epoch=0, dim=64,
+                                   salt_counts=salt_counts)
+    assert tbl.num_rows == 1
+    got_ids = sorted(tbl.column("mention_ids")[0].as_py())
+    assert got_ids == list(range(n))
+    assert tbl.column("title")[0].as_py() == "Hotname Corp"
+    assert tbl.column("nelements")[0].as_py() == n
