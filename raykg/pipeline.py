@@ -455,8 +455,14 @@ def run_epoch(
     t_mentions = time.time()
 
     # ---- NIL clustering (read back the checkpointed mentions) ----
+    # post-barrier phases move far less data than the link stage: cap
+    # their block counts near the CPU count — a 256-partition shuffle
+    # over a few hundred MB pays ~10-20 ms of scheduling per task across
+    # 3 stages, which dominates the actual compute
+    post_blocks = max(16, int(ray.cluster_resources().get("CPU", 4)) * 2)
     nil_ds = rd.read_parquet(
         mentions_dir,
+        override_num_blocks=post_blocks,
         columns=[
             "mention_id",
             "mention",
@@ -559,6 +565,7 @@ def run_epoch(
 
         linked = rd.read_parquet(
             mentions_dir,
+            override_num_blocks=post_blocks,
             columns=["mention_id", "conv_id", "turn_idx", "is_nil",
                      "entity_uri"],
         )
