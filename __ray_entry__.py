@@ -282,6 +282,9 @@ def _q_hourly_events(sf_dir: str):
         .groupby(["event_type", "hour"])
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
     ).to_pandas()
+    # Ray's sort-based aggregate downcasts the key to second resolution;
+    # restore microseconds so the dtype matches the parquet/oracle unit
+    out["hour"] = out["hour"].astype("datetime64[us]")
     out["total_value"] = out["total_value"].round(4)
     return out
 
