@@ -164,7 +164,10 @@ def load_kb_handles(kb_path: str, cfg: "PipelineConfig") -> dict:
     if cfg.kb_shards > 1:
         from raykg.sharded import make_kb_shards
 
-        handles["shard_refs"] = make_kb_shards(kb_tuple, cfg.kb_shards)
+        handles["shard_refs"] = make_kb_shards(
+            kb_tuple, cfg.kb_shards,
+            ivf_lists=cfg.ivf_lists if cfg.ann == "ivf" else None,
+        )
         handles["titles_ref"] = ray.put(list(idx.titles))
     return handles
 

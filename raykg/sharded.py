@@ -33,16 +33,26 @@ from raykg.schema import DUMMY_SCORE, INDEXER_KB, INDEXER_RW, TOP_K
 _ACC_COLS = ("_acc_raw", "_acc_ids", "_acc_wikis", "_acc_tomb")
 
 
-def make_kb_shards(kb_tuple, n_shards: int):
+def make_kb_shards(kb_tuple, n_shards: int, ivf_lists: int | None = None):
     """(vectors, wikipedia_ids, titles, types, tombstone) -> list of
     ray.put refs of shard tuples (shard row offset kept so global ids
-    stay stable)."""
+    stay stable). ``ivf_lists``: also build per-shard IVF metadata once
+    on the driver so sharded retrieval composes with approximate search
+    (each shard probes nprobe of its own lists; the running-top-k merge
+    is unchanged — recall is per-shard approximate, scores stay exact)."""
+    from raykg.index import IvfIndex
+
     vectors, wikipedia_ids, titles, types, tombstone = kb_tuple
     n = len(vectors)
     bounds = np.linspace(0, n, n_shards + 1).astype(int)
     refs = []
     for s in range(n_shards):
         lo, hi = int(bounds[s]), int(bounds[s + 1])
+        meta = (
+            IvfIndex.build_meta(vectors[lo:hi], n_lists=ivf_lists)
+            if ivf_lists
+            else None
+        )
         refs.append(
             ray.put(
                 (
@@ -52,6 +62,7 @@ def make_kb_shards(kb_tuple, n_shards: int):
                     list(titles[lo:hi]),
                     list(types[lo:hi]),
                     np.asarray(tombstone[lo:hi]),
+                    meta,
                 )
             )
         )
@@ -61,12 +72,22 @@ def make_kb_shards(kb_tuple, n_shards: int):
 class ShardRetriever:
     """One stage per shard: + / merge the running top-k accumulator."""
 
-    def __init__(self, shard_ref, top_k: int = TOP_K, is_first: bool = False):
-        lo, vectors, wikis, titles, types, tomb = (
+    def __init__(self, shard_ref, top_k: int = TOP_K, is_first: bool = False,
+                 nprobe: int = 16):
+        shard = (
             ray.get(shard_ref) if not isinstance(shard_ref, tuple) else shard_ref
         )
+        lo, vectors, wikis, titles, types, tomb = shard[:6]
+        meta = shard[6] if len(shard) > 6 else None
         self.offset = lo
-        self.index = FlatIndex(vectors, wikis, titles, types, tomb, INDEXER_KB)
+        if meta is not None:
+            from raykg.index import IvfIndex
+
+            self.index = IvfIndex(vectors, wikis, titles, types, tomb,
+                                  INDEXER_KB, nprobe=nprobe, prebuilt=meta)
+        else:
+            self.index = FlatIndex(vectors, wikis, titles, types, tomb,
+                                   INDEXER_KB)
         self.top_k = top_k
         self.is_first = is_first
 

@@ -39,3 +39,27 @@ def test_mentions_identical(both_runs):
         df = rd.read_parquet(os.path.join(out, "mentions"), columns=cols).to_pandas()
         frames.append(df.sort_values("mention_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
+def test_sharded_ivf_composition(small_fixture, tmp_path_factory):
+    """kb_shards + ann='ivf': per-shard approximate probing with the
+    same running-top-k merge still holds the triple-parity gate."""
+    import os
+
+    import ray.data as rd
+
+    from raykg.oracle import run_reference_chain
+    from raykg.pipeline import PipelineConfig, run_pipeline
+
+    out = str(tmp_path_factory.mktemp("shard_ivf_out"))
+    run_pipeline(
+        small_fixture, out,
+        PipelineConfig(kb_shards=3, ann="ivf", ivf_lists=8, ivf_nprobe=4),
+    )
+    tri = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
+    pred = set(zip(tri.subj, tri.pred, tri.obj))
+    gold = run_reference_chain(small_fixture)["triples"]
+    tp = len(pred & gold)
+    p = tp / len(pred) if pred else 1.0
+    r = tp / len(gold) if gold else 1.0
+    assert p >= 0.95 and r >= 0.95, (p, r)
