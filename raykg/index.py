@@ -234,9 +234,15 @@ class IvfIndex(FlatIndex):
         n_lists: int = 128,
         seed: int = 7,
         train_sample: int = 8192,
+        spill: int = 1,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """-> (centroids (L,d) f32, perm (n,) i64 rows grouped by list
-        with id asc inside, offsets (L+1,) i64). Deterministic."""
+        """-> (centroids (L,d) f32, perm (n·spill,) i64 rows grouped by
+        list with id asc inside, offsets (L+1,) i64). Deterministic.
+
+        ``spill`` > 1 assigns each vector to its ``spill`` nearest lists
+        (multi-assignment): recall rises on flat-similarity corpora at
+        the cost of spill× probed rows; duplicate hits are collapsed in
+        search_knn's merge."""
         n = len(vectors)
         if n == 0:
             return (
@@ -250,16 +256,24 @@ class IvfIndex(FlatIndex):
         sample = vectors[::step][:train_sample]
         centroids = _kmeans_gemm(sample, L, seed=seed).astype(np.float32)
         L = len(centroids)
-        # assign every row by min L2 (chunked GEMM)
+        A = max(1, min(spill, L))
+        # assign every row to its A nearest lists by min L2 (chunked GEMM)
         half_c2 = 0.5 * (centroids.astype(np.float64) ** 2).sum(axis=1)
-        assign = np.empty(n, dtype=np.int64)
+        assign = np.empty((n, A), dtype=np.int64)
         CH = 65536
         for lo in range(0, n, CH):
             chunk = vectors[lo : lo + CH].astype(np.float64)
-            assign[lo : lo + CH] = (chunk @ centroids.T.astype(np.float64)
-                                    - half_c2[None, :]).argmax(axis=1)
-        perm = np.argsort(assign, kind="stable").astype(np.int64)
-        counts = np.bincount(assign, minlength=L)
+            d = chunk @ centroids.T.astype(np.float64) - half_c2[None, :]
+            if A == 1:
+                assign[lo : lo + CH, 0] = d.argmax(axis=1)
+            else:
+                top = np.argpartition(-d, A - 1, axis=1)[:, :A]
+                assign[lo : lo + CH] = top
+        flat_assign = assign.reshape(-1)
+        flat_rows = np.repeat(np.arange(n, dtype=np.int64), A)
+        order = np.lexsort((flat_rows, flat_assign))
+        perm = flat_rows[order]
+        counts = np.bincount(flat_assign, minlength=L)
         offsets = np.zeros(L + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
         return centroids, perm, offsets
@@ -336,6 +350,15 @@ class IvfIndex(FlatIndex):
         # final per-query top-k: (query asc, score desc, id asc)
         order = np.lexsort((cr, -cs, cq))
         cq, cr, cs = cq[order], cr[order], cs[order]
+        # multi-assignment can surface the same row from two probed
+        # lists — identical (query, row) pairs are adjacent after the
+        # sort; keep the first
+        if len(cq) > 1:
+            keep = np.empty(len(cq), dtype=bool)
+            keep[0] = True
+            keep[1:] = (cq[1:] != cq[:-1]) | (cr[1:] != cr[:-1])
+            if not keep.all():
+                cq, cr, cs = cq[keep], cr[keep], cs[keep]
         counts = np.bincount(cq, minlength=m)
         offsets = np.zeros(m + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])

@@ -183,3 +183,34 @@ def test_ivf_underfill_pads_with_minus_one():
     for r in range(3):
         got = ids[r][ids[r] >= 0]
         assert len(set(got.tolist())) == len(got)  # no dups
+
+
+def test_ivf_spill_multi_assignment_dedups_and_improves_recall():
+    """spill=2 assigns each vector to its 2 nearest lists; search must
+    collapse duplicate hits and never return a row twice, and recall at
+    fixed nprobe must not drop vs spill=1."""
+    import numpy as np
+
+    from raykg.index import FlatIndex, IvfIndex
+
+    rng = np.random.default_rng(3)
+    n, dim = 8000, 48
+    X = rng.normal(size=(n, dim)).astype(np.float32)
+    wiki = np.arange(n, dtype=np.int64)
+    titles = [str(i) for i in range(n)]
+    flat = FlatIndex(X, wiki, titles)
+    Q = rng.normal(size=(200, dim)).astype(np.float32)
+    _, ie = flat.search_knn(Q, 10)
+
+    recalls = {}
+    for spill in (1, 2):
+        meta = IvfIndex.build_meta(X, n_lists=32, spill=spill)
+        ivf = IvfIndex(X, wiki, titles, prebuilt=meta, nprobe=8)
+        _, ia = ivf.search_knn(Q, 10)
+        for r in range(len(Q)):  # no duplicate rows per query
+            got = ia[r][ia[r] >= 0]
+            assert len(set(got.tolist())) == len(got)
+        recalls[spill] = np.mean(
+            [len(set(ie[i]) & set(ia[i])) / 10 for i in range(len(Q))]
+        )
+    assert recalls[2] >= recalls[1] - 1e-9, recalls
