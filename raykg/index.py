@@ -227,6 +227,15 @@ class IvfIndex(FlatIndex):
             )
         self.n_lists = len(self.centroids)
         self.nprobe = min(nprobe, max(self.n_lists, 1))
+        # vectors re-laid-out in list order: per-list access in search
+        # becomes a contiguous SLICE (view) instead of a fancy-index
+        # gather that would otherwise re-copy every probed list on every
+        # query chunk (the gather, not the GEMM, dominated retrieval)
+        self._vecs_by_list = (
+            np.ascontiguousarray(self.vectors[self.list_perm])
+            if len(self.list_perm)
+            else self.vectors
+        )
 
     @staticmethod
     def build_meta(
@@ -278,12 +287,19 @@ class IvfIndex(FlatIndex):
         np.cumsum(counts, out=offsets[1:])
         return centroids, perm, offsets
 
+    # larger chunks than the exact path: the IVF intermediate is
+    # (list_size × queries_probing_list), not (chunk × ntotal), so a big
+    # chunk costs little memory while fattening each per-list GEMM —
+    # with 256-query chunks a 128-list index degenerates into ~30-query
+    # matrices where argpartition/call overhead dominates the FLOPs
+    IVF_SEARCH_CHUNK = 4096
+
     def search_knn(self, queries: np.ndarray, top_k: int):
         m = len(queries)
-        if m > self.SEARCH_CHUNK and self.ntotal > 0:
+        if m > self.IVF_SEARCH_CHUNK and self.ntotal > 0:
             parts = [
-                self.search_knn(queries[lo : lo + self.SEARCH_CHUNK], top_k)
-                for lo in range(0, m, self.SEARCH_CHUNK)
+                self.search_knn(queries[lo : lo + self.IVF_SEARCH_CHUNK], top_k)
+                for lo in range(0, m, self.IVF_SEARCH_CHUNK)
             ]
             return (
                 np.concatenate([p[0] for p in parts]),
@@ -320,22 +336,26 @@ class IvfIndex(FlatIndex):
 
         cq_parts, cr_parts, cs_parts = [], [], []
         for i, l in enumerate(uls):
-            lo, hi = self.list_offsets[l], self.list_offsets[l + 1]
+            lo, hi = int(self.list_offsets[l]), int(self.list_offsets[l + 1])
             if hi <= lo:
                 continue
             rows = self.list_perm[lo:hi]
             qs = flat_q[starts[i] : bounds[i + 1]]
-            S = self.vectors[rows] @ q[qs].T  # (n_l, q_l)
+            # (q_l, n_l) row-major: per-query argpartition runs along
+            # contiguous rows (axis-0 partitioning of a C-ordered matrix
+            # strides the whole array per comparison and was ~40% of
+            # search time)
+            S = q[qs] @ self._vecs_by_list[lo:hi].T
             kk = min(top_k, len(rows))
             if kk < len(rows):
-                top = np.argpartition(-S, kk - 1, axis=0)[:kk]
+                top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
             else:
                 top = np.broadcast_to(
-                    np.arange(len(rows))[:, None], S.shape
+                    np.arange(len(rows))[None, :], S.shape
                 ).copy()
-            sel_s = np.take_along_axis(S, top, axis=0).T.ravel()
-            sel_r = rows[top].T.ravel()
-            cq_parts.append(np.repeat(qs, kk))
+            sel_s = np.take_along_axis(S, top, axis=1).ravel()
+            sel_r = rows[top].ravel()
+            cq_parts.append(np.repeat(qs, top.shape[1]))
             cr_parts.append(sel_r)
             cs_parts.append(sel_s)
 
