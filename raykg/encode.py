@@ -150,8 +150,10 @@ class HashEncoder:
         for m, l, r in zip(mentions, context_left, context_right):
             l, r = l or "", r or ""
             # whitespace tokens take >= 2 chars each incl. separator, so
-            # a short row can never exceed the budget — skip tokenizing
-            if len(l) + len(r) + len(m or "") + 3 <= 2 * msl - 1:
+            # a short row can never exceed the budget — skip tokenizing.
+            # Budget is msl - 2 tokens (the [ENT_START]/[ENT_END] tag
+            # allowance counts against msl), hence 2*(msl-2)-1 chars.
+            if len(l) + len(r) + len(m or "") + 3 <= 2 * (msl - 2) - 1:
                 out.append(l + " " + r)
                 continue
             lt, rt = self.tokenize(l), self.tokenize(r)

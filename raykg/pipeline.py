@@ -84,15 +84,19 @@ class PipelineConfig:
     # >1 splits the KB across per-shard retrieval actor pools (each
     # actor holds one shard; exact running-top-k merge between stages) —
     # the multi-node answer to a KB that exceeds one worker's memory
-    # (SURVEY.md §7.7.5). Output is bit-identical to kb_shards=1.
+    # (SURVEY.md §7.7.5). With ann="exact" the output is bit-identical
+    # to kb_shards=1; with ann="ivf" each shard probes its OWN k-means
+    # lists, so per-shard partitions differ from whole-KB partitions and
+    # parity is gated at ≥0.95 (tests/test_sharded.py) rather than
+    # bit-exact.
     kb_shards: int = 1
     # "exact" reproduces the reference-equivalent oracle bit-for-bit;
     # "ivf" probes ivf_nprobe of ivf_lists coarse partitions per query —
     # the counterpart of the reference's approximate HNSW KB index
     # (faiss_indexer.py:76-141), scores stay exact inner products.
-    # IVF metadata is built once on the driver and broadcast. The
-    # kb_shards>1 path is exact-only today (each shard is already a
-    # fraction of the KB; IVF-within-shard is the obvious composition).
+    # IVF metadata is built once on the driver and broadcast. Composes
+    # with kb_shards>1: make_kb_shards builds per-shard IVF metadata
+    # and every ShardRetriever probes ivf_nprobe of its shard's lists.
     ann: str = "exact"  # exact | ivf
     ivf_lists: int = 128
     ivf_nprobe: int = 16
@@ -331,6 +335,7 @@ def run_epoch(
                         "shard_ref": shard_ref,
                         "top_k": cfg.top_k,
                         "is_first": s_i == 0,
+                        "nprobe": cfg.ivf_nprobe,
                     },
                     batch_format="pyarrow",
                     batch_size=cfg.retrieve_batch,
@@ -543,8 +548,10 @@ def run_epoch(
     # sharded RW actor pool (raykg/sharded.py already shards the KB
     # side), at which point clusters flow epoch->shards directly.
     parts = cluster_parts.to_pandas()
+    vec_ref = kb_handles.get("vec_ref")
     clusters_table = _assemble_clusters_table(
-        parts, epoch, cfg.dim, salt_counts=salt_counts
+        parts, epoch, cfg.dim, salt_counts=salt_counts, strategy=strategy,
+        vectorizers=ray.get(vec_ref) if vec_ref is not None else None,
     )
     clusters_dir = os.path.join(out_dir, "clusters")
     os.makedirs(clusters_dir, exist_ok=True)
@@ -642,23 +649,51 @@ def run_epoch(
 
 
 def _merge_salted_clusters(
-    parts: pd.DataFrame, salt_counts: np.ndarray, merge_dot: float
+    parts: pd.DataFrame, salt_counts: np.ndarray, strategy: str = "greedy",
+    vectorizers: dict | None = None,
 ) -> pd.DataFrame:
-    """Re-merge sub-clusters of salted (hot) buckets: union-find over
-    center dot products > merge_dot within each original bucket.
+    """Re-merge sub-clusters of salted (hot) buckets: union-find over a
+    strategy-consistent similarity within each original bucket —
+    greedy: center dot > GREEDY_THRESHOLD (the clusterer's own metric);
+    threestep: center dot > THREESTEP_MERGE_DOT (its compare-encoding
+    cross-cluster merge gate, ``TimeEvolving.py:141`` semantics);
+    feature: the full TF-IDF kernel over sub-cluster titles (title as
+    both surface and context — member contexts are not carried on the
+    cluster row) > FEATURE_THRESHOLD; identical titles score 1.0, so
+    sub-clusters split only by salting re-merge (documented
+    approximation).
     Deterministic: components ordered by min member id; the merged
     center is the smallest-min_mention_id sub-cluster's center (the
     member rows needed for an exact re-medoid live on the cluster, not
     here — documented approximation, only for oversize buckets)."""
+    from raykg.schema import (
+        FEATURE_THRESHOLD,
+        GREEDY_THRESHOLD,
+        THREESTEP_MERGE_DOT,
+    )
+
     out = []
     for blk, grp in parts.groupby("block", sort=True):
         if int(salt_counts[int(blk)]) <= 1 or len(grp) <= 1:
             out.append(grp)
             continue
         grp = grp.sort_values("min_mention_id").reset_index(drop=True)
-        C = np.stack([np.asarray(c, dtype=np.float32) for c in grp["center"]])
-        S = C @ C.T
         n = len(grp)
+        if strategy == "feature":
+            from raykg.cluster import feature_scores
+
+            titles = [str(t) for t in grp["title"]]
+            S = feature_scores(titles, titles, vectorizers=vectorizers)
+            merge_dot = FEATURE_THRESHOLD
+        else:
+            C = np.stack(
+                [np.asarray(c, dtype=np.float32) for c in grp["center"]]
+            )
+            S = C @ C.T
+            merge_dot = (
+                THREESTEP_MERGE_DOT if strategy == "threestep"
+                else GREEDY_THRESHOLD
+            )
         parent = np.arange(n)
 
         def find(x: int) -> int:
@@ -699,18 +734,21 @@ def _merge_salted_clusters(
 def _assemble_clusters_table(
     parts: pd.DataFrame, epoch: int, dim: int,
     salt_counts: np.ndarray | None = None,
+    strategy: str = "greedy",
+    vectorizers: dict | None = None,
 ) -> pa.Table:
     """Canonical ids over the collected per-block cluster rows (rank =
     smallest member mention_id across all blocks)."""
     from raykg.encode import vectors_to_column
-    from raykg.schema import GREEDY_THRESHOLD, entity_uri_nil
+    from raykg.schema import entity_uri_nil
 
     if (
         salt_counts is not None
         and len(parts)
         and "block" in parts.columns
     ):
-        parts = _merge_salted_clusters(parts, salt_counts, GREEDY_THRESHOLD)
+        parts = _merge_salted_clusters(parts, salt_counts, strategy=strategy,
+                                       vectorizers=vectorizers)
 
     if len(parts) == 0 or "min_mention_id" not in parts.columns:
         # an epoch with zero NIL mentions: the empty Dataset loses its
@@ -887,27 +925,42 @@ def run_pipeline(
             raise p_err[0]
         _mark_complete(p_epoch, p_st)
 
-    for epoch in epochs:
-        if epoch in manifest["completed_epochs"]:
-            delta = os.path.join(out_dir, "clusters", f"epoch={epoch}.parquet")
-            if os.path.exists(delta):
-                rw_state.add_clusters(pq.read_table(delta))
-            continue
-        st = run_epoch(fixture_dir, out_dir, epoch, kb_handles, rw_state, cfg,
-                       defer_triples=True)
-        err: list = []
-        finish = st["_finish"]
+    try:
+        for epoch in epochs:
+            if epoch in manifest["completed_epochs"]:
+                delta = os.path.join(out_dir, "clusters", f"epoch={epoch}.parquet")
+                if os.path.exists(delta):
+                    rw_state.add_clusters(pq.read_table(delta))
+                continue
+            st = run_epoch(fixture_dir, out_dir, epoch, kb_handles, rw_state, cfg,
+                           defer_triples=True)
+            err: list = []
+            finish = st["_finish"]
 
-        def _runner(finish=finish, err=err):
-            try:
-                finish()
-            except BaseException as e:  # surfaced at join
-                err.append(e)
+            def _runner(finish=finish, err=err):
+                try:
+                    finish()
+                except BaseException as e:  # surfaced at join
+                    err.append(e)
 
-        th = threading.Thread(target=_runner, name=f"triples-{epoch}")
+            th = threading.Thread(target=_runner, name=f"triples-{epoch}")
+            _join_pending()
+            th.start()
+            pending = (epoch, st, th, err)
         _join_pending()
-        th.start()
-        pending = (epoch, st, th, err)
-    _join_pending()
+    except BaseException:
+        # an epoch failed while the previous epoch's triples thread may
+        # still be in flight: join it so a success is recorded in the
+        # manifest (resume skips it) and a failure is not silently lost
+        if pending is not None:
+            try:
+                _join_pending()
+            except BaseException as pending_exc:
+                import logging
+
+                logging.getLogger(__name__).error(
+                    "deferred triples thread also failed: %r", pending_exc
+                )
+        raise
     return {"epochs_run": [s["epoch"] for s in stats], "stats": stats,
             "rw_total": rw_state.ntotal}
