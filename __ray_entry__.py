@@ -264,6 +264,60 @@ LIMIT 10
 """
 
 
+def _q_shuffle_join_revenue(sf_dir: str):
+    """Large×large shuffle equi-join (no broadcast side): lineitem ⋈
+    orders by orderkey through ``raykg.ops.joins.hash_join`` — the
+    tagged-union single-shuffle hash join — then a small grouped
+    aggregate over o_orderpriority. The shape the reference's
+    5.9 M-entity metadata join needs once the dimension side outgrows
+    ``ray.put`` (``pipeline/indexer/main.py:97-135``)."""
+    from raykg.ops.joins import hash_join
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "rev": rev})
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    joined = hash_join(
+        line.map_batches(add_rev, batch_format="pyarrow"),
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        left_cols=["rev"],
+        right_cols=["o_orderpriority"],
+    )
+    out = (
+        joined.groupby("o_orderpriority")
+        .aggregate(Sum("rev", alias_name="revenue"), Count(alias_name="n_items"))
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+_SQL_SHUFFLE_JOIN = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def _q_hourly_events(sf_dir: str):
     """Tumbling event-time window as a grouped aggregate on the
     truncated timestamp (the engine's windowing idiom, SURVEY.md I5)."""
@@ -799,6 +853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_modal_event_type": _q_modal_event_type,
         "join_customer_region": _q_customer_region,
         "join_top_revenue_orders": _q_top_revenue_orders,
+        "join_shuffle_revenue": _q_shuffle_join_revenue,
         "window_hourly_events": _q_hourly_events,
         "dedup_documents_exact": _q_dedup_documents,
         "text_token_counts": _q_token_counts,
@@ -834,6 +889,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_modal_event_type": _SQL_MODAL_EVENT,
         "join_customer_region": _SQL_CUSTOMER_REGION,
         "join_top_revenue_orders": _SQL_TOP_REVENUE,
+        "join_shuffle_revenue": _SQL_SHUFFLE_JOIN,
         "window_hourly_events": _SQL_HOURLY,
         "dedup_documents_exact": _SQL_DEDUP_DOCS,
         "text_token_counts": _SQL_TOKEN_COUNTS,

@@ -7,11 +7,20 @@ tagged union + groupby), and each bucket answers all of its keys with a
 per-key sort + ``np.searchsorted`` — vectorized over the left rows of
 the key, no row loop.
 
+Hash equi-join (``hash_join``): the large×large shuffle join — neither
+side is broadcast. Same tagged-union single-shuffle shape; each coarse
+bucket runs one vectorized ``pd.merge``. This is the operator the
+reference's entity-metadata join needs at its 5.9 M-entity scale
+(``pipeline/indexer/main.py:97-135``) once the dimension side outgrows
+``ray.put`` broadcast, and what MinHash verification uses to rejoin
+candidate ids with corpus text without a driver hop.
+
 Partitioning assumption (documented per the custom-operator contract):
-all rows of one KEY fit in one bucket group. Keys are user/customer-
-grade cardinality here; a single hot key larger than worker memory
-would need a further right-side time-range split, which this corpus
-does not exhibit.
+all rows of one coarse BUCKET fit in one group task. ``coarse`` spreads
+the key space uniformly (multiply-shift on int keys, FNV on strings);
+raise it so that |input| / coarse fits worker memory. A single hot KEY
+larger than a bucket would need per-key salting of the small-multiplied
+side, which these corpora do not exhibit.
 """
 
 from __future__ import annotations
@@ -21,6 +30,7 @@ import pandas as pd
 import pyarrow as pa
 
 ASOF_BUCKETS = 256
+JOIN_BUCKETS = 256
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -46,6 +56,113 @@ def _bucket_of(keys: np.ndarray, coarse: int) -> pa.Array:
         % np.uint64(coarse),
         type=pa.int32(),
     )
+
+
+def _key_bucket(col: pa.ChunkedArray | pa.Array, coarse: int) -> pa.Array:
+    """Bucket id for an int OR string key column."""
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        from raykg.util import hash_strings
+
+        keys = hash_strings(col.to_pylist())
+    else:
+        keys = col.to_numpy(zero_copy_only=False).astype(np.int64)
+    return _bucket_of(np.asarray(keys), coarse)
+
+
+def hash_join(
+    left_ds,
+    right_ds,
+    on: str,
+    right_on: str | None = None,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+    coarse: int = JOIN_BUCKETS,
+):
+    """Distributed hash equi-join of two LARGE datasets — one shuffle,
+    no broadcast side, no driver materialization.
+
+    Both sides are tagged with ``_bucket = h(key) % coarse`` and
+    union-ed (so the exchange is a single groupby); each bucket group
+    does a vectorized ``pd.merge`` of its two sides. ``how`` is
+    ``inner`` or ``left``. Output columns: ``[on] + left_cols +
+    right_cols`` (the right key is renamed onto ``on``; all output
+    names must be distinct).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    right_on = right_on or on
+    left_cols = list(left_cols or [])
+    right_cols = list(right_cols or [])
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"output name collision: {sorted(overlap)}")
+    ltypes = _schema_types(left_ds)
+    rtypes = _schema_types(right_ds)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {on: batch.column(on)}
+        for c in left_cols:
+            cols[c] = batch.column(c)
+        for c in right_cols:
+            cols[c] = pa.nulls(batch.num_rows, type=rtypes[c])
+        t = pa.table(cols)
+        t = t.append_column("_bucket", _key_bucket(batch.column(on), coarse))
+        return t.append_column(
+            "_side", pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        )
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = {on: batch.column(right_on)}
+        for c in left_cols:
+            cols[c] = pa.nulls(batch.num_rows, type=ltypes[c])
+        for c in right_cols:
+            cols[c] = batch.column(c)
+        t = pa.table(cols)
+        t = t.append_column(
+            "_bucket", _key_bucket(batch.column(right_on), coarse)
+        )
+        return t.append_column(
+            "_side", pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        )
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+    out_cols = [on] + left_cols + right_cols
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["_side"] == 0][[on] + left_cols]
+        right = g[g["_side"] == 1][[on] + right_cols]
+        res = left.merge(right, on=on, how=how)
+        return res[out_cols]
+
+    merged = tagged.groupby("_bucket").map_groups(
+        merge_bucket, batch_format="pandas"
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        # the union made both sides nullable and pandas may have widened
+        # dtypes — cast back to the source schemas (right cols stay
+        # nullable under how='left')
+        import pyarrow.compute as pc
+
+        for c in out_cols:
+            want = ltypes.get(c) if (c == on or c in left_cols) else rtypes.get(c)
+            if want is None:
+                continue
+            i = t.column_names.index(c)
+            col = t.column(c)
+            if col.type != want:
+                if pa.types.is_floating(col.type) and pa.types.is_integer(want):
+                    # unmatched left-join rows: NaN -> null before the cast
+                    col = pc.if_else(
+                        pc.is_nan(col), pa.nulls(len(col), type=col.type), col
+                    )
+                t = t.set_column(i, c, col.cast(want))
+        return t
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
 
 
 def asof_join(

@@ -307,3 +307,66 @@ def test_asof_join_matches_pandas_merge_asof():
     exp = exp.sort_values("payload").reset_index(drop=True)
     assert (got["val"].to_numpy() == exp["val"].to_numpy()).all()
     assert got["payload"].dtype == np.int64
+
+
+def test_hash_join_matches_pandas_merge():
+    """hash_join (large×large tagged-union shuffle join) vs pd.merge:
+    inner + left, many-to-many keys, unmatched rows on both sides."""
+    from raykg.ops.joins import hash_join
+
+    rng = np.random.default_rng(17)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 200, 2000),
+            "x": rng.normal(size=2000),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": rng.integers(100, 300, 1500),  # half the keys overlap
+            "y": rng.integers(0, 10_000, 1500),
+        }
+    )
+
+    def norm(df):
+        return (
+            df.sort_values(["k", "x", "y"], na_position="last")
+            .reset_index(drop=True)
+        )
+
+    for how in ("inner", "left"):
+        got = hash_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="k", right_on="rk", left_cols=["x"], right_cols=["y"],
+            how=how,
+        ).to_pandas()
+        exp = left.merge(
+            right.rename(columns={"rk": "k"}), on="k", how=how
+        )
+        g, e = norm(got), norm(exp)
+        assert len(g) == len(e)
+        assert (g["k"].to_numpy() == e["k"].to_numpy()).all()
+        assert np.allclose(g["x"], e["x"])
+        assert np.array_equal(
+            g["y"].to_numpy(na_value=-1), e["y"].to_numpy(na_value=-1)
+        )
+    # key dtype survives the union/merge round-trip
+    assert got["k"].dtype == np.int64
+
+
+def test_hash_join_string_keys():
+    from raykg.ops.joins import hash_join
+
+    left = pd.DataFrame({"k": ["a", "b", "c", "b"], "x": [1, 2, 3, 4]})
+    right = pd.DataFrame({"k2": ["b", "c", "d"], "y": [20, 30, 40]})
+    got = (
+        hash_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="k", right_on="k2", left_cols=["x"], right_cols=["y"],
+        )
+        .to_pandas()
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)
+    )
+    assert list(got["k"]) == ["b", "b", "c"]
+    assert list(got["y"]) == [20, 20, 30]
