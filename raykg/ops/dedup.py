@@ -9,8 +9,8 @@ Scale shapes (ray_guide patterns, SURVEY.md §4.3):
   * MinHash-LSH: per-batch shingling + signature (one numpy pass) ->
     explode to (bucket, band, band_hash, doc_id) rows ONLY (~24 B/row;
     no text, no signature through the shuffle) -> groupby band bucket ->
-    candidate id-pairs -> dedup -> verification joins texts back for
-    candidate ids alone (candidates are the small side).
+    candidate id-pairs -> dedup -> verification rejoins texts via two
+    bucketed hash joins against the corpus (no driver materialization).
   * SimHash: 64-bit signature per doc from token hashes; candidates
     share one of four 16-bit bands; verified by Hamming distance.
   * embedding cosine: random-hyperplane LSH (n_tables sign-bit keys
@@ -117,13 +117,24 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.6,
+    broadcast_pairs: int = 1 << 18,
 ):
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
-    Returns a Ray Dataset of verified pairs. Texts for verification are
-    re-read per candidate group from a broadcast id->text lookup built
-    from the (small) candidate-id set; at 100 TB the verification join
-    becomes a hash join against the corpus instead.
+    Returns a Ray Dataset of verified pairs. The verification join
+    picks its strategy from the measured candidate count, like an
+    adaptive broadcast-vs-shuffle join planner:
+
+      * ``<= broadcast_pairs`` candidates: the candidate-id set
+        broadcasts (bounded by the threshold, so never
+        corpus-proportional) and one filtering pass collects just the
+        candidate rows' texts for a broadcast id->text lookup;
+      * more: two bucketed hash joins against the corpus
+        (``raykg.ops.joins.hash_join`` — tagged-union single-shuffle
+        each), with a Bloom bitmap over the candidate ids pruning the
+        corpus before each exchange. The corpus streams and never
+        touches the driver, so a dup-heavy corpus where candidates
+        grow with corpus size cannot OOM anything.
     """
     rows_per_band = num_perm // bands
 
@@ -185,56 +196,40 @@ def minhash_lsh_pairs(
         .groupby("bucket")
         .map_groups(candidate_pairs_in_coarse_bucket, batch_format="pandas")
     )
-    candidates = _dedup_pairs(candidates)
-
-    # ---- verification: join texts back for candidate ids only ----
-    # The candidate-id set is the small side (near-dup candidates), so
-    # it broadcasts; the corpus streams once through a filtering pass
-    # that keeps candidate rows, which are then broadcast as an id->text
-    # lookup. At 100 TB the same two passes hold: candidates << corpus.
-    cand_tbl = candidates.to_pandas()
-    if len(cand_tbl) == 0:
+    # object-store-resident id pairs (the small side, but NOT on the
+    # driver) — materialized so the two verification joins below don't
+    # re-run the candidate shuffle and can read its schema lazily
+    candidates = _dedup_pairs(candidates).materialize()
+    n_cand = candidates.count()
+    if n_cand == 0:
         return ray.data.from_pandas(
             pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
             )
         )
-    cand_ids = np.unique(
-        np.concatenate([cand_tbl["id_a"].to_numpy(), cand_tbl["id_b"].to_numpy()])
-    )
-    cand_ref = ray.put(cand_ids)
 
-    def keep_candidates(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(cand_ref)  # sorted unique ids
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        mask = np.isin(ids, wanted, assume_unique=False)
-        return batch.filter(pa.array(mask)).select([id_col, text_col])
-
-    cand_rows = ds.map_batches(keep_candidates, batch_format="pyarrow").take_all()
-    text_map = {int(r[id_col]): r[text_col] for r in cand_rows}
-    map_ref = ray.put(text_map)
-    # sort pairs by id_a and split into blocks: verification
-    # parallelizes while pairs sharing a doc stay in one task (shingle
-    # cache locality)
-    cand_tbl = cand_tbl.sort_values(["id_a", "id_b"]).reset_index(drop=True)
-    n_blocks = int(min(32, max(1, len(cand_tbl) // 64)))
-
-    def verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(map_ref)
-        a = batch.column("id_a").to_numpy(zero_copy_only=False)
-        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+    def make_sh(lookup_get):
+        # docs recur across pairs in a block — shingle each distinct
+        # doc once per task
         sh_cache: dict[int, set] = {}
 
-        def sh(i: int) -> set:
-            s = sh_cache.get(i)
-            if s is None:
-                s = set(_shingles(lookup.get(i, ""), shingle_k).tolist())
-                sh_cache[i] = s
-            return s
+        def sh(i: int, text) -> set:
+            st = sh_cache.get(i)
+            if st is None:
+                st = set(
+                    _shingles((lookup_get(i) if text is None else text) or "",
+                              shingle_k).tolist()
+                )
+                sh_cache[i] = st
+            return st
 
+        return sh
+
+    def jaccard_rows(a, b, ta, tb, lookup_get=lambda i: ""):
+        sh = make_sh(lookup_get)
         out_a, out_b, out_j = [], [], []
-        for i, j in zip(a.tolist(), b.tolist()):
-            sa, sb = sh(int(i)), sh(int(j))
+        for i, j, x, y in zip(a.tolist(), b.tolist(), ta, tb):
+            sa, sb = sh(int(i), x), sh(int(j), y)
             union = len(sa | sb)
             jac = (len(sa & sb) / union) if union else 1.0
             if jac >= threshold:
@@ -249,11 +244,158 @@ def minhash_lsh_pairs(
             }
         )
 
-    return (
-        ray.data.from_pandas(cand_tbl)
-        .repartition(n_blocks)
-        .map_batches(verify, batch_format="pyarrow")
+    if n_cand <= broadcast_pairs:
+        # ---- broadcast verification (the measured-small side). Driver
+        # footprint is bounded by broadcast_pairs, never by the corpus:
+        # one filtering pass collects only the candidate rows' texts.
+        cand_tbl = candidates.to_pandas()
+        cand_ids = np.unique(
+            np.concatenate(
+                [cand_tbl["id_a"].to_numpy(), cand_tbl["id_b"].to_numpy()]
+            )
+        )
+        cand_ref = ray.put(cand_ids)
+
+        def keep_candidates(batch: pa.Table) -> pa.Table:
+            wanted = ray.get(cand_ref)  # sorted unique ids
+            ids = (
+                batch.column(id_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            mask = np.isin(ids, wanted, assume_unique=False)
+            return batch.filter(pa.array(mask)).select([id_col, text_col])
+
+        cand_rows = ds.map_batches(
+            keep_candidates, batch_format="pyarrow"
+        ).take_all()
+        text_map = {int(r[id_col]): r[text_col] for r in cand_rows}
+        map_ref = ray.put(text_map)
+        # pairs sorted by id_a and split into blocks: verification
+        # parallelizes while pairs sharing a doc stay in one task
+        # (shingle cache locality)
+        cand_tbl = cand_tbl.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        n_blocks = int(min(32, max(1, len(cand_tbl) // 64)))
+
+        def verify_broadcast(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(map_ref)
+            a = batch.column("id_a").to_numpy(zero_copy_only=False)
+            b = batch.column("id_b").to_numpy(zero_copy_only=False)
+            return jaccard_rows(
+                a, b, [None] * len(a), [None] * len(a),
+                lookup_get=lambda i: lookup.get(i, ""),
+            )
+
+        return (
+            ray.data.from_pandas(cand_tbl)
+            .repartition(n_blocks)
+            .map_batches(verify_broadcast, batch_format="pyarrow")
+        )
+
+    # ---- shuffle verification: bucketed hash-join of candidate ids
+    # against the corpus — streaming passes over the corpus, no
+    # to_pandas/take_all of corpus-derived data anywhere. A Bloom
+    # bitmap over the candidate ids (built by OR-merging fixed-size
+    # per-block bitmaps — the driver holds only the 512 KB bitmap,
+    # never the ids) prunes the corpus BEFORE each join shuffle, so the
+    # exchange ships ~candidate rows, not the corpus; false positives
+    # only ship extra rows, the join keeps correctness.
+    from raykg.ops.joins import hash_join
+
+    bloom_ref = _bloom_build(candidates, ["id_a", "id_b"])
+
+    def corpus_as(name):
+        def proj(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            keep = _bloom_test(ray.get(bloom_ref), ids)
+            batch = batch.filter(pa.array(keep))
+            return pa.table(
+                {id_col: batch.column(id_col), name: batch.column(text_col)}
+            )
+
+        return ds.map_batches(proj, batch_format="pyarrow")
+
+    i64, s = pa.int64(), pa.string()
+    with_a = hash_join(
+        candidates, corpus_as("_ta"),
+        on="id_a", right_on=id_col,
+        left_cols=["id_b"], right_cols=["_ta"],
+        left_types={"id_a": i64, "id_b": i64},
+        right_types={"_ta": s},
     )
+    with_both = hash_join(
+        with_a, corpus_as("_tb"),
+        on="id_b", right_on=id_col,
+        left_cols=["id_a", "_ta"], right_cols=["_tb"],
+        left_types={"id_a": i64, "id_b": i64, "_ta": s},
+        right_types={"_tb": s},
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        return jaccard_rows(
+            a, b, batch.column("_ta").to_pylist(), batch.column("_tb").to_pylist()
+        )
+
+    return with_both.map_batches(verify, batch_format="pyarrow")
+
+
+_BLOOM_LOG2 = 22  # 2^22 bits = 512 KB; two hash probes per id
+_BLOOM_H1 = np.uint64(0x9E3779B97F4A7C15)
+_BLOOM_H2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _bloom_hashes(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    mask = np.uint64((1 << _BLOOM_LOG2) - 1)
+    u = ids.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = ((u * _BLOOM_H1) >> np.uint64(11)) & mask
+        h2 = ((u * _BLOOM_H2) >> np.uint64(7)) & mask
+    return h1, h2
+
+
+def _bloom_build(id_ds, cols: list[str]):
+    """Bloom bitmap over the int64 ids in ``cols`` of ``id_ds``: each
+    block emits one fixed-size packed bitmap; the driver OR-merges
+    them. Driver memory is O(bitmap × n_blocks transient), independent
+    of id count — the scale-safe way to semi-join-prune a corpus
+    against a distributed id set. Returns a ray.put ref of the
+    uint64-word bitmap."""
+
+    def block_bitmap(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                batch.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+                for c in cols
+            ]
+        )
+        bm = np.zeros(1 << (_BLOOM_LOG2 - 6), dtype=np.uint64)
+        for h in _bloom_hashes(ids):
+            np.bitwise_or.at(
+                bm, (h >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (h & np.uint64(63)),
+            )
+        return pa.table({"bm": pa.array([bm.tobytes()], type=pa.binary())})
+
+    parts = id_ds.map_batches(
+        block_bitmap, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    bm = np.zeros(1 << (_BLOOM_LOG2 - 6), dtype=np.uint64)
+    for p in parts:
+        bm |= np.frombuffer(p["bm"], dtype=np.uint64)
+    return ray.put(bm)
+
+
+def _bloom_test(bm: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    ids = np.asarray(ids).astype(np.int64)
+    keep = np.ones(len(ids), dtype=bool)
+    for h in _bloom_hashes(ids):
+        bits = (
+            bm[(h >> np.uint64(6)).astype(np.int64)] >> (h & np.uint64(63))
+        ) & np.uint64(1)
+        keep &= bits.astype(bool)
+    return keep
 
 
 def _dedup_pairs(pairs):

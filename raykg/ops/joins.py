@@ -78,6 +78,8 @@ def hash_join(
     right_cols: list[str] | None = None,
     how: str = "inner",
     coarse: int = JOIN_BUCKETS,
+    left_types: dict[str, pa.DataType] | None = None,
+    right_types: dict[str, pa.DataType] | None = None,
 ):
     """Distributed hash equi-join of two LARGE datasets — one shuffle,
     no broadcast side, no driver materialization.
@@ -87,7 +89,10 @@ def hash_join(
     does a vectorized ``pd.merge`` of its two sides. ``how`` is
     ``inner`` or ``left``. Output columns: ``[on] + left_cols +
     right_cols`` (the right key is renamed onto ``on``; all output
-    names must be distinct).
+    names must be distinct). Pass ``left_types``/``right_types`` (name
+    -> pa.DataType for the key + requested columns) when a side is a
+    still-lazy pipeline whose ``schema()`` would otherwise trigger
+    execution.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}")
@@ -97,8 +102,8 @@ def hash_join(
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"output name collision: {sorted(overlap)}")
-    ltypes = _schema_types(left_ds)
-    rtypes = _schema_types(right_ds)
+    ltypes = left_types or _schema_types(left_ds)
+    rtypes = right_types or _schema_types(right_ds)
 
     def tag_left(batch: pa.Table) -> pa.Table:
         cols = {on: batch.column(on)}

@@ -370,3 +370,44 @@ def test_hash_join_string_keys():
     )
     assert list(got["k"]) == ["b", "b", "c"]
     assert list(got["y"]) == [20, 20, 30]
+
+
+def test_minhash_shuffle_verification_matches_broadcast():
+    """The scale path (hash-join + bloom-pruned verification,
+    broadcast_pairs=0) must produce exactly the broadcast path's
+    verified pairs."""
+    from raykg.ops.dedup import minhash_lsh_pairs
+
+    rng = np.random.default_rng(3)
+    base = [
+        " ".join(
+            rng.choice(["alpha", "beta", "gamma", "delta", "epsilon",
+                        "zeta", "eta", "theta"], size=30)
+        )
+        for _ in range(40)
+    ]
+    texts, ids = [], []
+    for i, t in enumerate(base):
+        texts.append(t)
+        ids.append(2 * i)
+        # planted near-dup: one word changed
+        words = t.split()
+        words[5] = "omega"
+        texts.append(" ".join(words))
+        ids.append(2 * i + 1)
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+
+    b = (
+        minhash_lsh_pairs(rd.from_pandas(df), threshold=0.5)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    s = (
+        minhash_lsh_pairs(rd.from_pandas(df), threshold=0.5, broadcast_pairs=0)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(b) > 0
+    assert b.equals(s)
