@@ -100,6 +100,16 @@ class PipelineConfig:
     ann: str = "exact"  # exact | ivf
     ivf_lists: int = 128
     ivf_nprobe: int = 16
+    # multi-assignment: each KB row joins its ivf_spill nearest lists.
+    # THE recall lever on hash-encoder (flat-similarity) KBs: an exact
+    # re-rank pass would be a no-op here because IVF first-pass scores
+    # are already exact inner products over the probed subset — what
+    # misses are ROWS whose list was not probed, and spill puts
+    # near-tie rows in several lists. Measured on the bench KB with
+    # real mention-encoding queries (tests/test_index.py): recall@10
+    # 0.936 (spill=1) -> ~0.99 (spill=3) at nprobe=16/128, probing
+    # ~0.38x of rows. Memory cost: perm array is spill x n int64.
+    ivf_spill: int = 3
     # feature clusterer: fit the TF-IDF vectorizers ONCE on a
     # deterministic dev sample (first epoch's detected mentions) and
     # broadcast — the reference's pickled-vectorizer flow
@@ -163,7 +173,9 @@ def load_kb_handles(kb_path: str, cfg: "PipelineConfig") -> dict:
 
         # build once on the driver, broadcast; workers just wire arrays
         handles["ann_ref"] = ray.put(
-            IvfIndex.build_meta(idx.vectors, n_lists=cfg.ivf_lists)
+            IvfIndex.build_meta(
+                idx.vectors, n_lists=cfg.ivf_lists, spill=cfg.ivf_spill
+            )
         )
     if cfg.kb_shards > 1:
         from raykg.sharded import make_kb_shards
@@ -171,6 +183,7 @@ def load_kb_handles(kb_path: str, cfg: "PipelineConfig") -> dict:
         handles["shard_refs"] = make_kb_shards(
             kb_tuple, cfg.kb_shards,
             ivf_lists=cfg.ivf_lists if cfg.ann == "ivf" else None,
+            ivf_spill=cfg.ivf_spill,
         )
         handles["titles_ref"] = ray.put(list(idx.titles))
     return handles

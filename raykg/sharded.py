@@ -33,13 +33,15 @@ from raykg.schema import DUMMY_SCORE, INDEXER_KB, INDEXER_RW, TOP_K
 _ACC_COLS = ("_acc_raw", "_acc_ids", "_acc_wikis", "_acc_tomb")
 
 
-def make_kb_shards(kb_tuple, n_shards: int, ivf_lists: int | None = None):
+def make_kb_shards(kb_tuple, n_shards: int, ivf_lists: int | None = None,
+                   ivf_spill: int = 1):
     """(vectors, wikipedia_ids, titles, types, tombstone) -> list of
     ray.put refs of shard tuples (shard row offset kept so global ids
     stay stable). ``ivf_lists``: also build per-shard IVF metadata once
     on the driver so sharded retrieval composes with approximate search
     (each shard probes nprobe of its own lists; the running-top-k merge
-    is unchanged — recall is per-shard approximate, scores stay exact)."""
+    is unchanged — recall is per-shard approximate, scores stay exact).
+    ``ivf_spill``: per-shard multi-assignment (see IvfIndex.build_meta)."""
     from raykg.index import IvfIndex
 
     vectors, wikipedia_ids, titles, types, tombstone = kb_tuple
@@ -49,7 +51,8 @@ def make_kb_shards(kb_tuple, n_shards: int, ivf_lists: int | None = None):
     for s in range(n_shards):
         lo, hi = int(bounds[s]), int(bounds[s + 1])
         meta = (
-            IvfIndex.build_meta(vectors[lo:hi], n_lists=ivf_lists)
+            IvfIndex.build_meta(vectors[lo:hi], n_lists=ivf_lists,
+                                spill=ivf_spill)
             if ivf_lists
             else None
         )

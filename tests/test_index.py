@@ -214,3 +214,64 @@ def test_ivf_spill_multi_assignment_dedups_and_improves_recall():
             [len(set(ie[i]) & set(ia[i])) / 10 for i in range(len(Q))]
         )
     assert recalls[2] >= recalls[1] - 1e-9, recalls
+
+
+def test_ivf_recall_gate_bench_kb_mention_queries():
+    """The bench-KB recall gate (VERDICT r2 item 3): hash-encoder KB
+    vectors + REAL mention-encoding queries (detect+encode over fixture
+    transcripts) must reach recall@10 >= 0.98 at nprobe=16/128 with the
+    flagship default spill=3, probing ~0.38x of rows.
+
+    Note an exact re-rank over a wider candidate pool cannot raise
+    recall here: IVF first-pass scores are already exact inner products
+    over the probed subset — the misses are rows whose list was never
+    probed, which multi-assignment (spill) fixes."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raykg.detect import detect_mentions
+    from raykg.encode import HashEncoder, column_to_vectors
+    from raykg.fixtures import write_fixture
+    from raykg.index import FlatIndex, IvfIndex
+    from raykg.pipeline import PipelineConfig
+
+    fx = "/tmp/raykg_recall_fx"
+    write_fixture(fx, n_convs=200, n_kb=2000, n_nil=200, n_tomb=50,
+                  n_epochs=2, seed=42)
+    kb = pq.read_table(os.path.join(fx, "kb.parquet"))
+    X = column_to_vectors(kb.column("embedding"))
+    n = len(X)
+    wiki = np.arange(n, dtype=np.int64)
+    titles = [str(i) for i in range(n)]
+    flat = FlatIndex(X, wiki, titles)
+
+    parts = sorted(
+        glob.glob(os.path.join(fx, "transcripts", "epoch=0", "*.parquet"))
+    )
+    t = pa.concat_tables(
+        [pq.read_table(p, columns=["conv_id", "turn_idx", "text"]) for p in parts]
+    )
+    det = detect_mentions(t)
+    enc = HashEncoder(dim=64)
+    Q = enc.encode_mentions(
+        det.column("mention").to_pylist(),
+        det.column("context_left").to_pylist(),
+        det.column("context_right").to_pylist(),
+    )
+    rng = np.random.default_rng(1)
+    Q = Q[rng.choice(len(Q), size=min(800, len(Q)), replace=False)]
+
+    cfg = PipelineConfig()
+    meta = IvfIndex.build_meta(X, n_lists=cfg.ivf_lists, spill=cfg.ivf_spill)
+    ivf = IvfIndex(X, wiki, titles, prebuilt=meta, nprobe=cfg.ivf_nprobe)
+    _, ie = flat.search_knn(Q, 10)
+    _, ia = ivf.search_knn(Q, 10)
+    recall = np.mean([len(set(ie[i]) & set(ia[i])) / 10 for i in range(len(Q))])
+    assert recall >= 0.98, recall
+    # the probed fraction stays well under 1 (the approximation is real)
+    probed_frac = len(meta[1]) / n * cfg.ivf_nprobe / cfg.ivf_lists
+    assert probed_frac <= 0.5, probed_frac
