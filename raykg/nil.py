@@ -217,10 +217,16 @@ class NilStage:
 
     def __init__(self, model: LogisticModel = DEFAULT_NIL_MODEL,
                  rw_uris: list[str] | None = None,
-                 threshold: float = NIL_THRESHOLD):
+                 threshold: float = NIL_THRESHOLD,
+                 rw_offsets: list[tuple[int, int]] | None = None):
         self.model = model
         self.rw_uris = rw_uris or []
         self.threshold = threshold
+        # (epoch, global-id base) pairs, ascending: lets the sharded-RW
+        # path DERIVE ``nil:{epoch}:{rank}`` from a global RW id with no
+        # O(RW) uri broadcast — uris are positional by construction
+        # (raykg.canon), so this resolves identically to rw_uris[id]
+        self.rw_offsets = rw_offsets or None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         compact = "cand_scores" in batch.column_names
@@ -238,6 +244,16 @@ class NilStage:
         if self.rw_uris:
             rw_arr = np.asarray(self.rw_uris, dtype=object)
             rw_sel = rw_arr[np.clip(f["_top_id"], 0, len(rw_arr) - 1)]
+        elif self.rw_offsets:
+            eps = np.array([e for e, _ in self.rw_offsets], dtype=np.int64)
+            offs = np.array([o for _, o in self.rw_offsets], dtype=np.int64)
+            gid = np.clip(f["_top_id"], 0, None)
+            slot = np.clip(np.searchsorted(offs, gid, side="right") - 1, 0, None)
+            ranks = gid - offs[slot]
+            rw_sel = np.array(
+                [f"nil:{e}:{r}" for e, r in zip(eps[slot], ranks)],
+                dtype=object,
+            )
         else:
             rw_sel = np.full(len(nil_score), "", dtype=object)
         uris = np.where(is_nil, "", np.where(kb_top, kb_uris, rw_sel)).astype(object)

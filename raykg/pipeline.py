@@ -302,15 +302,21 @@ def run_epoch(
         os.path.join(out_dir, "triples", f"epoch={epoch}"), ignore_errors=True
     )
     stale_clusters = os.path.join(out_dir, "clusters", f"epoch={epoch}.parquet")
-    if os.path.exists(stale_clusters):
+    if os.path.isdir(stale_clusters):
+        shutil.rmtree(stale_clusters, ignore_errors=True)
+    elif os.path.exists(stale_clusters):
         os.remove(stale_clusters)
 
     if not isinstance(kb_handles, dict):  # bare ref (back-compat)
         kb_handles = {"kb_ref": kb_handles}
     kb_ref = kb_handles["kb_ref"]
+    # sharded-RW mode (kb_shards>1): the minted-entity index lives in
+    # per-shard object-store slices (raykg.sharded.RwShards) — never as
+    # driver arrays, never as a whole-RW broadcast
+    rw_shards = kb_handles.get("rw_shards")
     rw_ref = (
         ray.put((rw_state.vectors, list(rw_state.titles)))
-        if rw_state.ntotal
+        if rw_shards is None and rw_state.ntotal
         else None
     )
 
@@ -329,14 +335,21 @@ def run_epoch(
         if cfg.kb_shards > 1:
             from raykg.encode import MentionEncoder
             from raykg.nil import NilStage
-            from raykg.sharded import ShardFinalizer, ShardRetriever
+            from raykg.sharded import (
+                RwShardRetriever,
+                ShardFinalizer,
+                ShardRetriever,
+            )
 
             cpus = int(ray.cluster_resources().get("CPU", 4))
             per_shard = max(1, cpus // cfg.kb_shards)
-            # fractional CPU reservation: kb_shards+1 pools must co-exist
-            # with the task stages even on small nodes — without this the
-            # pools' min actors can starve each other (deadlock)
-            actor_cpus = max(0.25, round(cpus / (2 * (cfg.kb_shards + 1)), 2))
+            use_rw_shards = rw_shards is not None and rw_shards.total > 0
+            # fractional CPU reservation: every shard pool (KB + RW) and
+            # the finalizer must co-exist with the task stages even on
+            # small nodes — without this the pools' min actors starve
+            # each other (deadlock)
+            n_pools = cfg.kb_shards * (2 if use_rw_shards else 1) + 1
+            actor_cpus = max(0.1, round(cpus / (2 * n_pools), 2))
             ds = ds.map_batches(
                 MentionEncoder(dim=cfg.dim), batch_format="pyarrow",
                 batch_size=cfg.encode_batch,
@@ -355,26 +368,53 @@ def run_epoch(
                     concurrency=(1, per_shard),
                     num_cpus=actor_cpus,
                 )
+            if use_rw_shards:
+                # minted entities flow through their own shard stages —
+                # no worker holds more than one RW slice
+                rw_live = [r for r in rw_shards.refs if r is not None]
+                for s_i, rref in enumerate(rw_live):
+                    ds = ds.map_batches(
+                        RwShardRetriever,
+                        fn_constructor_kwargs={
+                            "shard_ref": rref,
+                            "top_k": cfg.top_k,
+                            "is_first": s_i == 0,
+                        },
+                        batch_format="pyarrow",
+                        batch_size=cfg.retrieve_batch,
+                        concurrency=(1, per_shard),
+                        num_cpus=actor_cpus,
+                    )
             ds = ds.map_batches(
                 ShardFinalizer,
                 fn_constructor_kwargs={
                     "titles_ref": kb_handles["titles_ref"],
                     "rw_ref": rw_ref,
                     "top_k": cfg.top_k,
+                    "rw_acc": use_rw_shards,
                 },
                 batch_format="pyarrow",
                 batch_size=cfg.retrieve_batch,
                 concurrency=(1, 4),
                 num_cpus=actor_cpus,
             )
-            uris_ref = ray.put(list(rw_state.uris)) if rw_state.ntotal else None
             model = cfg.nil_model
+            if rw_shards is not None:
+                rw_offsets = rw_shards.uri_offsets()
 
-            def nil_fn(batch):
-                stage = NilStage(
-                    model, rw_uris=ray.get(uris_ref) if uris_ref is not None else []
+                def nil_fn(batch):
+                    return NilStage(model, rw_offsets=rw_offsets)(batch)
+            else:
+                uris_ref = (
+                    ray.put(list(rw_state.uris)) if rw_state.ntotal else None
                 )
-                return stage(batch)
+
+                def nil_fn(batch):
+                    stage = NilStage(
+                        model,
+                        rw_uris=ray.get(uris_ref) if uris_ref is not None else [],
+                    )
+                    return stage(batch)
 
             ds = ds.map_batches(nil_fn, batch_format="pyarrow",
                                 batch_size=cfg.nil_batch)
@@ -553,25 +593,97 @@ def run_epoch(
                                  salted=salted),
         batch_format="pyarrow",
     )
-    # clusters are the small side (one row per novel entity) — collected
-    # for canonical id assignment + the KB delta. This driver hop is
-    # deliberate: the RW index of minted entities lives on the driver
-    # and is re-broadcast each epoch (the reference holds the same state
-    # as a ~33 GB in-process FAISS index). The at-scale evolution is a
-    # sharded RW actor pool (raykg/sharded.py already shards the KB
-    # side), at which point clusters flow epoch->shards directly.
-    parts = cluster_parts.to_pandas()
     vec_ref = kb_handles.get("vec_ref")
-    clusters_table = _assemble_clusters_table(
-        parts, epoch, cfg.dim, salt_counts=salt_counts, strategy=strategy,
-        vectorizers=ray.get(vec_ref) if vec_ref is not None else None,
-    )
     clusters_dir = os.path.join(out_dir, "clusters")
     os.makedirs(clusters_dir, exist_ok=True)
-    pq.write_table(
-        clusters_table, os.path.join(clusters_dir, f"epoch={epoch}.parquet")
-    )
-    rw_state.add_clusters(clusters_table)
+    clusters_path = os.path.join(clusters_dir, f"epoch={epoch}.parquet")
+    if rw_shards is None:
+        # clusters are the small side (one row per novel entity) —
+        # collected for canonical id assignment + the KB delta. In this
+        # (kb_shards=1) mode the RW index of minted entities lives on
+        # the driver and is re-broadcast each epoch (the reference
+        # holds the same state as a ~33 GB in-process FAISS index).
+        parts = cluster_parts.to_pandas()
+        clusters_table = _assemble_clusters_table(
+            parts, epoch, cfg.dim, salt_counts=salt_counts, strategy=strategy,
+            vectorizers=ray.get(vec_ref) if vec_ref is not None else None,
+        )
+        n_clusters = int(clusters_table.num_rows)
+        pq.write_table(clusters_table, clusters_path)
+        rw_state.add_clusters(clusters_table)
+    else:
+        # DISTRIBUTED assembly (the sharded-RW scale path): cluster rows
+        # never land on the driver. Salted hot buckets re-merge inside a
+        # per-bucket map_groups; the driver pulls ONLY the 8-byte
+        # min_mention_id column to fix the global rank order (canonical
+        # ids are rank-by-smallest-member, raykg.canon), broadcasts the
+        # sorted id array back, and workers assign ids + write the
+        # clusters partition directly. The RW delta then flows
+        # parquet -> per-shard append tasks (raykg.sharded.RwShards).
+        clusters_table = None
+        if salt_counts is not None:
+            sc = salt_counts
+
+            def _remerge(g: pd.DataFrame) -> pd.DataFrame:
+                return _merge_salted_clusters(
+                    g, sc, strategy=strategy,
+                    vectorizers=ray.get(vec_ref) if vec_ref is not None else None,
+                )
+
+            cluster_parts = cluster_parts.groupby("block").map_groups(
+                _remerge, batch_format="pandas"
+            )
+        merged = cluster_parts.materialize()
+        mins = (
+            merged.select_columns(["min_mention_id"]).to_pandas()
+            if merged.count()
+            else pd.DataFrame({"min_mention_id": []})
+        )
+        n_clusters = len(mins)
+        if n_clusters == 0:
+            pq.write_table(
+                _assemble_clusters_table(pd.DataFrame(), epoch, cfg.dim),
+                clusters_path,
+            )
+        else:
+            sorted_mins = np.sort(
+                mins["min_mention_id"].to_numpy().astype(np.int64)
+            )
+            mins_ref = ray.put(sorted_mins)
+            dim = cfg.dim
+
+            def _finalize_clusters(t: pa.Table) -> pa.Table:
+                from raykg.encode import vectors_to_column
+                from raykg.schema import entity_uri_nil
+
+                order = np.asarray(ray.get(mins_ref))
+                mm = t.column("min_mention_id").to_numpy(zero_copy_only=False)
+                ranks = np.searchsorted(order, mm)
+                centers = np.stack(
+                    [np.asarray(c, dtype=np.float32)
+                     for c in t.column("center").to_pylist()]
+                ) if t.num_rows else np.zeros((0, dim), dtype=np.float32)
+                return pa.table(
+                    {
+                        "cluster_id": pa.array(
+                            [entity_uri_nil(epoch, int(r)) for r in ranks],
+                            type=pa.string(),
+                        ),
+                        "epoch": pa.array(
+                            np.full(t.num_rows, epoch, dtype=np.int32)
+                        ),
+                        "title": t.column("title"),
+                        "nelements": t.column("nelements"),
+                        "mention_ids": t.column("mention_ids"),
+                        "mentions": t.column("mentions"),
+                        "center": vectors_to_column(centers),
+                    }
+                )
+
+            merged.map_batches(
+                _finalize_clusters, batch_format="pyarrow"
+            ).write_parquet(clusters_path)
+        rw_shards.append_epoch(clusters_path, epoch, n_clusters)
     t_clusters = time.time()
 
     # ---- triples (deferrable: next epoch only needs the RW clusters,
@@ -579,27 +691,93 @@ def run_epoch(
     # mention stage — see run_pipeline's epoch pipelining) ----
     def run_triples() -> float:
         t_start = time.time()
-        nil_uri_map: dict[int, str] = {}
-        for row in clusters_table.select(
-            ["cluster_id", "mention_ids"]
-        ).to_pylist():
-            for mid in row["mention_ids"]:
-                nil_uri_map[mid] = row["cluster_id"]
-
         linked = rd.read_parquet(
             mentions_dir,
             override_num_blocks=post_blocks,
             columns=["mention_id", "conv_id", "turn_idx", "is_nil",
                      "entity_uri"],
         )
-        # the map is O(NIL mentions): broadcast once through the object
-        # store rather than pickling it into every task spec
-        nil_uri_ref = ray.put(nil_uri_map)
+        if rw_shards is None:
+            nil_uri_map: dict[int, str] = {}
+            for row in clusters_table.select(
+                ["cluster_id", "mention_ids"]
+            ).to_pylist():
+                for mid in row["mention_ids"]:
+                    nil_uri_map[mid] = row["cluster_id"]
 
-        def _to_triples(t: pa.Table) -> pa.Table:
-            return mention_triples(t, ray.get(nil_uri_ref), epoch)
+            # the map is O(NIL mentions): broadcast once through the
+            # object store rather than pickling it into every task spec
+            nil_uri_ref = ray.put(nil_uri_map)
 
-        triple_ds = linked.map_batches(_to_triples, batch_format="pyarrow")
+            def _to_triples(t: pa.Table) -> pa.Table:
+                return mention_triples(t, ray.get(nil_uri_ref), epoch)
+
+            triple_ds = linked.map_batches(_to_triples, batch_format="pyarrow")
+        else:
+            # sharded-RW mode: resolve minted uris by a distributed hash
+            # join (mention_id -> cluster_id exploded from the clusters
+            # partition) instead of a driver-built dict — no O(NIL
+            # mentions) driver loop
+            from raykg.ops.joins import hash_join
+
+            def _explode(t: pa.Table) -> pa.Table:
+                col = t.column("mention_ids")
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                counts = np.diff(col.offsets.to_numpy().astype(np.int64))
+                uris = np.repeat(
+                    np.asarray(t.column("cluster_id").to_pylist(),
+                               dtype=object),
+                    counts,
+                )
+                return pa.table(
+                    {
+                        "mention_id": pa.array(
+                            col.values.to_numpy(zero_copy_only=False),
+                            type=pa.int64(),
+                        ),
+                        "_nil_uri": pa.array(uris.tolist(), type=pa.string()),
+                    }
+                )
+
+            nil_map_ds = rd.read_parquet(
+                clusters_path, columns=["cluster_id", "mention_ids"]
+            ).map_batches(_explode, batch_format="pyarrow")
+            resolved = hash_join(
+                linked, nil_map_ds,
+                on="mention_id",
+                left_cols=["conv_id", "turn_idx", "is_nil", "entity_uri"],
+                right_cols=["_nil_uri"],
+                how="left",
+                # left side is parquet-backed (schema from file
+                # metadata, no execution); the lazy right side needs
+                # explicit types
+                right_types={"_nil_uri": pa.string()},
+            )
+
+            def _to_triples(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                nil_uri = t.column("_nil_uri")
+                uri = pc.if_else(
+                    pc.and_kleene(
+                        t.column("is_nil"), pc.is_valid(nil_uri)
+                    ),
+                    nil_uri,
+                    t.column("entity_uri"),
+                )
+                i = t.column_names.index("entity_uri")
+                t = t.set_column(i, "entity_uri", uri)
+                t = t.drop_columns(["_nil_uri"])
+                # uris are pre-resolved; pass an empty map and clear
+                # is_nil so mention_triples keeps the resolved rows
+                t = t.set_column(
+                    t.column_names.index("is_nil"), "is_nil",
+                    pa.array(np.zeros(t.num_rows, dtype=bool)),
+                )
+                return mention_triples(t, {}, epoch)
+
+            triple_ds = resolved.map_batches(_to_triples, batch_format="pyarrow")
         # only the turn-mentions rows can still collide (batch-boundary
         # stragglers after the in-batch dedup); linksTo rows are unique
         # by mention_id and the cluster triples by construction — so the
@@ -620,9 +798,18 @@ def run_epoch(
             mat.map_batches(_keep(True), batch_format="pyarrow")
         )
         triple_ds = unique_part.union(ment_part)
-        ctriples = cluster_triples(clusters_table, epoch)
-        if ctriples.num_rows:
-            triple_ds = triple_ds.union(rd.from_arrow(ctriples))
+        if rw_shards is None:
+            ctriples = cluster_triples(clusters_table, epoch)
+            if ctriples.num_rows:
+                triple_ds = triple_ds.union(rd.from_arrow(ctriples))
+        elif n_clusters > 0:
+            # per-batch emission straight from the clusters partition
+            ctriple_ds = rd.read_parquet(
+                clusters_path, columns=["cluster_id", "title", "mention_ids"]
+            ).map_batches(
+                lambda t: cluster_triples(t, epoch), batch_format="pyarrow"
+            )
+            triple_ds = triple_ds.union(ctriple_ds)
         triples_dir = os.path.join(out_dir, "triples", f"epoch={epoch}")
         triple_ds.write_parquet(triples_dir)
         return time.time() - t_start
@@ -632,8 +819,8 @@ def run_epoch(
     stats = {
         "epoch": epoch,
         "input": tr_path,
-        "n_clusters": int(clusters_table.num_rows),
-        "rw_total": rw_state.ntotal,
+        "n_clusters": int(n_clusters),
+        "rw_total": rw_shards.total if rw_shards is not None else rw_state.ntotal,
         "config": cfg.digest(),
         "wall_s": round(time.time() - t0, 3),
         "mentions_s": round(t_mentions - t0, 3),
@@ -845,6 +1032,18 @@ def fit_vectorizers_from_fixture(
     return fit_feature_vectorizers(mentions, contexts)
 
 
+def _parquet_num_rows(path: str) -> int:
+    """Row count from parquet METADATA only (file or directory) — the
+    resume path must not load cluster payloads onto the driver."""
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
+
+
 def list_epochs(fixture_dir: str) -> list[int]:
     tdir = os.path.join(fixture_dir, "transcripts")
     return sorted(
@@ -907,6 +1106,12 @@ def run_pipeline(
         if vec is not None:
             kb_handles["vec_ref"] = ray.put(vec)
     rw_state = RwState(cfg.dim)
+    rw_shards = None
+    if cfg.kb_shards > 1:
+        from raykg.sharded import RwShards
+
+        rw_shards = RwShards(cfg.kb_shards, cfg.dim)
+        kb_handles["rw_shards"] = rw_shards
     stats = []
 
     # epoch pipelining: epoch k's triples phase runs on a worker thread
@@ -943,7 +1148,12 @@ def run_pipeline(
             if epoch in manifest["completed_epochs"]:
                 delta = os.path.join(out_dir, "clusters", f"epoch={epoch}.parquet")
                 if os.path.exists(delta):
-                    rw_state.add_clusters(pq.read_table(delta))
+                    if rw_shards is not None:
+                        rw_shards.append_epoch(
+                            delta, epoch, _parquet_num_rows(delta)
+                        )
+                    else:
+                        rw_state.add_clusters(pq.read_table(delta))
                 continue
             st = run_epoch(fixture_dir, out_dir, epoch, kb_handles, rw_state, cfg,
                            defer_triples=True)
@@ -976,4 +1186,5 @@ def run_pipeline(
                 )
         raise
     return {"epochs_run": [s["epoch"] for s in stats], "stats": stats,
-            "rw_total": rw_state.ntotal}
+            "rw_total": rw_shards.total if rw_shards is not None
+            else rw_state.ntotal}

@@ -15,11 +15,21 @@ of per-shard top-ks, so merging per-shard top-ks by raw score and
 truncating to k reproduces the unsharded result bit-for-bit — including
 tombstone dummies, which occupy their raw-score slot and only collapse
 to −1000 at final assembly (``pipeline/indexer/main.py:121-135``
-semantics). `finalize_sharded` then emits the same compact columns as
-the single-index path and appends the RW (minted-entity) index search.
+semantics). ``ShardFinalizer`` then emits the same compact columns as
+the single-index path.
+
+The minted-entity (RW) index is sharded the same way (round 3):
+``RwShards`` keeps per-shard object-store slices appended by worker
+tasks straight from each epoch's clusters parquet — cluster payloads
+never land on the driver — and ``RwShardRetriever`` stages accumulate
+the RW running top-k bit-identically to a whole-RW flat search
+(tests/test_sharded.py pins sharded == unsharded across multi-epoch
+minted entities, including kill-and-resume).
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -31,6 +41,7 @@ from raykg.index import FlatIndex, compact_candidate_columns
 from raykg.schema import DUMMY_SCORE, INDEXER_KB, INDEXER_RW, TOP_K
 
 _ACC_COLS = ("_acc_raw", "_acc_ids", "_acc_wikis", "_acc_tomb")
+_RW_ACC_COLS = ("_rw_raw", "_rw_ids", "_rw_titles")
 
 
 def make_kb_shards(kb_tuple, n_shards: int, ivf_lists: int | None = None,
@@ -152,10 +163,18 @@ class ShardRetriever:
 
 class ShardFinalizer:
     """Collapse the accumulator to the single-index compact columns
-    (+ the RW minted-entity index, searched whole — it is small) and
-    resolve the winning title from a broadcast title array."""
+    and resolve the winning title from a broadcast title array.
 
-    def __init__(self, titles_ref, rw_ref=None, top_k: int = TOP_K):
+    Minted-entity (RW) candidates come from one of two sources:
+    ``rw_ref`` — a whole-RW (vectors, titles) broadcast searched here
+    (the small-RW path), or ``rw_acc=True`` — the ``_rw_*`` running
+    top-k accumulated by upstream ``RwShardRetriever`` stages (the
+    sharded-RW path; no worker ever holds the whole RW index). Both
+    produce bit-identical output: the sharded merge rule reproduces
+    whole-RW search order exactly."""
+
+    def __init__(self, titles_ref, rw_ref=None, top_k: int = TOP_K,
+                 rw_acc: bool = False):
         self.titles = np.asarray(
             ray.get(titles_ref) if not isinstance(titles_ref, (list, np.ndarray))
             else titles_ref,
@@ -169,6 +188,7 @@ class ShardFinalizer:
                 rw_vectors, np.full(len(rw_vectors), -1, dtype=np.int64),
                 rw_titles, None, None, INDEXER_RW,
             )
+        self.rw_acc = rw_acc
         self.top_k = top_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -187,11 +207,28 @@ class ShardFinalizer:
         valid = gids >= 0
         scores = np.where(tomb, np.float32(DUMMY_SCORE), raw)
         indexers = np.full(scores.shape, INDEXER_KB, dtype=np.int32)
+        kb_width = scores.shape[1]
+        rw_titles_mat = None
 
-        if self.rw_index is not None and self.rw_index.ntotal:
+        use_rw_acc = self.rw_acc and "_rw_ids" in batch.column_names
+        if use_rw_acc:
+            rs = grab("_rw_raw", np.float32)
+            rids = grab("_rw_ids", np.int64)
+            col = batch.column("_rw_titles")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            rw_titles_mat = np.asarray(
+                col.values.to_pylist(), dtype=object
+            ).reshape(m, -1)
+            rvalid = rids >= 0
+        elif self.rw_index is not None and self.rw_index.ntotal:
             queries = column_to_vectors(batch.column("encoding"))
             rs, rids = self.rw_index.search_knn(queries, self.top_k)
             rvalid = rids >= 0
+        else:
+            rvalid = None
+
+        if rvalid is not None:
             scores = np.concatenate([scores, np.where(rvalid, rs, -np.inf)], axis=1)
             raw = np.concatenate([raw, rs], axis=1)
             gids = np.concatenate([gids, rids], axis=1)
@@ -228,16 +265,22 @@ class ShardFinalizer:
         top_id = np.where(has, gids[:, 0], -1).astype(np.int64)
         top_wiki = np.where(has, wikis[:, 0], 0).astype(np.int64)
         top_indexer = np.where(has, indexers[:, 0], -1).astype(np.int32)
+        win_col = order[:, 0]  # source column of the winner (pre-sort)
         top_title = [""] * m
         for r in np.flatnonzero(has):
             if tomb[r, 0]:
                 continue
             if top_indexer[r] == INDEXER_KB:
                 top_title[r] = self.titles[top_id[r]]
+            elif rw_titles_mat is not None:
+                top_title[r] = rw_titles_mat[r, win_col[r] - kb_width]
             else:
                 top_title[r] = self.rw_index.titles[top_id[r]]
 
-        batch = batch.drop_columns(list(_ACC_COLS))
+        batch = batch.drop_columns(
+            list(_ACC_COLS)
+            + [c for c in _RW_ACC_COLS if c in batch.column_names]
+        )
         batch = batch.append_column("cand_wikipedia_ids", wiki_col)
         batch = batch.append_column("cand_scores", score_col)
         batch = batch.append_column("top_score", pa.array(top_score, type=pa.float32()))
@@ -245,3 +288,181 @@ class ShardFinalizer:
         batch = batch.append_column("top_wikipedia_id", pa.array(top_wiki, type=pa.int64()))
         batch = batch.append_column("top_id", pa.array(top_id, type=pa.int64()))
         return batch.append_column("top_indexer", pa.array(top_indexer, type=pa.int32()))
+
+
+# ------------------------------------------------------- sharded RW state
+
+@ray.remote
+def _rw_shard_append(old_shard, clusters_path: str, shard: int,
+                     n_shards: int, base: int, dim: int):
+    """Worker-side append of one epoch's minted entities to one RW
+    shard: reads the epoch's clusters parquet (file or directory),
+    keeps the rows whose global RW id (base + rank) hashes to this
+    shard, and concatenates onto the previous shard tuple. Cluster rows
+    never pass through the driver."""
+    import pyarrow.parquet as pq
+
+    from raykg.encode import column_to_vectors as c2v
+
+    tbl = pq.read_table(clusters_path,
+                        columns=["cluster_id", "center", "title"])
+    if old_shard is None:
+        gids0 = np.zeros(0, dtype=np.int64)
+        vecs0 = np.zeros((0, dim), dtype=np.float32)
+        titles0: list[str] = []
+    else:
+        gids0, vecs0, titles0 = old_shard
+    if tbl.num_rows == 0:
+        return gids0, vecs0, list(titles0)
+    # rank from the canonical id "nil:{epoch}:{rank}" — order-free
+    ranks = np.array(
+        [int(c.rsplit(":", 1)[1]) for c in tbl.column("cluster_id").to_pylist()],
+        dtype=np.int64,
+    )
+    gids = base + ranks
+    keep = (gids % n_shards) == shard
+    if not keep.any():
+        return gids0, vecs0, list(titles0)
+    order = np.argsort(gids[keep])  # ascending gid == RW row order
+    gids_new = gids[keep][order]
+    vecs = c2v(tbl.column("center"))[keep][order].astype(np.float32)
+    titles_all = np.asarray(tbl.column("title").to_pylist(), dtype=object)
+    titles_new = titles_all[keep][order].tolist()
+    return (
+        np.concatenate([gids0, gids_new]),
+        np.concatenate([vecs0, vecs]),
+        list(titles0) + titles_new,
+    )
+
+
+class RwShards:
+    """Driver-side HANDLE to the sharded minted-entity (RW) index.
+
+    The driver holds only object refs and integer per-epoch offsets —
+    the vectors/titles live in the object store, appended by
+    ``_rw_shard_append`` tasks that read each epoch's clusters parquet
+    directly (SURVEY.md §7.7.5; removes the round-2 driver RW barrier).
+    Global RW ids are ``offsets[epoch] + rank`` and shard by
+    ``gid % n_shards``; ``uri_offsets()`` lets NilStage derive
+    ``nil:{epoch}:{rank}`` from a global id without any uri broadcast.
+    """
+
+    def __init__(self, n_shards: int, dim: int):
+        self.n_shards = n_shards
+        self.dim = dim
+        self.refs: list = [None] * n_shards
+        self.epochs: list[int] = []
+        self.offsets: list[int] = []
+        self.total = 0
+
+    def append_epoch(self, clusters_path: str, epoch: int,
+                     n_clusters: int) -> None:
+        base = self.total
+        if n_clusters > 0:
+            for s in range(self.n_shards):
+                self.refs[s] = _rw_shard_append.remote(
+                    self.refs[s], clusters_path, s, self.n_shards, base,
+                    self.dim,
+                )
+        self.epochs.append(epoch)
+        self.offsets.append(base)
+        self.total += int(n_clusters)
+
+    def uri_offsets(self) -> list[tuple[int, int]]:
+        return list(zip(self.epochs, self.offsets))
+
+    @property
+    def ntotal(self) -> int:
+        return self.total
+
+
+class RwShardRetriever:
+    """One stage per RW shard: accumulate the running top-k over minted
+    entities in ``_rw_raw`` / ``_rw_ids`` (global RW ids) / ``_rw_titles``
+    columns. Merge rule (raw desc, gid asc) matches FlatIndex whole-RW
+    search exactly (RW row position == ascending-gid position), so the
+    sharded union is bit-identical to the unsharded RW search."""
+
+    def __init__(self, shard_ref, top_k: int = TOP_K, is_first: bool = False):
+        shard = (
+            ray.get(shard_ref) if not isinstance(shard_ref, tuple) else shard_ref
+        )
+        self.gids, vectors, self.titles = shard
+        self.index = FlatIndex(
+            vectors, np.full(len(vectors), -1, dtype=np.int64),
+            list(self.titles), None, None, INDEXER_RW,
+        )
+        self.top_k = top_k
+        self.is_first = is_first
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        queries = column_to_vectors(batch.column("encoding"))
+        m = len(queries)
+        k = self.top_k
+        raw, ids = self.index.search_knn(queries, k)
+        valid = ids >= 0
+        safe = np.maximum(ids, 0)
+        gids = np.where(valid, self.gids[safe], -1)
+        raw = np.where(valid, raw, np.float32(-np.inf))
+        titles_arr = np.asarray(list(self.titles) + [""], dtype=object)
+        tt = titles_arr[np.where(valid, safe, len(self.titles))]
+
+        if self.is_first:
+            acc_raw, acc_ids, acc_tt = raw, gids, tt
+        else:
+            def grab(name, dtype):
+                col = batch.column(name)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                return (
+                    col.values.to_numpy(zero_copy_only=False)
+                    .reshape(m, -1).astype(dtype)
+                )
+
+            def grab_str(name):
+                col = batch.column(name)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                return np.asarray(
+                    col.values.to_pylist(), dtype=object
+                ).reshape(m, -1)
+
+            acc_raw = np.concatenate([grab("_rw_raw", np.float32), raw], axis=1)
+            acc_ids = np.concatenate([grab("_rw_ids", np.int64), gids], axis=1)
+            acc_tt = np.concatenate([grab_str("_rw_titles"), tt], axis=1)
+            order = np.lexsort(
+                (np.where(acc_ids < 0, np.int64(1 << 62), acc_ids), -acc_raw),
+                axis=1,
+            )[:, :k]
+            acc_raw = np.take_along_axis(acc_raw, order, axis=1)
+            acc_ids = np.take_along_axis(acc_ids, order, axis=1)
+            acc_tt = np.take_along_axis(acc_tt, order, axis=1)
+
+        batch = batch.drop_columns(
+            [c for c in _RW_ACC_COLS if c in batch.column_names]
+        )
+        kk = acc_raw.shape[1]
+        batch = batch.append_column(
+            "_rw_raw",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(
+                    np.ascontiguousarray(acc_raw.astype(np.float32)).reshape(-1)
+                ),
+                kk,
+            ),
+        )
+        batch = batch.append_column(
+            "_rw_ids",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(
+                    np.ascontiguousarray(acc_ids.astype(np.int64)).reshape(-1)
+                ),
+                kk,
+            ),
+        )
+        return batch.append_column(
+            "_rw_titles",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(acc_tt.reshape(-1).tolist(), type=pa.string()), kk
+            ),
+        )

@@ -63,3 +63,17 @@ def test_sharded_ivf_composition(small_fixture, tmp_path_factory):
     p = tp / len(pred) if pred else 1.0
     r = tp / len(gold) if gold else 1.0
     assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_sharded_resume_rebuilds_rw_from_deltas(small_fixture, tmp_path_factory, both_runs):
+    """Kill-and-resume in sharded-RW mode: the RW shards are rebuilt
+    from the materialized cluster partitions via metadata-only row
+    counts + worker-side append tasks, and the completed run is
+    bit-identical to the uninterrupted unsharded run."""
+    out1, _ = both_runs
+    out = str(tmp_path_factory.mktemp("sharded_resume"))
+    cfg = PipelineConfig(kb_shards=3)
+    run_pipeline(small_fixture, out, cfg, epochs=[0, 1])  # simulated kill
+    res = run_pipeline(small_fixture, out, cfg)
+    assert res["epochs_run"] == [2]
+    pd.testing.assert_frame_equal(_triples(out1), _triples(out))
