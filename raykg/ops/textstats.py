@@ -133,15 +133,46 @@ def fingerprint(texts: list[str], window: int = 8) -> np.ndarray:
     """Winnowing-style rolling-hash fingerprint: min over the rolling
     k-gram hashes of the lowercased text (k=window). Deterministic
     uint64 per document; equal fingerprints => near-identical prefixes
-    of content with high probability."""
-    from raykg.util import hash_strings
+    of content with high probability.
 
-    out = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        t = (t or "").lower()
-        if len(t) < window:
-            out[i] = hash_strings([t])[0]
-            continue
-        grams = [t[j : j + window] for j in range(len(t) - window + 1)]
-        out[i] = hash_strings(grams).min()
+    Vectorized ACROSS the batch: all documents' codepoints concatenate
+    into one array, one sliding-window FNV pass hashes every k-gram
+    (bit-identical to ``hash_strings`` over the substring list),
+    boundary-crossing windows are masked to u64-max, and a single
+    ``np.minimum.reduceat`` takes each document's min."""
+    from raykg.util import _FNV_OFFSET, _FNV_PRIME, hash_strings
+
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    low = [(t or "").lower() for t in texts]
+    lens = np.fromiter((len(t) for t in low), dtype=np.int64, count=n)
+    short = lens < window
+    if short.any():
+        idx = np.flatnonzero(short)
+        out[idx] = hash_strings([low[i] for i in idx])
+    long_idx = np.flatnonzero(~short)
+    if len(long_idx) == 0:
+        return out
+    docs = [low[i] for i in long_idx]
+    dlens = lens[long_idx]
+    codes = np.frombuffer(
+        "".join(docs).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.uint64)
+    W = np.lib.stride_tricks.sliding_window_view(codes, window)
+    with np.errstate(over="ignore"):
+        h = np.full(len(W), _FNV_OFFSET, dtype=np.uint64)
+        h = (h ^ np.uint64(window)) * _FNV_PRIME  # length fold
+        for j in range(window):
+            h = (h ^ W[:, j]) * _FNV_PRIME
+    starts = np.zeros(len(docs), dtype=np.int64)
+    np.cumsum(dlens[:-1], out=starts[1:])
+    # windows that straddle a document boundary can never win the min
+    valid_end = starts + dlens - window + 1
+    mask = np.ones(len(h), dtype=bool)
+    for s, e in zip(valid_end[:-1], starts[1:]):
+        mask[s:e] = False
+    h = np.where(mask, h, np.uint64(0xFFFFFFFFFFFFFFFF))
+    out[long_idx] = np.minimum.reduceat(h, starts)
     return out
