@@ -91,21 +91,35 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     queries: dict[str, float] = {}
 
-    out = f"/tmp/raykg_bench_out_{sf_name}_{num_cpus}"
-    shutil.rmtree(out, ignore_errors=True)
-    t0 = time.time()
-    # headline = the at-scale configuration: surface blocking (bounded
-    # clustering groups, SURVEY.md §4.3) + IVF approximate KB retrieval
-    # (nprobe/L of the exact GEMM per batch; recall + triple-parity
-    # gated in tests — mirrors the reference, whose production index is
-    # approximate HNSW). Exact mode is timed separately below.
-    run_pipeline(
-        fx, out,
-        PipelineConfig(blocking="surface", dim=dim, ann="ivf",
-                       ivf_lists=128, ivf_nprobe=16),
-        resume=False,
+    # every headline run's raw wall time is kept (VERDICT r2 item 8:
+    # benchmarks on this VM vary ±25-50%, so a single number is not
+    # auditable) — the JSON carries runs=[...] and the reported value
+    # is the median; bench_runs.jsonl accumulates full results.
+    n_runs = int(os.environ.get(
+        "RAYKG_BENCH_RUNS",
+        "1" if os.environ.get("RAYKG_SCALING_FIXTURE") else "2",
+    ))
+    kg_runs: list[float] = []
+    for r in range(max(1, n_runs)):
+        out = f"/tmp/raykg_bench_out_{sf_name}_{num_cpus}"
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        # headline = the at-scale configuration: surface blocking
+        # (bounded clustering groups, SURVEY.md §4.3) + IVF approximate
+        # KB retrieval (nprobe/L of the exact GEMM per batch; recall +
+        # triple-parity gated in tests — mirrors the reference, whose
+        # production index is approximate HNSW). Exact mode is timed
+        # separately below.
+        run_pipeline(
+            fx, out,
+            PipelineConfig(blocking="surface", dim=dim, ann="ivf",
+                           ivf_lists=128, ivf_nprobe=16),
+            resume=False,
+        )
+        kg_runs.append(round(time.time() - t0, 3))
+    kg_sec = sorted(kg_runs)[len(kg_runs) // 2] if len(kg_runs) % 2 else round(
+        sum(sorted(kg_runs)[len(kg_runs) // 2 - 1: len(kg_runs) // 2 + 1]) / 2, 3
     )
-    kg_sec = time.time() - t0
     queries["kg_pipeline"] = round(kg_sec, 3)
 
     if not os.environ.get("RAYKG_SCALING_FIXTURE"):
@@ -142,6 +156,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         "metric": "kg_pipeline_wall",
         "value": round(kg_sec, 3),
         "unit": "sec",
+        "runs": kg_runs,
         "queries": queries,
         "sf": sf_name,
         "num_cpus": num_cpus,
@@ -149,6 +164,12 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         "turns_per_sec": round(n_turns / kg_sec, 1),
     }
     ray.shutdown()
+    try:  # committed history of raw runs (auditable across rounds)
+        with open(os.path.join(REPO, "bench_runs.jsonl"), "a") as f:
+            f.write(json.dumps({"ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                                **result}) + "\n")
+    except OSError:
+        pass
     return result
 
 
@@ -182,6 +203,7 @@ def _scaling() -> None:
             "efficiency": round((tput[32] / tput[8]) / 4, 3),
         },
         "sec": {str(n): vals[n]["value"] for n in levels},
+        "runs": {str(n): vals[n].get("runs", []) for n in levels},
         "turns_per_sec": {str(n): tput[n] for n in levels},
         "sf": vals[8]["sf"],
     }))

@@ -29,6 +29,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
+
 ASOF_BUCKETS = 256
 JOIN_BUCKETS = 256
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
@@ -170,6 +172,10 @@ def hash_join(
     return merged.map_batches(finalize, batch_format="pyarrow")
 
 
+ASOF_MAX_GROUP = 500_000  # rows of one key a single merge task may hold
+ASOF_SALTS = 16
+
+
 def asof_join(
     left_ds,
     right_ds,
@@ -181,6 +187,8 @@ def asof_join(
     right_cols: list[str],
     fill: dict | None = None,
     coarse: int = ASOF_BUCKETS,
+    max_group: int = ASOF_MAX_GROUP,
+    n_salts: int = ASOF_SALTS,
 ):
     """For each left row: the right row of the same key with the
     greatest ``right_ts`` <= left ``ts``; ties on right_ts resolve to
@@ -188,12 +196,75 @@ def asof_join(
     rows take ``fill[col]`` (required for every right col, so output
     dtypes stay stable).
 
+    HOT-KEY SPLITTING: a pre-aggregated census finds keys whose
+    combined row count exceeds ``max_group``; their rows are salted
+    into contiguous TIME RANGES. Each (key, range) group answers its
+    left rows from the rights in-range plus one injected PREFIX row —
+    the latest right from all earlier ranges (computed in a bounded
+    per-(key, range) reduction, hot_keys × n_salts rows on the driver)
+    — so output is identical to the unsalted path. Identical
+    timestamps share a range, so cross-boundary ties cannot occur.
+
     Returns a Dataset with columns ``[key, ts] + left_cols +
     right_cols``.
     """
     fill = fill or {}
     ltypes = _schema_types(left_ds)
     rtypes = _schema_types(right_ds)
+
+    # ---- hot-key census over BOTH sides (partial per batch, small
+    # grouped combine; only hot rows reach the driver)
+    def census(col_key, col_ts):
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(col_key, as_index=False).agg(
+                _n=(col_ts, "size"), _tmin=(col_ts, "min"),
+                _tmax=(col_ts, "max"),
+            )
+            return g.rename(columns={col_key: key})
+
+        return part
+
+    cens = (
+        left_ds.map_batches(census(key, ts), batch_format="pandas")
+        .union(right_ds.map_batches(census(right_key, right_ts),
+                                    batch_format="pandas"))
+        .groupby(key)
+        .map_groups(
+            lambda g: (lambda row: row[row["_n"] > max_group])(
+                pd.DataFrame({
+                    key: [g[key].iloc[0]],
+                    "_n": [int(g["_n"].sum())],
+                    "_tmin": [g["_tmin"].min()],
+                    "_tmax": [g["_tmax"].max()],
+                })
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    hot_map = {
+        r[key]: (
+            pd.Timestamp(r["_tmin"]).value,
+            max(pd.Timestamp(r["_tmax"]).value
+                - pd.Timestamp(r["_tmin"]).value, 1),
+        )
+        for _, r in cens.iterrows()
+    } if len(cens) else {}
+    hot_ref = ray.put(hot_map) if hot_map else None
+
+    def _salts(keys_np, ts_vals) -> np.ndarray:
+        salt = np.zeros(len(keys_np), dtype=np.int64)
+        if hot_ref is not None:
+            hm = ray.get(hot_ref)
+            t0s = pd.Series(keys_np).map({k: v[0] for k, v in hm.items()})
+            ws = pd.Series(keys_np).map({k: v[1] for k, v in hm.items()})
+            mask = t0s.notna().to_numpy()
+            if mask.any():
+                tns = ts_vals[mask]
+                t0 = t0s.to_numpy(dtype="float64")[mask].astype(np.int64)
+                w = ws.to_numpy(dtype="float64")[mask].astype(np.int64)
+                salt[mask] = np.minimum((tns - t0) * n_salts // w, n_salts - 1)
+        return salt
 
     def tag_left(batch: pa.Table) -> pa.Table:
         keys = batch.column(key).to_numpy(zero_copy_only=False)
@@ -203,7 +274,19 @@ def asof_join(
         for c in right_cols:
             cols["_r_" + c] = pa.nulls(batch.num_rows, type=rtypes[c])
         t = pa.table(cols)
-        t = t.append_column("_bucket", _bucket_of(keys, coarse))
+        salt = _salts(
+            keys,
+            batch.column(ts).cast(pa.timestamp("ns")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False),
+        )
+        t = t.append_column("_salt", pa.array(salt))
+        t = t.append_column(
+            "_bucket",
+            pa.array(
+                (np.asarray(_bucket_of(keys, coarse)) + salt) % coarse,
+                type=pa.int32(),
+            ),
+        )
         return t.append_column(
             "_side", pa.array(np.zeros(batch.num_rows, dtype=np.int8))
         )
@@ -216,24 +299,96 @@ def asof_join(
         for c in right_cols:
             cols["_r_" + c] = batch.column(c)
         t = pa.table(cols)
-        t = t.append_column("_bucket", _bucket_of(keys, coarse))
+        salt = _salts(
+            keys,
+            batch.column(right_ts).cast(pa.timestamp("ns")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False),
+        )
+        t = t.append_column("_salt", pa.array(salt))
+        t = t.append_column(
+            "_bucket",
+            pa.array(
+                (np.asarray(_bucket_of(keys, coarse)) + salt) % coarse,
+                type=pa.int32(),
+            ),
+        )
         return t.append_column(
             "_side", pa.array(np.ones(batch.num_rows, dtype=np.int8))
         )
+
+    # ---- per-(hot key, range) PREFIX: the latest right row (max
+    # right_ts, tie by max first right col — the merge's own rule) of
+    # every EARLIER range, bounded at hot_keys × n_salts driver rows
+    prefix_ref = None
+    if hot_map:
+        sort_cols = [right_ts, right_cols[0]]
+
+        def local_last(df: pd.DataFrame) -> pd.DataFrame:
+            hm = ray.get(hot_ref)
+            df = df[df[right_key].isin(list(hm))]
+            if not len(df):
+                return df.assign(_salt=pd.Series([], dtype="int64"))
+            salt = _salts(
+                df[right_key].to_numpy(),
+                df[right_ts].astype("datetime64[ns]").astype("int64").to_numpy(),
+            )
+            df = df.assign(_salt=salt)
+            return (
+                df.sort_values(sort_cols, kind="mergesort")
+                .groupby([right_key, "_salt"], as_index=False)
+                .tail(1)
+            )
+
+        lasts = (
+            right_ds.map_batches(local_last, batch_format="pandas")
+            .groupby([right_key, "_salt"])
+            .map_groups(
+                lambda g: g.sort_values(sort_cols, kind="mergesort").tail(1),
+                batch_format="pandas",
+            )
+            .to_pandas()
+        )
+        prefix: dict = {}
+        for k, kg in lasts.groupby(right_key):
+            kg = kg.sort_values("_salt")
+            best = None
+            rows = {int(r["_salt"]): r for _, r in kg.iterrows()}
+            for s in range(1, n_salts):
+                prev = rows.get(s - 1)
+                if prev is not None and (
+                    best is None
+                    or (prev[right_ts], prev[right_cols[0]])
+                    >= (best[right_ts], best[right_cols[0]])
+                ):
+                    best = prev
+                if best is not None:
+                    prefix[(k, s)] = {
+                        ts: best[right_ts],
+                        **{"_r_" + c: best[c] for c in right_cols},
+                    }
+        prefix_ref = ray.put(prefix)
 
     tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow")
     )
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pfx = ray.get(prefix_ref) if prefix_ref is not None else {}
         parts = []
-        for _, kg in g.groupby(key, sort=False):
+        for (k, s), kg in g.groupby([key, "_salt"], sort=False):
             left = kg[kg["_side"] == 0]
             if len(left) == 0:
                 continue
-            right = kg[kg["_side"] == 1].sort_values(
-                [ts, "_r_" + right_cols[0]]
-            )
+            right = kg[kg["_side"] == 1]
+            inj = pfx.get((k, int(s)))
+            if inj is not None:
+                inj_row = {key: k, "_side": np.int8(1), "_salt": s, **inj}
+                for c in left_cols:
+                    inj_row.setdefault(c, None)
+                right = pd.concat(
+                    [right, pd.DataFrame([inj_row])], ignore_index=True
+                )
+            right = right.sort_values([ts, "_r_" + right_cols[0]])
             res = left[[key, ts] + left_cols].reset_index(drop=True)
             if len(right):
                 idx = (

@@ -7,26 +7,94 @@ ts-sorted partitions:
   * tumbling windows == grouped aggregate on the truncated timestamp
     (see ``__ray_entry__._q_hourly_events``);
   * session windows == per-key gap detection over the sorted group
-    (this module): a new session starts when the gap to the previous
-    event exceeds ``gap``. Partitioning assumption: one group per key —
-    the per-key event count must fit a worker (salt / sub-split keys
-    carrying pathological event counts before calling this).
+    (this module), with HOT-KEY SPLITTING: a cheap pre-aggregated
+    count pass finds keys whose event count exceeds ``max_group``;
+    their events are salted into contiguous TIME RANGES, sessionized
+    per range, and the per-range session summaries re-merge in a
+    second (tiny) grouped pass — sessions straddling a range boundary
+    fuse exactly like the unsalted gap rule, and ids renumber in ts
+    order, so output is identical to the unsalted path. Residual
+    partitioning assumption: one key's SESSION SUMMARIES (5 scalar
+    columns per session) fit a worker — far weaker than the raw-event
+    bound the round-2 implementation required.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+
+import ray
+
+MAX_SESSION_GROUP = 100_000  # events per group a single task may hold
+SESSION_SALTS = 16
+
+
+def _session_cols(key):
+    return [key, "session_id", "n_events", "start_ts", "end_ts"]
 
 
 def sessionize(ds, key: str = "user_id", ts_col: str = "ts",
-               gap_minutes: int = 30):
+               gap_minutes: int = 30, max_group: int = MAX_SESSION_GROUP,
+               n_salts: int = SESSION_SALTS):
     """-> Dataset(key, session_id, n_events, start_ts, end_ts);
     session_id is 1-based per key in ts order (ties keep ts order
     stable by event order within the sorted group)."""
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    # ---- hot-key census: per-batch partial (key, n, tmin, tmax) then a
+    # small grouped combine; only rows with n > max_group ever reach the
+    # driver (bounded by the number of HOT keys, not by cardinality)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, as_index=False).agg(
+            _n=(ts_col, "size"), _tmin=(ts_col, "min"), _tmax=(ts_col, "max")
+        )
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        row = pd.DataFrame(
+            {
+                key: [g[key].iloc[0]],
+                "_n": [int(g["_n"].sum())],
+                "_tmin": [g["_tmin"].min()],
+                "_tmax": [g["_tmax"].max()],
+            }
+        )
+        return row[row["_n"] > max_group]
+
+    hot = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(key)
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    hot_map = {
+        r[key]: (r["_tmin"].value, max(r["_tmax"].value - r["_tmin"].value, 1))
+        for _, r in hot.iterrows()
+    } if len(hot) else {}
+    hot_ref = ray.put(hot_map) if hot_map else None
+
+    def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+        salt = np.zeros(len(df), dtype=np.int64)
+        if hot_ref is not None:
+            hm = ray.get(hot_ref)
+            t0s = df[key].map({k: v[0] for k, v in hm.items()})
+            widths = df[key].map({k: v[1] for k, v in hm.items()})
+            mask = t0s.notna().to_numpy()
+            if mask.any():
+                ts_ns = (
+                    df[ts_col].astype("datetime64[ns]").astype("int64")
+                    .to_numpy()[mask]
+                )
+                t0 = t0s.to_numpy(dtype="float64")[mask].astype(np.int64)
+                w = widths.to_numpy(dtype="float64")[mask].astype(np.int64)
+                salt[mask] = np.minimum(
+                    (ts_ns - t0) * n_salts // w, n_salts - 1
+                )
+        return df.assign(_salt=salt)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col, kind="mergesort")
         new_session = (g[ts_col].diff() > gap) | g[ts_col].diff().isna()
         sid = new_session.cumsum().astype(np.int64)
@@ -37,6 +105,47 @@ def sessionize(ds, key: str = "user_id", ts_col: str = "ts",
         )
         out = out.reset_index()
         out[key] = g[key].iloc[0]
-        return out[[key, "session_id", "n_events", "start_ts", "end_ts"]]
+        out["_salt"] = g["_salt"].iloc[0]
+        return out[[key, "_salt", "session_id", "n_events", "start_ts",
+                    "end_ts"]]
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    sessions = (
+        ds.map_batches(add_salt, batch_format="pandas")
+        .groupby([key, "_salt"])
+        .map_groups(per_group, batch_format="pandas")
+    )
+
+    if not hot_map:
+        # no hot keys: every _salt is 0, groups are exactly per-key
+        return sessions.map_batches(
+            lambda df: df[_session_cols(key)], batch_format="pandas"
+        )
+
+    # ---- boundary re-merge: per-key pass over SESSION SUMMARIES only.
+    # Ranges are contiguous in ts (identical ts -> identical salt), so
+    # sorting summaries by (start_ts, end_ts) restores global session
+    # order; a boundary-straddling session fuses when the next range's
+    # first session starts within `gap` of the previous range's last end
+    # — the exact unsalted gap rule applied to summaries.
+    def merge_key(g: pd.DataFrame) -> pd.DataFrame:
+        if g["_salt"].nunique() <= 1:
+            out = g.sort_values("session_id")
+        else:
+            g = g.sort_values(["start_ts", "end_ts"], kind="mergesort")
+            new = (g["start_ts"] - g["end_ts"].shift()) > gap
+            new.iloc[0] = True
+            grp = new.cumsum()
+            out = (
+                g.groupby(grp)
+                .agg(
+                    n_events=("n_events", "sum"),
+                    start_ts=("start_ts", "min"),
+                    end_ts=("end_ts", "max"),
+                )
+                .reset_index(drop=True)
+            )
+            out[key] = g[key].iloc[0]
+            out["session_id"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out[_session_cols(key)]
+
+    return sessions.groupby(key).map_groups(merge_key, batch_format="pandas")
