@@ -737,6 +737,50 @@ def _q_nil_ablation(sf_dir: str):
     return run_ablation(train, test, mdir, tasks=tasks)
 
 
+def _q_minhash_dup_oracle(sf_dir: str):
+    """MinHash-LSH near-dup pairs with a BRUTE-FORCE SQL ORACLE: at a
+    0.8 jaccard threshold every true pair's LSH miss probability is
+    <1e-9 (16 bands × 4 rows), so the sketch's output is exactly the
+    all-pairs shingle-set jaccard — verification scores use hashed
+    5-gram sets, bit-equal to string sets absent 64-bit collisions."""
+    from raykg.ops.dedup import minhash_lsh_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = minhash_lsh_pairs(ds, threshold=0.8).to_pandas()
+    # explicit half-up rounding on BOTH sides: numpy .round is
+    # banker's, DuckDB round() is half-away — they disagree exactly at
+    # .xxxx5 boundaries
+    out["jaccard"] = np.floor(out["jaccard"] * 10000 + 0.5) / 10000
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+_SQL_MINHASH_ORACLE = """
+WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest([substr(t, i, 5) FOR i IN range(1, length(t) - 3)]) AS g
+    FROM docs WHERE length(t) >= 5
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       floor(inter::DOUBLE / (sa.n + sb.n - inter) * 10000 + 0.5) / 10000
+         AS jaccard
+FROM pairs
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
 # -------------------------------------------------- rows-only queries
 
 def _q_minhash_pairs(sf_dir: str):
@@ -867,6 +911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_asof_latest_order": _q_asof_latest_order,
         "agg_value_quantiles": _q_value_quantiles,
         "agg_user_distinct_types": _q_user_distinct_types,
+        "minhash_dup_pairs_oracle": _q_minhash_dup_oracle,
         # rows-only (model-/sketch-based, not SQL-expressible)
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "simhash_near_dup_pairs": _q_simhash_pairs,
@@ -903,4 +948,5 @@ def oracle_sql() -> dict[str, str]:
         "join_asof_latest_order": _SQL_ASOF_ORDER,
         "agg_value_quantiles": _SQL_VALUE_QUANTILES,
         "agg_user_distinct_types": _SQL_USER_DISTINCT,
+        "minhash_dup_pairs_oracle": _SQL_MINHASH_ORACLE,
     }

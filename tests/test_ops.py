@@ -499,3 +499,67 @@ def test_asof_join_hot_key_salting_matches_unsalted():
         max_group=500, n_salts=8, **kw).to_pandas())
     assert (plain["val"].to_numpy() == salted["val"].to_numpy()).all()
     pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_multimodal_real_decode_and_resize():
+    """VERDICT r2 item 10: the real (non-fake) path decodes actual
+    payloads — netpbm images with the built-in pure-numpy codec (or
+    PIL when installed), PCM WAV audio via stdlib wave — through the
+    same Ray stages; fake-mode plumbing is unchanged."""
+    import pyarrow.compute as pc
+
+    from raykg.ops.multimodal import (
+        DecodeStage,
+        ResizeStage,
+        parse_netpbm,
+        synth_ppm,
+        synth_real_media_table,
+        synth_wav,
+    )
+
+    # codec round-trip sanity
+    ppm = synth_ppm(20, 10, seed=3)
+    arr = parse_netpbm(ppm)
+    assert arr.shape == (10, 20, 3)
+
+    tbl = synth_real_media_table(n=12)
+    ds = rd.from_arrow(tbl)
+
+    dec = ds.map_batches(
+        DecodeStage, fn_constructor_kwargs={"fake": False, "feat_dim": 8},
+        batch_format="pyarrow", batch_size=4, concurrency=2,
+    ).to_pandas()
+    assert len(dec) == 12
+    F = np.stack([np.asarray(f) for f in dec["features"]])
+    assert np.isfinite(F).all()
+    # image rows: feature[0] = width, feature[1] = height
+    img = dec[dec["kind"] == "image"].reset_index(drop=True)
+    assert (F[dec.index[dec["kind"] == "image"], 0]
+            == img["width"].to_numpy()).all()
+    # audio rows: feature[0] = duration seconds > 0, rms > 0
+    aud_idx = dec.index[dec["kind"] == "audio"]
+    assert (F[aud_idx, 0] > 0).all() and (F[aud_idx, 2] > 0.2).all()
+    # deterministic
+    dec2 = ds.map_batches(
+        DecodeStage, fn_constructor_kwargs={"fake": False, "feat_dim": 8},
+        batch_format="pyarrow", batch_size=4, concurrency=2,
+    ).to_pandas()
+    F2 = np.stack([np.asarray(f) for f in dec2["features"]])
+    order = np.argsort(dec["media_id"].to_numpy())
+    order2 = np.argsort(dec2["media_id"].to_numpy())
+    assert np.array_equal(F[order], F2[order2])
+
+    # REAL resize rewrites the payload: decoded dims match the target
+    res = ds.map_batches(
+        ResizeStage,
+        fn_constructor_kwargs={"width": 8, "height": 6, "fake": False},
+        batch_format="pyarrow", batch_size=4, concurrency=2,
+    ).to_pandas()
+    for _, r in res[res["kind"] == "image"].iterrows():
+        out = parse_netpbm(r["payload"])
+        assert out.shape == (6, 8, 3)
+        assert r["width"] == 8 and r["height"] == 6
+    # non-image payloads untouched
+    orig = {r["media_id"]: r["payload"] for r in tbl.to_pylist()}
+    for _, r in res[res["kind"] != "image"].iterrows():
+        assert bytes(r["payload"]) == bytes(orig[r["media_id"]])
