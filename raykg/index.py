@@ -219,23 +219,37 @@ class IvfIndex(FlatIndex):
         prebuilt: tuple | None = None,
     ):
         super().__init__(vectors, wikipedia_ids, titles, types, tombstone, indexer_id)
+        vecs_by_list = None
         if prebuilt is not None:
-            self.centroids, self.list_perm, self.list_offsets = prebuilt
+            if len(prebuilt) == 4:  # driver pre-laid-out (see build_meta)
+                (self.centroids, self.list_perm, self.list_offsets,
+                 vecs_by_list) = prebuilt
+            else:
+                self.centroids, self.list_perm, self.list_offsets = prebuilt
         else:
-            self.centroids, self.list_perm, self.list_offsets = self.build_meta(
-                self.vectors, n_lists=n_lists, seed=seed, train_sample=train_sample
+            (self.centroids, self.list_perm, self.list_offsets,
+             vecs_by_list) = self.build_meta(
+                self.vectors, n_lists=n_lists, seed=seed,
+                train_sample=train_sample,
             )
         self.n_lists = len(self.centroids)
         self.nprobe = min(nprobe, max(self.n_lists, 1))
         # vectors re-laid-out in list order: per-list access in search
         # becomes a contiguous SLICE (view) instead of a fancy-index
         # gather that would otherwise re-copy every probed list on every
-        # query chunk (the gather, not the GEMM, dominated retrieval)
-        self._vecs_by_list = (
-            np.ascontiguousarray(self.vectors[self.list_perm])
-            if len(self.list_perm)
-            else self.vectors
-        )
+        # query chunk (the gather, not the GEMM, dominated retrieval).
+        # When the 4-tuple prebuilt form carries the layout (built ONCE
+        # on the driver, broadcast by ray.put), worker construction is
+        # pure wiring — no per-worker spill×n×d copy; the object-store
+        # array is shared zero-copy by every worker on a node.
+        if vecs_by_list is not None:
+            self._vecs_by_list = vecs_by_list
+        else:
+            self._vecs_by_list = (
+                np.ascontiguousarray(self.vectors[self.list_perm])
+                if len(self.list_perm)
+                else self.vectors
+            )
 
     @staticmethod
     def build_meta(
@@ -244,21 +258,26 @@ class IvfIndex(FlatIndex):
         seed: int = 7,
         train_sample: int = 8192,
         spill: int = 1,
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """-> (centroids (L,d) f32, perm (n·spill,) i64 rows grouped by
-        list with id asc inside, offsets (L+1,) i64). Deterministic.
+        list with id asc inside, offsets (L+1,) i64, vecs_by_list
+        (n·spill, d) f32 list-ordered layout). Deterministic.
 
         ``spill`` > 1 assigns each vector to its ``spill`` nearest lists
         (multi-assignment): recall rises on flat-similarity corpora at
-        the cost of spill× probed rows; duplicate hits are collapsed in
-        search_knn's merge."""
+        the cost of spill× probed rows AND a spill× larger broadcast
+        layout; duplicate hits are collapsed in search_knn's merge."""
         n = len(vectors)
         if n == 0:
+            empty = np.zeros(
+                (0, vectors.shape[1] if vectors.ndim == 2 else 0),
+                dtype=np.float32,
+            )
             return (
-                np.zeros((0, vectors.shape[1] if vectors.ndim == 2 else 0),
-                         dtype=np.float32),
+                empty,
                 np.zeros(0, dtype=np.int64),
                 np.zeros(1, dtype=np.int64),
+                empty,
             )
         L = max(1, min(n_lists, n))
         step = max(1, n // min(train_sample, n))
@@ -285,7 +304,14 @@ class IvfIndex(FlatIndex):
         counts = np.bincount(flat_assign, minlength=L)
         offsets = np.zeros(L + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
-        return centroids, perm, offsets
+        # 4th element: the list-ordered vector layout, built ONCE here
+        # so broadcast consumers skip the per-worker spill×n×d gather
+        vecs_by_list = (
+            np.ascontiguousarray(vectors[perm].astype(np.float32, copy=False))
+            if len(perm)
+            else vectors.astype(np.float32, copy=False)
+        )
+        return centroids, perm, offsets, vecs_by_list
 
     # larger chunks than the exact path: the IVF intermediate is
     # (list_size × queries_probing_list), not (chunk × ntotal), so a big
