@@ -318,6 +318,103 @@ ORDER BY o_orderpriority
 """
 
 
+def _q_shuffle_semi_lineitem(sf_dir: str):
+    """Large×large SEMI join (no broadcast side): lineitem rows whose
+    order is high-value, then a small grouped aggregate — the
+    membership filter a user needs when the filter side outgrows
+    ``ray.put``."""
+    from raykg.ops.joins import hash_join
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+
+    def high_value(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater(t.column("o_totalprice"), pa.scalar(150000.0))
+        ).select(["o_orderkey"])
+
+    kept = hash_join(
+        line,
+        orders.map_batches(high_value, batch_format="pyarrow"),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        left_cols=["l_returnflag", "l_extendedprice"],
+        how="semi",
+    )
+    out = (
+        kept.groupby("l_returnflag")
+        .aggregate(Sum("l_extendedprice", alias_name="base_price"),
+                   Count(alias_name="n_items"))
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    out["base_price"] = out["base_price"].round(2)
+    return out
+
+
+_SQL_SHUFFLE_SEMI = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice), 2) AS base_price,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def _q_shuffle_anti_orders(sf_dir: str):
+    """Large×large ANTI join: orders with NO high-quantity line item,
+    counted by priority."""
+    from raykg.ops.joins import hash_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    )
+
+    def high_qty(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater(t.column("l_quantity"), pa.scalar(45.0))
+        ).select(["l_orderkey"])
+
+    kept = hash_join(
+        orders,
+        line.map_batches(high_qty, batch_format="pyarrow"),
+        on="o_orderkey",
+        right_on="l_orderkey",
+        left_cols=["o_orderpriority"],
+        how="anti",
+    )
+    return (
+        kept.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+
+
+_SQL_SHUFFLE_ANTI = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def _q_hourly_events(sf_dir: str):
     """Tumbling event-time window as a grouped aggregate on the
     truncated timestamp (the engine's windowing idiom, SURVEY.md I5)."""
@@ -347,6 +444,33 @@ _SQL_HOURLY = """
 SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
        round(sum(value), 4) AS total_value
 FROM events GROUP BY 1, 2
+"""
+
+
+def _q_hopping_window(sf_dir: str):
+    """Hopping (sliding) windows: 60-min width, 15-min hop — each event
+    counts into 4 overlapping windows. Vectorized explode (factor W/S)
+    then one grouped aggregate; partial aggregation keeps the shuffle
+    at one row per (block, window)."""
+    from raykg.ops.windows import hopping_window
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "value"])
+    out = hopping_window(ds, ts_col="ts", width_minutes=60, hop_minutes=15,
+                         agg_col="value").to_pandas()
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
+_SQL_HOPPING = """
+SELECT make_timestamp(CAST((floor(epoch(ts) / 900) * 900 - kk * 900)
+                           * 1000000 AS BIGINT)) AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events, (SELECT unnest(range(4)) AS kk)
+GROUP BY 1
+ORDER BY 1
 """
 
 
@@ -898,7 +1022,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_customer_region": _q_customer_region,
         "join_top_revenue_orders": _q_top_revenue_orders,
         "join_shuffle_revenue": _q_shuffle_join_revenue,
+        "join_shuffle_semi_lineitem": _q_shuffle_semi_lineitem,
+        "join_shuffle_anti_orders": _q_shuffle_anti_orders,
         "window_hourly_events": _q_hourly_events,
+        "window_hopping_events": _q_hopping_window,
         "dedup_documents_exact": _q_dedup_documents,
         "text_token_counts": _q_token_counts,
         "sort_docs_by_len": _q_docs_by_len,
@@ -935,7 +1062,10 @@ def oracle_sql() -> dict[str, str]:
         "join_customer_region": _SQL_CUSTOMER_REGION,
         "join_top_revenue_orders": _SQL_TOP_REVENUE,
         "join_shuffle_revenue": _SQL_SHUFFLE_JOIN,
+        "join_shuffle_semi_lineitem": _SQL_SHUFFLE_SEMI,
+        "join_shuffle_anti_orders": _SQL_SHUFFLE_ANTI,
         "window_hourly_events": _SQL_HOURLY,
+        "window_hopping_events": _SQL_HOPPING,
         "dedup_documents_exact": _SQL_DEDUP_DOCS,
         "text_token_counts": _SQL_TOKEN_COUNTS,
         "sort_docs_by_len": _SQL_DOCS_BY_LEN,

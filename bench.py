@@ -138,6 +138,22 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         queries["kg_pipeline_exact"] = round(time.time() - t0x, 3)
         shutil.rmtree(out_ex, ignore_errors=True)
 
+        # sharded configuration (kb_shards=4 + distributed RW state):
+        # the genuinely multi-node shape — per-shard retrieval pools +
+        # object-store RW slices. Timed to evidence its overhead vs the
+        # single-index path on one box (on a real cluster each shard
+        # pool pins to the nodes holding its slice).
+        out_sh = out + "_sharded"
+        shutil.rmtree(out_sh, ignore_errors=True)
+        t0s = time.time()
+        run_pipeline(
+            fx, out_sh,
+            PipelineConfig(blocking="surface", dim=dim, kb_shards=4),
+            resume=False,
+        )
+        queries["kg_pipeline_sharded"] = round(time.time() - t0s, 3)
+        shutil.rmtree(out_sh, ignore_errors=True)
+
     if not os.environ.get("RAYKG_BENCH_KG_ONLY"):
         import __ray_entry__ as em
 

@@ -89,23 +89,33 @@ def hash_join(
     Both sides are tagged with ``_bucket = h(key) % coarse`` and
     union-ed (so the exchange is a single groupby); each bucket group
     does a vectorized ``pd.merge`` of its two sides. ``how`` is
-    ``inner`` or ``left``. Output columns: ``[on] + left_cols +
-    right_cols`` (the right key is renamed onto ``on``; all output
-    names must be distinct). Pass ``left_types``/``right_types`` (name
-    -> pa.DataType for the key + requested columns) when a side is a
-    still-lazy pipeline whose ``schema()`` would otherwise trigger
-    execution.
+    ``inner``, ``left``, ``semi`` (left rows with >=1 match, emitted
+    once, left columns only) or ``anti`` (left rows with no match,
+    left columns only) — the two filters a user reaches for when the
+    filter side outgrows a ``ray.put`` broadcast. Output columns:
+    ``[on] + left_cols + right_cols`` (the right key is renamed onto
+    ``on``; all output names must be distinct). Pass
+    ``left_types``/``right_types`` (name -> pa.DataType for the key +
+    requested columns) when a side is a still-lazy pipeline whose
+    ``schema()`` would otherwise trigger execution.
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     right_on = right_on or on
     left_cols = list(left_cols or [])
     right_cols = list(right_cols or [])
+    if how in ("semi", "anti"):
+        if right_cols:
+            raise ValueError(f"how={how!r} emits left columns only")
+        # the filter side needs just its key — ship one column
+        right_cols = []
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"output name collision: {sorted(overlap)}")
     ltypes = left_types or _schema_types(left_ds)
-    rtypes = right_types or _schema_types(right_ds)
+    # no right output columns -> the right schema is never consulted
+    # (and a lazy right pipeline need not execute for it)
+    rtypes = right_types or ({} if not right_cols else _schema_types(right_ds))
 
     def tag_left(batch: pa.Table) -> pa.Table:
         cols = {on: batch.column(on)}
@@ -120,6 +130,15 @@ def hash_join(
         )
 
     def tag_right(batch: pa.Table) -> pa.Table:
+        if how in ("semi", "anti"):
+            # only key MEMBERSHIP matters — local pre-dedup cuts the
+            # shuffle to distinct keys per block
+            import pyarrow.compute as pc
+
+            keys = batch.column(right_on)
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            batch = pa.table({right_on: pc.unique(keys)})
         cols = {on: batch.column(right_on)}
         for c in left_cols:
             cols[c] = pa.nulls(batch.num_rows, type=ltypes[c])
@@ -141,7 +160,12 @@ def hash_join(
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["_side"] == 0][[on] + left_cols]
         right = g[g["_side"] == 1][[on] + right_cols]
-        res = left.merge(right, on=on, how=how)
+        if how == "semi":
+            res = left[left[on].isin(right[on])]
+        elif how == "anti":
+            res = left[~left[on].isin(right[on])]
+        else:
+            res = left.merge(right, on=on, how=how)
         return res[out_cols]
 
     merged = tagged.groupby("_bucket").map_groups(

@@ -31,6 +31,49 @@ MAX_SESSION_GROUP = 100_000  # events per group a single task may hold
 SESSION_SALTS = 16
 
 
+def hopping_window(ds, ts_col: str = "ts", width_minutes: int = 60,
+                   hop_minutes: int = 15, agg_col: str | None = None):
+    """Hopping (sliding) event-time windows: width W, hop S (W % S ==
+    0); every event lands in W/S windows. Expressed Ray-Data-natively:
+    a vectorized per-batch EXPLODE to (window_start, value) rows — the
+    replication factor is exactly W/S — followed by one grouped
+    aggregate on window_start (partial aggregation happens inside
+    Ray's hash aggregate, so the shuffle carries one row per
+    (block, window) after combining, not per event).
+
+    -> Dataset(window_start, n_events[, sum_value]) with window_start
+    as timestamp[ns]."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count, Sum
+
+    if width_minutes % hop_minutes:
+        raise ValueError("width must be a multiple of hop")
+    k = width_minutes // hop_minutes
+    hop_ns = np.int64(hop_minutes * 60 * 1_000_000_000)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts_ns = (
+            t.column(ts_col).cast(pa.timestamp("ns")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        base = (ts_ns // hop_ns) * hop_ns  # latest window start
+        starts = (base[:, None] - hop_ns * np.arange(k)[None, :]).reshape(-1)
+        cols = {
+            "window_start": pa.array(starts).cast(pa.timestamp("ns")),
+        }
+        if agg_col is not None:
+            vals = t.column(agg_col).to_numpy(zero_copy_only=False)
+            cols[agg_col] = pa.array(np.repeat(vals, k))
+        return pa.table(cols)
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    aggs = [Count(alias_name="n_events")]
+    if agg_col is not None:
+        aggs.append(Sum(agg_col, alias_name="sum_value"))
+    return exploded.groupby("window_start").aggregate(*aggs)
+
+
 def _session_cols(key):
     return [key, "session_id", "n_events", "start_ts", "end_ts"]
 

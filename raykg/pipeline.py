@@ -347,9 +347,19 @@ def run_epoch(
             # fractional CPU reservation: every shard pool (KB + RW) and
             # the finalizer must co-exist with the task stages even on
             # small nodes — without this the pools' min actors starve
-            # each other (deadlock)
+            # each other (deadlock). Sized so every pool can reach
+            # per_shard actors (Σ max-actors × actor_cpus ≈ cpus) and
+            # pre-warmed with min_actors > 1: pool autoscaling reacts
+            # too slowly for ~30 s epochs, and one actor per stage
+            # serializes the whole chain at one core per stage.
             n_pools = cfg.kb_shards * (2 if use_rw_shards else 1) + 1
-            actor_cpus = max(0.1, round(cpus / (2 * n_pools), 2))
+            # pre-warm each pool to half its ceiling; reservations sum
+            # to ~cpus/2 at the min level, leaving the task stages
+            # (read/detect/write) the other half on any node size
+            min_actors = max(1, per_shard // 2)
+            actor_cpus = max(
+                0.1, round(cpus / (2 * n_pools * min_actors), 2)
+            )
             ds = ds.map_batches(
                 MentionEncoder(dim=cfg.dim), batch_format="pyarrow",
                 batch_size=cfg.encode_batch,
@@ -365,7 +375,7 @@ def run_epoch(
                     },
                     batch_format="pyarrow",
                     batch_size=cfg.retrieve_batch,
-                    concurrency=(1, per_shard),
+                    concurrency=(min_actors, per_shard),
                     num_cpus=actor_cpus,
                 )
             if use_rw_shards:
@@ -382,7 +392,7 @@ def run_epoch(
                         },
                         batch_format="pyarrow",
                         batch_size=cfg.retrieve_batch,
-                        concurrency=(1, per_shard),
+                        concurrency=(min_actors, per_shard),
                         num_cpus=actor_cpus,
                     )
             ds = ds.map_batches(
@@ -395,7 +405,7 @@ def run_epoch(
                 },
                 batch_format="pyarrow",
                 batch_size=cfg.retrieve_batch,
-                concurrency=(1, 4),
+                concurrency=(min(2, min_actors), 4),
                 num_cpus=actor_cpus,
             )
             model = cfg.nil_model

@@ -563,3 +563,70 @@ def test_multimodal_real_decode_and_resize():
     orig = {r["media_id"]: r["payload"] for r in tbl.to_pylist()}
     for _, r in res[res["kind"] != "image"].iterrows():
         assert bytes(r["payload"]) == bytes(orig[r["media_id"]])
+
+
+def test_hash_join_semi_anti_match_pandas():
+    from raykg.ops.joins import hash_join
+
+    rng = np.random.default_rng(23)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 500),
+                         "x": rng.normal(size=500)})
+    # right has duplicate keys on purpose: semi must not multiply rows
+    right = pd.DataFrame({"rk": rng.integers(25, 75, 300)})
+
+    semi = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="k", right_on="rk", left_cols=["x"], how="semi",
+    ).to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+    exp_semi = left[left["k"].isin(right["rk"])].sort_values(
+        ["k", "x"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(semi, exp_semi, check_dtype=False)
+
+    anti = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="k", right_on="rk", left_cols=["x"], how="anti",
+    ).to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+    exp_anti = left[~left["k"].isin(right["rk"])].sort_values(
+        ["k", "x"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(anti, exp_anti, check_dtype=False)
+
+    with pytest.raises(ValueError):
+        hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                  on="k", right_on="rk", left_cols=["x"],
+                  right_cols=["rk2"], how="semi")
+
+
+def test_hopping_window_matches_pandas():
+    from raykg.ops.windows import hopping_window
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(
+            rng.integers(0, 100_000, 2000), unit="s"
+        ),
+        "value": rng.normal(size=2000),
+    })
+    got = (
+        hopping_window(rd.from_pandas(df), width_minutes=60, hop_minutes=15,
+                       agg_col="value")
+        .to_pandas().sort_values("window_start").reset_index(drop=True)
+    )
+    # expected: each event in 4 windows ending at its 15-min bucket
+    k = 4
+    hop = pd.Timedelta(minutes=15)
+    rows = []
+    for j in range(k):
+        d = df.copy()
+        d["window_start"] = d["ts"].dt.floor("15min") - j * hop
+        rows.append(d)
+    exp = (
+        pd.concat(rows)
+        .groupby("window_start")
+        .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        .reset_index()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+    assert np.allclose(got["sum_value"], exp["sum_value"])
