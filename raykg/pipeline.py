@@ -202,6 +202,28 @@ SURFACE_BUCKETS = 256
 MAX_CLUSTER_GROUP = 4096
 MAX_SALTS = 64
 
+# sharded-RW triples phase: below this many NIL mentions per epoch the
+# minted-uri map is broadcast (built by a worker task, ~50 B/entry ->
+# <=64 MB object); above it, uri resolution goes through the
+# hash-join shuffle. The shuffle's fixed cost (~10 s at 256 buckets)
+# dwarfs a small map's broadcast; a huge epoch's map would not fit one
+# object. Same adaptive shape as minhash verification.
+NIL_MAP_BROADCAST_ROWS = 1 << 20
+
+
+@ray.remote
+def _build_nil_uri_map(clusters_path: str) -> dict[int, str]:
+    """mention_id -> minted cluster uri, built worker-side from the
+    epoch's clusters partition so cluster payloads never land on the
+    driver (the driver holds only this task's object ref)."""
+    tbl = pq.read_table(clusters_path, columns=["cluster_id", "mention_ids"])
+    out: dict[int, str] = {}
+    for row in tbl.to_pylist():
+        uri = row["cluster_id"]
+        for mid in row["mention_ids"]:
+            out[mid] = uri
+    return out
+
 
 def _cluster_group(group: pa.Table, strategy: str, vec_ref=None,
                    salted: bool = False) -> pa.Table:
@@ -645,11 +667,14 @@ def run_epoch(
             )
         merged = cluster_parts.materialize()
         mins = (
-            merged.select_columns(["min_mention_id"]).to_pandas()
+            merged.select_columns(["min_mention_id", "nelements"]).to_pandas()
             if merged.count()
-            else pd.DataFrame({"min_mention_id": []})
+            else pd.DataFrame({"min_mention_id": [], "nelements": []})
         )
         n_clusters = len(mins)
+        # epoch's NIL-mention total (16 bytes/cluster on the driver) —
+        # sizes the triples-phase uri-resolution strategy below
+        n_nil_mentions = int(mins["nelements"].sum()) if n_clusters else 0
         if n_clusters == 0:
             pq.write_table(
                 _assemble_clusters_table(pd.DataFrame(), epoch, cfg.dim),
@@ -723,11 +748,26 @@ def run_epoch(
                 return mention_triples(t, ray.get(nil_uri_ref), epoch)
 
             triple_ds = linked.map_batches(_to_triples, batch_format="pyarrow")
+        elif n_nil_mentions <= NIL_MAP_BROADCAST_ROWS:
+            # sharded-RW mode, small epoch: the minted-uri map fits a
+            # broadcast. A WORKER task builds it from the clusters
+            # partition (the driver holds only the ref — no O(NIL
+            # mentions) driver loop), and uri resolution stays the
+            # cheap single-pass map_batches instead of paying the
+            # shuffle join's fixed cost (~10 s/epoch at bench scale
+            # for a few-hundred-cluster map). Same adaptive
+            # broadcast-vs-shuffle shape as minhash_lsh_pairs.
+            nil_uri_ref = _build_nil_uri_map.remote(clusters_path)
+
+            def _to_triples(t: pa.Table) -> pa.Table:
+                return mention_triples(t, ray.get(nil_uri_ref), epoch)
+
+            triple_ds = linked.map_batches(_to_triples, batch_format="pyarrow")
         else:
-            # sharded-RW mode: resolve minted uris by a distributed hash
-            # join (mention_id -> cluster_id exploded from the clusters
-            # partition) instead of a driver-built dict — no O(NIL
-            # mentions) driver loop
+            # sharded-RW mode, big epoch: resolve minted uris by a
+            # distributed hash join (mention_id -> cluster_id exploded
+            # from the clusters partition) instead of a broadcast dict
+            # — no O(NIL mentions) single-object state anywhere
             from raykg.ops.joins import hash_join
 
             def _explode(t: pa.Table) -> pa.Table:

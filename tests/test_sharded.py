@@ -65,6 +65,20 @@ def test_sharded_ivf_composition(small_fixture, tmp_path_factory):
     assert p >= 0.95 and r >= 0.95, (p, r)
 
 
+def test_sharded_triples_shuffle_join_path(small_fixture, tmp_path_factory,
+                                           both_runs, monkeypatch):
+    """The big-epoch uri-resolution strategy (hash-join shuffle instead
+    of the broadcast map) must produce identical triples. Forced by
+    dropping the adaptive threshold to 0."""
+    import raykg.pipeline as rp
+
+    monkeypatch.setattr(rp, "NIL_MAP_BROADCAST_ROWS", 0)
+    out1, _ = both_runs
+    out = str(tmp_path_factory.mktemp("sharded_shuffle_uris"))
+    run_pipeline(small_fixture, out, PipelineConfig(kb_shards=4))
+    pd.testing.assert_frame_equal(_triples(out1), _triples(out))
+
+
 def test_sharded_resume_rebuilds_rw_from_deltas(small_fixture, tmp_path_factory, both_runs):
     """Kill-and-resume in sharded-RW mode: the RW shards are rebuilt
     from the materialized cluster partitions via metadata-only row
