@@ -905,6 +905,47 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_jaccard_dup_pairs(sf_dir: str):
+    """EXACT n-gram-Jaccard near-dup pairs (prefix filtering, no
+    sketch): unlike the MinHash query there is no miss probability to
+    argue away — the operator's contract IS the brute-force all-pairs
+    jaccard, so the SQL oracle checks it directly at threshold 0.7."""
+    from raykg.ops.dedup import jaccard_near_dup_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = jaccard_near_dup_pairs(ds, threshold=0.7).to_pandas()
+    # half-up rounding on both sides (numpy .round is banker's)
+    out["jaccard"] = np.floor(out["jaccard"] * 10000 + 0.5) / 10000
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+_SQL_JACCARD_ORACLE = """
+WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest([substr(t, i, 5) FOR i IN range(1, length(t) - 3)]) AS g
+    FROM docs WHERE length(t) >= 5
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       floor(inter::DOUBLE / (sa.n + sb.n - inter) * 10000 + 0.5) / 10000
+         AS jaccard
+FROM pairs
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.7
+ORDER BY id_a, id_b
+"""
+
+
 # -------------------------------------------------- rows-only queries
 
 def _q_minhash_pairs(sf_dir: str):
@@ -1039,6 +1080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_value_quantiles": _q_value_quantiles,
         "agg_user_distinct_types": _q_user_distinct_types,
         "minhash_dup_pairs_oracle": _q_minhash_dup_oracle,
+        "jaccard_dup_pairs": _q_jaccard_dup_pairs,
         # rows-only (model-/sketch-based, not SQL-expressible)
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "simhash_near_dup_pairs": _q_simhash_pairs,
@@ -1079,4 +1121,5 @@ def oracle_sql() -> dict[str, str]:
         "agg_value_quantiles": _SQL_VALUE_QUANTILES,
         "agg_user_distinct_types": _SQL_USER_DISTINCT,
         "minhash_dup_pairs_oracle": _SQL_MINHASH_ORACLE,
+        "jaccard_dup_pairs": _SQL_JACCARD_ORACLE,
     }

@@ -128,6 +128,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.6,
     broadcast_pairs: int = 1 << 18,
+    broadcast_bytes: int = 256 << 20,
 ):
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -135,10 +136,14 @@ def minhash_lsh_pairs(
     picks its strategy from the measured candidate count, like an
     adaptive broadcast-vs-shuffle join planner:
 
-      * ``<= broadcast_pairs`` candidates: the candidate-id set
-        broadcasts (bounded by the threshold, so never
-        corpus-proportional) and one filtering pass collects just the
-        candidate rows' texts for a broadcast id->text lookup;
+      * ``<= broadcast_pairs`` candidates AND an estimated text-map
+        size (distinct candidate ids x sampled average text length)
+        within ``broadcast_bytes``: the candidate-id set broadcasts
+        (bounded by the threshold, so never corpus-proportional) and
+        one filtering pass collects just the candidate rows' texts for
+        a broadcast id->text lookup — the byte budget keeps a
+        long-document corpus from blowing the map even at a small pair
+        count;
       * more: two bucketed hash joins against the corpus
         (``raykg.ops.joins.hash_join`` — tagged-union single-shuffle
         each), with a Bloom bitmap over the candidate ids pruning the
@@ -209,6 +214,19 @@ def minhash_lsh_pairs(
     # object-store-resident id pairs (the small side, but NOT on the
     # driver) — materialized so the two verification joins below don't
     # re-run the candidate shuffle and can read its schema lazily
+    return _verify_candidate_pairs(
+        ds, candidates, text_col, id_col, shingle_k, threshold,
+        broadcast_pairs, broadcast_bytes,
+    )
+
+
+def _verify_candidate_pairs(ds, candidates, text_col, id_col, shingle_k,
+                            threshold, broadcast_pairs, broadcast_bytes):
+    """Exact-jaccard verification of an (id_a, id_b) candidate-pair
+    Dataset against the corpus ``ds`` — the adaptive
+    broadcast-vs-shuffle join stage shared by ``minhash_lsh_pairs``
+    and ``jaccard_near_dup_pairs``. See minhash_lsh_pairs' docstring
+    for the strategy rules. -> Dataset(id_a, id_b, jaccard)."""
     candidates = _dedup_pairs(candidates).materialize()
     n_cand = candidates.count()
     if n_cand == 0:
@@ -254,10 +272,22 @@ def minhash_lsh_pairs(
             }
         )
 
-    if n_cand <= broadcast_pairs:
+    use_broadcast = n_cand <= broadcast_pairs
+    if use_broadcast:
+        # byte-budget check (round-3 open item): the pair count bounds
+        # the id set at 2*n_cand, but the broadcast map's real weight is
+        # ids x text length — sample the corpus for the average
+        sample = ds.limit(256).select_columns([text_col]).take_all()
+        avg_len = (
+            sum(len(r[text_col] or "") for r in sample) / len(sample)
+            if sample else 0.0
+        )
+        use_broadcast = 2 * n_cand * avg_len <= broadcast_bytes
+    if use_broadcast:
         # ---- broadcast verification (the measured-small side). Driver
-        # footprint is bounded by broadcast_pairs, never by the corpus:
-        # one filtering pass collects only the candidate rows' texts.
+        # footprint is bounded by broadcast_pairs x avg text size,
+        # never by the corpus: one filtering pass collects only the
+        # candidate rows' texts.
         cand_tbl = candidates.to_pandas()
         cand_ids = np.unique(
             np.concatenate(
@@ -424,6 +454,98 @@ def _dedup_pairs(pairs):
             lambda g: g.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["_pb"]),
             batch_format="pandas",
         )
+    )
+
+
+def jaccard_near_dup_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    broadcast_pairs: int = 1 << 18,
+    broadcast_bytes: int = 256 << 20,
+):
+    """EXACT n-gram-Jaccard near-duplicate pairs (id_a < id_b,
+    jaccard >= threshold) — no MinHash approximation, no missed pairs.
+
+    Candidate generation is prefix filtering (AllPairs, Bayardo et al.
+    WWW'07): order each doc's shingle-hash set by a GLOBAL total order
+    and emit only its first ``|S| - ceil(t*|S|) + 1`` tokens; any pair
+    with jaccard >= t must share a prefix token (|A∩B| >= t*max(|A|,|B|)
+    leaves too few tokens outside either prefix), so grouping the
+    emitted (token, doc_id) rows finds every qualifying pair. The
+    global order here is the shingle HASH itself — uniform, known to
+    every task with zero coordination; a frequency-ascending order
+    (rarest first) would emit fewer candidates but costs a full
+    frequency shuffle first. Verification reuses the adaptive
+    broadcast-vs-shuffle join of ``minhash_lsh_pairs``.
+
+    The shuffle ships (coarse_bucket, token, doc_id) rows — about
+    ``(1 - t) * n_shingles`` per doc, no text. Docs whose text is
+    shorter than ``shingle_k`` chars hash their WHOLE text as the one
+    shingle (``_shingles`` semantics), so exact short-text duplicates
+    still pair; there are no empty shingle sets.
+
+    -> Dataset(id_a, id_b, jaccard).
+    """
+
+    def prefix_tokens(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        toks, docs = [], []
+        for i, t in zip(ids.tolist(), texts):
+            sh = np.sort(_shingles(t, shingle_k))  # hash order == global order
+            # required overlap ceil(t*|S|); the -1e-9 guards float
+            # products like 0.8*10 -> 8.000000000000002 -> ceil 9,
+            # which would SHRINK the prefix and miss pairs (erring the
+            # other way only emits one extra token)
+            alpha = int(np.ceil(threshold * len(sh) - 1e-9))
+            p = len(sh) - alpha + 1
+            toks.append(sh[:p])
+            docs.append(np.full(p, i, dtype=np.int64))
+        tok = (
+            np.concatenate(toks) if toks else np.zeros(0, dtype=np.uint64)
+        )
+        with np.errstate(over="ignore"):
+            coarse = ((tok * np.uint64(0x9E3779B97F4A7C15))
+                      >> np.uint64(52)).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(coarse),
+                "token": pa.array(tok.astype(np.int64)),
+                id_col: pa.array(
+                    np.concatenate(docs) if docs
+                    else np.zeros(0, dtype=np.int64)
+                ),
+            }
+        )
+
+    def pairs_in_coarse_bucket(cg: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in cg.groupby("token", sort=False):
+            ids = np.unique(g[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(
+                {"id_a": "int64", "id_b": "int64"}
+            )
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    candidates = (
+        ds.map_batches(prefix_tokens, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_coarse_bucket, batch_format="pandas")
+    )
+    return _verify_candidate_pairs(
+        ds, candidates, text_col, id_col, shingle_k, threshold,
+        broadcast_pairs, broadcast_bytes,
     )
 
 

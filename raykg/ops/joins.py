@@ -213,6 +213,7 @@ def asof_join(
     coarse: int = ASOF_BUCKETS,
     max_group: int = ASOF_MAX_GROUP,
     n_salts: int = ASOF_SALTS,
+    census: bool = True,
 ):
     """For each left row: the right row of the same key with the
     greatest ``right_ts`` <= left ``ts``; ties on right_ts resolve to
@@ -231,6 +232,11 @@ def asof_join(
 
     Returns a Dataset with columns ``[key, ts] + left_cols +
     right_cols``.
+
+    ``census=False`` skips the hot-key pre-pass (one full extra read of
+    both sides) — a metadata hint for callers who KNOW no key's
+    combined row count exceeds ``max_group``; such a key then lands in
+    one group task anyway.
     """
     fill = fill or {}
     ltypes = _schema_types(left_ds)
@@ -265,7 +271,7 @@ def asof_join(
             batch_format="pandas",
         )
         .to_pandas()
-    )
+    ) if census else pd.DataFrame()
     hot_map = {
         r[key]: (
             pd.Timestamp(r["_tmin"]).value,

@@ -80,10 +80,16 @@ def _session_cols(key):
 
 def sessionize(ds, key: str = "user_id", ts_col: str = "ts",
                gap_minutes: int = 30, max_group: int = MAX_SESSION_GROUP,
-               n_salts: int = SESSION_SALTS):
+               n_salts: int = SESSION_SALTS, census: bool = True):
     """-> Dataset(key, session_id, n_events, start_ts, end_ts);
     session_id is 1-based per key in ts order (ties keep ts order
-    stable by event order within the sorted group)."""
+    stable by event order within the sorted group).
+
+    ``census=False`` skips the hot-key pre-pass (one full extra read of
+    ``ds``) — a metadata hint for callers who KNOW no key exceeds
+    ``max_group`` events (e.g. bounded-session telemetry). A key that
+    does exceed it then lands in one group task anyway (the round-2
+    partitioning assumption)."""
     gap = pd.Timedelta(minutes=gap_minutes)
 
     # ---- hot-key census: per-batch partial (key, n, tmin, tmax) then a
@@ -111,7 +117,7 @@ def sessionize(ds, key: str = "user_id", ts_col: str = "ts",
         .groupby(key)
         .map_groups(combine, batch_format="pandas")
         .to_pandas()
-    )
+    ) if census else pd.DataFrame()
     hot_map = {
         r[key]: (r["_tmin"].value, max(r["_tmax"].value - r["_tmin"].value, 1))
         for _, r in hot.iterrows()

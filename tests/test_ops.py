@@ -413,6 +413,43 @@ def test_minhash_shuffle_verification_matches_broadcast():
     assert b.equals(s)
 
 
+def test_jaccard_near_dup_exact_vs_brute_force():
+    """Prefix filtering (AllPairs) must find EXACTLY the brute-force
+    all-pairs jaccard >= t set — no LSH miss probability at all —
+    including short texts below the shingle width and threshold-edge
+    pairs (alpha float guard)."""
+    from itertools import combinations
+
+    from raykg.ops.dedup import jaccard_near_dup_pairs, jaccard_ngrams
+
+    rng = np.random.default_rng(17)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    texts = [" ".join(rng.choice(words, size=20)) for _ in range(30)]
+    for i in range(0, 20, 4):  # planted near-dups at varying distances
+        w = texts[i].split()
+        w[rng.integers(0, 20)] = "omega"
+        texts.append(" ".join(w))
+    texts += ["ab", "ab", "cd"]  # shorter than shingle_k
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    for t in (0.5, 0.8):
+        got = jaccard_near_dup_pairs(
+            rd.from_pandas(df), threshold=t
+        ).to_pandas()
+        got_pairs = set(zip(got.id_a, got.id_b))
+        exp_pairs = {
+            (i, j)
+            for i, j in combinations(range(len(texts)), 2)
+            if jaccard_ngrams(texts[i], texts[j]) >= t
+        }
+        assert got_pairs == exp_pairs, (t, got_pairs ^ exp_pairs)
+        assert (got.jaccard >= t).all()
+    # the short exact dups paired, the short non-dup did not
+    n = len(texts)
+    assert (n - 3, n - 2) in got_pairs and (n - 3, n - 1) not in got_pairs
+
+
 def test_sessionize_hot_key_salting_matches_unsalted():
     """VERDICT r2 item 6: a key whose event count exceeds the group
     bound is salted into time ranges and re-merged; output must be
@@ -454,6 +491,13 @@ def test_sessionize_hot_key_salting_matches_unsalted():
     pd.testing.assert_frame_equal(plain, salted)
     # the salting actually engaged (hot key produced >1 range)
     assert (df["user_id"] == "hot").sum() > 1000
+    # census=False (metadata hint: caller knows no key is hot) skips the
+    # pre-pass and must match the censused path exactly
+    no_census = norm(
+        sessionize(rd.from_pandas(df), max_group=10**9,
+                   census=False).to_pandas()
+    )
+    pd.testing.assert_frame_equal(plain, no_census)
 
 
 def test_asof_join_hot_key_salting_matches_unsalted():
@@ -499,6 +543,11 @@ def test_asof_join_hot_key_salting_matches_unsalted():
         max_group=500, n_salts=8, **kw).to_pandas())
     assert (plain["val"].to_numpy() == salted["val"].to_numpy()).all()
     pd.testing.assert_frame_equal(plain, salted)
+    # census=False (metadata hint) skips the pre-pass, same output
+    no_census = norm(asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        max_group=10**9, census=False, **kw).to_pandas())
+    pd.testing.assert_frame_equal(plain, no_census)
 
 
 def test_multimodal_real_decode_and_resize():
