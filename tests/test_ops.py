@@ -189,6 +189,16 @@ def test_langid():
     assert out.lang_pred.tolist()[3] == "und"
 
 
+def test_langid_edge_inputs():
+    """Empty/NaN/accented/tie rows never crash and NaN == ''."""
+    li = LangId()
+    df = pd.DataFrame({"text": ["", "   ", "12345 !!!",
+                                "Äpfel über die Straße", None]})
+    got = li(df)["lang_pred"].tolist()
+    assert got == [li._score_one(t or "") for t in df["text"]]
+    assert got[0] == "und" and got[4] == "und"
+
+
 def test_fingerprint_deterministic():
     fp1 = fingerprint(DOCS)
     fp2 = fingerprint(DOCS)
