@@ -358,78 +358,87 @@ def run_epoch(
             from raykg.encode import MentionEncoder
             from raykg.nil import NilStage
             from raykg.sharded import (
-                RwShardRetriever,
                 ShardFinalizer,
                 ShardRetriever,
+                make_finalizer_fn,
+                make_shard_stage_fn,
             )
 
             cpus = int(ray.cluster_resources().get("CPU", 4))
             per_shard = max(1, cpus // cfg.kb_shards)
             use_rw_shards = rw_shards is not None and rw_shards.total > 0
-            # fractional CPU reservation: every shard pool (KB + RW) and
-            # the finalizer must co-exist with the task stages even on
-            # small nodes — without this the pools' min actors starve
-            # each other (deadlock). Sized so every pool can reach
-            # per_shard actors (Σ max-actors × actor_cpus ≈ cpus) and
-            # pre-warmed with min_actors > 1: pool autoscaling reacts
-            # too slowly for ~30 s epochs, and one actor per stage
-            # serializes the whole chain at one core per stage.
-            n_pools = cfg.kb_shards * (2 if use_rw_shards else 1) + 1
-            # pre-warm each pool to half its ceiling; reservations sum
-            # to ~cpus/2 at the min level, leaving the task stages
-            # (read/detect/write) the other half on any node size
-            min_actors = max(1, per_shard // 2)
-            actor_cpus = max(
-                0.1, round(cpus / (2 * n_pools * min_actors), 2)
-            )
             ds = ds.map_batches(
                 MentionEncoder(dim=cfg.dim), batch_format="pyarrow",
                 batch_size=cfg.encode_batch,
             )
-            for s_i, shard_ref in enumerate(kb_handles["shard_refs"]):
-                ds = ds.map_batches(
-                    ShardRetriever,
-                    fn_constructor_kwargs={
-                        "shard_ref": shard_ref,
-                        "top_k": cfg.top_k,
-                        "is_first": s_i == 0,
-                        "nprobe": cfg.ivf_nprobe,
-                    },
-                    batch_format="pyarrow",
-                    batch_size=cfg.retrieve_batch,
-                    concurrency=(min_actors, per_shard),
-                    num_cpus=actor_cpus,
+            # shard s's stage holds KB shard s AND (fused) the matching
+            # minted-entity RW slice — one chain, one batch hop per
+            # shard; no worker holds more than one slice of each
+            if cfg.stage_mode == "actors":
+                # actor-pool mode: explicit per-slice pools — on a real
+                # cluster each pool pins to the nodes holding its slice.
+                # Fractional CPU reservation so every pool and the task
+                # stages co-exist even on small nodes (min actors would
+                # starve each other otherwise); pre-warm to half the
+                # ceiling — reservations sum to ~cpus/2, the task stages
+                # (read/detect/write) keep the other half.
+                n_pools = cfg.kb_shards + 1
+                min_actors = max(1, per_shard // 2)
+                actor_cpus = max(
+                    0.1, round(cpus / (2 * n_pools * min_actors), 2)
                 )
-            if use_rw_shards:
-                # minted entities flow through their own shard stages —
-                # no worker holds more than one RW slice
-                rw_live = [r for r in rw_shards.refs if r is not None]
-                for s_i, rref in enumerate(rw_live):
+                for s_i, shard_ref in enumerate(kb_handles["shard_refs"]):
                     ds = ds.map_batches(
-                        RwShardRetriever,
+                        ShardRetriever,
                         fn_constructor_kwargs={
-                            "shard_ref": rref,
+                            "shard_ref": shard_ref,
                             "top_k": cfg.top_k,
                             "is_first": s_i == 0,
+                            "nprobe": cfg.ivf_nprobe,
+                            "rw_shard_ref": (
+                                rw_shards.refs[s_i] if use_rw_shards else None
+                            ),
                         },
                         batch_format="pyarrow",
                         batch_size=cfg.retrieve_batch,
                         concurrency=(min_actors, per_shard),
                         num_cpus=actor_cpus,
                     )
-            ds = ds.map_batches(
-                ShardFinalizer,
-                fn_constructor_kwargs={
-                    "titles_ref": kb_handles["titles_ref"],
-                    "rw_ref": rw_ref,
-                    "top_k": cfg.top_k,
-                    "rw_acc": use_rw_shards,
-                },
-                batch_format="pyarrow",
-                batch_size=cfg.retrieve_batch,
-                concurrency=(min(2, min_actors), 4),
-                num_cpus=actor_cpus,
-            )
+                ds = ds.map_batches(
+                    ShardFinalizer,
+                    fn_constructor_kwargs={
+                        "titles_ref": kb_handles["titles_ref"],
+                        "rw_ref": rw_ref,
+                        "top_k": cfg.top_k,
+                        "rw_acc": use_rw_shards,
+                    },
+                    batch_format="pyarrow",
+                    batch_size=cfg.retrieve_batch,
+                    concurrency=(min(2, min_actors), 4),
+                    num_cpus=actor_cpus,
+                )
+            else:
+                # task mode (default): stateless tasks + worker-local
+                # stage cache — no per-epoch pool ramp, full elasticity
+                # (measured: pools cost ~5 s/epoch on ~10 s epochs)
+                for s_i, shard_ref in enumerate(kb_handles["shard_refs"]):
+                    ds = ds.map_batches(
+                        make_shard_stage_fn(
+                            shard_ref, cfg.top_k, s_i == 0, cfg.ivf_nprobe,
+                            rw_shards.refs[s_i] if use_rw_shards else None,
+                            slot=s_i,
+                        ),
+                        batch_format="pyarrow",
+                        batch_size=cfg.retrieve_batch,
+                    )
+                ds = ds.map_batches(
+                    make_finalizer_fn(
+                        kb_handles["titles_ref"], rw_ref, cfg.top_k,
+                        use_rw_shards,
+                    ),
+                    batch_format="pyarrow",
+                    batch_size=cfg.retrieve_batch,
+                )
             model = cfg.nil_model
             if rw_shards is not None:
                 rw_offsets = rw_shards.uri_offsets()

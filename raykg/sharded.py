@@ -21,8 +21,9 @@ the single-index path.
 The minted-entity (RW) index is sharded the same way (round 3):
 ``RwShards`` keeps per-shard object-store slices appended by worker
 tasks straight from each epoch's clusters parquet — cluster payloads
-never land on the driver — and ``RwShardRetriever`` stages accumulate
-the RW running top-k bit-identically to a whole-RW flat search
+never land on the driver — and each ``ShardRetriever`` stage carries
+the matching RW slice fused alongside its KB shard, accumulating the
+RW running top-k bit-identically to a whole-RW flat search
 (tests/test_sharded.py pins sharded == unsharded across multi-epoch
 minted entities, including kill-and-resume).
 """
@@ -42,6 +43,76 @@ from raykg.schema import DUMMY_SCORE, INDEXER_KB, INDEXER_RW, TOP_K
 
 _ACC_COLS = ("_acc_raw", "_acc_ids", "_acc_wikis", "_acc_tomb")
 _RW_ACC_COLS = ("_rw_raw", "_rw_ids", "_rw_titles")
+
+# Worker-local cache of built shard stages for the stateless-task mode:
+# tasks fan out to every free CPU immediately instead of waiting for an
+# actor pool to ramp (the raykg.link._STAGE_CACHE lesson — pools ramp
+# slower than ~30 s epochs). Keyed by STAGE SLOT (shard index /
+# "finalizer"), value (ref-key, stage): a new epoch's refs evict the
+# same slot's stale stage, so a worker holds at most one live stage per
+# slot it has executed — bounded by the slot count, exactly the bound
+# the actor-pool mode gives per actor. NOTE the planner FUSES adjacent
+# stateless map_batches into one operator, so a fused task runs every
+# shard stage and its worker caches every slice: on one node this is
+# the optimum (zero inter-stage hops, slices are zero-copy views into
+# the local plasma store), but it collapses slice isolation — on a
+# real multi-node cluster use stage_mode="actors", whose pools pin
+# each slice to the nodes holding it. On one box the task mode
+# measures ~25% faster end-to-end (53.2 s -> 38.9 s at sf0.1).
+_SHARD_STAGE_CACHE: dict = {}
+
+
+def _ref_key(r):
+    return r.hex() if hasattr(r, "hex") else id(r)
+
+
+def _cached_stage(slot, key, build):
+    hit = _SHARD_STAGE_CACHE.get(slot)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    stage = build()
+    _SHARD_STAGE_CACHE[slot] = (key, stage)
+    return stage
+
+
+def make_shard_stage_fn(shard_ref, top_k, is_first, nprobe, rw_shard_ref,
+                        slot: int):
+    """Stateless-task wrapper around ShardRetriever with worker-local
+    stage reuse (see _SHARD_STAGE_CACHE)."""
+    key = (
+        _ref_key(shard_ref),
+        _ref_key(rw_shard_ref) if rw_shard_ref is not None else None,
+        top_k, is_first, nprobe,
+    )
+
+    def stage_fn(batch: pa.Table) -> pa.Table:
+        stage = _cached_stage(
+            slot, key,
+            lambda: ShardRetriever(shard_ref, top_k=top_k, is_first=is_first,
+                                   nprobe=nprobe, rw_shard_ref=rw_shard_ref),
+        )
+        return stage(batch)
+
+    return stage_fn
+
+
+def make_finalizer_fn(titles_ref, rw_ref, top_k, rw_acc):
+    """Stateless-task wrapper around ShardFinalizer (same cache)."""
+    key = (
+        _ref_key(titles_ref),
+        _ref_key(rw_ref) if rw_ref is not None else None,
+        top_k, rw_acc,
+    )
+
+    def finalize_fn(batch: pa.Table) -> pa.Table:
+        stage = _cached_stage(
+            "finalizer", key,
+            lambda: ShardFinalizer(titles_ref, rw_ref=rw_ref, top_k=top_k,
+                                   rw_acc=rw_acc),
+        )
+        return stage(batch)
+
+    return finalize_fn
 
 
 def make_kb_shards(kb_tuple, n_shards: int, ivf_lists: int | None = None,
@@ -84,10 +155,18 @@ def make_kb_shards(kb_tuple, n_shards: int, ivf_lists: int | None = None,
 
 
 class ShardRetriever:
-    """One stage per shard: + / merge the running top-k accumulator."""
+    """One stage per shard: + / merge the running top-k accumulator.
+
+    When ``rw_shard_ref`` is given the stage ALSO holds the matching
+    minted-entity (RW) slice and accumulates the ``_rw_*`` running
+    top-k in the same pass (fused round-3: a separate RW stage chain
+    doubled the actor pools and per-batch Arrow hops for a slice that
+    is orders of magnitude smaller than the KB shard it rides with).
+    RW accumulation keys off ``_rw_ids`` column presence, so shard
+    order and empty slices need no flags."""
 
     def __init__(self, shard_ref, top_k: int = TOP_K, is_first: bool = False,
-                 nprobe: int = 16):
+                 nprobe: int = 16, rw_shard_ref=None):
         shard = (
             ray.get(shard_ref) if not isinstance(shard_ref, tuple) else shard_ref
         )
@@ -102,6 +181,18 @@ class ShardRetriever:
         else:
             self.index = FlatIndex(vectors, wikis, titles, types, tomb,
                                    INDEXER_KB)
+        self.rw_index = None
+        if rw_shard_ref is not None:
+            rw = (
+                ray.get(rw_shard_ref)
+                if not isinstance(rw_shard_ref, tuple) else rw_shard_ref
+            )
+            if rw is not None and len(rw[0]):
+                self.rw_gids, rw_vectors, self.rw_titles = rw
+                self.rw_index = FlatIndex(
+                    rw_vectors, np.full(len(rw_vectors), -1, dtype=np.int64),
+                    list(self.rw_titles), None, None, INDEXER_RW,
+                )
         self.top_k = top_k
         self.is_first = is_first
 
@@ -158,7 +249,86 @@ class ShardRetriever:
         batch = put("_acc_raw", acc_raw.astype(np.float32), pa.float32())
         batch = put("_acc_ids", acc_ids.astype(np.int64), pa.int64())
         batch = put("_acc_wikis", acc_wikis.astype(np.int64), pa.int64())
-        return put("_acc_tomb", acc_tomb.astype(np.int8), pa.int8())
+        batch = put("_acc_tomb", acc_tomb.astype(np.int8), pa.int8())
+        if self.rw_index is not None:
+            batch = self._rw_accumulate(batch, queries, m, k)
+        return batch
+
+    def _rw_accumulate(self, batch: pa.Table, queries, m: int,
+                       k: int) -> pa.Table:
+        """Fold this stage's RW slice into the ``_rw_*`` running top-k.
+
+        Merge rule (raw desc, gid asc) matches FlatIndex whole-RW
+        search exactly (RW row position == ascending-gid position), so
+        the union across shards is bit-identical to the unsharded RW
+        search regardless of which stages hold non-empty slices."""
+        raw, ids = self.rw_index.search_knn(queries, k)
+        valid = ids >= 0
+        safe = np.maximum(ids, 0)
+        gids = np.where(valid, self.rw_gids[safe], -1)
+        raw = np.where(valid, raw, np.float32(-np.inf))
+        titles_arr = np.asarray(list(self.rw_titles) + [""], dtype=object)
+        tt = titles_arr[np.where(valid, safe, len(self.rw_titles))]
+
+        if "_rw_ids" not in batch.column_names:
+            acc_raw, acc_ids, acc_tt = raw, gids, tt
+        else:
+            def grab(name, dtype):
+                col = batch.column(name)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                return (
+                    col.values.to_numpy(zero_copy_only=False)
+                    .reshape(m, -1).astype(dtype)
+                )
+
+            def grab_str(name):
+                col = batch.column(name)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                return np.asarray(
+                    col.values.to_pylist(), dtype=object
+                ).reshape(m, -1)
+
+            acc_raw = np.concatenate([grab("_rw_raw", np.float32), raw], axis=1)
+            acc_ids = np.concatenate([grab("_rw_ids", np.int64), gids], axis=1)
+            acc_tt = np.concatenate([grab_str("_rw_titles"), tt], axis=1)
+            order = np.lexsort(
+                (np.where(acc_ids < 0, np.int64(1 << 62), acc_ids), -acc_raw),
+                axis=1,
+            )[:, :k]
+            acc_raw = np.take_along_axis(acc_raw, order, axis=1)
+            acc_ids = np.take_along_axis(acc_ids, order, axis=1)
+            acc_tt = np.take_along_axis(acc_tt, order, axis=1)
+
+        batch = batch.drop_columns(
+            [c for c in _RW_ACC_COLS if c in batch.column_names]
+        )
+        kk = acc_raw.shape[1]
+        batch = batch.append_column(
+            "_rw_raw",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(
+                    np.ascontiguousarray(acc_raw.astype(np.float32)).reshape(-1)
+                ),
+                kk,
+            ),
+        )
+        batch = batch.append_column(
+            "_rw_ids",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(
+                    np.ascontiguousarray(acc_ids.astype(np.int64)).reshape(-1)
+                ),
+                kk,
+            ),
+        )
+        return batch.append_column(
+            "_rw_titles",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(acc_tt.reshape(-1).tolist(), type=pa.string()), kk
+            ),
+        )
 
 
 class ShardFinalizer:
@@ -168,7 +338,7 @@ class ShardFinalizer:
     Minted-entity (RW) candidates come from one of two sources:
     ``rw_ref`` — a whole-RW (vectors, titles) broadcast searched here
     (the small-RW path), or ``rw_acc=True`` — the ``_rw_*`` running
-    top-k accumulated by upstream ``RwShardRetriever`` stages (the
+    top-k accumulated by the upstream fused ``ShardRetriever`` stages (the
     sharded-RW path; no worker ever holds the whole RW index). Both
     produce bit-identical output: the sharded merge rule reproduces
     whole-RW search order exactly."""
@@ -374,95 +544,3 @@ class RwShards:
     @property
     def ntotal(self) -> int:
         return self.total
-
-
-class RwShardRetriever:
-    """One stage per RW shard: accumulate the running top-k over minted
-    entities in ``_rw_raw`` / ``_rw_ids`` (global RW ids) / ``_rw_titles``
-    columns. Merge rule (raw desc, gid asc) matches FlatIndex whole-RW
-    search exactly (RW row position == ascending-gid position), so the
-    sharded union is bit-identical to the unsharded RW search."""
-
-    def __init__(self, shard_ref, top_k: int = TOP_K, is_first: bool = False):
-        shard = (
-            ray.get(shard_ref) if not isinstance(shard_ref, tuple) else shard_ref
-        )
-        self.gids, vectors, self.titles = shard
-        self.index = FlatIndex(
-            vectors, np.full(len(vectors), -1, dtype=np.int64),
-            list(self.titles), None, None, INDEXER_RW,
-        )
-        self.top_k = top_k
-        self.is_first = is_first
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        queries = column_to_vectors(batch.column("encoding"))
-        m = len(queries)
-        k = self.top_k
-        raw, ids = self.index.search_knn(queries, k)
-        valid = ids >= 0
-        safe = np.maximum(ids, 0)
-        gids = np.where(valid, self.gids[safe], -1)
-        raw = np.where(valid, raw, np.float32(-np.inf))
-        titles_arr = np.asarray(list(self.titles) + [""], dtype=object)
-        tt = titles_arr[np.where(valid, safe, len(self.titles))]
-
-        if self.is_first:
-            acc_raw, acc_ids, acc_tt = raw, gids, tt
-        else:
-            def grab(name, dtype):
-                col = batch.column(name)
-                if isinstance(col, pa.ChunkedArray):
-                    col = col.combine_chunks()
-                return (
-                    col.values.to_numpy(zero_copy_only=False)
-                    .reshape(m, -1).astype(dtype)
-                )
-
-            def grab_str(name):
-                col = batch.column(name)
-                if isinstance(col, pa.ChunkedArray):
-                    col = col.combine_chunks()
-                return np.asarray(
-                    col.values.to_pylist(), dtype=object
-                ).reshape(m, -1)
-
-            acc_raw = np.concatenate([grab("_rw_raw", np.float32), raw], axis=1)
-            acc_ids = np.concatenate([grab("_rw_ids", np.int64), gids], axis=1)
-            acc_tt = np.concatenate([grab_str("_rw_titles"), tt], axis=1)
-            order = np.lexsort(
-                (np.where(acc_ids < 0, np.int64(1 << 62), acc_ids), -acc_raw),
-                axis=1,
-            )[:, :k]
-            acc_raw = np.take_along_axis(acc_raw, order, axis=1)
-            acc_ids = np.take_along_axis(acc_ids, order, axis=1)
-            acc_tt = np.take_along_axis(acc_tt, order, axis=1)
-
-        batch = batch.drop_columns(
-            [c for c in _RW_ACC_COLS if c in batch.column_names]
-        )
-        kk = acc_raw.shape[1]
-        batch = batch.append_column(
-            "_rw_raw",
-            pa.FixedSizeListArray.from_arrays(
-                pa.array(
-                    np.ascontiguousarray(acc_raw.astype(np.float32)).reshape(-1)
-                ),
-                kk,
-            ),
-        )
-        batch = batch.append_column(
-            "_rw_ids",
-            pa.FixedSizeListArray.from_arrays(
-                pa.array(
-                    np.ascontiguousarray(acc_ids.astype(np.int64)).reshape(-1)
-                ),
-                kk,
-            ),
-        )
-        return batch.append_column(
-            "_rw_titles",
-            pa.FixedSizeListArray.from_arrays(
-                pa.array(acc_tt.reshape(-1).tolist(), type=pa.string()), kk
-            ),
-        )
