@@ -271,6 +271,34 @@ LIMIT 10
 """
 
 
+def _q_top_orders_per_customer(sf_dir: str):
+    """Grouped ranking: top-3 orders per customer by (totalprice desc,
+    orderkey asc) through ``raykg.ops.rank.top_k_per_key`` — per-block
+    partial top-k combiner, one coarse-bucket shuffle, vectorized
+    per-bucket final selection."""
+    from raykg.ops.rank import top_k_per_key
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    return top_k_per_key(
+        ds, key_col="o_custkey", val_col="o_totalprice", id_col="o_orderkey", k=3
+    )
+
+
+_SQL_TOP_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
 def _q_shuffle_join_revenue(sf_dir: str):
     """Large×large shuffle equi-join (no broadcast side): lineitem ⋈
     orders by orderkey through ``raykg.ops.joins.hash_join`` — the
@@ -1082,6 +1110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_modal_event_type": _q_modal_event_type,
         "join_customer_region": _q_customer_region,
         "join_top_revenue_orders": _q_top_revenue_orders,
+        "rank_top_orders_per_customer": _q_top_orders_per_customer,
         "join_shuffle_revenue": _q_shuffle_join_revenue,
         "join_shuffle_semi_lineitem": _q_shuffle_semi_lineitem,
         "join_shuffle_anti_orders": _q_shuffle_anti_orders,
@@ -1123,6 +1152,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_modal_event_type": _SQL_MODAL_EVENT,
         "join_customer_region": _SQL_CUSTOMER_REGION,
         "join_top_revenue_orders": _SQL_TOP_REVENUE,
+        "rank_top_orders_per_customer": _SQL_TOP_PER_CUSTOMER,
         "join_shuffle_revenue": _SQL_SHUFFLE_JOIN,
         "join_shuffle_semi_lineitem": _SQL_SHUFFLE_SEMI,
         "join_shuffle_anti_orders": _SQL_SHUFFLE_ANTI,

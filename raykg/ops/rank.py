@@ -1,0 +1,63 @@
+"""Grouped ranking: per-key top-k selection.
+
+Ray Data has global ``sort``/``limit`` but no per-group limit; at
+training-data scale "keep the top-k documents per domain / per user /
+per dedup cluster" is a routine curation step. Composition: a
+per-block PARTIAL top-k (caps any key's contribution at k rows per
+input block — this is the combiner that keeps the shuffle small and
+makes the operator skew-safe) -> ONE coarse-bucket shuffle -> a
+per-bucket vectorized final selection that answers many keys per group
+task (never one ``map_groups`` call per key; see the
+``exact_dedup``/``agg_label_centroids`` pattern).
+
+Ordering rule: (value desc, id asc) — the id tiebreak makes output
+deterministic for equal values, and is what the paired DuckDB oracle
+(``row_number() OVER (... ORDER BY val DESC, id)``) computes.
+
+Partitioning assumption (custom-operator contract): one coarse
+bucket's surviving rows (≤ k × keys_in_bucket + k × n_blocks for the
+partial) fit in one group task; raise ``coarse`` to shrink buckets.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from raykg.ops.joins import _key_bucket
+
+RANK_BUCKETS = 256
+
+
+def top_k_per_key(
+    ds,
+    key_col: str,
+    val_col: str,
+    id_col: str,
+    k: int = 10,
+    coarse: int = RANK_BUCKETS,
+):
+    """Top-k rows per distinct ``key_col`` by (``val_col`` desc,
+    ``id_col`` asc). Returns the selected rows with the original
+    columns (key, id, val)."""
+    order_cols = [key_col, val_col, id_col]
+    ascending = [True, False, True]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, id_col, val_col])
+        bucket = _key_bucket(t.column(key_col), coarse)
+        df = t.append_column("_bucket", bucket).to_pandas()
+        df = df.sort_values(order_cols, ascending=ascending, kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby(key_col, sort=False).head(k), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, ascending=ascending, kind="mergesort")
+        return g.groupby(key_col, sort=False).head(k).drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(final_topk, batch_format="pandas")
+    )

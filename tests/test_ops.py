@@ -689,3 +689,89 @@ def test_hopping_window_matches_pandas():
     assert len(got) == len(exp)
     assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
     assert np.allclose(got["sum_value"], exp["sum_value"])
+
+
+def _topk_expected(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    return (
+        df.sort_values(["key", "val", "id"], ascending=[True, False, True],
+                       kind="mergesort")
+        .groupby("key", sort=False)
+        .head(k)
+        .sort_values(["key", "val", "id"], ascending=[True, False, True],
+                     kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def test_top_k_per_key_matches_pandas():
+    from raykg.ops.rank import top_k_per_key
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "key": rng.integers(0, 40, n),
+            "id": np.arange(n, dtype=np.int64),
+            # few distinct values -> lots of ties, exercising the id tiebreak
+            "val": rng.integers(0, 12, n).astype(float),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    got = (
+        top_k_per_key(ds, "key", "val", "id", k=3)
+        .to_pandas()
+        .sort_values(["key", "val", "id"], ascending=[True, False, True],
+                     kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp = _topk_expected(df, 3)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_top_k_per_key_hot_key_and_small_groups():
+    from raykg.ops.rank import top_k_per_key
+
+    rng = np.random.default_rng(11)
+    # one hot key holding 90% of rows, plus keys with fewer than k rows
+    key = np.where(rng.random(3000) < 0.9, 0, rng.integers(1, 200, 3000))
+    df = pd.DataFrame(
+        {
+            "key": key.astype(np.int64),
+            "id": np.arange(3000, dtype=np.int64),
+            "val": rng.normal(size=3000),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(16)
+    got = (
+        top_k_per_key(ds, "key", "val", "id", k=5)
+        .to_pandas()
+        .sort_values(["key", "val", "id"], ascending=[True, False, True],
+                     kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp = _topk_expected(df, 5)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the hot key contributed exactly k rows despite 90% occupancy
+    assert (got["key"] == 0).sum() == 5
+
+
+def test_top_k_per_key_string_keys():
+    from raykg.ops.rank import top_k_per_key
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "key": rng.choice(["en", "de", "fr", "it"], 500),
+            "id": np.arange(500, dtype=np.int64),
+            "val": rng.integers(0, 8, 500).astype(float),
+        }
+    )
+    got = (
+        top_k_per_key(rd.from_pandas(df).repartition(4), "key", "val", "id", k=7)
+        .to_pandas()
+        .sort_values(["key", "val", "id"], ascending=[True, False, True],
+                     kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp = _topk_expected(df, 7)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
