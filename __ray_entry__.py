@@ -1098,6 +1098,127 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _plant_pii(df):
+    """Deterministic PII planted from doc_id (the synthetic documents
+    corpus is word-salad with no natural PII; the SQL oracle plants the
+    identical suffix, so redaction is exercised on every row)."""
+    i = df["doc_id"]
+    df["text"] = (
+        df["text"]
+        + " contact user" + i.astype(str)
+        + "@mail-" + (i % 7).astype(str) + ".example.com"
+        + " from 10.0." + (i % 256).astype(str) + "." + (i % 100).astype(str)
+        + " tel 555-" + (i % 10000).astype(str).str.zfill(4)
+    )
+    return df
+
+
+def _q_redact_documents(sf_dir: str):
+    """Vectorized RE2 PII redaction (email/IP/phone) — curation op."""
+    from raykg.ops.redact import redact_pii
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(_plant_pii, batch_format="pandas")
+    return redact_pii(ds).select_columns(
+        ["doc_id", "text_redacted", "n_redactions"]
+    )
+
+
+def _sql_redact() -> str:
+    from raykg.ops.redact import PII_PATTERNS
+
+    planted = (
+        "SELECT doc_id, text || ' contact user' || doc_id || '@mail-' || "
+        "(doc_id % 7) || '.example.com from 10.0.' || (doc_id % 256) || '.' "
+        "|| (doc_id % 100) || ' tel 555-' || "
+        "lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text FROM documents"
+    )
+    sql = f"WITH s0 AS ({planted}),\n"
+    prev, n_terms = "s0", []
+    for j, (_name, pat, repl) in enumerate(PII_PATTERNS, start=1):
+        n_terms.append(f"c{j}")
+        sql += (
+            f"s{j} AS (SELECT doc_id, "
+            f"regexp_replace(text, '{pat}', '{repl}', 'g') AS text, "
+            + ("" if j == 1 else ", ".join(f"c{m}" for m in range(1, j)) + ", ")
+            + f"length(regexp_extract_all(text, '{pat}'))::BIGINT AS c{j} "
+            f"FROM {prev}),\n"
+        )
+        prev = f"s{j}"
+    sql = sql.rstrip(",\n") + (
+        f"\nSELECT doc_id, text AS text_redacted, "
+        f"{' + '.join(n_terms)} AS n_redactions FROM {prev}"
+    )
+    return sql
+
+
+_SQL_REDACT = _sql_redact()
+
+
+def _q_vocab_top_words(sf_dir: str):
+    """Corpus word-frequency table, top-200 — partial aggregation
+    (per-block np.unique pre-count) before the shuffle."""
+    from raykg.ops.vocab import top_words
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    return top_words(ds, k=200)
+
+
+_SQL_VOCAB = """
+SELECT word, count(*)::BIGINT AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+) WHERE word <> ''
+GROUP BY word ORDER BY n DESC, word LIMIT 200
+"""
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+_MIX_DEFAULT = 0.125
+
+
+def _q_sample_mixture(sf_dir: str):
+    """Deterministic per-domain mixture sampling (hash filter — stable
+    under partitioning, retries and resume; exactly SQL-checkable)."""
+    from raykg.ops.sample import mixture_sample
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source"])
+    return mixture_sample(ds, key_col="source", id_col="doc_id",
+                          rates=_MIX_RATES, default_rate=_MIX_DEFAULT)
+
+
+_SQL_MIXTURE = """
+SELECT doc_id, source FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 <
+  CASE source
+    WHEN 'src0' THEN 4294967296
+    WHEN 'src1' THEN 2147483648
+    WHEN 'src2' THEN 1073741824
+    WHEN 'src3' THEN 0
+    ELSE 536870912
+  END
+"""
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Sequence packing: whitespace token counts -> FFD packs at a
+    256-token budget. Rows-only (assignment depends on block
+    population; invariants pinned in tests/test_curation.py)."""
+    from raykg.ops.pack import pack_sequences
+    from raykg.ops.textstats import token_count_whitespace
+
+    def counts(df):
+        return df.assign(n_tok=token_count_whitespace(df["text"]))[
+            ["doc_id", "n_tok"]
+        ]
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(counts, batch_format="pandas")
+    return pack_sequences(ds, token_col="n_tok", id_col="doc_id", budget=256)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -1130,7 +1251,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_user_distinct_types": _q_user_distinct_types,
         "minhash_dup_pairs_oracle": _q_minhash_dup_oracle,
         "jaccard_dup_pairs": _q_jaccard_dup_pairs,
+        "redact_pii_documents": _q_redact_documents,
+        "vocab_top_words": _q_vocab_top_words,
+        "sample_documents_mixture": _q_sample_mixture,
         # rows-only (model-/sketch-based, not SQL-expressible)
+        "pack_training_sequences": _q_pack_sequences,
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "simhash_near_dup_pairs": _q_simhash_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -1172,4 +1297,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_user_distinct_types": _SQL_USER_DISTINCT,
         "minhash_dup_pairs_oracle": _SQL_MINHASH_ORACLE,
         "jaccard_dup_pairs": _SQL_JACCARD_ORACLE,
+        "redact_pii_documents": _SQL_REDACT,
+        "vocab_top_words": _SQL_VOCAB,
+        "sample_documents_mixture": _SQL_MIXTURE,
     }

@@ -1,0 +1,100 @@
+"""Sequence packing: group variable-length documents into fixed
+token-budget training sequences (the "packing" step every LLM
+pretraining data pipeline runs between tokenization and batching —
+unpacked batches waste the pad fraction of every step).
+
+Algorithm: first-fit-decreasing PER BLOCK — docs sorted by (tokens
+desc, id asc), each placed into the first open pack with room, a new
+pack opened when none fits. FFD is inherently sequential, so this is
+deliberately a per-block Python loop — but over ONE int per document
+(the token count), never the text payload, so a 10⁵-doc block packs in
+milliseconds and the stage stays compute-trivial next to tokenization.
+Packing is per-block by design: pack quality needs only a large-enough
+population (FFD wastes <22% worst-case, ~1-3% at realistic length
+distributions), not global visibility, so there is NO shuffle — the
+operator pipelines with whatever produced the token counts.
+
+Determinism contract: output is a pure function of each block's
+content (not of block boundaries). Tests pin single-block FFD exactly
+and assert the invariants (each doc exactly once, no pack over budget)
+under arbitrary partitioning.
+
+Docs longer than the budget are truncated to it and flagged
+(``truncated=True``) rather than dropped — the downstream tokenizer
+slice decides what to do with the tail.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def pack_block(ids: np.ndarray, tokens: np.ndarray, budget: int):
+    """FFD over one block. Returns (pack_key, slot, n_tokens, truncated)
+    arrays aligned with a (tokens desc, id asc) ordering of the input;
+    pack_key = smallest doc id in the pack (globally unique because
+    blocks partition the id space)."""
+    trunc = tokens > budget
+    toks = np.minimum(tokens, budget)
+    order = np.lexsort((ids, -toks))
+    ids_o, toks_o, trunc_o = ids[order], toks[order], trunc[order]
+
+    n = len(ids_o)
+    pack_of = np.empty(n, dtype=np.int64)
+    remaining: list[int] = []  # open-pack remainders, in open order
+    members: list[list[int]] = []
+    for i in range(n):
+        t = int(toks_o[i])
+        placed = -1
+        for j, rem in enumerate(remaining):
+            if rem >= t:
+                placed = j
+                break
+        if placed < 0:
+            placed = len(remaining)
+            remaining.append(budget)
+            members.append([])
+        remaining[placed] -= t
+        members[placed].append(i)
+        pack_of[i] = placed
+
+    pack_key = np.empty(len(remaining), dtype=np.int64)
+    slot = np.empty(n, dtype=np.int64)
+    for j, mem in enumerate(members):
+        pack_key[j] = ids_o[mem].min()
+        slot[mem] = np.arange(len(mem))
+    return ids_o, toks_o, trunc_o, pack_key[pack_of], slot
+
+
+def pack_sequences(ds, token_col: str, id_col: str, budget: int):
+    """One output row per (pack, doc): ``pack_id`` (smallest doc id in
+    the pack), ``doc_id``, ``n_tokens`` (post-truncation), ``slot``
+    (position within the pack), ``truncated``."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = t.column(token_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids_o, toks_o, trunc_o, pack_id, slot = pack_block(ids, toks, budget)
+        return pa.table(
+            {
+                "pack_id": pack_id,
+                "doc_id": ids_o,
+                "n_tokens": toks_o,
+                "slot": slot,
+                "truncated": trunc_o,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pack_stats(packed_df, budget: int) -> dict:
+    """Fill-ratio summary over a packed frame (small, driver-side)."""
+    per_pack = packed_df.groupby("pack_id")["n_tokens"].sum()
+    return {
+        "n_packs": int(len(per_pack)),
+        "n_docs": int(len(packed_df)),
+        "fill_ratio": float(per_pack.sum() / (len(per_pack) * budget)),
+        "max_fill": int(per_pack.max()),
+    }

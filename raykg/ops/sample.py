@@ -1,0 +1,44 @@
+"""Deterministic mixture sampling: per-group keep rates over a corpus
+(domain up-/down-sampling — the "20% web, 2× books" curation step of a
+pretraining mix), implemented as a pure hash filter.
+
+Why hash, not RNG: a multiplicative hash of the row id decides each
+row independently of partitioning, execution order, retries, and
+resume — the sampled set is a stable property of the DATA, so a killed
+run re-derives the identical mix, and a DuckDB oracle can check it
+row-for-row (query ``sample_documents_mixture``). ``random_sample``
+would give none of that.
+
+Knuth multiplicative hash: ``(id * 2654435761) mod 2^32`` compared to
+``rate * 2^32``. Exactly expressible in int64 SQL. For oracle parity
+use rates that are exact binary fractions (1.0, 0.5, 0.25, ...) so the
+threshold computes identically in numpy and SQL.
+
+Scale shape: stateless vectorized ``map_batches`` filter fused with
+the read; the rate table rides in the closure (it is a few dozen
+domains, not data).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_KNUTH = np.uint64(2654435761)
+_M32 = np.uint64(1 << 32)
+
+
+def mixture_sample(ds, key_col: str, id_col: str, rates: dict[str, float],
+                   default_rate: float = 0.0):
+    """Keep each row iff hash32(id) < rate[key] * 2^32."""
+    thresholds = {k: np.uint64(int(r * (1 << 32))) for k, r in rates.items()}
+    default_thr = np.uint64(int(default_rate * (1 << 32)))
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * _KNUTH) % _M32
+        keys = t.column(key_col).to_pandas()
+        thr = keys.map(thresholds).fillna(default_thr).to_numpy(dtype=np.uint64)
+        return t.filter(pa.array(h < thr))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,180 @@
+"""Training-data curation ops: PII redaction, vocabulary extraction,
+sequence packing, mixture sampling."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from raykg.ops.pack import pack_block, pack_sequences, pack_stats
+from raykg.ops.redact import PII_PATTERNS, redact_pii, redact_text
+from raykg.ops.sample import mixture_sample
+from raykg.ops.vocab import top_words, word_frequencies
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- redact
+PII_DOCS = [
+    "contact alice.smith+spam@example.co.uk or bob@sub.domain.org today",
+    "server at 192.168.1.254 fell over; backup is 10.0.0.7",
+    "call +1-555-867-5309 or (555) 014-0199 after 5pm",
+    "mixed: eve@evil.net from 8.8.8.8 dialed 555-0199 twice",
+    "clean text with no pii at all",
+    "",
+]
+
+
+def test_redact_text_patterns():
+    red, n = redact_text(pa.chunked_array([pa.array(PII_DOCS)]))
+    red = red.to_pylist()
+    assert "<EMAIL>" in red[0] and "@" not in red[0]
+    assert red[1].count("<IP>") == 2
+    assert red[2].count("<PHONE>") == 2
+    assert "<EMAIL>" in red[3] and "<IP>" in red[3] and "<PHONE>" in red[3]
+    assert red[4] == PII_DOCS[4]
+    assert red[5] == ""
+    assert n.to_pylist() == [2, 2, 2, 3, 0, 0]
+
+
+def test_redact_matches_duckdb_re2():
+    # same RE2 patterns, same sequential order -> bit-identical output
+    con = duckdb.connect()
+    con.register("t", pa.table({"text": PII_DOCS}))
+    expr = "text"
+    for _name, pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    want = [r[0] for r in con.sql(f"SELECT {expr} FROM t").fetchall()]
+    got, _ = redact_text(pa.array(PII_DOCS))
+    assert got.to_pylist() == want
+
+
+def test_redact_pii_dataset():
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(6)), "text": PII_DOCS}))
+    out = redact_pii(ds).to_pandas().sort_values("doc_id")
+    assert list(out.columns) == ["doc_id", "text", "text_redacted", "n_redactions"]
+    assert out.n_redactions.sum() == 9
+
+
+# -------------------------------------------------------------- vocab
+def test_word_frequencies_match_pandas():
+    texts = ["a b b c", "c c d", "", "a  a"]  # double space -> empty token dropped
+    ds = rd.from_arrow(pa.table({"text": texts})).repartition(3)
+    got = word_frequencies(ds).to_pandas().set_index("word")["n"].to_dict()
+    exp = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                exp[w] = exp.get(w, 0) + 1
+    assert got == exp
+
+
+def test_top_words_matches_duckdb():
+    import os
+    con = duckdb.connect()
+    want = con.sql(
+        f"""
+        SELECT word, count(*)::BIGINT AS n FROM (
+          SELECT unnest(string_split(text, ' ')) AS word
+          FROM '{os.path.join(SF, "documents.parquet")}'
+        ) WHERE word <> ''
+        GROUP BY word ORDER BY n DESC, word LIMIT 25
+        """
+    ).df()
+    ds = rd.read_parquet(os.path.join(SF, "documents.parquet"), columns=["text"])
+    got = top_words(ds, k=25)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# --------------------------------------------------------------- pack
+def _ffd_reference(ids, toks, budget):
+    """Independent oracle: naive FFD, dict-of-lists."""
+    order = sorted(range(len(ids)), key=lambda i: (-min(toks[i], budget), ids[i]))
+    packs = []  # (remaining, [ids])
+    assign = {}
+    for i in order:
+        t = min(toks[i], budget)
+        for p in packs:
+            if p[0] >= t:
+                p[0] -= t
+                p[1].append(ids[i])
+                break
+        else:
+            packs.append([budget - t, [ids[i]]])
+    for p in packs:
+        key = min(p[1])
+        for s, d in enumerate(p[1]):
+            assign[d] = (key, s)
+    return assign
+
+
+def test_pack_block_matches_reference_ffd():
+    rng = np.random.default_rng(5)
+    ids = rng.permutation(np.arange(100, 300))
+    toks = rng.integers(1, 300, len(ids))  # some exceed budget 256
+    ids_o, toks_o, trunc_o, pack_id, slot = pack_block(ids, toks, 256)
+    exp = _ffd_reference(ids.tolist(), toks.tolist(), 256)
+    for d, t, tr, p, s in zip(ids_o, toks_o, trunc_o, pack_id, slot):
+        assert exp[d] == (p, s)
+        assert t == min(toks[list(ids).index(d)], 256)
+        assert tr == (toks[list(ids).index(d)] > 256)
+
+
+def test_pack_sequences_invariants():
+    rng = np.random.default_rng(9)
+    n = 5000
+    df = pd.DataFrame({"doc_id": np.arange(n),
+                       "n_tok": rng.integers(1, 600, n)})
+    ds = rd.from_pandas(df).repartition(8)
+    out = pack_sequences(ds, token_col="n_tok", id_col="doc_id",
+                         budget=512).to_pandas()
+    # every doc exactly once
+    assert sorted(out.doc_id) == list(range(n))
+    per_pack = out.groupby("pack_id")["n_tokens"].sum()
+    assert (per_pack <= 512).all()
+    # slots contiguous from 0 in every pack
+    for _, g in out.groupby("pack_id"):
+        assert sorted(g.slot) == list(range(len(g)))
+    # pack ids are member ids (uniqueness across blocks comes free)
+    assert set(per_pack.index) <= set(out.doc_id)
+    stats = pack_stats(out, 512)
+    assert stats["fill_ratio"] > 0.9  # FFD on a big population packs tight
+    assert out.truncated.sum() == (df.n_tok > 512).sum()
+
+
+# ------------------------------------------------------------- sample
+def test_mixture_sample_matches_duckdb():
+    import os
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+    ds = rd.read_parquet(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "source"])
+    got = (
+        mixture_sample(ds, key_col="source", id_col="doc_id", rates=rates,
+                       default_rate=0.125)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    case = ("CASE source WHEN 'src0' THEN 4294967296 WHEN 'src1' THEN 2147483648 "
+            "WHEN 'src2' THEN 1073741824 WHEN 'src3' THEN 0 ELSE 536870912 END")
+    want = duckdb.sql(
+        f"""
+        SELECT doc_id, source FROM '{os.path.join(SF, "documents.parquet")}'
+        WHERE (doc_id * 2654435761) % 4294967296 < {case}
+        ORDER BY doc_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # excluded domain really excluded; rates roughly honored
+    assert not (got.source == "src3").any()
+
+
+def test_mixture_sample_stable_under_partitioning():
+    df = pd.DataFrame({"id": np.arange(2000),
+                       "dom": np.where(np.arange(2000) % 2 == 0, "a", "b")})
+    r = {"a": 0.5, "b": 0.25}
+    one = mixture_sample(rd.from_pandas(df), "dom", "id", r).to_pandas()
+    many = mixture_sample(rd.from_pandas(df).repartition(16), "dom", "id",
+                          r).to_pandas()
+    assert sorted(one.id) == sorted(many.id)
