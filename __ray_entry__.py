@@ -83,6 +83,25 @@ def _q_kg_clusters(sf_dir: str):
     )
 
 
+def _q_kg_triples_sharded(sf_dir: str):
+    """Flagship run through the genuinely multi-node shape: kb_shards=4
+    per-shard retrieval stages + object-store RW slices. Output is
+    bit-identical to the kb_shards=1 path (tests/test_sharded.py), so
+    its CORRECTNESS row count must equal kg_triples' — the driver-side
+    evidence of sharded parity."""
+    from raykg.fixtures import write_fixture
+    from raykg.pipeline import PipelineConfig, run_pipeline
+
+    name = _sf_name(sf_dir)
+    n_convs, n_kb, n_nil, n_tomb, n_epochs = _FIXTURE_SCALE[name]
+    fx = f"/tmp/raykg_fixture_{name}"
+    out = f"/tmp/raykg_out_{name}_sharded"
+    write_fixture(fx, n_convs=n_convs, n_kb=n_kb, n_nil=n_nil,
+                  n_tomb=n_tomb, n_epochs=n_epochs, seed=42)
+    run_pipeline(fx, out, PipelineConfig(kb_shards=4), resume=True)
+    return rd.read_parquet(os.path.join(out, "triples"))
+
+
 # --------------------------------------------------- SQL-checked queries
 
 def _q_pricing_summary(sf_dir: str):
@@ -1223,6 +1242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
         "kg_triples": _q_kg_triples,
+        "kg_triples_sharded": _q_kg_triples_sharded,
         "kg_mentions_linked": _q_kg_mentions,
         "kg_clusters": _q_kg_clusters,
         # SQL-checked operator conformance

@@ -172,6 +172,11 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("minhash_near_dup_pairs", em._q_minhash_pairs)
         timed("knn_bruteforce", em._q_knn)
         timed("text_quality", em._q_quality)
+        timed("rank_top_orders_per_customer", em._q_top_orders_per_customer)
+        timed("redact_pii_documents", em._q_redact_documents)
+        timed("vocab_top_words", em._q_vocab_top_words)
+        timed("sample_documents_mixture", em._q_sample_mixture)
+        timed("pack_training_sequences", em._q_pack_sequences)
 
     result = {
         "metric": "kg_pipeline_wall",
