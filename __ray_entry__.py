@@ -1238,6 +1238,56 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(ds, token_col="n_tok", id_col="doc_id", budget=256)
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality metrics per document."""
+    from raykg.ops.textstats import repetition_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return repetition_stats(ds)
+
+
+_SQL_REPETITION = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), cnt AS (
+  SELECT doc_id, w, count(*)::BIGINT AS c FROM tok WHERE w <> ''
+  GROUP BY doc_id, w
+), agg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+         round(1 - count(*)::DOUBLE / sum(c), 6) AS dup_token_frac,
+         round(max(c)::DOUBLE / sum(c), 6) AS top_token_frac,
+         round(sum(c * length(w))::DOUBLE / sum(c), 6) AS mean_token_len
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.dup_token_frac, 0.0) AS dup_token_frac,
+       coalesce(a.top_token_frac, 0.0) AS top_token_frac,
+       coalesce(a.mean_token_len, 0.0) AS mean_token_len
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination: every 97th doc plays the
+    held-out eval set; training docs sharing any word 8-gram with it
+    (the planted exact/near dups of those docs) are removed. Benchmark
+    side is driver-read by definition (eval suites are small); corpus
+    side streams through one broadcast-set filter."""
+    import pyarrow.parquet as pq
+
+    from raykg.ops.decontam import decontaminate
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    tbl = pq.read_table(path, columns=["doc_id", "text"])
+    ids = np.asarray(tbl.column("doc_id").to_pylist())
+    bench = [t for i, t in zip(ids, tbl.column("text").to_pylist())
+             if i % 97 == 0]
+    ds = rd.read_parquet(path, columns=["doc_id", "source", "text"])
+    return decontaminate(ds, bench, n=8).select_columns(["doc_id", "source"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -1274,8 +1324,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii_documents": _q_redact_documents,
         "vocab_top_words": _q_vocab_top_words,
         "sample_documents_mixture": _q_sample_mixture,
+        "quality_repetition_stats": _q_repetition_stats,
         # rows-only (model-/sketch-based, not SQL-expressible)
         "pack_training_sequences": _q_pack_sequences,
+        "decontaminate_documents": _q_decontaminate,
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "simhash_near_dup_pairs": _q_simhash_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -1320,4 +1372,5 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii_documents": _SQL_REDACT,
         "vocab_top_words": _SQL_VOCAB,
         "sample_documents_mixture": _SQL_MIXTURE,
+        "quality_repetition_stats": _SQL_REPETITION,
     }

@@ -186,3 +186,41 @@ def fingerprint(texts: list[str], window: int = 8) -> np.ndarray:
     h = np.where(mask, h, np.uint64(0xFFFFFFFFFFFFFFFF))
     out[long_idx] = np.minimum.reduceat(h, starts)
     return out
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style per-document repetition metrics (Rae et al. 2021
+    §A1.1 quality filters): whitespace-token count, duplicate-token
+    fraction, top-token fraction, mean token length. High duplicate /
+    top-token fractions mark the boilerplate and keyword-stuffed pages
+    every pretraining corpus filters out.
+
+    Vectorized: one split + explode per batch, then C-level groupbys
+    over the row index — no per-document Python loop. Stateless
+    ``map_batches``; pipelines with the read, no shuffle. Exactly
+    matched by the ``quality_repetition_stats`` DuckDB oracle."""
+    import pandas as pd
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        base = df.set_index(id_col)
+        tok = base[text_col].str.split(" ").explode()
+        tok = tok[tok.str.len() > 0]
+        grp = tok.groupby(level=0)
+        n = grp.size()
+        distinct = grp.nunique()
+        top = tok.groupby([tok.index, tok]).size().groupby(level=0).max()
+        char_sum = tok.str.len().groupby(level=0).sum()
+        out = pd.DataFrame(index=base.index)
+        out["n_tokens"] = n.reindex(out.index).fillna(0).astype("int64")
+        out["dup_token_frac"] = (
+            (1 - distinct / n).reindex(out.index).fillna(0.0).round(6)
+        )
+        out["top_token_frac"] = (
+            (top / n).reindex(out.index).fillna(0.0).round(6)
+        )
+        out["mean_token_len"] = (
+            (char_sum / n).reindex(out.index).fillna(0.0).round(6)
+        )
+        return out.reset_index()
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -178,3 +178,80 @@ def test_mixture_sample_stable_under_partitioning():
     many = mixture_sample(rd.from_pandas(df).repartition(16), "dom", "id",
                           r).to_pandas()
     assert sorted(one.id) == sorted(many.id)
+
+
+# ------------------------------------------------------ repetition
+def test_repetition_stats_matches_manual():
+    from raykg.ops.textstats import repetition_stats
+
+    docs = ["a a a b", "x y z", "", "q q", "one  two"]  # double space
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(5)), "text": docs}))
+    got = (repetition_stats(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got.n_tokens.tolist() == [4, 3, 0, 2, 2]
+    assert got.dup_token_frac.tolist() == [0.5, 0.0, 0.0, 0.5, 0.0]
+    assert got.top_token_frac.tolist() == [0.75, round(1 / 3, 6), 0.0, 1.0, 0.5]
+    assert got.mean_token_len.tolist() == [1.0, 1.0, 0.0, 1.0, 3.0]
+
+
+# ------------------------------------------------------ decontam
+BENCH_TXT = ["the quick brown fox jumps over the lazy sleeping dog tonight"]
+
+
+def _brute_contaminated(corpus, bench, n):
+    bgrams = set()
+    for b in bench:
+        ws = b.lower().split()
+        bgrams |= {tuple(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+    out = []
+    for t in corpus:
+        ws = t.lower().split()
+        grams = {tuple(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+        out.append(bool(grams & bgrams))
+    return out
+
+
+def test_decontaminate_matches_bruteforce():
+    from raykg.ops.decontam import decontaminate
+
+    corpus = [
+        # shares an 8-gram with the benchmark
+        "intro text the quick brown fox jumps over the lazy sleeping cat",
+        # 7-gram overlap only -> clean at n=8
+        "quick brown fox jumps over the lazy dances",
+        "completely unrelated document about ray data pipelines",
+        "the quick brown fox",  # shorter than n -> clean
+        "",
+    ]
+    exp = _brute_contaminated(corpus, BENCH_TXT, 8)
+    assert exp == [True, False, False, False, False]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(corpus))), "text": corpus})
+    ).repartition(3)
+    kept = decontaminate(ds, BENCH_TXT, n=8).to_pandas()
+    dirty = decontaminate(ds, BENCH_TXT, n=8, invert=True).to_pandas()
+    assert sorted(kept.doc_id) == [i for i, d in enumerate(exp) if not d]
+    assert sorted(dirty.doc_id) == [i for i, d in enumerate(exp) if d]
+
+
+def test_decontaminate_removes_planted_dups():
+    """On the synthetic corpus, docs sharing 8-grams with the
+    'benchmark' slice (every 97th doc, incl. its planted duplicates)
+    must go; brute force over the small sf confirms exact agreement."""
+    import os
+    import pyarrow.parquet as pq
+
+    from raykg.ops.decontam import decontaminate
+
+    path = os.path.join(SF, "documents.parquet")
+    tbl = pq.read_table(path, columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_pylist()
+    txt = tbl.column("text").to_pylist()
+    bench = [t for i, t in zip(ids, txt) if i % 97 == 0]
+    exp_dirty = _brute_contaminated(txt, bench, 8)
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    kept = decontaminate(ds, bench, n=8).to_pandas()
+    assert sorted(kept.doc_id) == sorted(
+        i for i, d in zip(ids, exp_dirty) if not d
+    )
+    assert len(kept) < len(ids)  # something was actually removed
