@@ -1288,6 +1288,57 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(ds, bench, n=8).select_columns(["doc_id", "source"])
 
 
+def _q_hll_distinct_users(sf_dir: str):
+    """Approximate distinct users per event type via the HyperLogLog
+    register relation (max-rho groupby) — the scale path where the
+    exact variant's distinct-value shuffle becomes the bottleneck.
+    Probabilistic by design: rows-only here; error gates live in
+    tests/test_curation.py and the exact query stays oracle-checked."""
+    from raykg.ops.sketch import hll_count_distinct
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    return hll_count_distinct(ds, "user_id", key_col="event_type", p=12)
+
+
+def _q_curation_pipeline(sf_dir: str):
+    """End-to-end training-data curation DAG — the ops composed as ONE
+    streaming pipeline the way a 100 TB corpus run would chain them:
+    exact dedup -> benchmark decontamination (8-gram, every-97th-doc
+    eval set) -> deterministic mixture sampling -> whitespace token
+    counts -> FFD sequence packing. Every stage is a map_batches /
+    coarse-bucket groupby; the only driver-side data is the benchmark
+    n-gram set and the final packed manifest. Output: one row per
+    surviving doc with its pack assignment (deterministic row count)."""
+    import pyarrow.parquet as pq
+
+    from raykg.ops.decontam import decontaminate
+    from raykg.ops.dedup import exact_dedup
+    from raykg.ops.pack import pack_sequences
+    from raykg.ops.sample import mixture_sample
+    from raykg.ops.textstats import token_count_whitespace
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    bench_tbl = pq.read_table(path, columns=["doc_id", "text"])
+    bench = [t for i, t in zip(bench_tbl.column("doc_id").to_pylist(),
+                               bench_tbl.column("text").to_pylist())
+             if i % 97 == 0]
+
+    ds = rd.read_parquet(path, columns=["doc_id", "source", "text"])
+    ds = exact_dedup(ds)
+    ds = decontaminate(ds, bench, n=8)
+    ds = mixture_sample(ds, key_col="source", id_col="doc_id",
+                        rates=_MIX_RATES, default_rate=_MIX_DEFAULT)
+
+    def counts(df):
+        return df.assign(n_tok=token_count_whitespace(df["text"]))[
+            ["doc_id", "n_tok"]
+        ]
+
+    ds = ds.map_batches(counts, batch_format="pandas")
+    return pack_sequences(ds, token_col="n_tok", id_col="doc_id", budget=256)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -1328,6 +1379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (model-/sketch-based, not SQL-expressible)
         "pack_training_sequences": _q_pack_sequences,
         "decontaminate_documents": _q_decontaminate,
+        "approx_distinct_users_hll": _q_hll_distinct_users,
+        "curation_pipeline": _q_curation_pipeline,
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "simhash_near_dup_pairs": _q_simhash_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,

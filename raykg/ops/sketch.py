@@ -1,0 +1,130 @@
+"""HyperLogLog count-distinct sketch (Flajolet et al. 2007) — the
+scale path for cardinality: exact count-distinct must shuffle every
+distinct value (``agg_user_distinct_types`` does, with local
+pre-dedup); HLL moves at most ``keys × 2^p`` register rows no matter
+how many distinct values exist, with ~1.04/√2^p relative error.
+
+Relational formulation (what makes it a clean Ray Data operator): a
+value's sketch contribution is the pair ``(bucket = top p hash bits,
+rho = 1 + leading zeros of the rest)`` and the sketch is just
+``max(rho) GROUP BY key, bucket``. So: one vectorized map_batches
+computes (key, bucket, rho), a per-block ``np.maximum`` pre-aggregate
+caps each block's shuffle contribution at keys × 2^p rows, Ray's
+``groupby().aggregate(Max)`` merges, and a final small groupby turns
+registers into estimates. Standard small-range (linear counting) and
+large-range corrections applied.
+
+Error contract is probabilistic — tests gate the estimate within
+3 × the theoretical standard error against exact counts; there is no
+hash-exact oracle by design (the exact query remains available for
+conformance).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Max
+
+from raykg.util import hash_strings
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _finalize64(v: np.ndarray) -> np.ndarray:
+    """Murmur3-style 64-bit finalizer. Applied to EVERY input: raw FNV
+    high bits barely move between similar short strings (measured: 3k
+    distinct user-N strings hit 105/4096 top-12-bit buckets), and
+    sequential ints funnel the same way — HLL buckets come from the
+    top bits, so they must be avalanche-mixed."""
+    v = v.copy()
+    v ^= v >> np.uint64(33)
+    with np.errstate(over="ignore"):
+        v *= np.uint64(0xFF51AFD7ED558CCD)
+        v ^= v >> np.uint64(33)
+        v *= np.uint64(0xC4CEB9FE1A85EC53)
+    v ^= v >> np.uint64(33)
+    return v
+
+
+def _hash_col(col: pa.ChunkedArray) -> np.ndarray:
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return _finalize64(hash_strings(col.to_pylist()))
+    return _finalize64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+
+
+def _bit_length64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (log2 on 32-bit halves —
+    32-bit ints are exact in float64, so floor(log2) cannot round past
+    a power of two; a single log2 over full 64-bit values can)."""
+    hi = (w >> np.uint64(32)).astype(np.float64)
+    lo = (w & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        bl_hi = np.where(hi > 0, np.floor(np.log2(np.maximum(hi, 1))) + 1, 0)
+        bl_lo = np.where(lo > 0, np.floor(np.log2(np.maximum(lo, 1))) + 1, 0)
+    return np.where(hi > 0, bl_hi + 32, bl_lo).astype(np.int64)
+
+
+def _registers(t: pa.Table, key_col: str | None, value_col: str, p: int) -> pa.Table:
+    h = _hash_col(t.column(value_col))
+    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - p)) - 1)  # low 64-p bits
+    # rho = leading-zero count within the (64-p)-bit window, + 1;
+    # w == 0 gives bit_length 0 -> rho = 64-p+1, the defined maximum
+    rho = (64 - p) - _bit_length64(w) + 1
+    cols = {"bucket": bucket, "rho": rho}
+    if key_col is not None:
+        cols = {key_col: t.column(key_col), **cols}
+        df = pa.table(cols).to_pandas()
+        agg = df.groupby([key_col, "bucket"], sort=False)["rho"].max().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+    df = pd.DataFrame(cols)
+    agg = df.groupby("bucket", sort=False)["rho"].max().reset_index()
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def _estimate(group: pd.DataFrame, p: int) -> float:
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.int64)
+    regs[group["bucket"].to_numpy()] = group["rho"].to_numpy()
+    est = _alpha(m) * m * m / np.sum(np.power(2.0, -regs))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)  # linear counting
+    elif est > (1 << 32) / 30.0:
+        est = -(1 << 32) * np.log(1 - est / (1 << 32))
+    return float(est)
+
+
+def hll_count_distinct(ds, value_col: str, key_col: str | None = None, p: int = 12):
+    """Approximate distinct count of ``value_col`` (optionally per
+    ``key_col`` group). Returns a small pandas frame: (key?, approx_n)."""
+
+    reg = (
+        ds.map_batches(
+            lambda t: _registers(t, key_col, value_col, p),
+            batch_format="pyarrow",
+        )
+        .groupby([key_col, "bucket"] if key_col else "bucket")
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()
+    )
+    if key_col is None:
+        return pd.DataFrame({"approx_n": [round(_estimate(reg, p))]})
+    out = (
+        reg.groupby(key_col, sort=False)
+        .apply(lambda g: round(_estimate(g, p)), include_groups=False)
+        .rename("approx_n")
+        .reset_index()
+    )
+    return out

@@ -255,3 +255,45 @@ def test_decontaminate_removes_planted_dups():
         i for i, d in zip(ids, exp_dirty) if not d
     )
     assert len(kept) < len(ids)  # something was actually removed
+
+
+# ----------------------------------------------------------- sketch
+def test_hll_global_within_error_bound():
+    from raykg.ops.sketch import hll_count_distinct
+
+    n = 50_000
+    vals = np.concatenate([np.arange(n), np.arange(n // 2)])  # dups
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(8)
+    est = hll_count_distinct(ds, "v", p=12)["approx_n"].iloc[0]
+    assert abs(est - n) / n < 3 * 1.04 / np.sqrt(1 << 12)  # 3 sigma
+
+
+def test_hll_string_values_and_partition_invariance():
+    from raykg.ops.sketch import hll_count_distinct
+
+    vals = [f"user-{i % 3000}" for i in range(20_000)]
+    t = pa.table({"v": vals})
+    a = hll_count_distinct(rd.from_arrow(t), "v", p=12)["approx_n"].iloc[0]
+    b = hll_count_distinct(rd.from_arrow(t).repartition(16), "v",
+                           p=12)["approx_n"].iloc[0]
+    assert a == b  # max is associative: estimate is partition-invariant
+    assert abs(a - 3000) / 3000 < 3 * 1.04 / np.sqrt(1 << 12)
+
+
+def test_hll_grouped_close_to_exact():
+    from raykg.ops.sketch import hll_count_distinct
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 20, 30_000),
+        "v": rng.integers(0, 500, 30_000),
+    })
+    got = (hll_count_distinct(rd.from_pandas(df).repartition(8), "v",
+                              key_col="k", p=12)
+           .sort_values("k").reset_index(drop=True))
+    exact = df.groupby("k")["v"].nunique()
+    for _, row in got.iterrows():
+        e = exact[row["k"]]
+        # small-cardinality groups sit in the linear-counting regime:
+        # within 1 count of exact barring a register collision
+        assert abs(row["approx_n"] - e) <= max(2, 0.05 * e)
