@@ -1339,6 +1339,49 @@ def _q_curation_pipeline(sf_dir: str):
     return pack_sequences(ds, token_col="n_tok", id_col="doc_id", budget=256)
 
 
+def _q_auto_join_orders(sf_dir: str):
+    """Plan-adaptive equi-join: auto_join measures the right side
+    (customer) and picks broadcast map-side vs tagged-union shuffle —
+    result identical either way, so one oracle covers both plans."""
+    from raykg.ops.joins import auto_join
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_totalprice"])
+    customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_mktsegment"])
+    j = auto_join(orders, customer, on="o_custkey", right_on="c_custkey",
+                  left_cols=["o_totalprice"], right_cols=["c_mktsegment"])
+    out = (
+        j.groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="total_price"),
+        )
+    ).to_pandas()
+    out["total_price"] = out["total_price"].round(2)
+    return out
+
+
+_SQL_AUTO_JOIN = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def _q_approx_quantiles(sf_dir: str):
+    """Sampled grouped quantiles (DKW-bounded rank error) — the scale
+    path beside the exact oracle-checked agg_value_quantiles."""
+    from raykg.ops.sketch import approx_grouped_quantiles
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "value"])
+    return approx_grouped_quantiles(ds, key_col="event_type",
+                                    val_col="value", id_col="event_id",
+                                    qs=(0.5, 0.95), rate=0.1)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -1354,6 +1397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_top_revenue_orders": _q_top_revenue_orders,
         "rank_top_orders_per_customer": _q_top_orders_per_customer,
         "join_shuffle_revenue": _q_shuffle_join_revenue,
+        "join_auto_orders_customer": _q_auto_join_orders,
         "join_shuffle_semi_lineitem": _q_shuffle_semi_lineitem,
         "join_shuffle_anti_orders": _q_shuffle_anti_orders,
         "window_hourly_events": _q_hourly_events,
@@ -1380,6 +1424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_training_sequences": _q_pack_sequences,
         "decontaminate_documents": _q_decontaminate,
         "approx_distinct_users_hll": _q_hll_distinct_users,
+        "approx_value_quantiles": _q_approx_quantiles,
         "curation_pipeline": _q_curation_pipeline,
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "simhash_near_dup_pairs": _q_simhash_pairs,
@@ -1404,6 +1449,7 @@ def oracle_sql() -> dict[str, str]:
         "join_top_revenue_orders": _SQL_TOP_REVENUE,
         "rank_top_orders_per_customer": _SQL_TOP_PER_CUSTOMER,
         "join_shuffle_revenue": _SQL_SHUFFLE_JOIN,
+        "join_auto_orders_customer": _SQL_AUTO_JOIN,
         "join_shuffle_semi_lineitem": _SQL_SHUFFLE_SEMI,
         "join_shuffle_anti_orders": _SQL_SHUFFLE_ANTI,
         "window_hourly_events": _SQL_HOURLY,

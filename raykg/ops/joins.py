@@ -461,3 +461,72 @@ def asof_join(
         return t
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+BROADCAST_JOIN_BYTES = 64 << 20  # small side under this -> map-side join
+
+
+def auto_join(
+    left_ds,
+    right_ds,
+    on: str,
+    right_on: str | None = None,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+    broadcast_limit_bytes: int = BROADCAST_JOIN_BYTES,
+    **hash_join_kwargs,
+):
+    """Equi-join that picks its physical plan from the RIGHT side's
+    measured size — the decision every query engine makes and a user
+    should not have to: under ``broadcast_limit_bytes`` the right side
+    is collected once, put in the object store, and every left block
+    joins map-side with zero shuffle (the reference-scale dimension
+    tables: region/nation at any SF); over it, the tagged-union
+    shuffle ``hash_join`` runs (the 5.9 M-entity metadata join shape).
+
+    ``size_bytes()`` is metadata-derived for parquet inputs (no
+    execution); a lazy right pipeline without size metadata executes
+    to count — pass an explicit plan via ``hash_join`` directly when
+    that matters. Output contract matches ``hash_join``:
+    ``[on] + left_cols + right_cols``, same ``how`` semantics.
+    """
+    try:
+        sz = right_ds.size_bytes()
+    except Exception:
+        sz = None
+    if sz is None or sz > broadcast_limit_bytes:
+        return hash_join(left_ds, right_ds, on, right_on=right_on,
+                         left_cols=left_cols, right_cols=right_cols,
+                         how=how, **hash_join_kwargs)
+
+    right_on = right_on or on
+    left_cols = list(left_cols or [])
+    right_cols = list(right_cols or [])
+    if how in ("semi", "anti") and right_cols:
+        raise ValueError(f"how={how!r} emits left columns only")
+    rdf = (
+        right_ds.select_columns([right_on] + right_cols)
+        .to_pandas()
+        .rename(columns={right_on: on})
+    )
+    if how in ("semi", "anti"):
+        keys_ref = ray.put(np.unique(rdf[on].to_numpy()))
+
+        def filter_block(t: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            hit = np.isin(t.column(on).to_numpy(zero_copy_only=False), keys)
+            return t.select([on] + left_cols).filter(
+                pa.array(hit if how == "semi" else ~hit)
+            )
+
+        return left_ds.map_batches(filter_block, batch_format="pyarrow")
+
+    rdf_ref = ray.put(rdf)
+
+    def join_block(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rdf_ref)
+        out = df[[on] + left_cols].merge(r, on=on, how=how)
+        return out[[on] + left_cols + right_cols]
+
+    return left_ds.map_batches(join_block, batch_format="pandas")

@@ -128,3 +128,54 @@ def hll_count_distinct(ds, value_col: str, key_col: str | None = None, p: int = 
         .reset_index()
     )
     return out
+
+
+def approx_grouped_quantiles(
+    ds,
+    key_col: str,
+    val_col: str,
+    id_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    rate: float = 0.05,
+    coarse: int = 64,
+):
+    """Approximate per-key quantiles from a deterministic hash sample.
+
+    Exact grouped quantiles must co-locate EVERY value of a key (the
+    ``agg_value_quantiles`` path) — at corpus scale that shuffle
+    carries the whole column. Sampling first shrinks the exchange by
+    1/rate with a known guarantee: a uniform sample of m values bounds
+    the rank error of any sample quantile by ~1.15/sqrt(m) with 95%
+    confidence (DKW inequality), so rate is a direct precision dial.
+    The sample is hash-of-id deterministic (same rows every run and
+    every partitioning — see ops/sample.py for why that matters), then
+    the surviving (key, value) pairs flow through the same
+    coarse-bucket many-keys-per-call selection as the exact path.
+
+    Returns one row per key present in the sample: (key, q{..} cols).
+    """
+    thr = np.uint64(int(rate * (1 << 32)))
+    knuth = np.uint64(2654435761)
+    m32 = np.uint64(1 << 32)
+
+    def sample_and_bucket(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = (ids * knuth) % m32 < thr
+        t = t.select([key_col, val_col]).filter(pa.array(keep))
+        kh = _hash_col(t.column(key_col)) % np.uint64(coarse)
+        return t.append_column("_b", pa.array(kh.astype(np.int64)))
+
+    qcols = [f"q{int(q * 100)}" for q in qs]
+
+    def q_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, v in g.groupby(key_col, sort=False)[val_col]:
+            a = v.to_numpy()
+            rows.append((k, *(float(np.quantile(a, q)) for q in qs)))
+        return pd.DataFrame(rows, columns=[key_col, *qcols])
+
+    return (
+        ds.map_batches(sample_and_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(q_bucket, batch_format="pandas")
+    )

@@ -297,3 +297,44 @@ def test_hll_grouped_close_to_exact():
         # small-cardinality groups sit in the linear-counting regime:
         # within 1 count of exact barring a register collision
         assert abs(row["approx_n"] - e) <= max(2, 0.05 * e)
+
+
+def test_approx_grouped_quantiles_rank_error():
+    from raykg.ops.sketch import approx_grouped_quantiles
+
+    rng = np.random.default_rng(17)
+    n = 200_000
+    df = pd.DataFrame({
+        "id": np.arange(n),
+        "k": rng.integers(0, 5, n),
+        "v": rng.lognormal(0.0, 2.0, n),  # heavy-tailed
+    })
+    got = approx_grouped_quantiles(
+        rd.from_pandas(df).repartition(8), key_col="k", val_col="v",
+        id_col="id", qs=(0.5, 0.95), rate=0.05,
+    ).to_pandas().set_index("k")
+    # judge in RANK space: the approximate quantile's true rank must sit
+    # within the DKW band for the realized per-key sample size
+    for k, g in df.groupby("k"):
+        vals = np.sort(g["v"].to_numpy())
+        m = 0.05 * len(g)
+        tol = 1.5 / np.sqrt(m)  # ~3x DKW 95% bound, margin for variance
+        for q, col in ((0.5, "q50"), (0.95, "q95")):
+            est = got.loc[k, col]
+            rank = np.searchsorted(vals, est) / len(vals)
+            assert abs(rank - q) < tol, (k, col, rank, q, tol)
+
+
+def test_approx_grouped_quantiles_deterministic():
+    from raykg.ops.sketch import approx_grouped_quantiles
+
+    df = pd.DataFrame({"id": np.arange(50_000),
+                       "k": np.arange(50_000) % 3,
+                       "v": np.arange(50_000) * 0.5})
+    a = approx_grouped_quantiles(rd.from_pandas(df), "k", "v", "id",
+                                 rate=0.1).to_pandas().sort_values("k")
+    b = approx_grouped_quantiles(rd.from_pandas(df).repartition(16), "k",
+                                 "v", "id", rate=0.1
+                                 ).to_pandas().sort_values("k")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))

@@ -775,3 +775,29 @@ def test_top_k_per_key_string_keys():
     )
     exp = _topk_expected(df, 7)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_auto_join_broadcast_matches_hash_join():
+    from raykg.ops.joins import auto_join, hash_join
+
+    rng = np.random.default_rng(21)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 2000),
+                         "lv": rng.normal(size=2000)})
+    right = pd.DataFrame({"k": np.arange(40), "rv": np.arange(40) * 10.0})
+    lds = rd.from_pandas(left).repartition(6)
+    rds = rd.from_pandas(right)
+
+    def norm(df):
+        return (df.sort_values(list(df.columns))
+                .reset_index(drop=True).round(9))
+
+    for how in ("inner", "left", "semi", "anti"):
+        rc = None if how in ("semi", "anti") else ["rv"]
+        bc = auto_join(lds, rds, "k", left_cols=["lv"], right_cols=rc,
+                       how=how).to_pandas()
+        sh = auto_join(lds, rds, "k", left_cols=["lv"], right_cols=rc,
+                       how=how, broadcast_limit_bytes=0).to_pandas()
+        hj = hash_join(lds, rds, "k", left_cols=["lv"], right_cols=rc,
+                       how=how).to_pandas()
+        pd.testing.assert_frame_equal(norm(bc), norm(hj), check_dtype=False)
+        pd.testing.assert_frame_equal(norm(sh), norm(hj), check_dtype=False)
