@@ -42,28 +42,38 @@ def pack_block(ids: np.ndarray, tokens: np.ndarray, budget: int):
 
     n = len(ids_o)
     pack_of = np.empty(n, dtype=np.int64)
-    remaining: list[int] = []  # open-pack remainders, in open order
-    members: list[list[int]] = []
+    # First-fit scan in open order. The per-item scan is a C-level
+    # boolean argmax (np.argmax returns the FIRST True), and a running
+    # max-remainder short-circuits straight to a new pack when nothing
+    # can fit — that makes the adversarial all-items-just-over-half
+    # case O(n) instead of O(n²).
+    rem = np.empty(n, dtype=np.int64)
+    n_open = 0
+    rem_max = -1
     for i in range(n):
         t = int(toks_o[i])
-        placed = -1
-        for j, rem in enumerate(remaining):
-            if rem >= t:
-                placed = j
-                break
-        if placed < 0:
-            placed = len(remaining)
-            remaining.append(budget)
-            members.append([])
-        remaining[placed] -= t
-        members[placed].append(i)
-        pack_of[i] = placed
+        if t > rem_max:
+            j = n_open
+            rem[j] = budget - t
+            n_open += 1
+            rem_max = max(rem_max, budget - t)
+        else:
+            j = int(np.argmax(rem[:n_open] >= t))
+            was_max = rem[j] == rem_max
+            rem[j] -= t
+            if was_max:
+                rem_max = int(rem[:n_open].max())
+        pack_of[i] = j
 
-    pack_key = np.empty(len(remaining), dtype=np.int64)
+    pack_key = np.full(n_open, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(pack_key, pack_of, ids_o)
+    # slot = rank within pack in assignment (i) order, vectorized
+    order = np.argsort(pack_of, kind="stable")
+    sp = pack_of[order]
+    starts = np.flatnonzero(np.r_[True, np.diff(sp) != 0])
+    sizes = np.diff(np.r_[starts, n])
     slot = np.empty(n, dtype=np.int64)
-    for j, mem in enumerate(members):
-        pack_key[j] = ids_o[mem].min()
-        slot[mem] = np.arange(len(mem))
+    slot[order] = np.arange(n) - np.repeat(starts, sizes)
     return ids_o, toks_o, trunc_o, pack_key[pack_of], slot
 
 
