@@ -30,17 +30,18 @@ from raykg.util import _FNV_OFFSET, _FNV_PRIME, hash_strings
 
 def _word_ngram_hashes(texts: list[str], n: int) -> tuple[np.ndarray, np.ndarray]:
     """All word n-gram hashes of a text batch. Returns (gram_hash,
-    doc_index) — one row per n-gram occurrence, boundary-safe."""
-    words: list[str] = []
-    doc_idx: list[int] = []
-    for i, t in enumerate(texts):
-        ws = [w for w in (t or "").lower().split() if w]
-        words.extend(ws)
-        doc_idx.extend([i] * len(ws))
-    if len(words) < n:
+    doc_index) — one row per n-gram occurrence, boundary-safe. Word
+    splitting goes through pandas split/explode (C-level; whitespace
+    split drops empties, matching str.split())."""
+    import pandas as pd
+
+    s = pd.Series(texts, dtype="object").str.lower().str.split()
+    ex = s.explode().dropna()
+    if len(ex) < n:
         return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    words = ex.tolist()
     wh = hash_strings(words)
-    di = np.asarray(doc_idx, dtype=np.int64)
+    di = ex.index.to_numpy(dtype=np.int64)
     W = np.lib.stride_tricks.sliding_window_view(wh, n)
     with np.errstate(over="ignore"):
         h = np.full(len(W), _FNV_OFFSET, dtype=np.uint64)
