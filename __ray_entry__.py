@@ -1382,6 +1382,46 @@ def _q_approx_quantiles(sf_dir: str):
                                     qs=(0.5, 0.95), rate=0.1)
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental exact dedup: even doc_ids ingest as increment 1
+    (consumed to commit its bucketed hash state), odd doc_ids as
+    increment 2 — the returned rows are increment 2's novel texts.
+    The oracle states the same thing relationally: first odd row per
+    text with no even-side occurrence."""
+    import shutil
+
+    from raykg.ops.incdedup import incremental_exact_dedup
+
+    state = f"/tmp/raykg_incdedup_{_sf_name(sf_dir)}"
+    shutil.rmtree(state, ignore_errors=True)
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def parity(keep_even):
+        def fn(t: pa.Table) -> pa.Table:
+            even = pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
+            return t.filter(even if keep_even else pc.invert(even))
+        return fn
+
+    base = rd.read_parquet(path, columns=["doc_id", "text"])
+    inc1 = base.map_batches(parity(True), batch_format="pyarrow")
+    incremental_exact_dedup(inc1, state, "inc1").materialize()
+    inc2 = base.map_batches(parity(False), batch_format="pyarrow")
+    return incremental_exact_dedup(inc2, state, "inc2")
+
+
+_SQL_INC_DEDUP = """
+SELECT doc_id, text FROM (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents WHERE doc_id % 2 = 1
+) t
+WHERE rn = 1 AND NOT EXISTS (
+  SELECT 1 FROM documents d2
+  WHERE d2.doc_id % 2 = 0 AND d2.text = t.text
+)
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -1403,6 +1443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hourly_events": _q_hourly_events,
         "window_hopping_events": _q_hopping_window,
         "dedup_documents_exact": _q_dedup_documents,
+        "dedup_incremental_increment2": _q_incremental_dedup,
         "text_token_counts": _q_token_counts,
         "sort_docs_by_len": _q_docs_by_len,
         "knn_bruteforce": _q_knn,
@@ -1455,6 +1496,7 @@ def oracle_sql() -> dict[str, str]:
         "window_hourly_events": _SQL_HOURLY,
         "window_hopping_events": _SQL_HOPPING,
         "dedup_documents_exact": _SQL_DEDUP_DOCS,
+        "dedup_incremental_increment2": _SQL_INC_DEDUP,
         "text_token_counts": _SQL_TOKEN_COUNTS,
         "sort_docs_by_len": _SQL_DOCS_BY_LEN,
         "knn_bruteforce": _SQL_KNN,

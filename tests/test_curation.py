@@ -338,3 +338,54 @@ def test_approx_grouped_quantiles_deterministic():
                                  ).to_pandas().sort_values("k")
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+# ------------------------------------------------- incremental dedup
+def test_incremental_exact_dedup(tmp_path):
+    from raykg.ops.incdedup import incremental_exact_dedup
+
+    state = str(tmp_path / "dedup_state")
+    inc1 = pd.DataFrame({
+        "doc_id": np.arange(100),
+        "text": [f"doc {i % 80}" for i in range(100)],  # 20 internal dups
+    })
+    kept1 = (incremental_exact_dedup(
+        rd.from_pandas(inc1).repartition(4), state, "inc1")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(kept1) == 80
+    assert kept1.doc_id.tolist() == list(range(80))  # min id per text
+
+    inc2 = pd.DataFrame({
+        "doc_id": np.arange(100, 200),
+        # 50 repeats of history, 30 novel (with 20 internal dups among them)
+        "text": [f"doc {i % 50}" for i in range(50)]
+        + [f"new {i % 30}" for i in range(50)],
+    })
+    kept2 = (incremental_exact_dedup(
+        rd.from_pandas(inc2).repartition(4), state, "inc2")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(kept2) == 30
+    assert kept2.text.str.startswith("new").all()
+
+    # retry idempotence: same increment id reproduces the same answer
+    kept2b = (incremental_exact_dedup(
+        rd.from_pandas(inc2).repartition(2), state, "inc2")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(kept2, kept2b)
+
+    # a third increment sees both histories
+    inc3 = pd.DataFrame({
+        "doc_id": [500, 501, 502],
+        "text": ["doc 0", "new 0", "fresh"],
+    })
+    kept3 = incremental_exact_dedup(
+        rd.from_pandas(inc3), state, "inc3").to_pandas()
+    assert kept3.text.tolist() == ["fresh"]
+
+    # union of kept sets == global exact dedup of the concatenation
+    # (ids increase across increments, so min-id choices agree)
+    from raykg.ops.dedup import exact_dedup
+    full = pd.concat([inc1, inc2, inc3], ignore_index=True)
+    glob = exact_dedup(rd.from_pandas(full)).to_pandas()
+    inc_union = pd.concat([kept1, kept2, kept3], ignore_index=True)
+    assert sorted(inc_union.doc_id) == sorted(glob.doc_id)

@@ -83,3 +83,14 @@ def test_entry_smoke():
     df = _to_pandas(entrymod.entry())
     assert len(df) > 0
     assert set(df.columns) == {"subj", "pred", "obj", "epoch", "conv_id"}
+
+
+def test_sharded_query_matches_unsharded():
+    """Driver-parity evidence: the kb_shards=4 + distributed-RW run
+    emits the exact triple set of the default path."""
+    a = _to_pandas(entrymod.queries()["kg_triples"](SF_DIR))
+    b = _to_pandas(entrymod.queries()["kg_triples_sharded"](SF_DIR))
+    cols = ["subj", "pred", "obj", "epoch", "conv_id"]
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
