@@ -1422,6 +1422,33 @@ WHERE rn = 1 AND NOT EXISTS (
 """
 
 
+def _q_incremental_minhash(sf_dir: str):
+    """Incremental MinHash near-dup: even doc_ids ingest first (state
+    committed), odd doc_ids arrive as the new increment — returned
+    pairs are the new increment's dups vs history + itself, verified
+    from stored signatures (history texts never re-read)."""
+    import shutil
+
+    from raykg.ops.incdedup import incremental_minhash_dedup
+
+    state = f"/tmp/raykg_incmh_{_sf_name(sf_dir)}"
+    shutil.rmtree(state, ignore_errors=True)
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def parity(keep_even):
+        def fn(t: pa.Table) -> pa.Table:
+            even = pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
+            return t.filter(even if keep_even else pc.invert(even))
+        return fn
+
+    base = rd.read_parquet(path, columns=["doc_id", "text"])
+    inc1 = base.map_batches(parity(True), batch_format="pyarrow")
+    incremental_minhash_dedup(inc1, state, "inc1",
+                              threshold=0.8).materialize()
+    inc2 = base.map_batches(parity(False), batch_format="pyarrow")
+    return incremental_minhash_dedup(inc2, state, "inc2", threshold=0.8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -1468,6 +1495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_value_quantiles": _q_approx_quantiles,
         "curation_pipeline": _q_curation_pipeline,
         "minhash_near_dup_pairs": _q_minhash_pairs,
+        "minhash_incremental_pairs": _q_incremental_minhash,
         "simhash_near_dup_pairs": _q_simhash_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "ivf_knn": _q_ivf_knn,

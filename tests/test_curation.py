@@ -389,3 +389,60 @@ def test_incremental_exact_dedup(tmp_path):
     glob = exact_dedup(rd.from_pandas(full)).to_pandas()
     inc_union = pd.concat([kept1, kept2, kept3], ignore_index=True)
     assert sorted(inc_union.doc_id) == sorted(glob.doc_id)
+
+
+def test_incremental_minhash_dedup(tmp_path):
+    from raykg.ops.incdedup import incremental_minhash_dedup
+
+    state = str(tmp_path / "mh_state")
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    # genuinely dissimilar docs: disjoint random word salads (template
+    # texts differing only in a number ARE near-dups at char shingles)
+    _rng = np.random.default_rng(31)
+    _vocab = [f"w{c}{i}" for c in "abcdefghij" for i in range(40)]
+    uniq = [" ".join(_rng.choice(_vocab, 25, replace=False))
+            for _ in range(20)]
+
+    inc1 = pd.DataFrame({
+        "doc_id": np.arange(100, 120),
+        "text": [base] + uniq[:19],
+    })
+    p1 = incremental_minhash_dedup(
+        rd.from_pandas(inc1).repartition(3), state, "inc1",
+        threshold=0.5).to_pandas()
+    assert len(p1) == 0  # nothing similar within increment 1
+
+    inc2 = pd.DataFrame({
+        "doc_id": np.arange(200, 205),
+        "text": [
+            base,                                   # exact dup of history
+            base.replace("dog", "cat"),             # near dup of history
+            "completely fresh content about ray data streaming executors",
+            "completely fresh content about ray data streaming executors",
+            uniq[5],                                # exact dup of history
+        ],
+    })
+    p2 = (incremental_minhash_dedup(
+        rd.from_pandas(inc2).repartition(2), state, "inc2", threshold=0.5)
+        .to_pandas().sort_values(["id_new", "id_match"])
+        .reset_index(drop=True))
+    got = set(zip(p2.id_new, p2.id_match))
+    assert (200, 100) in got        # exact historical dup
+    assert (201, 100) in got        # near historical dup
+    assert (204, 106) in got        # uniq[5] -> historical id 106
+    assert (202, 203) in got        # within-increment exact dup (a < b)
+    assert (200, 201) in got        # within-increment near dup
+    exact = p2.set_index(["id_new", "id_match"]).est_jaccard
+    assert exact[(200, 100)] == 1.0
+    assert exact[(202, 203)] == 1.0
+    assert 0.5 <= exact[(201, 100)] <= 1.0
+    # id_new always belongs to this increment
+    assert (p2.id_new >= 200).all()
+
+    # retry idempotence
+    p2b = (incremental_minhash_dedup(
+        rd.from_pandas(inc2).repartition(4), state, "inc2", threshold=0.5)
+        .to_pandas().sort_values(["id_new", "id_match"])
+        .reset_index(drop=True))
+    pd.testing.assert_frame_equal(p2, p2b)
