@@ -1449,6 +1449,25 @@ def _q_incremental_minhash(sf_dir: str):
     return incremental_minhash_dedup(inc2, state, "inc2", threshold=0.8)
 
 
+def _q_shuffle_head(sf_dir: str):
+    """Deterministic global shuffle (knuth32 mixer) + limit: the
+    first-100 SET depends entirely on the shuffle order, so the oracle
+    pins the permutation, not just the row multiset."""
+    from raykg.ops.sample import deterministic_shuffle
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source"])
+    return deterministic_shuffle(ds, "doc_id", seed=0,
+                                 mixer="knuth32").limit(100)
+
+
+_SQL_SHUFFLE_HEAD = """
+SELECT doc_id, source FROM documents
+ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+LIMIT 100
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -1487,6 +1506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii_documents": _q_redact_documents,
         "vocab_top_words": _q_vocab_top_words,
         "sample_documents_mixture": _q_sample_mixture,
+        "shuffle_documents_head": _q_shuffle_head,
         "quality_repetition_stats": _q_repetition_stats,
         # rows-only (model-/sketch-based, not SQL-expressible)
         "pack_training_sequences": _q_pack_sequences,
@@ -1541,5 +1561,6 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii_documents": _SQL_REDACT,
         "vocab_top_words": _SQL_VOCAB,
         "sample_documents_mixture": _SQL_MIXTURE,
+        "shuffle_documents_head": _SQL_SHUFFLE_HEAD,
         "quality_repetition_stats": _SQL_REPETITION,
     }

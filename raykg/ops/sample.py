@@ -42,3 +42,53 @@ def mixture_sample(ds, key_col: str, id_col: str, rates: dict[str, float],
         return t.filter(pa.array(h < thr))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _murmur64(v: np.ndarray) -> np.ndarray:
+    v = v.copy()
+    v ^= v >> np.uint64(33)
+    with np.errstate(over="ignore"):
+        v *= np.uint64(0xFF51AFD7ED558CCD)
+        v ^= v >> np.uint64(33)
+        v *= np.uint64(0xC4CEB9FE1A85EC53)
+    v ^= v >> np.uint64(33)
+    return v
+
+
+def deterministic_shuffle(ds, id_col: str, seed: int = 0,
+                          mixer: str = "murmur64"):
+    """Global pseudo-random reorder by a keyed hash of the row id —
+    the pre-training-batch shuffle, done so the order is a pure
+    function of (data, seed): reproducible across runs, stable under
+    input partitioning, and resumable (a re-run emits the identical
+    sequence, so epoch batching can skip already-consumed prefixes).
+    ``random_shuffle`` gives none of that.
+
+    Physically one range-partitioned distributed sort on the 8-byte
+    key — the scale-appropriate all-to-all (no driver involvement,
+    spills per block). ``mixer='knuth32'`` uses the SQL-expressible
+    ``(id*2654435761) mod 2^32`` key (ties broken by id) so a DuckDB
+    oracle can pin the order; murmur64 is the better-avalanche
+    default."""
+    if mixer == "knuth32":
+        def key(ids):
+            return ((ids + np.uint64(seed)) * _KNUTH) % _M32
+    elif mixer == "murmur64":
+        def key(ids):
+            with np.errstate(over="ignore"):
+                return _murmur64(ids + np.uint64(seed) *
+                                 np.uint64(0x9E3779B97F4A7C15))
+    else:
+        raise ValueError(f"unknown mixer {mixer!r}")
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = key(ids).astype(np.int64) & ((1 << 62) - 1)
+        return t.append_column("_shuffle_key", pa.array(k))
+
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .sort(["_shuffle_key", id_col])
+        .map_batches(lambda t: t.drop_columns(["_shuffle_key"]),
+                     batch_format="pyarrow")
+    )

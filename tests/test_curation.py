@@ -446,3 +446,25 @@ def test_incremental_minhash_dedup(tmp_path):
         .to_pandas().sort_values(["id_new", "id_match"])
         .reset_index(drop=True))
     pd.testing.assert_frame_equal(p2, p2b)
+
+
+# ------------------------------------------------------------ shuffle
+def test_deterministic_shuffle():
+    from raykg.ops.sample import deterministic_shuffle
+
+    df = pd.DataFrame({"id": np.arange(5000), "v": np.arange(5000) * 2})
+    a = deterministic_shuffle(rd.from_pandas(df), "id", seed=1).to_pandas()
+    b = deterministic_shuffle(rd.from_pandas(df).repartition(16), "id",
+                              seed=1).to_pandas()
+    # same permutation regardless of input partitioning
+    assert a.id.tolist() == b.id.tolist()
+    # it IS a permutation, and values ride along
+    assert sorted(a.id) == list(range(5000))
+    assert (a.v.to_numpy() == a.id.to_numpy() * 2).all()
+    # different seed -> different order; order is genuinely mixed
+    c = deterministic_shuffle(rd.from_pandas(df), "id", seed=2).to_pandas()
+    assert c.id.tolist() != a.id.tolist()
+    assert abs(np.corrcoef(a.id, np.arange(5000))[0, 1]) < 0.05
+    # any contiguous slice draws uniformly from the id range
+    head = a.id.to_numpy()[:500]
+    assert 0.15 < (head < 1000).mean() < 0.25  # ~0.2 expected
