@@ -1468,6 +1468,23 @@ LIMIT 100
 """
 
 
+def _q_pq_knn(sf_dir: str):
+    """Product-quantized k-NN: 8-byte codes + ADC shortlist + exact
+    block-local re-rank — the compressed-index path beside ivf_knn.
+    Rows-only (recall gates in tests/test_curation.py)."""
+    import pyarrow.parquet as pq_
+
+    from raykg.ops.pq import knn_pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq_.read_table(path).slice(0, 5)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in
+                  head.column("embedding").to_pylist()])
+    qids = np.asarray(head.column("vec_id").to_pylist(), dtype=np.int64)
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    return knn_pq(ds, Q, qids, k=5, m=8, rerank=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -1519,6 +1536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup_pairs": _q_simhash_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "ivf_knn": _q_ivf_knn,
+        "pq_knn": _q_pq_knn,
         "text_quality": _q_quality,
         "text_langid": _q_langid,
         "text_fingerprints": _q_fingerprints,

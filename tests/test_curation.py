@@ -468,3 +468,55 @@ def test_deterministic_shuffle():
     # any contiguous slice draws uniformly from the id range
     head = a.id.to_numpy()[:500]
     assert 0.15 < (head < 1000).mean() < 0.25  # ~0.2 expected
+
+
+# ----------------------------------------------------------------- pq
+def test_knn_pq_recall_vs_bruteforce():
+    from raykg.ops.pq import knn_pq
+    from raykg.ops.similarity import knn_bruteforce
+
+    rng = np.random.default_rng(23)
+    # clustered embeddings (the realistic regime for encoder outputs)
+    n_clusters, per, d = 40, 100, 64
+    centers = rng.normal(size=(n_clusters, d)) * 3
+    X = (centers.repeat(per, axis=0)
+         + rng.normal(size=(n_clusters * per, d)) * 0.4)
+    ids = np.arange(len(X), dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": ids,
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(X.reshape(-1).astype(np.float32)), d),
+    })
+    ds = rd.from_arrow(tbl).repartition(6)
+    Q = X[rng.choice(len(X), 12, replace=False)] + rng.normal(size=(12, d)) * 0.1
+    qids = np.arange(12, dtype=np.int64)
+
+    exact = knn_bruteforce(ds, Q, qids, k=10).to_pandas()
+    # rerank sized to the cluster multiplicity (100 near-identical
+    # vectors per cluster): the shortlist must cover the cluster, since
+    # ADC can't resolve the tiny sim gaps within it (corr 0.99 yet
+    # fine-order scrambled — the documented PQ resolution limit)
+    approx = knn_pq(ds, Q, qids, k=10, m=8, ks=64, rerank=10).to_pandas()
+    hits = 0
+    for q in qids:
+        e = set(exact[exact.qid == q].vec_id)
+        a = set(approx[approx.qid == q].vec_id)
+        hits += len(e & a) / len(e)
+    recall = hits / len(qids)
+    assert recall >= 0.85, recall
+
+
+def test_pq_encode_roundtrip_quality():
+    from raykg.ops.pq import _encode, train_pq_codebooks
+    from raykg.ops.similarity import _normalize
+
+    rng = np.random.default_rng(7)
+    X = _normalize(rng.normal(size=(1500, 32)))
+    books = train_pq_codebooks(X, m=4, ks=64)
+    codes = _encode(X, books)
+    assert codes.shape == (1500, 4) and codes.max() < 64
+    # reconstruction correlates with the original (sanity of training)
+    recon = np.concatenate(
+        [books[j][codes[:, j]] for j in range(4)], axis=1)
+    sims = (X * _normalize(recon)).sum(axis=1)
+    assert sims.mean() > 0.5, sims.mean()
