@@ -177,6 +177,9 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("vocab_top_words", em._q_vocab_top_words)
         timed("sample_documents_mixture", em._q_sample_mixture)
         timed("pack_training_sequences", em._q_pack_sequences)
+        timed("curation_pipeline", em._q_curation_pipeline)
+        timed("pq_knn", em._q_pq_knn)
+        timed("approx_distinct_users_hll", em._q_hll_distinct_users)
 
     result = {
         "metric": "kg_pipeline_wall",

@@ -418,6 +418,115 @@ class IvfIndex(FlatIndex):
         return out_scores, out_ids
 
 
+class PqIndex(FlatIndex):
+    """Product-quantized KB index (``ann='pq'``): ADC shortlist over
+    8/16-byte codes + EXACT inner-product re-rank of the shortlist
+    against the raw vectors, so emitted scores are exact on the
+    shortlist (what NIL features consume) and approximation only
+    narrows which rows compete — the same contract as the IVF mode.
+
+    What PQ buys at reference scale (5.9 M × 1024 f32 ≈ 24 GB): the
+    per-query SCAN touches codes (m bytes/row ≈ 47 MB at m=8) plus
+    ``rerank × top_k`` raw rows, instead of streaming the whole vector
+    matrix through the memory bus; on a multi-node cluster each node
+    holds the small code array in its plasma store while raw vectors
+    page in only for shortlists. Metadata (codebooks + codes) is built
+    ONCE on the driver and broadcast, like IVF's ``build_meta``.
+
+    Shortlist sizing: ADC tracks exact IP closely in the large but
+    cannot rank near-ties; ``rerank`` must cover the corpus's
+    near-duplicate multiplicity (see ops/pq.py). Recall gate in
+    tests/test_index.py; flagship parity gate in tests/test_parity.py.
+    """
+
+    def __init__(self, vectors, wikipedia_ids, titles, types=None,
+                 tombstone=None, indexer_id=INDEXER_KB, prebuilt=None):
+        super().__init__(vectors, wikipedia_ids, titles, types, tombstone,
+                         indexer_id)
+        if prebuilt is None or prebuilt.get("kind") != "pq":
+            raise ValueError("PqIndex needs PqIndex.build_meta output")
+        self.books = prebuilt["books"]        # (m, ks, dsub) f32
+        self.codes = prebuilt["codes"]        # (n, m) uint16
+        self.rerank = int(prebuilt["rerank"])
+
+    @staticmethod
+    def build_meta(vectors: np.ndarray, m: int = 8, ks: int = 256,
+                   rerank: int = 8, seed: int = 7,
+                   train_sample: int = 8192) -> dict:
+        """-> {'kind': 'pq', 'books', 'codes', 'rerank'}. Deterministic;
+        trained on the same strided sample rule as IVF build_meta."""
+        n = len(vectors)
+        d = vectors.shape[1] if vectors.ndim == 2 else 0
+        if d % max(m, 1):
+            raise ValueError(f"dim {d} not divisible by pq_m={m}")
+        if n == 0:
+            return {"kind": "pq", "rerank": rerank,
+                    "books": np.zeros((m, 0, d // max(m, 1)), dtype=np.float32),
+                    "codes": np.zeros((0, m), dtype=np.uint16)}
+        step = max(1, n // min(train_sample, n))
+        sample = vectors[::step][:train_sample].astype(np.float64)
+        dsub = d // m
+        ks_eff = min(ks, len(sample))
+        books = np.empty((m, ks_eff, dsub), dtype=np.float32)
+        for j in range(m):
+            books[j] = _kmeans_gemm(
+                sample[:, j * dsub:(j + 1) * dsub], ks_eff, seed=seed + j
+            ).astype(np.float32)
+        codes = np.empty((n, m), dtype=np.uint16)
+        CH = 65536
+        for j in range(m):
+            bj = books[j].astype(np.float64)
+            half = 0.5 * (bj ** 2).sum(axis=1)
+            for lo in range(0, n, CH):
+                sub = vectors[lo:lo + CH, j * dsub:(j + 1) * dsub].astype(
+                    np.float64)
+                codes[lo:lo + CH, j] = (sub @ bj.T - half).argmax(axis=1)
+        return {"kind": "pq", "books": books, "codes": codes,
+                "rerank": rerank}
+
+    def search_knn(self, queries: np.ndarray, top_k: int):
+        m_q = len(queries)
+        if m_q > self.SEARCH_CHUNK and self.ntotal > 0:
+            parts = [
+                self.search_knn(queries[lo:lo + self.SEARCH_CHUNK], top_k)
+                for lo in range(0, m_q, self.SEARCH_CHUNK)
+            ]
+            return (
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+            )
+        n = self.ntotal
+        k = min(top_k, n)
+        if k == 0:
+            return (
+                np.zeros((m_q, top_k), dtype=np.float32),
+                -np.ones((m_q, top_k), dtype=np.int64),
+            )
+        m_sub, _ks, dsub = self.books.shape
+        Q = queries.astype(np.float32, copy=False)
+        # per-query ADC tables: table[q, j, c] = q_sub[j] · book[j, c]
+        tables = np.einsum(
+            "qjd,jkd->qjk", Q.reshape(m_q, m_sub, dsub), self.books
+        )
+        approx = np.zeros((m_q, n), dtype=np.float32)
+        for j in range(m_sub):
+            approx += tables[:, j, self.codes[:, j]]
+        s = min(self.rerank * top_k, n)
+        cand = np.argpartition(-approx, s - 1, axis=1)[:, :s] if s < n else (
+            np.broadcast_to(np.arange(n), (m_q, n)).copy()
+        )
+        # exact re-rank of the shortlist: one small GEMM per query
+        out_scores = np.zeros((m_q, top_k), dtype=np.float32)
+        out_ids = -np.ones((m_q, top_k), dtype=np.int64)
+        for qi in range(m_q):
+            rows = cand[qi]
+            exact = self.vectors[rows] @ Q[qi]
+            order = np.lexsort((rows, -exact))[:k]
+            out_ids[qi, :k] = rows[order]
+            out_scores[qi, :k] = exact[order]
+        return out_scores, out_ids
+
+
 def kb_index_from_table(tbl: pa.Table, indexer_id: int = INDEXER_KB) -> FlatIndex:
     """Build the RO KB index from a kb_entities Arrow table
     (fixtures.write_fixture layout, 'tombstone' column optional)."""
@@ -638,11 +747,18 @@ class Retriever:
         kb = ray.get(kb_ref) if not isinstance(kb_ref, tuple) else kb_ref
         vectors, wikipedia_ids, titles, types, tombstone = kb
         if ann_ref is not None:
-            ann = ray.get(ann_ref) if not isinstance(ann_ref, tuple) else ann_ref
-            self.indexes = [
-                IvfIndex(vectors, wikipedia_ids, titles, types, tombstone,
-                         INDEXER_KB, nprobe=nprobe, prebuilt=ann)
-            ]
+            ann = (ray.get(ann_ref)
+                   if not isinstance(ann_ref, (tuple, dict)) else ann_ref)
+            if isinstance(ann, dict) and ann.get("kind") == "pq":
+                self.indexes = [
+                    PqIndex(vectors, wikipedia_ids, titles, types, tombstone,
+                            INDEXER_KB, prebuilt=ann)
+                ]
+            else:
+                self.indexes = [
+                    IvfIndex(vectors, wikipedia_ids, titles, types, tombstone,
+                             INDEXER_KB, nprobe=nprobe, prebuilt=ann)
+                ]
         else:
             self.indexes = [
                 FlatIndex(vectors, wikipedia_ids, titles, types, tombstone,

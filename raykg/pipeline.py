@@ -97,9 +97,18 @@ class PipelineConfig:
     # IVF metadata is built once on the driver and broadcast. Composes
     # with kb_shards>1: make_kb_shards builds per-shard IVF metadata
     # and every ShardRetriever probes ivf_nprobe of its shard's lists.
-    ann: str = "exact"  # exact | ivf
+    # "pq" product-quantizes the KB (index.PqIndex): ADC shortlist over
+    # pq_m-byte codes, exact re-rank of rerank×top_k rows — the
+    # memory-bound path where even IVF's raw-vector lists don't fit a
+    # node. Shortlist scores are exact, so parity is gated like IVF
+    # (≥0.95, tests/test_parity.py). Not composed with kb_shards>1
+    # (sharding already partitions memory; combine when a single
+    # shard's raw vectors still overflow — not yet needed).
+    ann: str = "exact"  # exact | ivf | pq
     ivf_lists: int = 128
     ivf_nprobe: int = 16
+    pq_m: int = 8
+    pq_rerank: int = 8
     # multi-assignment: each KB row joins its ivf_spill nearest lists.
     # THE recall lever on hash-encoder (flat-similarity) KBs: an exact
     # re-rank pass would be a no-op here because IVF first-pass scores
@@ -175,6 +184,18 @@ def load_kb_handles(kb_path: str, cfg: "PipelineConfig") -> dict:
         handles["ann_ref"] = ray.put(
             IvfIndex.build_meta(
                 idx.vectors, n_lists=cfg.ivf_lists, spill=cfg.ivf_spill
+            )
+        )
+    elif cfg.ann == "pq":
+        from raykg.index import PqIndex
+
+        if cfg.kb_shards > 1:
+            raise NotImplementedError(
+                "ann='pq' with kb_shards>1 is not wired (see "
+                "PipelineConfig.ann comment)")
+        handles["ann_ref"] = ray.put(
+            PqIndex.build_meta(
+                idx.vectors, m=cfg.pq_m, rerank=cfg.pq_rerank
             )
         )
     if cfg.kb_shards > 1:
@@ -1130,7 +1151,7 @@ def run_pipeline(
         raise ValueError(f"unknown clustering strategy: {cfg.clusterer}")
     if cfg.blocking not in ("global", "surface"):
         raise ValueError(f"unknown blocking mode: {cfg.blocking}")
-    if cfg.ann not in ("exact", "ivf"):
+    if cfg.ann not in ("exact", "ivf", "pq"):
         raise ValueError(f"unknown ann mode: {cfg.ann}")
     epochs = epochs if epochs is not None else list_epochs(fixture_dir)
     if not incremental:

@@ -275,3 +275,61 @@ def test_ivf_recall_gate_bench_kb_mention_queries():
     # the probed fraction stays well under 1 (the approximation is real)
     probed_frac = len(meta[1]) / n * cfg.ivf_nprobe / cfg.ivf_lists
     assert probed_frac <= 0.5, probed_frac
+
+
+def test_pq_recall_gate_clustered_embeddings():
+    """PQ ADC shortlist + exact re-rank: recall@10 >= 0.98 vs exact on
+    clustered embeddings while scanning 8-byte codes instead of raw
+    vectors; emitted scores are exactly the flat scores of the rows it
+    returns."""
+    import numpy as np
+
+    from raykg.index import FlatIndex, PqIndex
+
+    rng = np.random.default_rng(1)
+    dim, n, C = 64, 20000, 100
+    centers = rng.normal(size=(C, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    lab = rng.integers(0, C, n)
+    X = (centers[lab] + rng.normal(size=(n, dim)) * 0.35 / np.sqrt(dim)).astype(
+        np.float32
+    )
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    wiki = np.arange(n, dtype=np.int64)
+    titles = [str(i) for i in range(n)]
+    flat = FlatIndex(X, wiki, titles)
+    # shortlist must cover the ~200-vector cluster multiplicity
+    # (rerank 32 x k 10 = 320 > 200; the documented sizing rule)
+    meta = PqIndex.build_meta(X, m=8, rerank=32)
+    pq = PqIndex(X, wiki, titles, prebuilt=meta)
+    Q = (centers[rng.integers(0, C, 300)]
+         + rng.normal(size=(300, dim)) * 0.35 / np.sqrt(dim)).astype(np.float32)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    se, ie = flat.search_knn(Q, 10)
+    sa, ia = pq.search_knn(Q, 10)
+    recall = np.mean([len(set(ie[i]) & set(ia[i])) / 10 for i in range(300)])
+    assert recall >= 0.98, recall
+    # scores of returned rows are the exact flat scores (re-rank exact)
+    for i in range(0, 300, 50):
+        exact_for_rows = X[ia[i]] @ Q[i]
+        assert np.allclose(sa[i], exact_for_rows, atol=1e-5)
+
+
+def test_pq_empty_and_underfill():
+    import numpy as np
+
+    from raykg.index import PqIndex
+
+    X = np.zeros((0, 16), dtype=np.float32)
+    meta = PqIndex.build_meta(X, m=4)
+    idx = PqIndex(X, np.zeros(0, dtype=np.int64), [], prebuilt=meta)
+    s, i = idx.search_knn(np.zeros((3, 16), dtype=np.float32), 5)
+    assert i.shape == (3, 5) and (i == -1).all()
+
+    X2 = np.eye(3, 16, dtype=np.float32)
+    meta2 = PqIndex.build_meta(X2, m=4, rerank=2)
+    idx2 = PqIndex(X2, np.arange(3, dtype=np.int64), ["a", "b", "c"],
+                   prebuilt=meta2)
+    s2, i2 = idx2.search_knn(X2[:1], 5)
+    assert i2.shape == (1, 5)
+    assert (i2[0, 3:] == -1).all() and i2[0, 0] == 0

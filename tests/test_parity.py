@@ -111,3 +111,18 @@ def test_feature_clusterer_prefit_parity(small_fixture, tmp_path_factory):
     )["triples"]
     p, r = _pr(pred, gold)
     assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_pq_mode_parity(small_fixture, tmp_path_factory, oracle_result):
+    """Product-quantized retrieval mode: ADC shortlist + exact re-rank
+    keeps the top-2 scores the NIL model consumes, so linked triples
+    match the exact-search oracle at the P/R gate."""
+    out = str(tmp_path_factory.mktemp("parity_pq_out"))
+    run_pipeline(
+        small_fixture, out,
+        PipelineConfig(ann="pq", pq_m=8, pq_rerank=16),
+    )
+    tri = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
+    pred = set(zip(tri.subj, tri.pred, tri.obj))
+    p, r = _pr(pred, oracle_result["triples"])
+    assert p >= 0.95 and r >= 0.95, (p, r)
