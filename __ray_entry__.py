@@ -27,6 +27,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Mean, Sum
 
+import raykg  # noqa: F401  (seeds the fsspec-http import-race shim)
+
 # ------------------------------------------------------------------ KG
 
 _FIXTURE_SCALE = {

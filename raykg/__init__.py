@@ -21,3 +21,38 @@ similarity search, text analysis, multimodal plumbing) under
 """
 
 __version__ = "0.1.0"
+
+
+def _seed_fsspec_http_shim() -> None:
+    """Neutralize a thread race in ray.data's path resolution.
+
+    ``ray/data/datasource/path_util._is_http_filesystem`` runs
+    ``from fsspec.implementations.http import HTTPFileSystem`` on EVERY
+    read, catching only ModuleNotFoundError. In this environment that
+    import always fails (fsspec's http module needs aiohttp, absent) —
+    harmless single-threaded, but two driver threads racing the first
+    import (epoch pipelining runs the deferred-triples thread next to
+    the main thread's reads) can leave one thread looking at the
+    partially-initialized module, which raises a PLAIN ImportError that
+    path_util does not catch — a once-per-~6-full-suite-runs flake.
+    Pre-seeding a benign module with an HTTPFileSystem class nobody
+    instantiates (no http filesystems exist here; it is only ever the
+    right-hand side of an isinstance) makes the import deterministic.
+    """
+    import sys
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ImportError:
+        import types
+
+        shim = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # pragma: no cover - isinstance target only
+            pass
+
+        shim.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = shim
+
+
+_seed_fsspec_http_shim()

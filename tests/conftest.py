@@ -1,6 +1,15 @@
+import os
+
 import pytest
 
 import ray
+
+# workers inherit env from the raylet: pin the repo on PYTHONPATH
+# BEFORE ray.init so a freshly spawned worker can always import raykg
+# even if its cwd drifts (same insurance bench.py carries; chases a
+# rare ImportError flake seen once per ~6 full-suite runs)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 @pytest.fixture(scope="session", autouse=True)
