@@ -1451,6 +1451,26 @@ def _q_incremental_minhash(sf_dir: str):
     return incremental_minhash_dedup(inc2, state, "inc2", threshold=0.8)
 
 
+def _q_sample_k_per_source(sf_dir: str):
+    """Exactly-k uniform sample per domain (smallest-keyed-hash order)
+    — deterministic, skew-safe via the per-key top-k combiner."""
+    from raykg.ops.sample import sample_k_per_key
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["source", "doc_id"])
+    return sample_k_per_key(ds, key_col="source", id_col="doc_id", k=5,
+                            seed=3)
+
+
+_SQL_SAMPLE_K = """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id, row_number() OVER (
+    PARTITION BY source
+    ORDER BY ((doc_id + 3) * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents) WHERE rn <= 5
+"""
+
+
 def _q_shuffle_head(sf_dir: str):
     """Deterministic global shuffle (knuth32 mixer) + limit: the
     first-100 SET depends entirely on the shuffle order, so the oracle
@@ -1526,6 +1546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_words": _q_vocab_top_words,
         "sample_documents_mixture": _q_sample_mixture,
         "shuffle_documents_head": _q_shuffle_head,
+        "sample_k_per_source": _q_sample_k_per_source,
         "quality_repetition_stats": _q_repetition_stats,
         # rows-only (model-/sketch-based, not SQL-expressible)
         "pack_training_sequences": _q_pack_sequences,
@@ -1582,5 +1603,6 @@ def oracle_sql() -> dict[str, str]:
         "vocab_top_words": _SQL_VOCAB,
         "sample_documents_mixture": _SQL_MIXTURE,
         "shuffle_documents_head": _SQL_SHUFFLE_HEAD,
+        "sample_k_per_source": _SQL_SAMPLE_K,
         "quality_repetition_stats": _SQL_REPETITION,
     }

@@ -36,12 +36,14 @@ def top_k_per_key(
     id_col: str,
     k: int = 10,
     coarse: int = RANK_BUCKETS,
+    val_ascending: bool = False,
 ):
     """Top-k rows per distinct ``key_col`` by (``val_col`` desc,
     ``id_col`` asc). Returns the selected rows with the original
-    columns (key, id, val)."""
+    columns (key, id, val). ``val_ascending=True`` flips to
+    smallest-k (the deterministic-sampling building block)."""
     order_cols = [key_col, val_col, id_col]
-    ascending = [True, False, True]
+    ascending = [True, val_ascending, True]
 
     def local_topk(batch: pa.Table) -> pa.Table:
         t = batch.select([key_col, id_col, val_col])

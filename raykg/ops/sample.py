@@ -92,3 +92,32 @@ def deterministic_shuffle(ds, id_col: str, seed: int = 0,
         .map_batches(lambda t: t.drop_columns(["_shuffle_key"]),
                      batch_format="pyarrow")
     )
+
+
+def sample_k_per_key(ds, key_col: str, id_col: str, k: int, seed: int = 0):
+    """Exactly-k uniform sample per key (fewer when the group is
+    smaller) — "cap every domain at N documents" — via smallest-hash
+    order: keep each key's k rows with the smallest keyed hash of the
+    id. A uniform random order materialized as a hash makes the sample
+    deterministic (same rows every run, any partitioning, resumable)
+    and exactly SQL-checkable, unlike reservoir sampling; selection
+    reuses the skew-safe per-key top-k machinery (per-block combiner
+    caps each key at k rows per block before the shuffle).
+
+    The knuth32 key matches the DuckDB expression
+    ``((id + seed) * 2654435761) % 4294967296`` (ties broken by id),
+    oracle `sample_k_per_source`."""
+    from raykg.ops.rank import top_k_per_key
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids + np.uint64(seed)) * _KNUTH) % _M32
+        return t.append_column("_rh", pa.array(h.astype(np.int64)))
+
+    out = top_k_per_key(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        key_col=key_col, val_col="_rh", id_col=id_col, k=k,
+        val_ascending=True,
+    )
+    return out.map_batches(lambda t: t.drop_columns(["_rh"]),
+                           batch_format="pyarrow")

@@ -520,3 +520,33 @@ def test_pq_encode_roundtrip_quality():
         [books[j][codes[:, j]] for j in range(4)], axis=1)
     sims = (X * _normalize(recon)).sum(axis=1)
     assert sims.mean() > 0.5, sims.mean()
+
+
+def test_sample_k_per_key_matches_duckdb_and_is_uniformish():
+    from raykg.ops.sample import sample_k_per_key
+
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame({
+        "dom": rng.choice(["a", "b", "c"], 9000, p=[0.8, 0.15, 0.05]),
+        "id": np.arange(9000, dtype=np.int64),
+    })
+    got = (sample_k_per_key(rd.from_pandas(df).repartition(8), "dom", "id",
+                            k=100, seed=3)
+           .to_pandas().sort_values(["dom", "id"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql("""
+        SELECT dom, id FROM (
+          SELECT dom, id, row_number() OVER (
+            PARTITION BY dom
+            ORDER BY ((id + 3) * 2654435761) % 4294967296, id) AS rn
+          FROM t) WHERE rn <= 100
+        ORDER BY dom, id
+    """).df()
+    pd.testing.assert_frame_equal(got, want[["dom", "id"]],
+                                  check_dtype=False)
+    # exactly k per key; roughly uniform over each key's id range
+    sizes = got.groupby("dom").size()
+    assert (sizes == 100).all()
+    a_ids = got[got.dom == "a"].id.to_numpy()
+    assert 0.35 < (a_ids < 4500).mean() < 0.65
