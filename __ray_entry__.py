@@ -1240,6 +1240,49 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(ds, token_col="n_tok", id_col="doc_id", budget=256)
 
 
+def _q_interval_window_counts(sf_dir: str):
+    """Range join: every 50th event opens a 10-minute window; count
+    events inside each window via raykg.ops.joins.interval_join
+    (chunked tagged-union single shuffle + per-chunk searchsorted
+    sweep — no nested loop, no broadcast assumption)."""
+    from raykg.ops.joins import interval_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ev = rd.read_parquet(path, columns=["ts", "event_id"])
+
+    def mk_iv(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        keep = pa.array(ids % 50 == 0)
+        t = t.filter(keep)
+        ts = t.column("ts")
+        end = pc.add(ts, pa.scalar(600_000_000, type=pa.duration("us")))
+        return pa.table({
+            "interval_id": t.column("event_id"),
+            "start": ts,
+            "end": end,
+        })
+
+    iv = ev.map_batches(mk_iv, batch_format="pyarrow")
+    j = interval_join(ev, iv, ts_col="ts", start_col="start",
+                      end_col="end", left_cols=["event_id"],
+                      interval_cols=["interval_id"])
+    return (
+        j.groupby("interval_id").aggregate(Count(alias_name="n_events"))
+    )
+
+
+_SQL_INTERVAL_COUNTS = """
+WITH iv AS (
+  SELECT event_id AS interval_id, ts AS s,
+         ts + INTERVAL 10 MINUTE AS e
+  FROM events WHERE event_id % 50 = 0
+)
+SELECT iv.interval_id, count(*) AS n_events
+FROM iv JOIN events e2 ON e2.ts >= iv.s AND e2.ts < iv.e
+GROUP BY iv.interval_id
+"""
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition quality metrics per document."""
     from raykg.ops.textstats import repetition_stats
@@ -1538,6 +1581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_sample_events": _q_sample_events,
         "window_sessionize_events": _q_sessionize_events,
         "join_asof_latest_order": _q_asof_latest_order,
+        "join_interval_window_counts": _q_interval_window_counts,
         "agg_value_quantiles": _q_value_quantiles,
         "agg_user_distinct_types": _q_user_distinct_types,
         "minhash_dup_pairs_oracle": _q_minhash_dup_oracle,
@@ -1595,6 +1639,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_sample_events": _SQL_SAMPLE_EVENTS,
         "window_sessionize_events": _SQL_SESSIONIZE,
         "join_asof_latest_order": _SQL_ASOF_ORDER,
+        "join_interval_window_counts": _SQL_INTERVAL_COUNTS,
         "agg_value_quantiles": _SQL_VALUE_QUANTILES,
         "agg_user_distinct_types": _SQL_USER_DISTINCT,
         "minhash_dup_pairs_oracle": _SQL_MINHASH_ORACLE,

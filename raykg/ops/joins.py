@@ -530,3 +530,120 @@ def auto_join(
         return out[[on] + left_cols + right_cols]
 
     return left_ds.map_batches(join_block, batch_format="pandas")
+
+
+INTERVAL_CHUNK_MINUTES = 60
+
+
+def interval_join(
+    left_ds,
+    intervals_ds,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    left_cols: list[str] | None = None,
+    interval_cols: list[str] | None = None,
+    chunk_minutes: int = INTERVAL_CHUNK_MINUTES,
+):
+    """Range join: one output row per (left row, interval) with
+    ``start <= ts < end`` — point-in-interval containment, the join
+    behind "which maintenance window / session / experiment covers
+    this event". Ray Data has no native non-equi join; DuckDB's is a
+    nested-loop at scale.
+
+    Shape: the time axis is diced into ``chunk_minutes`` chunks; left
+    rows route to their chunk, intervals REPLICATE to every chunk they
+    overlap, and the whole exchange is the same tagged-union single
+    shuffle as ``hash_join``. Per chunk, matching is a vectorized
+    sweep: intervals sorted by start, events sorted by ts, two
+    ``searchsorted`` passes per interval-batch emit the pair list via
+    ``np.repeat`` — O(pairs) work, no row loop.
+
+    Partitioning assumptions (custom-operator contract): intervals are
+    SHORT relative to ``chunk_minutes`` (replication factor = 1 +
+    length/chunk); one chunk's rows fit a group task — shrink
+    ``chunk_minutes`` for denser streams. Output timestamps keep ns
+    resolution.
+    """
+    left_cols = list(left_cols or [])
+    interval_cols = list(interval_cols or [])
+    chunk_ns = np.int64(chunk_minutes * 60 * 1_000_000_000)
+    ltypes = _schema_types(left_ds)
+    itypes = _schema_types(intervals_ds)
+
+    def _ns(col) -> np.ndarray:
+        return pd.to_datetime(col.to_pandas()).astype("datetime64[ns]").astype(
+            np.int64).to_numpy()
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        ts = _ns(batch.column(ts_col))
+        t = pa.table({
+            "_chunk": pa.array(ts // chunk_ns),
+            "_side": pa.array(np.zeros(len(ts), dtype=np.int8)),
+            "_ts": pa.array(ts),
+            "_start": pa.array(np.zeros(len(ts), dtype=np.int64)),
+            "_end": pa.array(np.zeros(len(ts), dtype=np.int64)),
+            **{c: batch.column(c) for c in left_cols},
+        })
+        for c in interval_cols:
+            t = t.append_column(c, pa.nulls(len(ts), itypes[c]))
+        return t
+
+    def tag_intervals(batch: pa.Table) -> pa.Table:
+        s = _ns(batch.column(start_col))
+        e = _ns(batch.column(end_col))
+        first = s // chunk_ns
+        # replicate to every overlapped chunk ([start, end) inclusive
+        # of the chunk containing end-1)
+        last = np.maximum(first, (np.maximum(e - 1, s)) // chunk_ns)
+        reps = (last - first + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s)), reps)
+        offs = np.concatenate([np.arange(r) for r in reps]) if len(s) else (
+            np.zeros(0, dtype=np.int64))
+        t = pa.table({
+            "_chunk": pa.array(first[idx] + offs),
+            "_side": pa.array(np.ones(len(idx), dtype=np.int8)),
+            "_ts": pa.array(np.zeros(len(idx), dtype=np.int64)),
+            "_start": pa.array(s[idx]),
+            "_end": pa.array(e[idx]),
+        })
+        for c in left_cols:
+            t = t.append_column(c, pa.nulls(len(idx), ltypes[c]))
+        for c in interval_cols:
+            t = t.append_column(c, batch.column(c).take(pa.array(idx)))
+        return t
+
+    def match_chunk(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["_side"] == 0]
+        iv = g[g["_side"] == 1]
+        empty = pd.DataFrame({
+            ts_col: pd.Series([], dtype="datetime64[ns]"),
+            **{c: pd.Series([], dtype=g[c].dtype)
+               for c in left_cols + interval_cols},
+        })
+        if not len(ev) or not len(iv):
+            return empty
+        ev = ev.sort_values("_ts", kind="mergesort")
+        ts = ev["_ts"].to_numpy()
+        lo = np.searchsorted(ts, iv["_start"].to_numpy(), side="left")
+        hi = np.searchsorted(ts, iv["_end"].to_numpy(), side="left")
+        reps = hi - lo
+        if reps.sum() == 0:
+            return empty
+        iv_idx = np.repeat(np.arange(len(iv)), reps)
+        ev_idx = np.concatenate(
+            [np.arange(a, b) for a, b in zip(lo, hi) if b > a])
+        out = pd.DataFrame({ts_col: pd.to_datetime(ts[ev_idx])})
+        for c in left_cols:
+            out[c] = ev[c].to_numpy()[ev_idx]
+        for c in interval_cols:
+            out[c] = iv[c].to_numpy()[iv_idx]
+        return out
+
+    lt = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    it = intervals_ds.map_batches(tag_intervals, batch_format="pyarrow")
+    return (
+        lt.union(it)
+        .groupby("_chunk")
+        .map_groups(match_chunk, batch_format="pandas")
+    )

@@ -801,3 +801,53 @@ def test_auto_join_broadcast_matches_hash_join():
                        how=how).to_pandas()
         pd.testing.assert_frame_equal(norm(bc), norm(hj), check_dtype=False)
         pd.testing.assert_frame_equal(norm(sh), norm(hj), check_dtype=False)
+
+
+def test_interval_join_matches_bruteforce():
+    from raykg.ops.joins import interval_join
+
+    rng = np.random.default_rng(41)
+    n_ev, n_iv = 3000, 60
+    ev = pd.DataFrame({
+        "ts": pd.to_datetime(rng.integers(0, 3 * 86400, n_ev), unit="s"),
+        "event_id": np.arange(n_ev, dtype=np.int64),
+    })
+    starts = rng.integers(0, 3 * 86400 - 7200, n_iv)
+    iv = pd.DataFrame({
+        "start": pd.to_datetime(starts, unit="s"),
+        # lengths from minutes to 2h — some intervals span chunk borders
+        "end": pd.to_datetime(starts + rng.integers(60, 7200, n_iv), unit="s"),
+        "interval_id": np.arange(n_iv, dtype=np.int64),
+    })
+    got = (
+        interval_join(
+            rd.from_pandas(ev).repartition(5), rd.from_pandas(iv),
+            ts_col="ts", start_col="start", end_col="end",
+            left_cols=["event_id"], interval_cols=["interval_id"],
+        )
+        .to_pandas().sort_values(["interval_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    brute = ev.merge(iv, how="cross")
+    brute = brute[(brute.ts >= brute.start) & (brute.ts < brute.end)]
+    exp = (brute[["ts", "event_id", "interval_id"]]
+           .sort_values(["interval_id", "event_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["ts", "event_id", "interval_id"]], exp,
+                                  check_dtype=False)
+
+
+def test_interval_join_empty_sides():
+    from raykg.ops.joins import interval_join
+
+    ev = pd.DataFrame({"ts": pd.to_datetime([0, 10_000], unit="s"),
+                       "event_id": np.array([1, 2], dtype=np.int64)})
+    iv = pd.DataFrame({
+        "start": pd.to_datetime([500_000], unit="s"),
+        "end": pd.to_datetime([500_060], unit="s"),
+        "interval_id": np.array([7], dtype=np.int64),
+    })
+    out = interval_join(rd.from_pandas(ev), rd.from_pandas(iv),
+                        "ts", "start", "end",
+                        left_cols=["event_id"],
+                        interval_cols=["interval_id"]).to_pandas()
+    assert len(out) == 0
