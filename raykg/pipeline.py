@@ -101,9 +101,9 @@ class PipelineConfig:
     # pq_m-byte codes, exact re-rank of rerank×top_k rows — the
     # memory-bound path where even IVF's raw-vector lists don't fit a
     # node. Shortlist scores are exact, so parity is gated like IVF
-    # (≥0.95, tests/test_parity.py). Not composed with kb_shards>1
-    # (sharding already partitions memory; combine when a single
-    # shard's raw vectors still overflow — not yet needed).
+    # (≥0.95, tests/test_parity.py). Composes with kb_shards>1: each
+    # shard trains codebooks on its own rows; the running-top-k merge
+    # is unchanged because shortlist scores are exact.
     ann: str = "exact"  # exact | ivf | pq
     ivf_lists: int = 128
     ivf_nprobe: int = 16
@@ -189,10 +189,6 @@ def load_kb_handles(kb_path: str, cfg: "PipelineConfig") -> dict:
     elif cfg.ann == "pq":
         from raykg.index import PqIndex
 
-        if cfg.kb_shards > 1:
-            raise NotImplementedError(
-                "ann='pq' with kb_shards>1 is not wired (see "
-                "PipelineConfig.ann comment)")
         handles["ann_ref"] = ray.put(
             PqIndex.build_meta(
                 idx.vectors, m=cfg.pq_m, rerank=cfg.pq_rerank
@@ -205,6 +201,8 @@ def load_kb_handles(kb_path: str, cfg: "PipelineConfig") -> dict:
             kb_tuple, cfg.kb_shards,
             ivf_lists=cfg.ivf_lists if cfg.ann == "ivf" else None,
             ivf_spill=cfg.ivf_spill,
+            pq_m=cfg.pq_m if cfg.ann == "pq" else None,
+            pq_rerank=cfg.pq_rerank,
         )
         handles["titles_ref"] = ray.put(list(idx.titles))
     return handles

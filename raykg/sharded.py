@@ -116,28 +116,36 @@ def make_finalizer_fn(titles_ref, rw_ref, top_k, rw_acc):
 
 
 def make_kb_shards(kb_tuple, n_shards: int, ivf_lists: int | None = None,
-                   ivf_spill: int = 1):
+                   ivf_spill: int = 1, pq_m: int | None = None,
+                   pq_rerank: int = 8):
     """(vectors, wikipedia_ids, titles, types, tombstone) -> list of
     ray.put refs of shard tuples (shard row offset kept so global ids
     stay stable). ``ivf_lists``: also build per-shard IVF metadata once
     on the driver so sharded retrieval composes with approximate search
     (each shard probes nprobe of its own lists; the running-top-k merge
     is unchanged — recall is per-shard approximate, scores stay exact).
-    ``ivf_spill``: per-shard multi-assignment (see IvfIndex.build_meta)."""
-    from raykg.index import IvfIndex
+    ``ivf_spill``: per-shard multi-assignment (see IvfIndex.build_meta).
+    ``pq_m``: instead build per-shard PQ metadata (codebooks trained on
+    the shard's own rows; exact shortlist re-rank keeps merged scores
+    exact — see PqIndex). ivf and pq are mutually exclusive."""
+    from raykg.index import IvfIndex, PqIndex
 
+    if ivf_lists and pq_m:
+        raise ValueError("pick one of ivf_lists / pq_m per shard set")
     vectors, wikipedia_ids, titles, types, tombstone = kb_tuple
     n = len(vectors)
     bounds = np.linspace(0, n, n_shards + 1).astype(int)
     refs = []
     for s in range(n_shards):
         lo, hi = int(bounds[s]), int(bounds[s + 1])
-        meta = (
-            IvfIndex.build_meta(vectors[lo:hi], n_lists=ivf_lists,
-                                spill=ivf_spill)
-            if ivf_lists
-            else None
-        )
+        if ivf_lists:
+            meta = IvfIndex.build_meta(vectors[lo:hi], n_lists=ivf_lists,
+                                       spill=ivf_spill)
+        elif pq_m:
+            meta = PqIndex.build_meta(vectors[lo:hi], m=pq_m,
+                                      rerank=pq_rerank)
+        else:
+            meta = None
         refs.append(
             ray.put(
                 (
@@ -173,7 +181,12 @@ class ShardRetriever:
         lo, vectors, wikis, titles, types, tomb = shard[:6]
         meta = shard[6] if len(shard) > 6 else None
         self.offset = lo
-        if meta is not None:
+        if isinstance(meta, dict) and meta.get("kind") == "pq":
+            from raykg.index import PqIndex
+
+            self.index = PqIndex(vectors, wikis, titles, types, tomb,
+                                 INDEXER_KB, prebuilt=meta)
+        elif meta is not None:
             from raykg.index import IvfIndex
 
             self.index = IvfIndex(vectors, wikis, titles, types, tomb,

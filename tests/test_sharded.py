@@ -91,3 +91,27 @@ def test_sharded_resume_rebuilds_rw_from_deltas(small_fixture, tmp_path_factory,
     res = run_pipeline(small_fixture, out, cfg)
     assert res["epochs_run"] == [2]
     pd.testing.assert_frame_equal(_triples(out1), _triples(out))
+
+
+def test_sharded_pq_composition(small_fixture, tmp_path_factory):
+    """kb_shards + ann='pq': per-shard codebooks + exact shortlist
+    re-rank, same running-top-k merge — triple-parity gate holds."""
+    import os
+
+    import ray.data as rd
+
+    from raykg.oracle import run_reference_chain
+    from raykg.pipeline import PipelineConfig, run_pipeline
+
+    out = str(tmp_path_factory.mktemp("shard_pq_out"))
+    run_pipeline(
+        small_fixture, out,
+        PipelineConfig(kb_shards=3, ann="pq", pq_m=8, pq_rerank=16),
+    )
+    tri = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
+    pred = set(zip(tri.subj, tri.pred, tri.obj))
+    gold = run_reference_chain(small_fixture)["triples"]
+    tp = len(pred & gold)
+    p = tp / len(pred) if pred else 1.0
+    r = tp / len(gold) if gold else 1.0
+    assert p >= 0.95 and r >= 0.95, (p, r)
