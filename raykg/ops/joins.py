@@ -466,6 +466,23 @@ def asof_join(
 BROADCAST_JOIN_BYTES = 64 << 20  # small side under this -> map-side join
 
 
+@ray.remote
+def _assemble_broadcast_side(block_refs, right_on, on, keys_only):
+    """Build the broadcast payload ON A WORKER from the right side's
+    block refs: the driver passes refs only and never materializes the
+    table (the same pattern as the sharded triples uri map,
+    raykg/pipeline.py). Returns the sorted unique key array for
+    semi/anti, else the renamed pandas frame for pd.merge."""
+    blocks = ray.get(block_refs)
+    t = pa.concat_tables(blocks) if blocks else None
+    if keys_only:
+        if t is None or t.num_rows == 0:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(t.column(right_on).to_numpy(zero_copy_only=False))
+    df = t.to_pandas() if t is not None else pd.DataFrame({right_on: []})
+    return df.rename(columns={right_on: on})
+
+
 def auto_join(
     left_ds,
     right_ds,
@@ -480,8 +497,9 @@ def auto_join(
     """Equi-join that picks its physical plan from the RIGHT side's
     measured size — the decision every query engine makes and a user
     should not have to: under ``broadcast_limit_bytes`` the right side
-    is collected once, put in the object store, and every left block
-    joins map-side with zero shuffle (the reference-scale dimension
+    is assembled once BY A WORKER into the object store (the driver
+    only routes block refs — it never holds the table), and every left
+    block joins map-side with zero shuffle (the reference-scale dimension
     tables: region/nation at any SF); over it, the tagged-union
     shuffle ``hash_join`` runs (the 5.9 M-entity metadata join shape).
 
@@ -505,13 +523,17 @@ def auto_join(
     right_cols = list(right_cols or [])
     if how in ("semi", "anti") and right_cols:
         raise ValueError(f"how={how!r} emits left columns only")
-    rdf = (
-        right_ds.select_columns([right_on] + right_cols)
-        .to_pandas()
-        .rename(columns={right_on: on})
+    # Worker-side collect: the right side's blocks stay in the object
+    # store (to_arrow_refs gives refs, not bytes); one remote task
+    # concatenates them and the RESULT ref is what map tasks read. The
+    # driver never holds the table — only refs — so a right side near
+    # broadcast_limit_bytes costs the driver nothing.
+    block_refs = right_ds.select_columns([right_on] + right_cols).to_arrow_refs()
+    rdf_ref = _assemble_broadcast_side.remote(
+        list(block_refs), right_on, on, how in ("semi", "anti")
     )
     if how in ("semi", "anti"):
-        keys_ref = ray.put(np.unique(rdf[on].to_numpy()))
+        keys_ref = rdf_ref
 
         def filter_block(t: pa.Table) -> pa.Table:
             keys = ray.get(keys_ref)
@@ -521,8 +543,6 @@ def auto_join(
             )
 
         return left_ds.map_batches(filter_block, batch_format="pyarrow")
-
-    rdf_ref = ray.put(rdf)
 
     def join_block(df: pd.DataFrame) -> pd.DataFrame:
         r = ray.get(rdf_ref)
