@@ -1550,6 +1550,92 @@ def _q_pq_knn(sf_dir: str):
     return knn_pq(ds, Q, qids, k=5, m=8, rerank=8)
 
 
+def _events_with_cents(sf_dir: str):
+    """events with value as exact int cents (floor(v*100+0.5), the
+    same double expression the SQL oracle computes — half-up on both
+    sides, so cumulative sums are integer-exact and hash-stable)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return t.drop_columns(["value"]).append_column(
+            "cents", pa.array(cents))
+
+    return ds.map_batches(add_cents, batch_format="pyarrow")
+
+
+def _q_window_lag_cumsum(sf_dir: str):
+    """Per-user ordered window functions — row_number, lag, cumulative
+    sum — via one key-bucketed exchange + whole-bucket numpy sweep
+    (raykg.ops.wfuncs.grouped_window; no per-key loop)."""
+    from raykg.ops.wfuncs import grouped_window
+
+    out = grouped_window(
+        _events_with_cents(sf_dir),
+        key="user_id", order="ts", tiebreak="event_id",
+        specs=[
+            {"op": "row_number", "name": "rn"},
+            {"op": "lag", "col": "cents", "name": "prev_cents", "fill": -1},
+            {"op": "cumsum", "col": "cents", "name": "cum_cents"},
+        ],
+    ).to_pandas()
+    return out[["event_id", "user_id", "rn", "prev_cents", "cum_cents"]]
+
+
+_SQL_WINDOW_LAG = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       row_number() OVER w AS rn,
+       COALESCE(LAG(cents) OVER w, -1) AS prev_cents,
+       SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS cum_cents
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def _q_window_rolling(sf_dir: str):
+    """Per-user rolling 1-hour event-time window (count + sum) — SQL
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW semantics
+    including ts-peers (raykg.ops.wfuncs, searchsorted sweep)."""
+    from raykg.ops.wfuncs import grouped_window
+
+    out = grouped_window(
+        _events_with_cents(sf_dir),
+        key="user_id", order="ts", tiebreak="event_id",
+        specs=[
+            {"op": "rolling_count", "ts": "ts", "range": "1h",
+             "name": "n_1h"},
+            {"op": "rolling_sum", "col": "cents", "ts": "ts",
+             "range": "1h", "name": "sum_1h"},
+        ],
+    ).to_pandas()
+    return out[["event_id", "user_id", "n_1h", "sum_1h"]]
+
+
+_SQL_WINDOW_ROLLING = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       COUNT(*) OVER r AS n_1h,
+       SUM(cents) OVER r AS sum_1h
+FROM e
+WINDOW r AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -1582,6 +1668,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sessionize_events": _q_sessionize_events,
         "join_asof_latest_order": _q_asof_latest_order,
         "join_interval_window_counts": _q_interval_window_counts,
+        "window_lag_cumsum_events": _q_window_lag_cumsum,
+        "window_rolling_events": _q_window_rolling,
         "agg_value_quantiles": _q_value_quantiles,
         "agg_user_distinct_types": _q_user_distinct_types,
         "minhash_dup_pairs_oracle": _q_minhash_dup_oracle,
@@ -1640,6 +1728,8 @@ def oracle_sql() -> dict[str, str]:
         "window_sessionize_events": _SQL_SESSIONIZE,
         "join_asof_latest_order": _SQL_ASOF_ORDER,
         "join_interval_window_counts": _SQL_INTERVAL_COUNTS,
+        "window_lag_cumsum_events": _SQL_WINDOW_LAG,
+        "window_rolling_events": _SQL_WINDOW_ROLLING,
         "agg_value_quantiles": _SQL_VALUE_QUANTILES,
         "agg_user_distinct_types": _SQL_USER_DISTINCT,
         "minhash_dup_pairs_oracle": _SQL_MINHASH_ORACLE,
