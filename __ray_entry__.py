@@ -1550,13 +1550,13 @@ def _q_pq_knn(sf_dir: str):
     return knn_pq(ds, Q, qids, k=5, m=8, rerank=8)
 
 
-def _events_with_cents(sf_dir: str):
+def _events_with_cents(sf_dir: str,
+                       columns=("event_id", "user_id", "ts", "value")):
     """events with value as exact int cents (floor(v*100+0.5), the
     same double expression the SQL oracle computes — half-up on both
     sides, so cumulative sums are integer-exact and hash-stable)."""
     ds = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts", "value"],
+        os.path.join(sf_dir, "events.parquet"), columns=list(columns),
     )
 
     def add_cents(t: pa.Table) -> pa.Table:
@@ -1636,6 +1636,95 @@ WINDOW r AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_pivot_event_counts(sf_dir: str):
+    """Long→wide pivot: per user, one count + cents-sum column per
+    event type (raykg.ops.pivot — per-block wide partials, shuffle
+    carries keys-per-block rows, never events)."""
+    from raykg.ops.pivot import pivot_agg
+
+    out = pivot_agg(
+        _events_with_cents(sf_dir, columns=("user_id", "event_type", "value")),
+        key="user_id", pivot_col="event_type",
+        values=_EVENT_TYPES, value_col="cents",
+    ).to_pandas()
+    return out
+
+
+_SQL_PIVOT_EVENTS = """
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id,
+  COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+  COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+  COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+  COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+  COALESCE(SUM(cents) FILTER (WHERE event_type = 'click'), 0)    AS cents_click,
+  COALESCE(SUM(cents) FILTER (WHERE event_type = 'error'), 0)    AS cents_error,
+  COALESCE(SUM(cents) FILTER (WHERE event_type = 'purchase'), 0) AS cents_purchase,
+  COALESCE(SUM(cents) FILTER (WHERE event_type = 'signup'), 0)   AS cents_signup,
+  COALESCE(SUM(cents) FILTER (WHERE event_type = 'view'), 0)     AS cents_view
+FROM e GROUP BY user_id
+"""
+
+
+def _q_set_except_pairs(sf_dir: str):
+    """SQL EXCEPT DISTINCT over a MULTI-COLUMN tuple: (user, value
+    bucket) pairs seen among even event ids but never among odd ones
+    (raykg.ops.setops — per-block pre-dedup, one tagged exchange,
+    tuple bucket hash mixed across both columns)."""
+    import pyarrow.compute as pc
+
+    from raykg.ops.setops import set_op
+
+    def half(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            par = pc.bit_wise_and(t.column("event_id"), 1)
+            t = t.filter(pc.equal(par, parity))
+            vb = pc.cast(pc.floor(t.column("value")), pa.int64())
+            return pa.table({"user_id": t.column("user_id"), "vb": vb})
+        return fn
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "value"])
+    even = ev.map_batches(half(0), batch_format="pyarrow")
+    odd = ev.map_batches(half(1), batch_format="pyarrow")
+    return set_op(even, odd, "except", cols=["user_id", "vb"]).to_pandas()
+
+
+_SQL_SET_EXCEPT = """
+SELECT user_id, CAST(FLOOR(value) AS BIGINT) AS vb
+FROM events WHERE event_id % 2 = 0
+EXCEPT
+SELECT user_id, CAST(FLOOR(value) AS BIGINT)
+FROM events WHERE event_id % 2 = 1
+"""
+
+
+def _q_set_intersect_users(sf_dir: str):
+    """SQL INTERSECT DISTINCT: user ids present in both the event log
+    and the orders table (raykg.ops.setops)."""
+    from raykg.ops.setops import set_op
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"])
+    return set_op(ev, orders, "intersect",
+                  cols=["user_id"], right_cols=["o_custkey"]).to_pandas()
+
+
+_SQL_SET_INTERSECT = """
+SELECT user_id FROM events INTERSECT SELECT o_custkey FROM orders
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -1670,6 +1759,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_interval_window_counts": _q_interval_window_counts,
         "window_lag_cumsum_events": _q_window_lag_cumsum,
         "window_rolling_events": _q_window_rolling,
+        "pivot_event_type_counts": _q_pivot_event_counts,
+        "set_except_event_pairs": _q_set_except_pairs,
+        "set_intersect_buyer_users": _q_set_intersect_users,
         "agg_value_quantiles": _q_value_quantiles,
         "agg_user_distinct_types": _q_user_distinct_types,
         "minhash_dup_pairs_oracle": _q_minhash_dup_oracle,
@@ -1730,6 +1822,9 @@ def oracle_sql() -> dict[str, str]:
         "join_interval_window_counts": _SQL_INTERVAL_COUNTS,
         "window_lag_cumsum_events": _SQL_WINDOW_LAG,
         "window_rolling_events": _SQL_WINDOW_ROLLING,
+        "pivot_event_type_counts": _SQL_PIVOT_EVENTS,
+        "set_except_event_pairs": _SQL_SET_EXCEPT,
+        "set_intersect_buyer_users": _SQL_SET_INTERSECT,
         "agg_value_quantiles": _SQL_VALUE_QUANTILES,
         "agg_user_distinct_types": _SQL_USER_DISTINCT,
         "minhash_dup_pairs_oracle": _SQL_MINHASH_ORACLE,

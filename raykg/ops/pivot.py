@@ -1,0 +1,71 @@
+"""Pivot (long → wide conditional aggregation): one output row per
+key, one column per pivoted category value — SQL's ``COUNT(*) FILTER
+(WHERE cat = v)`` / ``PIVOT ... IN (v1, v2, ...)``.
+
+Scale shape (the partial-aggregation pattern): each block is pivoted
+LOCALLY into one wide partial row per key present in the block — what
+enters the shuffle is |keys-per-block| × O(1) wide rows, never the
+event stream — and Ray's hash aggregate sums the partials per key.
+The category list is EXPLICIT (like SQL PIVOT's IN list): schema is
+fixed up front, so there is no second pass to discover categories and
+no ragged blocks; categories outside the list are dropped (use
+``ops.vocab.top_words``-style pre-pass to pick the list when unknown).
+
+Partitioning assumption: none beyond Ray's hash aggregate — key
+cardinality can exceed memory (the aggregate spills); a wide partial
+has len(values) × (1 + has value_col) columns, so keep the category
+list in the hundreds, not millions (that transpose is what the sparse
+long form is for).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ray.data.aggregate import Sum
+
+
+def pivot_agg(
+    ds,
+    key: str,
+    pivot_col: str,
+    values: list,
+    value_col: str | None = None,
+):
+    """Wide per-key table: ``n_{v}`` count columns for each category v
+    in ``values``, plus ``{value_col}_{v}`` sums when ``value_col``
+    is given. Missing (key, category) pairs are 0."""
+    values = list(values)
+    n_cols = [f"n_{v}" for v in values]
+    s_cols = [f"{value_col}_{v}" for v in values] if value_col else []
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[pivot_col].isin(values)]
+        if df.empty:
+            return pd.DataFrame(
+                {key: pd.Series([], dtype=df[key].dtype)}
+                | {c: pd.Series([], dtype=np.int64) for c in n_cols + s_cols}
+            )
+        g = df.groupby([key, pivot_col], sort=False)
+        cnt = (
+            g.size().unstack(fill_value=0)
+            .reindex(columns=values, fill_value=0).astype(np.int64)
+        )
+        cnt.columns = n_cols
+        out = cnt
+        if value_col:
+            sm = (
+                g[value_col].sum().unstack(fill_value=0)
+                .reindex(columns=values, fill_value=0).astype(np.int64)
+            )
+            sm.columns = s_cols
+            out = pd.concat([cnt, sm], axis=1)
+        return out.reset_index()
+
+    aggs = [Sum(c, alias_name=c) for c in n_cols + s_cols]
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(key)
+        .aggregate(*aggs)
+    )

@@ -1,0 +1,87 @@
+"""Distributed SQL set operations with DISTINCT semantics:
+INTERSECT / EXCEPT / UNION over arbitrary column tuples.
+
+Shape: the same tagged-union single shuffle as ``ops.joins`` — both
+sides are locally DEDUPLICATED per block first (the set-semantics
+analogue of partial aggregation: what enters the exchange is one row
+per distinct tuple per block, so a million repeats of one row cost
+one shuffled row per block), tagged with their side, bucketed by a
+mixed hash over ALL tuple columns (multi-column keys don't skew on a
+low-cardinality first column), and each bucket resolves membership
+with one vectorized pandas merge. Buckets partition the distinct
+tuple space, so per-bucket results concatenate to the exact answer.
+
+Partitioning assumption: one bucket's DISTINCT tuples fit a task
+(raise ``coarse`` with corpus size); a duplicate-heavy input is
+already compacted before the exchange.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raykg.ops.joins import _key_bucket
+
+SETOP_BUCKETS = 256
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _tuple_bucket(t: pa.Table, cols: list[str], coarse: int) -> pa.Array:
+    """Bucket id from a hash MIXED ACROSS all tuple columns."""
+    acc = np.zeros(t.num_rows, dtype=np.uint64)
+    big = np.uint64(1 << 61)  # keep per-column buckets, mix positions
+    for i, c in enumerate(cols):
+        h = np.asarray(
+            _key_bucket(t.column(c), int(big)), dtype=np.uint64
+        )
+        acc ^= (h + np.uint64(i)) * _MIX
+    return pa.array(((acc * _MIX) >> np.uint64(52)) % np.uint64(coarse),
+                    type=pa.int32())
+
+
+def set_op(
+    left_ds,
+    right_ds,
+    op: str,
+    cols: list[str],
+    right_cols: list[str] | None = None,
+    coarse: int = SETOP_BUCKETS,
+):
+    """``op`` in {"intersect", "except", "union"} — SQL DISTINCT set
+    semantics over the tuple ``cols`` (right side's ``right_cols``
+    are renamed to match; output columns are ``cols``)."""
+    if op not in ("intersect", "except", "union"):
+        raise ValueError(f"unknown set op {op!r}")
+    right_cols = list(right_cols or cols)
+    cols = list(cols)
+
+    def prep(side: int, names: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select(names).rename_columns(cols)
+            # local pre-dedup: one row per distinct tuple per block
+            df = t.to_pandas().drop_duplicates()
+            t = pa.Table.from_pandas(df, preserve_index=False)
+            return t.append_column(
+                "_b", _tuple_bucket(t, cols, coarse)
+            ).append_column(
+                "_side", pa.array(np.full(t.num_rows, side, dtype=np.int8))
+            )
+        return fn
+
+    tagged = left_ds.map_batches(prep(0, cols), batch_format="pyarrow").union(
+        right_ds.map_batches(prep(1, right_cols), batch_format="pyarrow")
+    )
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0][cols].drop_duplicates()
+        r = df[df["_side"] == 1][cols].drop_duplicates()
+        if op == "union":
+            return pd.concat([l, r]).drop_duplicates()
+        if op == "intersect":
+            return l.merge(r, on=cols, how="inner")
+        m = l.merge(r, on=cols, how="left", indicator=True)
+        return m[m["_merge"] == "left_only"][cols]
+
+    return tagged.groupby("_b").map_groups(resolve, batch_format="pandas")
