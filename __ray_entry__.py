@@ -1725,6 +1725,45 @@ SELECT user_id FROM events INTERSECT SELECT o_custkey FROM orders
 """
 
 
+def _q_explode_doc_words(sf_dir: str):
+    """UNNEST WITH ORDINALITY over split text: one row per token with
+    its 1-based position (raykg.ops.explode — block-local, no
+    shuffle; DuckDB string_split position semantics)."""
+    from raykg.ops.explode import explode_tokens
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return explode_tokens(ds, id_col="doc_id", text_col="text").to_pandas()
+
+
+_SQL_EXPLODE_WORDS = """
+SELECT doc_id, CAST(i AS BIGINT) AS pos, w AS word FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+) WHERE w <> ''
+"""
+
+
+def _q_explode_embeddings(sf_dir: str):
+    """UNNEST a list<float> column with ordinality — the layout change
+    feeding per-dimension statistics (raykg.ops.explode)."""
+    from raykg.ops.explode import explode_column
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    out = explode_column(ds, "embedding", ["vec_id"], out_col="x").to_pandas()
+    out["x"] = out["x"].astype(np.float64)
+    return out
+
+
+_SQL_EXPLODE_EMB = """
+SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+       CAST(unnest(embedding) AS DOUBLE) AS x
+FROM embeddings
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -1760,6 +1799,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_lag_cumsum_events": _q_window_lag_cumsum,
         "window_rolling_events": _q_window_rolling,
         "pivot_event_type_counts": _q_pivot_event_counts,
+        "explode_doc_words": _q_explode_doc_words,
+        "explode_embeddings": _q_explode_embeddings,
         "set_except_event_pairs": _q_set_except_pairs,
         "set_intersect_buyer_users": _q_set_intersect_users,
         "agg_value_quantiles": _q_value_quantiles,
@@ -1823,6 +1864,8 @@ def oracle_sql() -> dict[str, str]:
         "window_lag_cumsum_events": _SQL_WINDOW_LAG,
         "window_rolling_events": _SQL_WINDOW_ROLLING,
         "pivot_event_type_counts": _SQL_PIVOT_EVENTS,
+        "explode_doc_words": _SQL_EXPLODE_WORDS,
+        "explode_embeddings": _SQL_EXPLODE_EMB,
         "set_except_event_pairs": _SQL_SET_EXCEPT,
         "set_intersect_buyer_users": _SQL_SET_INTERSECT,
         "agg_value_quantiles": _SQL_VALUE_QUANTILES,
