@@ -1764,6 +1764,43 @@ FROM embeddings
 """
 
 
+def _q_dup_span_stats(sf_dir: str):
+    """ExactSubstr-style duplicate-span census: per doc, how many of
+    its word 8-gram spans occur ≥2 times corpus-wide
+    (raykg.ops.spandedup — span-hash bucket exchange, 24 B/row)."""
+    from raykg.ops.spandedup import duplicate_span_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return duplicate_span_stats(ds, width=8).to_pandas()
+
+
+_SQL_DUP_SPANS = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+e AS (
+  SELECT doc_id, len(ws) AS nw, unnest(ws) AS word,
+         generate_subscripts(ws, 1) AS pos
+  FROM w
+),
+g AS (
+  SELECT doc_id,
+         array_to_string(list(word) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING), ' ') AS gram
+  FROM e QUALIFY pos <= nw - 7
+),
+cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram)
+SELECT doc_id, count(*)::BIGINT AS n_spans,
+       (count(*) FILTER (WHERE c >= 2))::BIGINT AS n_dup_spans
+FROM g JOIN cnt USING (gram)
+GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -1801,6 +1838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_event_type_counts": _q_pivot_event_counts,
         "explode_doc_words": _q_explode_doc_words,
         "explode_embeddings": _q_explode_embeddings,
+        "dup_span_stats_documents": _q_dup_span_stats,
         "set_except_event_pairs": _q_set_except_pairs,
         "set_intersect_buyer_users": _q_set_intersect_users,
         "agg_value_quantiles": _q_value_quantiles,
@@ -1866,6 +1904,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_event_type_counts": _SQL_PIVOT_EVENTS,
         "explode_doc_words": _SQL_EXPLODE_WORDS,
         "explode_embeddings": _SQL_EXPLODE_EMB,
+        "dup_span_stats_documents": _SQL_DUP_SPANS,
         "set_except_event_pairs": _SQL_SET_EXCEPT,
         "set_intersect_buyer_users": _SQL_SET_INTERSECT,
         "agg_value_quantiles": _SQL_VALUE_QUANTILES,
