@@ -1801,6 +1801,20 @@ GROUP BY doc_id
 """
 
 
+def _q_perplexity(sf_dir: str):
+    """CCNet-style LM quality scoring: fit an interpolated bigram LM
+    on the corpus (partial-agg gram counts, broadcast table), score
+    every document's perplexity in one stateless vectorized pass
+    (raykg.ops.lm). Rows-only: model-based, not SQL-expressible."""
+    from raykg.ops.lm import fit_bigram_lm, score_perplexity
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    lm = fit_bigram_lm(ds, vocab_size=20_000)
+    out = score_perplexity(ds, lm).to_pandas()
+    return out[["doc_id", "perplexity"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -1852,6 +1866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_k_per_source": _q_sample_k_per_source,
         "quality_repetition_stats": _q_repetition_stats,
         # rows-only (model-/sketch-based, not SQL-expressible)
+        "quality_perplexity": _q_perplexity,
         "pack_training_sequences": _q_pack_sequences,
         "decontaminate_documents": _q_decontaminate,
         "approx_distinct_users_hll": _q_hll_distinct_users,
