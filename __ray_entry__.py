@@ -1815,6 +1815,64 @@ def _q_perplexity(sf_dir: str):
     return out[["doc_id", "perplexity"]]
 
 
+def _q_dedup_groups(sf_dir: str):
+    """Near-dup GROUPS: MinHash pair detection composed with
+    distributed hash-min connected components (raykg.ops.cc) — each
+    duplicate family labelled by its minimum doc id. Rows-only:
+    iterative, not single-query SQL."""
+    from raykg.ops.cc import connected_components
+    from raykg.ops.dedup import minhash_lsh_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, threshold=0.8)
+    pairs_df = pairs.to_pandas()
+    if pairs_df.empty:
+        return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                             "component": pd.Series([], dtype=np.int64)})
+    return connected_components(
+        rd.from_pandas(pairs_df[["id_a", "id_b"]])
+    ).to_pandas()
+
+
+def _q_rollup_pricing(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): one input shuffle
+    at the finest grain, coarser levels re-aggregated from it
+    (raykg.ops.rollup.grouping_sets); '(all)' sentinel for rolled-up
+    columns, exact integer cents."""
+    from raykg.ops.rollup import grouping_sets, rollup_sets
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return t.drop_columns(["l_extendedprice"]).append_column(
+            "cents", pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)))
+
+    out = grouping_sets(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        sets=rollup_sets(["l_returnflag", "l_linestatus"]),
+        aggs=[("sum", "cents", "sum_cents"), ("count", None, "n")],
+    ).to_pandas()
+    return out
+
+
+_SQL_ROLLUP = """
+WITH l AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+)
+SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+       COALESCE(l_linestatus, '(all)') AS l_linestatus,
+       SUM(cents) AS sum_cents, COUNT(*) AS n
+FROM l GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -1850,6 +1908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_lag_cumsum_events": _q_window_lag_cumsum,
         "window_rolling_events": _q_window_rolling,
         "pivot_event_type_counts": _q_pivot_event_counts,
+        "rollup_pricing_sets": _q_rollup_pricing,
         "explode_doc_words": _q_explode_doc_words,
         "explode_embeddings": _q_explode_embeddings,
         "dup_span_stats_documents": _q_dup_span_stats,
@@ -1872,6 +1931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users_hll": _q_hll_distinct_users,
         "approx_value_quantiles": _q_approx_quantiles,
         "curation_pipeline": _q_curation_pipeline,
+        "dedup_groups_minhash": _q_dedup_groups,
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "minhash_incremental_pairs": _q_incremental_minhash,
         "simhash_near_dup_pairs": _q_simhash_pairs,
@@ -1917,6 +1977,7 @@ def oracle_sql() -> dict[str, str]:
         "window_lag_cumsum_events": _SQL_WINDOW_LAG,
         "window_rolling_events": _SQL_WINDOW_ROLLING,
         "pivot_event_type_counts": _SQL_PIVOT_EVENTS,
+        "rollup_pricing_sets": _SQL_ROLLUP,
         "explode_doc_words": _SQL_EXPLODE_WORDS,
         "explode_embeddings": _SQL_EXPLODE_EMB,
         "dup_span_stats_documents": _SQL_DUP_SPANS,
