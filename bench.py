@@ -180,6 +180,15 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("curation_pipeline", em._q_curation_pipeline)
         timed("pq_knn", em._q_pq_knn)
         timed("approx_distinct_users_hll", em._q_hll_distinct_users)
+        timed("window_lag_cumsum_events", em._q_window_lag_cumsum)
+        timed("window_rolling_events", em._q_window_rolling)
+        timed("pivot_event_type_counts", em._q_pivot_event_counts)
+        timed("rollup_pricing_sets", em._q_rollup_pricing)
+        timed("set_except_event_pairs", em._q_set_except_pairs)
+        timed("explode_doc_words", em._q_explode_doc_words)
+        timed("dup_span_stats_documents", em._q_dup_span_stats)
+        timed("quality_perplexity", em._q_perplexity)
+        timed("dedup_groups_minhash", em._q_dedup_groups)
 
     result = {
         "metric": "kg_pipeline_wall",

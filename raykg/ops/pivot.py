@@ -22,8 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-
-from ray.data.aggregate import Sum
+import pyarrow as pa
 
 
 def pivot_agg(
@@ -63,9 +62,20 @@ def pivot_agg(
             out = pd.concat([cnt, sm], axis=1)
         return out.reset_index()
 
-    aggs = [Sum(c, alias_name=c) for c in n_cols + s_cols]
+    # final combine: coarse-bucket map_groups with ONE pandas sum over
+    # all wide columns — Ray's named-aggregate path costs a fixed
+    # per-aggregate overhead that dominates at 2×len(values) columns
+    from raykg.ops.joins import _key_bucket
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_b", _key_bucket(t.column(key), 64))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key, as_index=False)[n_cols + s_cols].sum()
+
     return (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby(key)
-        .aggregate(*aggs)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(final, batch_format="pandas")
     )
