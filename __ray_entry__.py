@@ -1826,13 +1826,8 @@ def _q_dedup_groups(sf_dir: str):
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
     pairs = minhash_lsh_pairs(ds, threshold=0.8)
-    pairs_df = pairs.to_pandas()
-    if pairs_df.empty:
-        return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
-                             "component": pd.Series([], dtype=np.int64)})
-    return connected_components(
-        rd.from_pandas(pairs_df[["id_a", "id_b"]])
-    ).to_pandas()
+    # pairs stream straight into the component rounds — no driver hop
+    return connected_components(pairs).to_pandas()
 
 
 def _q_rollup_pricing(sf_dir: str):

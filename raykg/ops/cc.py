@@ -60,9 +60,20 @@ def connected_components(edges_ds, src: str = "id_a", dst: str = "id_b",
     Returns Dataset(node, component). Nodes with no edges are absent
     (callers union isolated nodes as self-components if needed)."""
 
-    def edge_rows(t: pa.Table) -> pa.Table:
+    # one pass over the (possibly expensive) upstream pair pipeline:
+    # cache the typed edge list in the object store, then every
+    # structure below — init labels AND each round — reads the cache
+    def to_ab(t: pa.Table) -> pa.Table:
         a = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
         b = t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    edges_all = edges_ds.map_batches(to_ab,
+                                     batch_format="pyarrow").materialize()
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
         # initial labels double as the first message round: each edge
         # offers its endpoints each other's id (plus self-labels)
         node = np.concatenate([a, b, a, b])
@@ -78,20 +89,23 @@ def connected_components(edges_ds, src: str = "id_a", dst: str = "id_b",
         return out
 
     labels = (
-        edges_ds.map_batches(edge_rows, batch_format="pyarrow")
+        edges_all.map_batches(edge_rows, batch_format="pyarrow")
         .groupby("_bk").map_groups(fold_min, batch_format="pandas")
         .materialize()
     )
-    # cache the bucketed edge list once; every round re-reads it from
-    # the object store (never re-hashed, never re-shuffled)
-    def strip_self(t: pa.Table) -> pa.Table:
-        a = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = a != b
-        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+    if labels.count() == 0:  # no edges: empty labelling, typed schema
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "component": pa.array([], pa.int64()),
+        }))
 
-    edges = edges_ds.map_batches(strip_self,
-                                 batch_format="pyarrow").materialize()
+    def strip_self(t: pa.Table) -> pa.Table:
+        keep = t.column("a").to_numpy(zero_copy_only=False) != \
+            t.column("b").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(keep))
+
+    edges = edges_all.map_batches(strip_self,
+                                  batch_format="pyarrow").materialize()
 
     prev_sum = labels.aggregate(Sum("lbl", alias_name="s"))["s"]
     for _ in range(max_rounds):
@@ -162,3 +176,37 @@ def connected_components(edges_ds, src: str = "id_a", dst: str = "id_b",
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds "
         "(high-diameter graph — raise max_rounds or use star contraction)")
+
+
+def near_dedup_keep_canonical(ds, pairs_ds, id_col: str = "doc_id",
+                              src: str = "id_a", dst: str = "id_b",
+                              max_rounds: int = 25,
+                              coarse: int = CC_BUCKETS):
+    """The end-user near-dedup: given a corpus and its near-duplicate
+    PAIRS (any of ops.dedup's detectors), keep exactly ONE document
+    per duplicate family — the minimum id — plus every unpaired
+    document. Components label the families; the (small — bounded by
+    duplicate count, not corpus size) drop list broadcasts and the
+    corpus filters in one stateless streaming pass."""
+    import ray
+
+    comp = connected_components(pairs_ds, src=src, dst=dst,
+                                max_rounds=max_rounds, coarse=coarse)
+
+    def non_canonical(t: pa.Table) -> pa.Table:
+        keep = t.column("node").to_numpy(zero_copy_only=False) != \
+            t.column("component").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(keep)).select(["node"])
+
+    drop = np.sort(
+        comp.map_batches(non_canonical, batch_format="pyarrow")
+        .to_pandas()["node"].to_numpy()
+    )
+    drop_ref = ray.put(drop)
+
+    def keep_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        bad = np.isin(ids, ray.get(drop_ref))
+        return t.filter(pa.array(~bad))
+
+    return ds.map_batches(keep_rows, batch_format="pyarrow")

@@ -88,3 +88,16 @@ def test_minhash_pairs_to_dup_groups():
     fam = comp[comp.node.isin([3, 7, 12])]
     assert len(fam) == 3 and fam["component"].nunique() == 1
     assert fam["component"].iloc[0] == 3
+
+
+def test_near_dedup_keep_canonical():
+    from raykg.ops.cc import near_dedup_keep_canonical
+
+    docs = pd.DataFrame({"doc_id": range(10),
+                         "text": [f"d{i}" for i in range(10)]})
+    pairs = pd.DataFrame({"id_a": [1, 3, 8], "id_b": [3, 5, 9]})
+    kept = near_dedup_keep_canonical(
+        rd.from_pandas(docs), rd.from_pandas(pairs), coarse=4
+    ).to_pandas()
+    # families {1,3,5} -> keep 1; {8,9} -> keep 8; others untouched
+    assert sorted(kept["doc_id"]) == [0, 1, 2, 4, 6, 7, 8]
