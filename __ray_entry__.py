@@ -374,6 +374,70 @@ ORDER BY o_orderpriority
 """
 
 
+def _q_outer_join_user_activity(sf_dir: str):
+    """FULL-OUTER hash join (tagged-union shuffle, no broadcast side):
+    per-user high-value click counts ⟗ per-user high-value purchase
+    counts — unmatched users of BOTH sides survive (the value>200
+    predicate makes both directions non-empty at every SF). Null
+    counts are coalesced to 0 so output dtypes stay int64."""
+    from raykg.ops.joins import hash_join
+
+    def counts(event_type: str, name: str):
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "value"],
+        )
+
+        def part(t: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.equal(t.column("event_type"), pa.scalar(event_type)),
+                pc.greater(t.column("value"), pa.scalar(200.0)),
+            )
+            return t.filter(m).select(["user_id"])
+
+        return (
+            ds.map_batches(part, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Count(alias_name=name))
+        )
+
+    joined = hash_join(
+        counts("click", "clicks"),
+        counts("purchase", "purchases"),
+        on="user_id",
+        left_cols=["clicks"],
+        right_cols=["purchases"],
+        how="outer",
+        left_types={"user_id": pa.int64(), "clicks": pa.int64()},
+        right_types={"purchases": pa.int64()},
+    )
+
+    def fill0(t: pa.Table) -> pa.Table:
+        for c in ("clicks", "purchases"):
+            i = t.column_names.index(c)
+            t = t.set_column(
+                i, c, pc.fill_null(t.column(c), 0).cast(pa.int64())
+            )
+        return t
+
+    return joined.map_batches(fill0, batch_format="pyarrow")
+
+
+_SQL_OUTER_JOIN_ACTIVITY = """
+WITH l AS (
+  SELECT user_id, count(*) AS clicks FROM events
+  WHERE event_type = 'click' AND value > 200.0 GROUP BY user_id
+), r AS (
+  SELECT user_id, count(*) AS purchases FROM events
+  WHERE event_type = 'purchase' AND value > 200.0 GROUP BY user_id
+)
+SELECT coalesce(l.user_id, r.user_id) AS user_id,
+       coalesce(l.clicks, 0) AS clicks,
+       coalesce(r.purchases, 0) AS purchases
+FROM l FULL OUTER JOIN r ON l.user_id = r.user_id
+"""
+
+
 def _q_shuffle_semi_lineitem(sf_dir: str):
     """Large×large SEMI join (no broadcast side): lineitem rows whose
     order is high-value, then a small grouped aggregate — the
@@ -1883,6 +1947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_top_revenue_orders": _q_top_revenue_orders,
         "rank_top_orders_per_customer": _q_top_orders_per_customer,
         "join_shuffle_revenue": _q_shuffle_join_revenue,
+        "join_outer_user_activity": _q_outer_join_user_activity,
         "join_auto_orders_customer": _q_auto_join_orders,
         "join_shuffle_semi_lineitem": _q_shuffle_semi_lineitem,
         "join_shuffle_anti_orders": _q_shuffle_anti_orders,
@@ -1952,6 +2017,7 @@ def oracle_sql() -> dict[str, str]:
         "join_top_revenue_orders": _SQL_TOP_REVENUE,
         "rank_top_orders_per_customer": _SQL_TOP_PER_CUSTOMER,
         "join_shuffle_revenue": _SQL_SHUFFLE_JOIN,
+        "join_outer_user_activity": _SQL_OUTER_JOIN_ACTIVITY,
         "join_auto_orders_customer": _SQL_AUTO_JOIN,
         "join_shuffle_semi_lineitem": _SQL_SHUFFLE_SEMI,
         "join_shuffle_anti_orders": _SQL_SHUFFLE_ANTI,

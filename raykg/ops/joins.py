@@ -89,17 +89,19 @@ def hash_join(
     Both sides are tagged with ``_bucket = h(key) % coarse`` and
     union-ed (so the exchange is a single groupby); each bucket group
     does a vectorized ``pd.merge`` of its two sides. ``how`` is
-    ``inner``, ``left``, ``semi`` (left rows with >=1 match, emitted
-    once, left columns only) or ``anti`` (left rows with no match,
-    left columns only) — the two filters a user reaches for when the
-    filter side outgrows a ``ray.put`` broadcast. Output columns:
+    ``inner``, ``left``, ``right``, ``outer`` (full outer — unmatched
+    rows of BOTH sides survive with nulls on the other side's
+    columns), ``semi`` (left rows with >=1 match, emitted once, left
+    columns only) or ``anti`` (left rows with no match, left columns
+    only) — the two filters a user reaches for when the filter side
+    outgrows a ``ray.put`` broadcast. Output columns:
     ``[on] + left_cols + right_cols`` (the right key is renamed onto
     ``on``; all output names must be distinct). Pass
     ``left_types``/``right_types`` (name -> pa.DataType for the key +
     requested columns) when a side is a still-lazy pipeline whose
     ``schema()`` would otherwise trigger execution.
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "right", "outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     right_on = right_on or on
     left_cols = list(left_cols or [])
@@ -513,7 +515,10 @@ def auto_join(
         sz = right_ds.size_bytes()
     except Exception:
         sz = None
-    if sz is None or sz > broadcast_limit_bytes:
+    # right/full-outer must see the unmatched RIGHT rows, which the
+    # map-side broadcast plan structurally cannot emit (each left block
+    # observes only its own matches) — always take the shuffle plan.
+    if how in ("right", "outer") or sz is None or sz > broadcast_limit_bytes:
         return hash_join(left_ds, right_ds, on, right_on=right_on,
                          left_cols=left_cols, right_cols=right_cols,
                          how=how, **hash_join_kwargs)

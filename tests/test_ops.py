@@ -655,6 +655,50 @@ def test_hash_join_semi_anti_match_pandas():
                   right_cols=["rk2"], how="semi")
 
 
+def test_hash_join_right_outer_match_pandas():
+    """Right and full-outer modes: unmatched rows of BOTH sides
+    survive with nulls on the other side's columns, many-to-many
+    multiplicity matches pd.merge exactly."""
+    from raykg.ops.joins import auto_join, hash_join
+
+    rng = np.random.default_rng(31)
+    left = pd.DataFrame({"k": rng.integers(0, 120, 800),
+                         "x": rng.normal(size=800)})
+    right = pd.DataFrame({"rk": rng.integers(60, 180, 600),
+                          "y": rng.integers(0, 10_000, 600)})
+
+    def norm(df):
+        return (df.sort_values(["k", "x", "y"], na_position="last")
+                .reset_index(drop=True))
+
+    for how in ("right", "outer"):
+        got = hash_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="k", right_on="rk", left_cols=["x"], right_cols=["y"],
+            how=how,
+        ).to_pandas()
+        exp = left.merge(right.rename(columns={"rk": "k"}),
+                         on="k", how=how)
+        g, e = norm(got), norm(exp)
+        assert len(g) == len(e)
+        assert (g["k"].to_numpy() == e["k"].to_numpy()).all()
+        assert np.allclose(g["x"].to_numpy(na_value=-9e9),
+                           e["x"].to_numpy(na_value=-9e9))
+        assert np.array_equal(g["y"].to_numpy(na_value=-1),
+                              e["y"].to_numpy(na_value=-1))
+        # key survives as int64 (never null: outer coalesces the key)
+        assert g["k"].dtype == np.int64
+        # auto_join must route these modes to the shuffle plan even for
+        # a broadcast-sized right side, and agree with hash_join
+        au = auto_join(rd.from_pandas(left), rd.from_pandas(right),
+                       on="k", right_on="rk", left_cols=["x"],
+                       right_cols=["y"], how=how).to_pandas()
+        assert len(au) == len(e)
+        a = norm(au)
+        assert np.array_equal(a["y"].to_numpy(na_value=-1),
+                              e["y"].to_numpy(na_value=-1))
+
+
 def test_hopping_window_matches_pandas():
     from raykg.ops.windows import hopping_window
 
