@@ -158,6 +158,25 @@ SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
 """
 
 
+def _q_heavy_hitter_users(sf_dir: str):
+    """Exact top-10 users by event count via the two-pass heavy-hitter
+    operator (per-block top-m candidates + exact recount + optimality
+    certificate) — the scale path when distinct keys outnumber what a
+    full (key, n) shuffle can move (``raykg/ops/heavy.py``)."""
+    from raykg.ops.heavy import heavy_hitters
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    out = heavy_hitters(ds, "user_id", k=10)
+    return out.rename(columns={"n": "n_events"})
+
+
+_SQL_HEAVY_HITTER_USERS = """
+SELECT user_id, count(*) AS n_events FROM events
+GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10
+"""
+
+
 def _q_modal_event_type(sf_dir: str):
     """Per-user modal event_type; ties -> lexicographically smallest
     (the deterministic pin for the reference's value_counts mode, A2)."""
@@ -1942,6 +1961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-checked operator conformance
         "agg_pricing_summary": _q_pricing_summary,
         "agg_events_by_user": _q_events_by_user,
+        "agg_heavy_hitter_users": _q_heavy_hitter_users,
         "agg_modal_event_type": _q_modal_event_type,
         "join_customer_region": _q_customer_region,
         "join_top_revenue_orders": _q_top_revenue_orders,
@@ -2012,6 +2032,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "agg_pricing_summary": _SQL_PRICING,
         "agg_events_by_user": _SQL_EVENTS_BY_USER,
+        "agg_heavy_hitter_users": _SQL_HEAVY_HITTER_USERS,
         "agg_modal_event_type": _SQL_MODAL_EVENT,
         "join_customer_region": _SQL_CUSTOMER_REGION,
         "join_top_revenue_orders": _SQL_TOP_REVENUE,

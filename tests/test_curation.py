@@ -550,3 +550,64 @@ def test_sample_k_per_key_matches_duckdb_and_is_uniformish():
     assert (sizes == 100).all()
     a_ids = got[got.dom == "a"].id.to_numpy()
     assert 0.35 < (a_ids < 4500).mean() < 0.65
+
+
+def test_heavy_hitters_zipf_exact():
+    """Cheap path (certificate holds): Zipf-skewed keys, result equals
+    the exact pandas top-k with (count desc, key asc) ties."""
+    from raykg.ops.heavy import heavy_hitters
+
+    rng = np.random.default_rng(41)
+    keys = (rng.zipf(1.3, 60_000) % 5000).astype(np.int64)
+    df = pd.DataFrame({"k": keys})
+    got = heavy_hitters(rd.from_pandas(df).repartition(16), "k", k=10)
+    exp = (df.groupby("k", as_index=False).size()
+           .rename(columns={"size": "n"})
+           .sort_values(["n", "k"], ascending=[False, True],
+                        kind="mergesort")
+           .head(10).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"k": "int64", "n": "int64"}),
+        exp.astype({"k": "int64", "n": "int64"}))
+
+
+def test_heavy_hitters_uniform_fallback_exact():
+    """Near-uniform keys: the certificate CANNOT hold (no heavy
+    hitters), so the full-groupby fallback must fire and the output is
+    still the exact top-k."""
+    from raykg.ops.heavy import heavy_hitters
+
+    rng = np.random.default_rng(43)
+    # 4000 distinct keys, ~5 rows each; m=16 makes the cheap path's
+    # candidate set provably insufficient
+    df = pd.DataFrame({"k": rng.integers(0, 4000, 20_000).astype(np.int64)})
+    got = heavy_hitters(rd.from_pandas(df).repartition(8), "k", k=10, m=16)
+    exp = (df.groupby("k", as_index=False).size()
+           .rename(columns={"size": "n"})
+           .sort_values(["n", "k"], ascending=[False, True],
+                        kind="mergesort")
+           .head(10).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"k": "int64", "n": "int64"}),
+        exp.astype({"k": "int64", "n": "int64"}))
+
+
+def test_heavy_hitters_string_keys_partition_invariant():
+    from raykg.ops.heavy import heavy_hitters
+
+    rng = np.random.default_rng(47)
+    words = np.array([f"w{i}" for i in range(300)])
+    keys = words[np.minimum(rng.zipf(1.5, 8000) - 1, 299)]
+    df = pd.DataFrame({"w": keys})
+    outs = [
+        heavy_hitters(rd.from_pandas(df).repartition(p), "w", k=5)
+        for p in (1, 4, 32)
+    ]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    exp = (df.groupby("w", as_index=False).size()
+           .rename(columns={"size": "n"})
+           .sort_values(["n", "w"], ascending=[False, True],
+                        kind="mergesort")
+           .head(5).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], exp, check_dtype=False)
