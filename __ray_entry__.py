@@ -1124,6 +1124,18 @@ def _q_embedding_dup_pairs(sf_dir: str):
     return embedding_cosine_pairs(ds, threshold=0.99)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540) over the embeddings table: k-means
+    clusters + within-cluster cosine components, min-id canonical per
+    component. Rows-only (k-means cluster boundaries are not
+    SQL-expressible); covers every input row with a keep flag."""
+    from raykg.ops.dedup import semantic_dedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, threshold=0.97, n_clusters=32)
+
+
 def _q_ivf_knn(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -2016,6 +2028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_incremental_pairs": _q_incremental_minhash,
         "simhash_near_dup_pairs": _q_simhash_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "semantic_dedup_embeddings": _q_semantic_dedup,
         "ivf_knn": _q_ivf_knn,
         "pq_knn": _q_pq_knn,
         "text_quality": _q_quality,

@@ -235,6 +235,14 @@ def column_to_vectors(col, dim: int | None = None) -> np.ndarray:
     if isinstance(col, pa.FixedSizeListArray):
         d = col.type.list_size
         return col.values.to_numpy(zero_copy_only=False).reshape(len(col), d)
+    if hasattr(col, "to_numpy") and not isinstance(
+        col, (pa.ListArray, pa.LargeListArray)
+    ):
+        # Ray's ArrowTensorArray (what from_pandas produces for a
+        # column of ndarrays) and kin: stack via the extension array
+        return np.stack(col.to_numpy(zero_copy_only=False)).astype(
+            np.float32, copy=False
+        )
     # plain list<float32>: lengths must be uniform
     arr = col
     offsets = arr.offsets.to_numpy()

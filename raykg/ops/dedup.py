@@ -736,3 +736,112 @@ def embedding_cosine_pairs(
 _EMPTY_COSINE_PAIRS = pd.DataFrame(
     {"id_a": [], "id_b": [], "cosine": []}
 ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+
+
+def semantic_dedup(
+    ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_clusters: int = 64,
+    sample_per_block: int = 256,
+    seed: int = 7,
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means over the embedding space, then exact
+    cosine near-dup grouping WITHIN each cluster; one canonical row
+    (min id) per near-dup component survives. Returns a Dataset of
+    ``[id_col, "keep"]`` covering every input row.
+
+    Scale shape: centroids are trained on a HASH-SPREAD sample (every
+    block contributes — a head sample sees one arm of a clustered
+    corpus, the lesson learned in ops/pq.py codebook training) and
+    broadcast once; assignment is one GEMM per batch; the shuffle
+    ships (cluster, id, unit vector) — d floats per row, never text.
+    Within a cluster the pairwise pass is the chunked upper-triangle
+    GEMM of ``embedding_cosine_pairs``; components come from a
+    union-find over the threshold edges. Partitioning assumption: one
+    CLUSTER fits in a group task — size ``n_clusters`` so corpus /
+    n_clusters rows of d floats fit worker memory (the published
+    recipe uses ~100k clusters at web scale). A semantically hot
+    cluster (one giant near-dup family) is exactly the case where the
+    O(c²) within-cluster pass is unavoidable work.
+    """
+    from raykg.encode import column_to_vectors
+
+    golden = np.uint64(0x9E3779B97F4A7C15)
+
+    def sample_block(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # deterministic hash-ranked per-block sample: stable under
+        # retries and independent of row order
+        r = (ids.astype(np.uint64) * golden) >> np.uint64(40)
+        take = np.argsort(r, kind="stable")[:sample_per_block]
+        return t.take(pa.array(np.sort(take)))
+
+    sample = ds.map_batches(sample_block, batch_format="pyarrow").take_all()
+    if not sample:
+        return ray.data.from_pandas(
+            pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                          "keep": pd.Series([], dtype="bool")}))
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    from raykg.ops.similarity import kmeans_lite
+
+    centers = kmeans_lite(X / norms, n_clusters, seed=seed)
+    cnorm = np.linalg.norm(centers, axis=1, keepdims=True)
+    cnorm[cnorm == 0] = 1
+    c_ref = ray.put((centers / cnorm).astype(np.float32))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(c_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        V = column_to_vectors(batch.column(vec_col)).astype(np.float32)
+        n = np.linalg.norm(V, axis=1, keepdims=True)
+        n[n == 0] = 1
+        Vn = V / n
+        lab = (Vn @ C.T).argmax(axis=1).astype(np.int32)
+        dim = Vn.shape[1]
+        return pa.table({
+            "_cluster": pa.array(lab),
+            id_col: pa.array(ids, type=pa.int64()),
+            "_v": pa.FixedSizeListArray.from_arrays(
+                pa.array(Vn.reshape(-1), type=pa.float32()), dim),
+        })
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({id_col: ids, "keep": np.ones(n, bool)})
+        Vn = np.stack([np.asarray(v, dtype=np.float32) for v in g["_v"]])
+        parent = np.arange(n)
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        chunk = 512
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            sims = Vn[lo:hi] @ Vn.T
+            ii, jj = np.where(sims >= threshold)
+            ii = ii + lo
+            m = ii < jj
+            for a, b in zip(ii[m], jj[m]):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(n)])
+        # ids are sorted ascending, so the component root IS the min id
+        return pd.DataFrame({id_col: ids, "keep": roots == np.arange(n)})
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("_cluster")
+        .map_groups(dedup_cluster, batch_format="pandas")
+    )

@@ -895,3 +895,76 @@ def test_interval_join_empty_sides():
                         left_cols=["event_id"],
                         interval_cols=["interval_id"]).to_pandas()
     assert len(out) == 0
+
+
+def _brute_semantic_keep(ids, V, threshold):
+    """Ground truth: union-find over ALL pairs >= threshold, keep min
+    id per component."""
+    n = len(ids)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    order = np.argsort(ids)
+    for a in range(n):
+        for b in range(a + 1, n):
+            if sims[order[a], order[b]] >= threshold:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    keep = {ids[order[i]] for i in range(n) if find(i) == i}
+    return keep
+
+
+def test_semantic_dedup_planted_groups():
+    """SemDeDup: planted near-dup families (tight noise around
+    near-orthogonal bases) — keep set equals the brute-force all-pairs
+    union-find keep set, across partitionings."""
+    from raykg.ops.dedup import semantic_dedup
+
+    rng = np.random.default_rng(53)
+    d = 64
+    bases = rng.normal(size=(40, d))
+    bases /= np.linalg.norm(bases, axis=1, keepdims=True)
+    rows, gid = [], 0
+    for g in range(40):
+        sz = 1 + g % 4
+        for _ in range(sz):
+            v = bases[g] + rng.normal(scale=1e-3, size=d)
+            rows.append((gid, v))
+            gid += 1
+    rng.shuffle(rows)
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    V = np.stack([r[1] for r in rows]).astype(np.float64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(V.astype(np.float32))})
+    want_keep = _brute_semantic_keep(ids, V, 0.9)
+
+    for parts in (2, 16):
+        out = semantic_dedup(
+            rd.from_pandas(df).repartition(parts),
+            threshold=0.9, n_clusters=16,
+        ).to_pandas()
+        assert len(out) == len(df)
+        got_keep = set(out[out["keep"]]["vec_id"])
+        assert got_keep == want_keep
+        # exactly one survivor per family
+        fam = {i: i // 1 for i in ids}  # ids are globally unique
+        assert len(got_keep) == len(want_keep)
+
+
+def test_semantic_dedup_no_dups_keeps_all():
+    from raykg.ops.dedup import semantic_dedup
+
+    rng = np.random.default_rng(59)
+    V = rng.normal(size=(200, 32)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64),
+                       "embedding": list(V)})
+    out = semantic_dedup(rd.from_pandas(df).repartition(4),
+                         threshold=0.99, n_clusters=8).to_pandas()
+    assert out["keep"].all() and len(out) == 200
