@@ -650,6 +650,24 @@ FROM documents
 """
 
 
+def _q_normalize_text(sf_dir: str):
+    """Vectorized corpus text normalization (lower + whitespace
+    collapse + trim) — Arrow RE2 kernels, bit-equal to the DuckDB
+    oracle's regexp_replace (also RE2)."""
+    from raykg.ops.textstats import normalize_text
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return normalize_text(ds).drop_columns(["text"])
+
+
+_SQL_NORMALIZE_TEXT = """
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_norm
+FROM documents
+"""
+
+
 def _q_asof_latest_order(sf_dir: str):
     """As-of join: each event picks the same user's latest order at or
     before the event timestamp (raykg.ops.joins.asof_join — bucketed
@@ -1988,6 +2006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_documents_exact": _q_dedup_documents,
         "dedup_incremental_increment2": _q_incremental_dedup,
         "text_token_counts": _q_token_counts,
+        "text_normalized": _q_normalize_text,
         "sort_docs_by_len": _q_docs_by_len,
         "knn_bruteforce": _q_knn,
         "agg_label_centroids": _q_label_centroids,
@@ -2060,6 +2079,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_documents_exact": _SQL_DEDUP_DOCS,
         "dedup_incremental_increment2": _SQL_INC_DEDUP,
         "text_token_counts": _SQL_TOKEN_COUNTS,
+        "text_normalized": _SQL_NORMALIZE_TEXT,
         "sort_docs_by_len": _SQL_DOCS_BY_LEN,
         "knn_bruteforce": _SQL_KNN,
         "agg_label_centroids": _SQL_CENTROIDS,

@@ -189,6 +189,10 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("dup_span_stats_documents", em._q_dup_span_stats)
         timed("quality_perplexity", em._q_perplexity)
         timed("dedup_groups_minhash", em._q_dedup_groups)
+        timed("join_outer_user_activity", em._q_outer_join_user_activity)
+        timed("agg_heavy_hitter_users", em._q_heavy_hitter_users)
+        timed("semantic_dedup_embeddings", em._q_semantic_dedup)
+        timed("text_normalized", em._q_normalize_text)
 
     result = {
         "metric": "kg_pipeline_wall",

@@ -224,3 +224,21 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
         return out.reset_index()
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def normalize_text(ds, text_col: str = "text", out_col: str = "text_norm"):
+    """Corpus text normalization — the first transform of every
+    training-data pipeline: lowercase, collapse all whitespace runs to
+    one space, trim. Fully vectorized Arrow compute (RE2 regex — same
+    engine as the DuckDB oracle, so replaced text is bit-equal).
+    Appends ``out_col``; other columns pass through untouched."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def norm(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        low = pc.utf8_lower(col)
+        one = pc.replace_substring_regex(low, r"\s+", " ")
+        return t.append_column(out_col, pc.utf8_trim_whitespace(one))
+
+    return ds.map_batches(norm, batch_format="pyarrow")

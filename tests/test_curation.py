@@ -611,3 +611,22 @@ def test_heavy_hitters_string_keys_partition_invariant():
                         kind="mergesort")
            .head(5).reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], exp, check_dtype=False)
+
+
+def test_normalize_text_matches_duckdb():
+    from raykg.ops.textstats import normalize_text
+
+    texts = ["  Hello   WORLD ", "tab\tsep\nlines", "", "Ümlaut ÄÖÜ  mix",
+             "already clean"]
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                       "text": texts})
+    got = (normalize_text(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql("""
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_norm
+        FROM t ORDER BY doc_id
+    """).df()
+    assert got["text_norm"].tolist() == want["text_norm"].tolist()
