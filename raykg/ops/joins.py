@@ -82,6 +82,8 @@ def hash_join(
     coarse: int = JOIN_BUCKETS,
     left_types: dict[str, pa.DataType] | None = None,
     right_types: dict[str, pa.DataType] | None = None,
+    max_group: int | None = None,
+    n_salts: int = 16,
 ):
     """Distributed hash equi-join of two LARGE datasets — one shuffle,
     no broadcast side, no driver materialization.
@@ -100,9 +102,24 @@ def hash_join(
     ``left_types``/``right_types`` (name -> pa.DataType for the key +
     requested columns) when a side is a still-lazy pipeline whose
     ``schema()`` would otherwise trigger execution.
+
+    HOT-KEY SALTING (``max_group``, inner/left/semi/anti only): a
+    pre-aggregated census of the LEFT side finds keys with more than
+    ``max_group`` left rows; their left rows are spread over
+    ``n_salts`` sub-buckets and the matching RIGHT rows are replicated
+    to every sub-bucket, so output is identical to the unsalted plan
+    while no single group task holds more than ~max_group left rows of
+    one key. Costs one extra streaming pass over the left key column.
+    A key hot on the RIGHT side is not split (its inner-join output is
+    inherently |L_k|x|R_k| — replication cannot reduce that); for
+    ``right``/``outer`` pass ``max_group=None`` (swap the sides for a
+    left-heavy right join).
     """
     if how not in ("inner", "left", "right", "outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
+    if max_group is not None and how in ("right", "outer"):
+        raise ValueError("hot-key salting replicates right rows; "
+                         "unsupported for how='right'/'outer'")
     right_on = right_on or on
     left_cols = list(left_cols or [])
     right_cols = list(right_cols or [])
@@ -119,6 +136,36 @@ def hash_join(
     # (and a lazy right pipeline need not execute for it)
     rtypes = right_types or ({} if not right_cols else _schema_types(right_ds))
 
+    hot_ref = None
+    if max_group is not None:
+        from ray.data.aggregate import Sum
+
+        def _count(b: pa.Table) -> pa.Table:
+            keys, counts = np.unique(
+                b.column(on).to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
+            return pa.table({on: pa.array(keys),
+                             "_n": pa.array(counts, pa.int64())})
+
+        def _hot_only(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return b.filter(
+                pc.greater(b.column("_n"), pa.scalar(max_group))
+            ).select([on])
+
+        hot = (
+            left_ds.map_batches(_count, batch_format="pyarrow")
+            .groupby(on)
+            .aggregate(Sum("_n", alias_name="_n"))
+            .map_batches(_hot_only, batch_format="pyarrow")
+            .to_pandas()[on]
+            .to_numpy()
+        )  # only keys hotter than max_group reach the driver
+        if len(hot):
+            hot_ref = ray.put(np.unique(hot))
+
     def tag_left(batch: pa.Table) -> pa.Table:
         cols = {on: batch.column(on)}
         for c in left_cols:
@@ -126,9 +173,16 @@ def hash_join(
         for c in right_cols:
             cols[c] = pa.nulls(batch.num_rows, type=rtypes[c])
         t = pa.table(cols)
-        t = t.append_column("_bucket", _key_bucket(batch.column(on), coarse))
+        bucket = _key_bucket(batch.column(on), coarse).to_numpy().copy()
+        if hot_ref is not None:
+            keys_np = batch.column(on).to_numpy(zero_copy_only=False)
+            mask = np.isin(keys_np, ray.get(hot_ref))
+            if mask.any():
+                salt = np.arange(int(mask.sum()), dtype=np.int64) % n_salts
+                bucket[mask] += coarse * salt
+        t = t.append_column("_bucket", pa.array(bucket, type=pa.int32()))
         return t.append_column(
-            "_side", pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+            "_side", pa.array(np.zeros(t.num_rows, dtype=np.int8))
         )
 
     def tag_right(batch: pa.Table) -> pa.Table:
@@ -141,17 +195,37 @@ def hash_join(
             if isinstance(keys, pa.ChunkedArray):
                 keys = keys.combine_chunks()
             batch = pa.table({right_on: pc.unique(keys)})
+        if hot_ref is not None and batch.num_rows:
+            keys_np = batch.column(right_on).to_numpy(zero_copy_only=False)
+            mask = np.isin(keys_np, ray.get(hot_ref))
+            if mask.any():
+                # replicate hot-key right rows to every salted sub-
+                # bucket so each left salt group sees the full match set
+                idx = np.concatenate([
+                    np.where(~mask)[0],
+                    np.repeat(np.where(mask)[0], n_salts),
+                ])
+                salt = np.concatenate([
+                    np.zeros((~mask).sum(), dtype=np.int64),
+                    np.tile(np.arange(n_salts, dtype=np.int64),
+                            int(mask.sum())),
+                ])
+                batch = batch.take(pa.array(idx))
+                base = _key_bucket(batch.column(right_on), coarse).to_numpy()
+                bucket = base + coarse * salt
+            else:
+                bucket = _key_bucket(batch.column(right_on), coarse).to_numpy()
+        else:
+            bucket = _key_bucket(batch.column(right_on), coarse).to_numpy()
         cols = {on: batch.column(right_on)}
         for c in left_cols:
             cols[c] = pa.nulls(batch.num_rows, type=ltypes[c])
         for c in right_cols:
             cols[c] = batch.column(c)
         t = pa.table(cols)
-        t = t.append_column(
-            "_bucket", _key_bucket(batch.column(right_on), coarse)
-        )
+        t = t.append_column("_bucket", pa.array(bucket, type=pa.int32()))
         return t.append_column(
-            "_side", pa.array(np.ones(batch.num_rows, dtype=np.int8))
+            "_side", pa.array(np.ones(t.num_rows, dtype=np.int8))
         )
 
     tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(

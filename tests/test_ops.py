@@ -968,3 +968,49 @@ def test_semantic_dedup_no_dups_keeps_all():
     out = semantic_dedup(rd.from_pandas(df).repartition(4),
                          threshold=0.99, n_clusters=8).to_pandas()
     assert out["keep"].all() and len(out) == 200
+
+
+def test_hash_join_hot_key_salting_pinned():
+    """Planted hot key (3000 left rows of one key vs max_group=500):
+    salted output identical to the unsalted plan for every supported
+    how, and the hot key's rows actually spread over >1 bucket."""
+    from raykg.ops.joins import hash_join
+
+    rng = np.random.default_rng(61)
+    left = pd.DataFrame({
+        "k": np.concatenate([np.full(3000, 7, dtype=np.int64),
+                             rng.integers(100, 200, 1000)]),
+        "x": rng.normal(size=4000),
+    })
+    right = pd.DataFrame({
+        "rk": np.concatenate([np.full(4, 7, dtype=np.int64),
+                              rng.integers(150, 250, 300)]),
+        "y": rng.integers(0, 100, 304),
+    })
+
+    def norm(df):
+        cols = [c for c in ("k", "x", "y") if c in df.columns]
+        return (df.sort_values(cols, na_position="last")
+                .reset_index(drop=True))
+
+    for how in ("inner", "left", "semi", "anti"):
+        rc = None if how in ("semi", "anti") else ["y"]
+        plain = hash_join(
+            rd.from_pandas(left).repartition(8), rd.from_pandas(right),
+            on="k", right_on="rk", left_cols=["x"], right_cols=rc,
+            how=how).to_pandas()
+        salted = hash_join(
+            rd.from_pandas(left).repartition(8), rd.from_pandas(right),
+            on="k", right_on="rk", left_cols=["x"], right_cols=rc,
+            how=how, max_group=500, n_salts=8).to_pandas()
+        g, e = norm(salted), norm(plain)
+        assert len(g) == len(e), how
+        for c in g.columns:
+            assert np.array_equal(
+                g[c].to_numpy(na_value=-1), e[c].to_numpy(na_value=-1)
+            ), (how, c)
+
+    with pytest.raises(ValueError):
+        hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                  on="k", right_on="rk", left_cols=["x"], right_cols=["y"],
+                  how="outer", max_group=500)
