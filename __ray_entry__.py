@@ -1928,6 +1928,38 @@ def _q_perplexity(sf_dir: str):
     return out[["doc_id", "perplexity"]]
 
 
+def _q_pagerank_parts(sf_dir: str):
+    """Distributed PageRank (power iteration, dangling-mass
+    redistribution — raykg/ops/pagerank.py) over the order→part
+    bipartite graph from lineitem. Rows-only: iterative float ranks
+    aren't SQL-expressible; the operator itself is pinned bit-exact
+    against a dense numpy reference in tests/test_ops.py. Part nodes
+    are offset so ids don't collide with order ids."""
+    from raykg.ops.pagerank import pagerank
+
+    line = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                           columns=["l_orderkey", "l_partkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column("l_orderkey").cast(pa.int64()),
+            "dst": pc.add(t.column("l_partkey").cast(pa.int64()),
+                          pa.scalar(1_000_000_000, type=pa.int64())),
+        })
+
+    ranks = pagerank(line.map_batches(edges, batch_format="pyarrow"),
+                     n_iter=3)
+
+    def top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["rank", "node"],
+                                       ascending=[False, True]).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = ranks.map_batches(top, batch_format="pyarrow").to_pandas()
+    return (out.sort_values(["rank", "node"], ascending=[False, True])
+            .head(20).reset_index(drop=True))
+
+
 def _q_dedup_groups(sf_dir: str):
     """Near-dup GROUPS: MinHash pair detection composed with
     distributed hash-min connected components (raykg.ops.cc) — each
@@ -2043,6 +2075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_value_quantiles": _q_approx_quantiles,
         "curation_pipeline": _q_curation_pipeline,
         "dedup_groups_minhash": _q_dedup_groups,
+        "graph_pagerank_parts": _q_pagerank_parts,
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "minhash_incremental_pairs": _q_incremental_minhash,
         "simhash_near_dup_pairs": _q_simhash_pairs,

@@ -1014,3 +1014,37 @@ def test_hash_join_hot_key_salting_pinned():
         hash_join(rd.from_pandas(left), rd.from_pandas(right),
                   on="k", right_on="rk", left_cols=["x"], right_cols=["y"],
                   how="outer", max_group=500)
+
+
+def test_pagerank_matches_dense_reference():
+    """Distributed power iteration vs the dense numpy reference on a
+    random digraph with sinks and multi-edges, across partitionings."""
+    from raykg.ops.pagerank import pagerank, pagerank_numpy
+
+    rng = np.random.default_rng(67)
+    edges = rng.integers(0, 60, size=(400, 2)).astype(np.int64)
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    # add guaranteed sinks: nodes 61, 62 receive but never send
+    sink_edges = np.array([[1, 61], [2, 62], [3, 61]], dtype=np.int64)
+    edges = np.vstack([edges, sink_edges, edges[:5]])  # dup edges too
+    want = pagerank_numpy(edges, n_iter=5)
+
+    df = pd.DataFrame({"src": edges[:, 0], "dst": edges[:, 1]})
+    got = (pagerank(rd.from_pandas(df).repartition(8), n_iter=5)
+           .to_pandas())
+    assert len(got) == len(want)
+    gm = dict(zip(got["node"], got["rank"]))
+    for n, r in want.items():
+        assert abs(gm[n] - r) < 1e-9, (n, gm[n], r)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_star_graph():
+    """Hub-and-spoke sanity: the hub out-ranks every spoke."""
+    from raykg.ops.pagerank import pagerank
+
+    spokes = np.arange(1, 21, dtype=np.int64)
+    df = pd.DataFrame({"src": spokes, "dst": np.zeros(20, dtype=np.int64)})
+    got = pagerank(rd.from_pandas(df), n_iter=3).to_pandas()
+    hub = got[got.node == 0]["rank"].iloc[0]
+    assert (got[got.node != 0]["rank"] < hub).all()
