@@ -1928,6 +1928,21 @@ def _q_perplexity(sf_dir: str):
     return out[["doc_id", "perplexity"]]
 
 
+def _q_bm25_search(sf_dir: str):
+    """BM25 ranked keyword retrieval (raykg/ops/bm25.py) over the
+    documents table: fixed query set, top-10 per query. Rows-only
+    (BM25's idf/avgdl statistics chain isn't practical to mirror in
+    one SQL oracle); the operator is pinned against an independent
+    reference implementation in tests/test_curation.py."""
+    from raykg.ops.bm25 import bm25_topk
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return bm25_topk(
+        ds, ["hash join merge", "window sort order", "stream batch"], k=10
+    )
+
+
 def _q_pagerank_parts(sf_dir: str):
     """Distributed PageRank (power iteration, dangling-mass
     redistribution — raykg/ops/pagerank.py) over the order→part
@@ -2076,6 +2091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": _q_curation_pipeline,
         "dedup_groups_minhash": _q_dedup_groups,
         "graph_pagerank_parts": _q_pagerank_parts,
+        "search_bm25_documents": _q_bm25_search,
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "minhash_incremental_pairs": _q_incremental_minhash,
         "simhash_near_dup_pairs": _q_simhash_pairs,

@@ -630,3 +630,30 @@ def test_normalize_text_matches_duckdb():
         FROM t ORDER BY doc_id
     """).df()
     assert got["text_norm"].tolist() == want["text_norm"].tolist()
+
+
+def test_bm25_matches_reference():
+    from raykg.ops.bm25 import bm25_reference, bm25_topk
+
+    docs = [
+        "the quick brown fox jumps over the lazy dog",
+        "a fast auburn fox vaulted a sleepy hound",
+        "quick sort and merge sort are sorting algorithms",
+        "the dog barks at the quick cat",
+        "completely unrelated text about databases",
+        "fox fox fox fox",  # tf saturation case
+        "",
+    ]
+    ids = list(range(len(docs)))
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": docs})
+                        ).repartition(3)
+    queries = ["quick fox", "sorting databases", "zebra"]
+    got = bm25_topk(ds, queries, k=4).to_pandas()
+    for qi, q in enumerate(queries):
+        want = bm25_reference(docs, ids, q, k=4)
+        sub = got[got.qid == qi].sort_values("rank")
+        assert sub.doc_id.tolist() == [d for d, _ in want], q
+        assert np.allclose(sub.score.to_numpy(),
+                           [s for _, s in want]), q
+    # absent term ranks nothing
+    assert (got.qid == 2).sum() == 0
