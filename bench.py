@@ -193,6 +193,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("agg_heavy_hitter_users", em._q_heavy_hitter_users)
         timed("semantic_dedup_embeddings", em._q_semantic_dedup)
         timed("text_normalized", em._q_normalize_text)
+        timed("search_bm25_documents", em._q_bm25_search)
+        timed("graph_pagerank_parts", em._q_pagerank_parts)
 
     result = {
         "metric": "kg_pipeline_wall",

@@ -753,9 +753,11 @@ def semantic_dedup(
     (min id) per near-dup component survives. Returns a Dataset of
     ``[id_col, "keep"]`` covering every input row.
 
-    Scale shape: centroids are trained on a HASH-SPREAD sample (every
-    block contributes — a head sample sees one arm of a clustered
-    corpus, the lesson learned in ops/pq.py codebook training) and
+    Scale shape: centroids are trained on a HASH-SPREAD sample with a
+    GLOBAL cap of ``16 x sample_per_block`` rows (a head sample sees
+    one arm of a clustered corpus — the ops/pq.py codebook lesson —
+    and an uncapped per-block quota grows with block count: driver
+    OOM at web scale) and
     broadcast once; assignment is one GEMM per batch; the shuffle
     ships (cluster, id, unit vector) — d floats per row, never text.
     Within a cluster the pairwise pass is the chunked upper-triangle
@@ -769,17 +771,22 @@ def semantic_dedup(
     """
     from raykg.encode import column_to_vectors
 
-    golden = np.uint64(0x9E3779B97F4A7C15)
+    # hash-spread sample with a GLOBAL cap (the pq.py pattern): a
+    # per-block quota alone would grow with block count and a head
+    # sample sees one arm of a clustered corpus. count() is metadata
+    # for parquet inputs.
+    max_sample = sample_per_block * 16
+    n_total = ds.count()
+    rate = min(1.0, (4.0 * max_sample) / max(n_total, 1))
+    thr = np.uint64(int(rate * (1 << 32)))
+    knuth = np.uint64(2654435761)
 
-    def sample_block(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        # deterministic hash-ranked per-block sample: stable under
-        # retries and independent of row order
-        r = (ids.astype(np.uint64) * golden) >> np.uint64(40)
-        take = np.argsort(r, kind="stable")[:sample_per_block]
-        return t.take(pa.array(np.sort(take)))
+    def spread(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.filter(pa.array((ids * knuth) % np.uint64(1 << 32) < thr))
 
-    sample = ds.map_batches(sample_block, batch_format="pyarrow").take_all()
+    sample = (ds.map_batches(spread, batch_format="pyarrow")
+              .limit(max_sample).take_all())
     if not sample:
         return ray.data.from_pandas(
             pd.DataFrame({id_col: pd.Series([], dtype="int64"),
