@@ -1928,6 +1928,61 @@ def _q_perplexity(sf_dir: str):
     return out[["doc_id", "perplexity"]]
 
 
+def _q_cross_region_nation(sf_dir: str):
+    """Cartesian product (raykg.ops.joins.cross_join): worker-
+    assembled broadcast right side, zero shuffle, map-side expand."""
+    from raykg.ops.joins import cross_join
+
+    region = rd.read_parquet(os.path.join(sf_dir, "region.parquet"),
+                             columns=["r_name"])
+    nation = rd.read_parquet(os.path.join(sf_dir, "nation.parquet"),
+                             columns=["n_name"])
+    return cross_join(region, nation, ["r_name"], ["n_name"])
+
+
+_SQL_CROSS_REGION_NATION = """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+"""
+
+
+def _q_unpivot_part_metrics(sf_dir: str):
+    """Wide → long UNPIVOT (raykg.ops.pivot.unpivot): block-local
+    melt, value columns cast to a unified double."""
+    from raykg.ops.pivot import unpivot
+
+    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_retailprice", "p_size"])
+    return unpivot(part, ["p_partkey"], ["p_retailprice", "p_size"],
+                   cast=pa.float64())
+
+
+_SQL_UNPIVOT_PART = """
+SELECT p_partkey, 'p_retailprice' AS metric,
+       CAST(p_retailprice AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+"""
+
+
+def _q_user_event_sequences(sf_dir: str):
+    """Ordered grouped collection (raykg.ops.collect): per user the
+    comma-joined event_type sequence in (ts, event_id) order — SQL
+    string_agg(... ORDER BY ...)."""
+    from raykg.ops.collect import grouped_string_agg
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts", "event_id"])
+    return grouped_string_agg(ev, "user_id", "event_type",
+                              ["ts", "event_id"], sep=",", out_col="seq")
+
+
+_SQL_USER_EVENT_SEQ = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+FROM events GROUP BY user_id
+"""
+
+
 def _q_bm25_search(sf_dir: str):
     """BM25 ranked keyword retrieval (raykg/ops/bm25.py) over the
     documents table: fixed query set, top-10 per query. Rows-only
@@ -2092,6 +2147,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_groups_minhash": _q_dedup_groups,
         "graph_pagerank_parts": _q_pagerank_parts,
         "search_bm25_documents": _q_bm25_search,
+        "join_cross_region_nation": _q_cross_region_nation,
+        "unpivot_part_metrics": _q_unpivot_part_metrics,
+        "agg_user_event_sequences": _q_user_event_sequences,
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "minhash_incremental_pairs": _q_incremental_minhash,
         "simhash_near_dup_pairs": _q_simhash_pairs,
@@ -2129,6 +2187,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_increment2": _SQL_INC_DEDUP,
         "text_token_counts": _SQL_TOKEN_COUNTS,
         "text_normalized": _SQL_NORMALIZE_TEXT,
+        "join_cross_region_nation": _SQL_CROSS_REGION_NATION,
+        "unpivot_part_metrics": _SQL_UNPIVOT_PART,
+        "agg_user_event_sequences": _SQL_USER_EVENT_SEQ,
         "sort_docs_by_len": _SQL_DOCS_BY_LEN,
         "knn_bruteforce": _SQL_KNN,
         "agg_label_centroids": _SQL_CENTROIDS,

@@ -746,3 +746,53 @@ def interval_join(
         .groupby("_chunk")
         .map_groups(match_chunk, batch_format="pandas")
     )
+
+
+@ray.remote(num_cpus=1)
+def _assemble_cross_side(block_refs):
+    blocks = ray.get(block_refs)
+    t = pa.concat_tables(blocks) if blocks else None
+    return t.to_pandas() if t is not None else pd.DataFrame()
+
+
+CROSS_JOIN_BYTES = 32 << 20
+
+
+def cross_join(
+    left_ds,
+    right_ds,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    limit_bytes: int = CROSS_JOIN_BYTES,
+):
+    """Cartesian product with a SMALL right side: the right table is
+    assembled once by a worker task into the object store (driver
+    routes refs only) and every left block expands map-side — zero
+    shuffle. Output is |L|x|R| rows, so the right side is hard-capped
+    at ``limit_bytes`` (a large-large cross join is a modeling error
+    at any scale, not a missing feature). Column names must not
+    collide."""
+    left_cols = list(left_cols or [c for c in left_ds.schema().names])
+    right_cols = list(right_cols or [c for c in right_ds.schema().names])
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"output name collision: {sorted(overlap)}")
+    try:
+        sz = right_ds.size_bytes()
+    except Exception:
+        sz = None
+    if sz is not None and sz > limit_bytes:
+        raise ValueError(
+            f"cross_join right side is {sz} bytes > limit {limit_bytes}")
+    refs = right_ds.select_columns(right_cols).to_arrow_refs()
+    rdf_ref = _assemble_cross_side.remote(list(refs))
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rdf_ref)
+        if len(r) == 0 or len(df) == 0:
+            return pd.DataFrame(columns=left_cols + right_cols)
+        left = df[left_cols].loc[df.index.repeat(len(r))].reset_index(drop=True)
+        right = pd.concat([r] * len(df), ignore_index=True)
+        return pd.concat([left, right], axis=1)
+
+    return left_ds.map_batches(expand, batch_format="pandas")

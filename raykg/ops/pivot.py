@@ -79,3 +79,27 @@ def pivot_agg(
         .groupby("_b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            var_name: str = "metric", val_name: str = "value",
+            cast=None):
+    """Wide → long (SQL UNPIVOT / pandas melt), purely block-local —
+    no shuffle: every input row becomes len(value_cols) output rows
+    ``(id_cols..., metric, value)``. Heterogeneous value columns must
+    unify; pass ``cast`` (a pyarrow DataType, e.g. ``pa.float64()``)
+    to coerce them all (SQL UNPIVOT requires the same — the oracle
+    casts each branch of its UNION ALL)."""
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        parts = []
+        for vc in value_cols:
+            cols = {c: t.column(c) for c in id_cols}
+            cols[var_name] = pa.array(np.repeat(vc, n))
+            v = t.column(vc)
+            cols[val_name] = v.cast(cast) if cast is not None else v
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

@@ -1048,3 +1048,53 @@ def test_pagerank_star_graph():
     got = pagerank(rd.from_pandas(df), n_iter=3).to_pandas()
     hub = got[got.node == 0]["rank"].iloc[0]
     assert (got[got.node != 0]["rank"] < hub).all()
+
+
+def test_cross_join_and_limit():
+    from raykg.ops.joins import cross_join
+
+    left = pd.DataFrame({"a": [1, 2, 3]})
+    right = pd.DataFrame({"b": ["x", "y"]})
+    got = (cross_join(rd.from_pandas(left).repartition(2),
+                      rd.from_pandas(right), ["a"], ["b"])
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    want = left.merge(right, how="cross").sort_values(["a", "b"]
+                                                      ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    with pytest.raises(ValueError):
+        cross_join(rd.from_pandas(left), rd.from_pandas(right),
+                   ["a"], ["b"], limit_bytes=1)
+    with pytest.raises(ValueError):
+        cross_join(rd.from_pandas(left), rd.from_pandas(left), ["a"], ["a"])
+
+
+def test_unpivot_matches_melt():
+    from raykg.ops.pivot import unpivot
+
+    df = pd.DataFrame({"id": [1, 2], "x": [1.5, 2.5], "y": [10, 20]})
+    got = (unpivot(rd.from_pandas(df), ["id"], ["x", "y"],
+                   cast=pa.float64())
+           .to_pandas().sort_values(["id", "metric"]).reset_index(drop=True))
+    want = (df.melt(id_vars=["id"], value_vars=["x", "y"],
+                    var_name="metric", value_name="value")
+            .astype({"value": "float64"})
+            .sort_values(["id", "metric"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_grouped_string_agg_string_keys_and_order():
+    from raykg.ops.collect import grouped_string_agg
+
+    rng = np.random.default_rng(71)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.choice(["u1", "u2", "u3"], n),
+        "v": rng.choice(list("abcde"), n),
+        "t": rng.permutation(n),
+    })
+    got = (grouped_string_agg(rd.from_pandas(df).repartition(7),
+                              "k", "v", ["t"], sep="-", out_col="s")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (df.sort_values(["k", "t"]).groupby("k")["v"]
+            .agg("-".join).rename("s").reset_index())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
