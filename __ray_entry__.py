@@ -1699,6 +1699,33 @@ def _q_window_lag_cumsum(sf_dir: str):
     return out[["event_id", "user_id", "rn", "prev_cents", "cum_cents"]]
 
 
+def _q_window_rank_events(sf_dir: str):
+    """percent_rank + ntile(4) per user over (value, event_id) order —
+    the ranking half of the OVER (PARTITION BY ...) family."""
+    from raykg.ops.wfuncs import grouped_window
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "value"])
+    out = grouped_window(
+        ev,
+        key="user_id", order="value", tiebreak="event_id",
+        specs=[
+            {"op": "percent_rank", "col": "value", "name": "pr"},
+            {"op": "ntile", "n": 4, "name": "quartile"},
+        ],
+    ).to_pandas()
+    return out[["event_id", "user_id", "pr", "quartile"]]
+
+
+_SQL_WINDOW_RANK = """
+SELECT event_id, user_id,
+       percent_rank() OVER (PARTITION BY user_id ORDER BY value) AS pr,
+       ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id)
+           AS quartile
+FROM events
+"""
+
+
 _SQL_WINDOW_LAG = """
 WITH e AS (
   SELECT event_id, user_id, ts,
@@ -2120,6 +2147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_interval_window_counts": _q_interval_window_counts,
         "window_lag_cumsum_events": _q_window_lag_cumsum,
         "window_rolling_events": _q_window_rolling,
+        "window_rank_events": _q_window_rank_events,
         "pivot_event_type_counts": _q_pivot_event_counts,
         "rollup_pricing_sets": _q_rollup_pricing,
         "explode_doc_words": _q_explode_doc_words,
@@ -2201,6 +2229,7 @@ def oracle_sql() -> dict[str, str]:
         "join_interval_window_counts": _SQL_INTERVAL_COUNTS,
         "window_lag_cumsum_events": _SQL_WINDOW_LAG,
         "window_rolling_events": _SQL_WINDOW_ROLLING,
+        "window_rank_events": _SQL_WINDOW_RANK,
         "pivot_event_type_counts": _SQL_PIVOT_EVENTS,
         "rollup_pricing_sets": _SQL_ROLLUP,
         "explode_doc_words": _SQL_EXPLODE_WORDS,

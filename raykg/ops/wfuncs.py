@@ -88,6 +88,33 @@ def _apply_specs(df: pd.DataFrame, key: str, specs) -> pd.DataFrame:
             ):
                 out = out.astype(np.int64)
             df[name] = out
+        elif op == "percent_rank":
+            # SQL percent_rank: (rank-1)/(group_size-1), rank shared
+            # by peers (equal spec["col"] values), 0 for 1-row groups
+            vals = df[spec["col"]].to_numpy()
+            run_start = starts.copy()
+            if n > 1:
+                run_start[1:] |= vals[1:] != vals[:-1]
+            rank_idx = np.maximum.accumulate(
+                np.where(run_start, np.arange(n), -1))
+            rank = (rank_idx - row_start + 1).astype(np.float64)
+            bounds = np.append(start_idx, n)
+            size = np.diff(bounds)[group_id].astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                pr = (rank - 1.0) / (size - 1.0)
+            df[name] = np.where(size > 1, pr, 0.0)
+        elif op == "ntile":
+            b = int(spec["n"])
+            rn0 = np.arange(n) - row_start
+            bounds = np.append(start_idx, n)
+            size = np.diff(bounds)[group_id]
+            q, r = size // b, size % b
+            thresh = r * (q + 1)
+            df[name] = np.where(
+                rn0 < thresh,
+                rn0 // np.maximum(q + 1, 1),
+                r + (rn0 - thresh) // np.maximum(q, 1),
+            ).astype(np.int64) + 1
         elif op == "cumsum":
             vals = df[spec["col"]].to_numpy()
             cs = np.cumsum(vals)

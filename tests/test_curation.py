@@ -657,3 +657,33 @@ def test_bm25_matches_reference():
                            [s for _, s in want]), q
     # absent term ranks nothing
     assert (got.qid == 2).sum() == 0
+
+
+def test_percent_rank_ntile_with_ties_vs_duckdb():
+    """percent_rank with TIED order values (peers share rank) and
+    ntile's uneven-bucket split, vs DuckDB window functions."""
+    from raykg.ops.wfuncs import grouped_window
+
+    rng = np.random.default_rng(73)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 7, n),
+        "v": rng.integers(0, 12, n),  # small range forces ties
+        "id": np.arange(n, dtype=np.int64),
+    })
+    got = (grouped_window(
+        rd.from_pandas(df).repartition(5),
+        key="k", order="v", tiebreak="id",
+        specs=[{"op": "percent_rank", "col": "v", "name": "pr"},
+               {"op": "ntile", "n": 3, "name": "t"}],
+    ).to_pandas().sort_values("id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql("""
+        SELECT id,
+               percent_rank() OVER (PARTITION BY k ORDER BY v) AS pr,
+               ntile(3) OVER (PARTITION BY k ORDER BY v, id) AS t
+        FROM t ORDER BY id
+    """).df()
+    assert np.allclose(got["pr"], want["pr"])
+    assert (got["t"].to_numpy() == want["t"].to_numpy()).all()
