@@ -1699,6 +1699,38 @@ def _q_window_lag_cumsum(sf_dir: str):
     return out[["event_id", "user_id", "rn", "prev_cents", "cum_cents"]]
 
 
+def _q_resample_events(sf_dir: str):
+    """Per-user hourly time-grid resample with forward-fill
+    (raykg.ops.windows.resample_ffill): latest value at-or-before each
+    grid point, -1.0 before the first event."""
+    from raykg.ops.windows import resample_ffill
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_id", "value"])
+    return resample_ffill(ev, key="user_id", ts_col="ts",
+                          val_col="value", tiebreak="event_id",
+                          every="1h")
+
+
+_SQL_RESAMPLE_EVENTS = """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+  FROM events GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS gts
+  FROM b
+), ranked AS (
+  SELECT g.user_id, g.gts, e.value,
+         row_number() OVER (PARTITION BY g.user_id, g.gts
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM grid g
+  LEFT JOIN events e ON e.user_id = g.user_id AND e.ts <= g.gts
+)
+SELECT user_id, gts, COALESCE(value, -1.0) AS value
+FROM ranked WHERE rn = 1
+"""
+
+
 def _q_window_rank_events(sf_dir: str):
     """percent_rank + ntile(4) per user over (value, event_id) order —
     the ranking half of the OVER (PARTITION BY ...) family."""
@@ -2148,6 +2180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_lag_cumsum_events": _q_window_lag_cumsum,
         "window_rolling_events": _q_window_rolling,
         "window_rank_events": _q_window_rank_events,
+        "window_resample_events": _q_resample_events,
         "pivot_event_type_counts": _q_pivot_event_counts,
         "rollup_pricing_sets": _q_rollup_pricing,
         "explode_doc_words": _q_explode_doc_words,
@@ -2230,6 +2263,7 @@ def oracle_sql() -> dict[str, str]:
         "window_lag_cumsum_events": _SQL_WINDOW_LAG,
         "window_rolling_events": _SQL_WINDOW_ROLLING,
         "window_rank_events": _SQL_WINDOW_RANK,
+        "window_resample_events": _SQL_RESAMPLE_EVENTS,
         "pivot_event_type_counts": _SQL_PIVOT_EVENTS,
         "rollup_pricing_sets": _SQL_ROLLUP,
         "explode_doc_words": _SQL_EXPLODE_WORDS,

@@ -198,3 +198,70 @@ def sessionize(ds, key: str = "user_id", ts_col: str = "ts",
         return out[_session_cols(key)]
 
     return sessions.groupby(key).map_groups(merge_key, batch_format="pandas")
+
+
+RESAMPLE_BUCKETS = 256
+
+
+def resample_ffill(
+    ds,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    tiebreak: str,
+    every: str = "1h",
+    fill: float = -1.0,
+    out_ts: str = "gts",
+    coarse: int = RESAMPLE_BUCKETS,
+):
+    """Regularize an event stream onto a fixed time grid with
+    forward-fill — the resample step before any per-key time-series
+    featurization: for each key, grid points every ``every`` from
+    ``floor(min ts)`` to ``max ts``; each point carries the value of
+    the LATEST event at-or-before it ((ts, tiebreak) order pins ties),
+    ``fill`` before the first event.
+
+    Scale shape: the many-keys-per-call bucket exchange (one shuffle
+    of (key, ts, tiebreak, value) rows); per key the fill is one
+    ``searchsorted`` of the grid into the key's sorted events — the
+    Python loop is per distinct key in the bucket, the inner work
+    vectorized. Partitioning assumption: one key's events + grid fit a
+    task (a key hot beyond that needs the sessionize-style time-range
+    salting; grids are bounded by span/every)."""
+    import pyarrow as pa
+
+    from raykg.ops.joins import _key_bucket
+
+    def tag(t: pa.Table) -> pa.Table:
+        cols = {key: t.column(key), ts_col: t.column(ts_col),
+                tiebreak: t.column(tiebreak), val_col: t.column(val_col)}
+        return pa.table(cols).append_column(
+            "_b", _key_bucket(t.column(key), coarse))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, tiebreak], kind="mergesort")
+        out_k, out_t, out_v = [], [], []
+        ts_all = pd.to_datetime(g[ts_col]).astype("datetime64[ns]")
+        for kv, idx in g.groupby(key, sort=False).indices.items():
+            ts = ts_all.iloc[idx]
+            vals = g[val_col].iloc[idx].to_numpy()
+            grid = pd.date_range(ts.iloc[0].floor(every), ts.iloc[-1],
+                                 freq=every)
+            pos = np.searchsorted(ts.to_numpy().astype("int64"),
+                                  grid.to_numpy().astype("int64"),
+                                  side="right") - 1
+            v = np.where(pos >= 0, vals[np.maximum(pos, 0)], fill)
+            out_k.append(np.full(len(grid), kv))
+            out_t.append(grid.to_numpy())
+            out_v.append(v)
+        return pd.DataFrame({
+            key: np.concatenate(out_k),
+            out_ts: np.concatenate(out_t),
+            val_col: np.concatenate(out_v),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -687,3 +687,51 @@ def test_percent_rank_ntile_with_ties_vs_duckdb():
     """).df()
     assert np.allclose(got["pr"], want["pr"])
     assert (got["t"].to_numpy() == want["t"].to_numpy()).all()
+
+
+def test_resample_ffill_edges_vs_duckdb():
+    """Tied timestamps (tiebreak pins the later event_id), fill before
+    the first event, single-event keys — vs the DuckDB grid oracle."""
+    from raykg.ops.windows import resample_ffill
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:30", "2024-01-01 02:10", "2024-01-01 02:10",
+        "2024-01-01 05:00",
+        "2024-01-02 03:45",
+    ])
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2],
+        "ts": ts,
+        "eid": [10, 11, 12, 13, 14],
+        "v": [1.0, 2.0, 3.0, 4.0, 9.0],
+    })
+    got = (resample_ffill(rd.from_pandas(df).repartition(3), "k", "ts",
+                          "v", "eid", every="1h")
+           .to_pandas().sort_values(["k", "gts"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql("""
+        WITH b AS (
+          SELECT k, date_trunc('hour', min(ts)) t0, max(ts) t1
+          FROM t GROUP BY k
+        ), grid AS (
+          SELECT k, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) gts
+          FROM b
+        ), ranked AS (
+          SELECT g.k, g.gts, e.v,
+                 row_number() OVER (PARTITION BY g.k, g.gts
+                                    ORDER BY e.ts DESC, e.eid DESC) rn
+          FROM grid g LEFT JOIN t e ON e.k = g.k AND e.ts <= g.gts
+        )
+        SELECT k, gts, COALESCE(v, -1.0) AS v FROM ranked WHERE rn = 1
+        ORDER BY k, gts
+    """).df()
+    assert got["gts"].astype("datetime64[ns]").tolist() == \
+        want["gts"].astype("datetime64[ns]").tolist()
+    assert np.allclose(got["v"], want["v"])
+    # explicit pins: first grid point (00:00) precedes the first event
+    k1 = got[got.k == 1]
+    assert k1["v"].iloc[0] == -1.0
+    # the 03:00 point after the tied 02:10 events takes eid=12's value
+    tied = k1[k1["gts"] == pd.Timestamp("2024-01-01 03:00")]
+    assert tied["v"].iloc[0] == 3.0
