@@ -1127,11 +1127,116 @@ def _q_minhash_pairs(sf_dir: str):
 
 
 def _q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs with a FULL SQL ORACLE: the 4×16-bit band
+    blocking is EXACT for max_hamming=3 (pigeonhole: 3 flipped bits can
+    corrupt at most 3 of the 4 bands), so the operator's contract is
+    all pairs at Hamming ≤ 3 — which the oracle computes from scratch,
+    reproducing `hash_strings`' length-prefixed FNV fold per token in a
+    recursive CTE and the sign-of-bit-sum signature in SQL. Hamming
+    distance is invariant under the fixed packbits bit permutation the
+    numpy side applies, so the oracle uses the plain Σ(bit<<b) layout.
+    Assumes ASCII corpus text (Python `\\w`/lower are Unicode-aware,
+    RE2's are not — the testdata documents are ASCII-only)."""
     from raykg.ops.dedup import simhash_pairs
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
-    return simhash_pairs(ds, max_hamming=3)
+    out = simhash_pairs(ds, max_hamming=3).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+_SQL_SIMHASH = r"""
+WITH RECURSIVE
+docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+tok0 AS (
+  SELECT doc_id, unnest(regexp_split_to_array(t, '\s+')) AS w FROM docs
+),
+toks AS (SELECT doc_id, w, count(*) AS m FROM tok0 WHERE w <> '' GROUP BY 1, 2),
+words AS (SELECT DISTINCT w FROM toks),
+fnv(w, j, h) AS (
+  SELECT w, 0,
+    CAST((xor(14695981039346656037::UBIGINT, length(w)::UBIGINT)::HUGEINT
+          * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT AS UBIGINT)
+  FROM words
+  UNION ALL
+  SELECT w, j + 1,
+    CAST((xor(h, unicode(substr(w, j + 1, 1))::UBIGINT)::HUGEINT
+          * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT AS UBIGINT)
+  FROM fnv WHERE j < length(w)
+),
+wh AS (SELECT w, h FROM fnv WHERE j = length(w)),
+bits AS (
+  SELECT t.doc_id, b.b,
+         sum(t.m * (CASE WHEN (wh.h >> b.b) & 1::UBIGINT = 1::UBIGINT
+                         THEN 1 ELSE -1 END)) AS acc
+  FROM toks t
+  JOIN wh ON t.w = wh.w
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+  GROUP BY 1, 2
+),
+sigs0 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN acc > 0 THEN (1::UBIGINT << b)::HUGEINT
+                       ELSE 0::HUGEINT END) AS UBIGINT) AS sig
+  FROM bits GROUP BY 1
+),
+sigs AS (
+  SELECT d.doc_id, coalesce(s.sig, 0::UBIGINT) AS sig
+  FROM docs d LEFT JOIN sigs0 s ON d.doc_id = s.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+def _q_embedding_dup_oracle(sf_dir: str):
+    """Embedding-cosine near-dup with a BRUTE-FORCE SQL ORACLE. The
+    raw embeddings table has no pairs above cosine 0.52 at any SF (a
+    direct oracle would be vacuously empty), so both sides derive the
+    same augmented input — the table unioned with an id-shifted copy
+    of itself — planting one exact-duplicate pair per row at cosine
+    1.0. Identical vectors hash into the same LSH bucket in every
+    table, so recall is exactly 1 (no sketch-miss probability to argue
+    away), and the 0.99/0.52 margin puts float32-vs-double cosine far
+    from both the threshold and the rounding boundary."""
+    import pandas as pd
+
+    from raykg.ops.dedup import embedding_cosine_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("vec_id")
+        return batch.set_column(
+            i, "vec_id", pc.add(batch.column("vec_id"), 10_000_000)
+        )
+
+    both = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
+    out = embedding_cosine_pairs(both, threshold=0.99).to_pandas()
+    # half-up rounding on both sides (numpy .round is banker's)
+    out["cosine"] = np.floor(out["cosine"] * 10000 + 0.5) / 10000
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+_SQL_EMBED_DUP = """
+WITH un AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000, embedding FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(a.embedding, b.embedding) AS c
+  FROM un a JOIN un b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, floor(c * 10000 + 0.5) / 10000 AS cosine
+FROM pairs WHERE c >= 0.99
+ORDER BY id_a, id_b
+"""
 
 
 def _q_embedding_dup_pairs(sf_dir: str):
@@ -1170,16 +1275,78 @@ def _q_ivf_knn(sf_dir: str):
 
 
 def _q_quality(sf_dir: str):
+    """Quality features with a FULL SQL ORACLE: every ratio is a
+    quotient of regex-match counts, and the score a fixed IEEE-double
+    expression — the SQL mirrors the exact operand order so the
+    doubles are bit-identical before the shared half-up rounding.
+    Assumes ASCII text (Python `\\w` is Unicode-aware, RE2's is not;
+    the testdata documents are ASCII-only)."""
+    import pandas as pd
+
     from raykg.ops.textstats import QualityScorer
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
-    return ds.map_batches(
+    out = ds.map_batches(
         QualityScorer, batch_format="pandas", batch_size=1024, concurrency=2
     ).drop_columns(["text"])
 
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("avg_token_len", "punct_ratio", "upper_ratio",
+                  "stop_ratio", "quality_score"):
+            # half-up on both sides (numpy .round is banker's)
+            df[c] = np.floor(df[c] * 1e6 + 0.5) / 1e6
+        return df
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
+_SQL_QUALITY = r"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+         list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                        w -> lower(w)) AS words
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, n_chars, n_tokens,
+         n_chars::DOUBLE / greatest(n_tokens, 1) AS avg_token_len,
+         n_punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+         n_upper::DOUBLE / greatest(n_chars, 1) AS upper_ratio,
+         CASE WHEN len(words) = 0 THEN 0.0
+              ELSE len(list_filter(words, w -> w IN
+                     ('the','a','of','and','to','in','is','that','it','for')
+                   ))::DOUBLE / len(words)
+         END AS stop_ratio
+  FROM base
+)
+SELECT doc_id,
+       n_chars AS n_chars_comp,
+       n_tokens,
+       floor(avg_token_len * 1e6 + 0.5) / 1e6 AS avg_token_len,
+       floor(punct_ratio * 1e6 + 0.5) / 1e6 AS punct_ratio,
+       floor(upper_ratio * 1e6 + 0.5) / 1e6 AS upper_ratio,
+       floor(stop_ratio * 1e6 + 0.5) / 1e6 AS stop_ratio,
+       floor((0.4::DOUBLE * least(greatest(n_tokens::DOUBLE / 100.0, 0.0), 1.0)
+              + 0.3::DOUBLE * (1.0::DOUBLE - punct_ratio)
+              + 0.3::DOUBLE * least(greatest(stop_ratio * 5.0, 0.0), 1.0))
+             * 1e6 + 0.5) / 1e6 AS quality_score
+FROM feat
+ORDER BY doc_id
+"""
+
 
 def _q_langid(sf_dir: str):
+    """Language ID with a FULL SQL ORACLE: the heuristic is stopword
+    fraction + 0.1·bigram-hits/len(joined), argmax over languages with
+    strict-> ties resolved by dict order — all integer counts and one
+    fixed double expression, reproduced operand-for-operand in SQL
+    (row_number ordered by score DESC, priority ASC == the Python
+    `if s > best_score` scan)."""
     from raykg.ops.textstats import LangId
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -1187,6 +1354,64 @@ def _q_langid(sf_dir: str):
     return ds.map_batches(
         LangId, batch_format="pandas", batch_size=1024, concurrency=2
     ).drop_columns(["text"])
+
+
+def _bigram_count_sql(joined: str, bg: str) -> str:
+    # non-overlapping count, == Python str.count for 2-char needles
+    return (f"(length({joined}) - length(replace({joined}, '{bg}', '')))"
+            f" // 2")
+
+
+def _langid_sql() -> str:
+    from raykg.ops.textstats import _STOPWORDS
+    from raykg.ops.textstats import LangId as _L
+
+    rows = []
+    for pri, (lang, stops) in enumerate(_STOPWORDS.items(), start=1):
+        stop_list = ", ".join(f"'{w}'" for w in sorted(stops))
+        bgs = _L._PROFILES[lang]
+        big = " + ".join(_bigram_count_sql("j.joined", bg) for bg in bgs)
+        rows.append(
+            f"SELECT j.doc_id, '{lang}' AS lang, {pri} AS pri,\n"
+            f"  len(list_filter(j.words, w -> w IN ({stop_list})))::DOUBLE"
+            f" / j.nw\n"
+            f"  + 0.1::DOUBLE * ({big})::DOUBLE"
+            f" / greatest(length(j.joined), 1) AS s\n"
+            f"FROM j WHERE j.nw > 0"
+        )
+    scored = "\nUNION ALL\n".join(rows)
+    return rf"""
+WITH docs AS (
+  SELECT doc_id,
+         list_transform(
+           regexp_extract_all(text, '[a-zA-ZäöüßéèêàùìòáíóúñÄÖÜ]+'),
+           w -> lower(w)) AS words
+  FROM documents
+),
+j AS (
+  SELECT doc_id, words, array_to_string(words, ' ') AS joined,
+         len(words) AS nw
+  FROM docs
+),
+scored AS (
+{scored}
+),
+best AS (
+  SELECT doc_id, lang, s,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, pri ASC) AS rn
+  FROM scored
+)
+SELECT d.doc_id,
+       CASE WHEN b.s IS NOT NULL AND b.s > 0.02 THEN b.lang
+            ELSE 'und' END AS lang_pred
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+_SQL_LANGID = _langid_sql()
 
 
 def _q_fingerprints(sf_dir: str):
@@ -2192,6 +2417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_user_distinct_types": _q_user_distinct_types,
         "minhash_dup_pairs_oracle": _q_minhash_dup_oracle,
         "jaccard_dup_pairs": _q_jaccard_dup_pairs,
+        "embedding_dup_pairs_oracle": _q_embedding_dup_oracle,
         "redact_pii_documents": _q_redact_documents,
         "vocab_top_words": _q_vocab_top_words,
         "sample_documents_mixture": _q_sample_mixture,
@@ -2211,15 +2437,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_cross_region_nation": _q_cross_region_nation,
         "unpivot_part_metrics": _q_unpivot_part_metrics,
         "agg_user_event_sequences": _q_user_event_sequences,
+        "simhash_near_dup_pairs": _q_simhash_pairs,
+        "text_quality": _q_quality,
+        "text_langid": _q_langid,
+        # rows-only continued
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "minhash_incremental_pairs": _q_incremental_minhash,
-        "simhash_near_dup_pairs": _q_simhash_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "ivf_knn": _q_ivf_knn,
         "pq_knn": _q_pq_knn,
-        "text_quality": _q_quality,
-        "text_langid": _q_langid,
         "text_fingerprints": _q_fingerprints,
         "media_frame_sample": _q_media_frames,
         "media_decode_features": _q_media_features,
@@ -2275,6 +2502,10 @@ def oracle_sql() -> dict[str, str]:
         "agg_user_distinct_types": _SQL_USER_DISTINCT,
         "minhash_dup_pairs_oracle": _SQL_MINHASH_ORACLE,
         "jaccard_dup_pairs": _SQL_JACCARD_ORACLE,
+        "embedding_dup_pairs_oracle": _SQL_EMBED_DUP,
+        "simhash_near_dup_pairs": _SQL_SIMHASH,
+        "text_quality": _SQL_QUALITY,
+        "text_langid": _SQL_LANGID,
         "redact_pii_documents": _SQL_REDACT,
         "vocab_top_words": _SQL_VOCAB,
         "sample_documents_mixture": _SQL_MIXTURE,
