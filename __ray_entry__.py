@@ -2267,19 +2267,138 @@ FROM events GROUP BY user_id
 """
 
 
+_PROFILE_COLS = ["l_partkey", "l_suppkey", "l_linenumber", "l_quantity"]
+
+
+def _q_profile_lineitem(sf_dir: str):
+    """Single-pass dataset profile (raykg/ops/profile.py) over the
+    lineitem measures — count / nulls / mean / population std / min /
+    max per column, the exchange O(blocks × columns). The SQL oracle
+    mirrors the one-pass identities (sum/n, sqrt(sumsq/n − mean²))
+    operand-for-operand. The profiled columns are integer-valued with
+    Σx and Σx² below 2^53 at every test SF, so both sides' sums are
+    EXACT in float64 regardless of accumulation order and the derived
+    doubles are bit-identical — no rounding-boundary flake (profiling
+    l_tax hit one: its mean lands exactly on a .5 boundary at 1e-6)."""
+    from raykg.ops.profile import dataset_profile
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=_PROFILE_COLS)
+    out = dataset_profile(ds, _PROFILE_COLS)
+    for c in ("mean", "std", "min", "max"):
+        # half-up rounding on both sides (numpy .round is banker's)
+        out[c] = np.floor(out[c] * 1e6 + 0.5) / 1e6
+    return out.sort_values("column").reset_index(drop=True)
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+SELECT '{c}' AS "column",
+       count({c}) AS n,
+       count(*) - count({c}) AS n_null,
+       floor((sum({c}) / count({c})) * 1e6 + 0.5) / 1e6 AS mean,
+       floor(sqrt(greatest(sum({c} * {c}) / count({c})
+                           - (sum({c}) / count({c}))
+                             * (sum({c}) / count({c})), 0.0))
+             * 1e6 + 0.5) / 1e6 AS std,
+       floor(min({c}) * 1e6 + 0.5) / 1e6 AS min,
+       floor(max({c}) * 1e6 + 0.5) / 1e6 AS max
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY \"column\""
+
+
+_SQL_PROFILE = _profile_sql()
+
+
+_BM25_QUERIES = ["hash join merge", "window sort order", "stream batch"]
+
+
 def _q_bm25_search(sf_dir: str):
     """BM25 ranked keyword retrieval (raykg/ops/bm25.py) over the
-    documents table: fixed query set, top-10 per query. Rows-only
-    (BM25's idf/avgdl statistics chain isn't practical to mirror in
-    one SQL oracle); the operator is pinned against an independent
-    reference implementation in tests/test_curation.py."""
+    documents table: fixed query set, top-10 per query, with a FULL
+    SQL ORACLE — the whole Okapi chain (query-term df, Lucene idf,
+    length-normalized tf weight, per-query dense rank) mirrors the
+    exact IEEE operand order in SQL; scores half-up-rounded at 1e-6
+    on both sides. Also pinned against an independent reference
+    implementation in tests/test_curation.py."""
+    import pandas as pd
+
     from raykg.ops.bm25 import bm25_topk
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
-    return bm25_topk(
-        ds, ["hash join merge", "window sort order", "stream batch"], k=10
-    )
+    out = bm25_topk(ds, _BM25_QUERIES, k=10).to_pandas()
+    # half-up rounding on both sides (numpy .round is banker's)
+    out["score"] = np.floor(out["score"] * 1e6 + 0.5) / 1e6
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    import pandas as pd
+
+    from raykg.ops.bm25 import _tokenize
+
+    qterm_rows = []
+    for qi, q in enumerate(_BM25_QUERIES):
+        for t in sorted(set(_tokenize(pd.Series([q])).iloc[0])):
+            qterm_rows.append(f"({qi}, '{t}')")
+    qterms = ", ".join(qterm_rows)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+dls AS (SELECT doc_id, len(ts) AS dl FROM toks),
+corpus AS (
+  SELECT count(*) AS n,
+         greatest(sum(dl), 1)::DOUBLE / greatest(count(*), 1) AS avgdl
+  FROM dls
+),
+qterms(qid, term) AS (VALUES {qterms}),
+terms AS (SELECT DISTINCT term FROM qterms),
+tf AS (
+  SELECT t.doc_id, q.term,
+         len(list_filter(t.ts, x -> x = q.term))::DOUBLE AS tf
+  FROM toks t CROSS JOIN terms q
+),
+dfs AS (
+  SELECT term, count(*) FILTER (WHERE tf > 0) AS df FROM tf GROUP BY term
+),
+idf AS (
+  SELECT term, ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+  FROM dfs d, corpus c
+),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         idf.idf * tf.tf * ({k1} + 1.0)
+           / (tf.tf + {k1} * (1.0 - {b} + {b} * (dls.dl::DOUBLE / c.avgdl)))
+           AS wt
+  FROM tf
+  JOIN idf USING (term)
+  JOIN dls USING (doc_id), corpus c
+  WHERE tf.tf > 0
+),
+s AS (
+  SELECT q.qid, w.doc_id, sum(w.wt) AS score
+  FROM qterms q JOIN w USING (term)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM s WHERE score > 0
+)
+SELECT qid::BIGINT AS qid, doc_id,
+       floor(score * 1e6 + 0.5) / 1e6 AS score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
+_SQL_BM25 = _bm25_sql()
 
 
 def _q_pagerank_parts(sf_dir: str):
@@ -2440,6 +2559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup_pairs": _q_simhash_pairs,
         "text_quality": _q_quality,
         "text_langid": _q_langid,
+        "profile_lineitem_stats": _q_profile_lineitem,
         # rows-only continued
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "minhash_incremental_pairs": _q_incremental_minhash,
@@ -2503,6 +2623,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dup_pairs_oracle": _SQL_MINHASH_ORACLE,
         "jaccard_dup_pairs": _SQL_JACCARD_ORACLE,
         "embedding_dup_pairs_oracle": _SQL_EMBED_DUP,
+        "search_bm25_documents": _SQL_BM25,
+        "profile_lineitem_stats": _SQL_PROFILE,
         "simhash_near_dup_pairs": _SQL_SIMHASH,
         "text_quality": _SQL_QUALITY,
         "text_langid": _SQL_LANGID,

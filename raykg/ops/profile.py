@@ -1,0 +1,72 @@
+"""Dataset profiling: per-column summary statistics in one streaming
+pass — the ``describe()`` every engine ships for data validation and
+drift checks before a training run.
+
+Scale shape: each block emits ONE partial row per profiled column
+(count, null count, Σx, Σx², min, max) — the exchange is
+O(blocks × columns), never O(rows) — and the driver folds those
+metadata-sized partials. Mean and population std derive from the
+folded sums with the textbook one-pass identities, written so a SQL
+oracle can mirror the exact operand order (``sum(x*x)/n - m*m``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _block_partials(columns: list[str]):
+    def part(t: pa.Table) -> pa.Table:
+        names, n, n_null, s, s2, mn, mx = [], [], [], [], [], [], []
+        for c in columns:
+            v = t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            null = np.isnan(v)
+            x = v[~null]
+            names.append(c)
+            n.append(len(x))
+            n_null.append(int(null.sum()))
+            s.append(float(x.sum()) if len(x) else 0.0)
+            s2.append(float((x * x).sum()) if len(x) else 0.0)
+            mn.append(float(x.min()) if len(x) else np.nan)
+            mx.append(float(x.max()) if len(x) else np.nan)
+        return pa.table({
+            "column": pa.array(names),
+            "n": pa.array(n, pa.int64()),
+            "n_null": pa.array(n_null, pa.int64()),
+            "s": pa.array(s, pa.float64()),
+            "s2": pa.array(s2, pa.float64()),
+            "mn": pa.array(mn, pa.float64()),
+            "mx": pa.array(mx, pa.float64()),
+        })
+
+    return part
+
+
+def dataset_profile(ds, columns: list[str]) -> pd.DataFrame:
+    """-> one row per column: ``(column, n, n_null, mean, std, min,
+    max)`` with std the POPULATION standard deviation. The driver only
+    ever sees O(blocks × columns) partial rows."""
+    parts = ds.map_batches(
+        _block_partials(columns), batch_format="pyarrow"
+    ).to_pandas()
+    rows = []
+    for c in columns:
+        g = parts[parts["column"] == c]
+        n = int(g["n"].sum())
+        n_null = int(g["n_null"].sum())
+        s = float(g["s"].sum())
+        s2 = float(g["s2"].sum())
+        if n:
+            mean = s / n
+            var = s2 / n - mean * mean
+            std = float(np.sqrt(max(var, 0.0)))
+            mn = float(g["mn"].min())
+            mx = float(g["mx"].max())
+        else:
+            mean = std = mn = mx = float("nan")
+        rows.append((c, n, n_null, mean, std, mn, mx))
+    return pd.DataFrame(
+        rows, columns=["column", "n", "n_null", "mean", "std", "min", "max"]
+    )

@@ -1098,3 +1098,26 @@ def test_grouped_string_agg_string_keys_and_order():
     want = (df.sort_values(["k", "t"]).groupby("k")["v"]
             .agg("-".join).rename("s").reset_index())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dataset_profile_nulls_and_partition_invariance():
+    from raykg.ops.profile import dataset_profile
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    df = pd.DataFrame({
+        "a": rng.normal(100.0, 5.0, n),
+        "b": rng.uniform(-1.0, 1.0, n),
+    })
+    df.loc[df.index[:37], "b"] = np.nan
+    for parts in (1, 8):
+        got = dataset_profile(
+            rd.from_pandas(df).repartition(parts), ["a", "b"]
+        ).set_index("column")
+        assert got.loc["a", "n"] == n and got.loc["a", "n_null"] == 0
+        assert got.loc["b", "n"] == n - 37 and got.loc["b", "n_null"] == 37
+        bv = df["b"].dropna().to_numpy()
+        assert abs(got.loc["b", "mean"] - bv.mean()) < 1e-9
+        assert abs(got.loc["b", "std"] - bv.std()) < 1e-9
+        assert got.loc["a", "min"] == df["a"].min()
+        assert got.loc["a", "max"] == df["a"].max()
