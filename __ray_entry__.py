@@ -1415,6 +1415,13 @@ _SQL_LANGID = _langid_sql()
 
 
 def _q_fingerprints(sf_dir: str):
+    """Winnowing-style document fingerprints with a FULL SQL ORACLE:
+    fp = min over the rolling 8-gram FNV hashes of the lowercased text
+    (whole-string hash when shorter than the window), masked to 62
+    bits AFTER the min. The oracle enumerates the same 8-grams with a
+    substr comprehension and reproduces `hash_strings`' length-prefixed
+    FNV fold in a recursive CTE (the simhash oracle's machinery);
+    unsigned min == numpy's uint64 min."""
     import pandas as pd
 
     from raykg.ops.textstats import fingerprint
@@ -1429,6 +1436,81 @@ def _q_fingerprints(sf_dir: str):
         )
 
     return ds.map_batches(fp, batch_format="pandas")
+
+
+_SQL_FINGERPRINTS = r"""
+WITH RECURSIVE
+docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+grams AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id,
+           unnest([substr(t, i, 8) FOR i IN range(1, length(t) - 6)]) AS g
+    FROM docs WHERE length(t) >= 8
+  )
+  UNION ALL
+  SELECT doc_id, t AS g FROM docs WHERE length(t) < 8
+),
+gs AS (SELECT DISTINCT g FROM grams),
+fnv(g, j, h) AS (
+  SELECT g, 0,
+    CAST((xor(14695981039346656037::UBIGINT, length(g)::UBIGINT)::HUGEINT
+          * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT AS UBIGINT)
+  FROM gs
+  UNION ALL
+  SELECT g, j + 1,
+    CAST((xor(h, unicode(substr(g, j + 1, 1))::UBIGINT)::HUGEINT
+          * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT AS UBIGINT)
+  FROM fnv WHERE j < length(g)
+),
+gh AS (SELECT g, h FROM fnv WHERE j = length(g)),
+mins AS (
+  SELECT gr.doc_id, min(gh.h) AS mh
+  FROM grams gr JOIN gh USING (g) GROUP BY 1
+)
+SELECT doc_id,
+       (mh & ((1::UBIGINT << 62) - 1::UBIGINT))::BIGINT AS fp
+FROM mins
+ORDER BY doc_id
+"""
+
+
+_SQL_DEDUP_GROUPS = """
+WITH RECURSIVE
+docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest([substr(t, i, 5) FOR i IN range(1, length(t) - 3)]) AS g
+    FROM docs WHERE length(t) >= 5
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+)
+SELECT n AS node, least(n, min(m)) AS component
+FROM reach GROUP BY n
+ORDER BY node
+"""
 
 
 def _q_media_frames(sf_dir: str):
@@ -2436,8 +2518,10 @@ def _q_pagerank_parts(sf_dir: str):
 def _q_dedup_groups(sf_dir: str):
     """Near-dup GROUPS: MinHash pair detection composed with
     distributed hash-min connected components (raykg.ops.cc) — each
-    duplicate family labelled by its minimum doc id. Rows-only:
-    iterative, not single-query SQL."""
+    duplicate family labelled by its minimum doc id. FULL SQL ORACLE:
+    brute-force all-pairs shingle jaccard at 0.8 (LSH miss < 1e-9 at
+    that threshold, the minhash-oracle argument) fed into a recursive
+    transitive-closure CTE with min-reachable-id labelling."""
     from raykg.ops.cc import connected_components
     from raykg.ops.dedup import minhash_lsh_pairs
 
@@ -2445,7 +2529,8 @@ def _q_dedup_groups(sf_dir: str):
                          columns=["doc_id", "text"])
     pairs = minhash_lsh_pairs(ds, threshold=0.8)
     # pairs stream straight into the component rounds — no driver hop
-    return connected_components(pairs).to_pandas()
+    out = connected_components(pairs).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
 
 
 def _q_rollup_pricing(sf_dir: str):
@@ -2626,6 +2711,8 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_documents": _SQL_BM25,
         "profile_lineitem_stats": _SQL_PROFILE,
         "simhash_near_dup_pairs": _SQL_SIMHASH,
+        "text_fingerprints": _SQL_FINGERPRINTS,
+        "dedup_groups_minhash": _SQL_DEDUP_GROUPS,
         "text_quality": _SQL_QUALITY,
         "text_langid": _SQL_LANGID,
         "redact_pii_documents": _SQL_REDACT,
