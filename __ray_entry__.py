@@ -2394,6 +2394,85 @@ FROM lineitem""")
 _SQL_PROFILE = _profile_sql()
 
 
+def _q_corr_lineitem(sf_dir: str):
+    """Grouped Pearson correlation (raykg/ops/profile.py grouped_corr)
+    of l_quantity vs l_linenumber per l_returnflag — one pass of
+    per-block moment partials, O(blocks × keys) exchange. Both columns
+    are integer-valued with every partial below 2^53, so the folded
+    moments are exact in float64 on both sides and the SQL oracle's
+    identical operand chain is bit-equal before the shared half-up
+    rounding."""
+    from raykg.ops.profile import grouped_corr
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_linenumber"])
+    out = grouped_corr(ds, "l_returnflag", "l_quantity", "l_linenumber")
+    # half-up rounding on both sides (numpy .round is banker's)
+    out["corr"] = np.floor(out["corr"] * 1e6 + 0.5) / 1e6
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+_SQL_CORR = """
+WITH p AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(l_quantity) AS sx, sum(l_linenumber) AS sy,
+         sum(l_quantity * l_linenumber) AS sxy,
+         sum(l_quantity * l_quantity) AS sxx,
+         sum(l_linenumber * l_linenumber) AS syy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       floor(((sxy / n - (sx / n) * (sy / n))
+              / sqrt((sxx / n - (sx / n) * (sx / n))
+                     * (syy / n - (sy / n) * (sy / n))))
+             * 1e6 + 0.5) / 1e6 AS corr
+FROM p
+ORDER BY l_returnflag
+"""
+
+
+def _q_validate_events(sf_dir: str):
+    """Data-quality validation gate (raykg/ops/validate.py) over the
+    events table: three vectorized rule predicates, one partial row
+    per rule per block, integer outputs — the SQL oracle is plain
+    `count(*) FILTER` per rule. Every rule fires at every SF so
+    first_bad_id is never null."""
+    from raykg.ops.validate import validate_rules
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "value"])
+    rules = [
+        ("value_above_300",
+         lambda t: pc.greater(t.column("value"), 300.0)),
+        ("error_event",
+         lambda t: pc.equal(t.column("event_type"), "error")),
+        ("cheap_purchase",
+         lambda t: pc.and_(pc.equal(t.column("event_type"), "purchase"),
+                           pc.less(t.column("value"), 10.0))),
+    ]
+    return validate_rules(ds, rules, id_col="event_id")
+
+
+_SQL_VALIDATE = """
+SELECT 'value_above_300' AS rule, count(*)::BIGINT AS n_rows,
+       (count(*) FILTER (WHERE value > 300))::BIGINT AS n_violations,
+       min(event_id) FILTER (WHERE value > 300) AS first_bad_id
+FROM events
+UNION ALL
+SELECT 'error_event', count(*)::BIGINT,
+       (count(*) FILTER (WHERE event_type = 'error'))::BIGINT,
+       min(event_id) FILTER (WHERE event_type = 'error')
+FROM events
+UNION ALL
+SELECT 'cheap_purchase', count(*)::BIGINT,
+       (count(*) FILTER (WHERE event_type = 'purchase' AND value < 10))::BIGINT,
+       min(event_id) FILTER (WHERE event_type = 'purchase' AND value < 10)
+FROM events
+ORDER BY rule
+"""
+
+
 _BM25_QUERIES = ["hash join merge", "window sort order", "stream batch"]
 
 
@@ -2645,6 +2724,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q_quality,
         "text_langid": _q_langid,
         "profile_lineitem_stats": _q_profile_lineitem,
+        "corr_quantity_linenumber": _q_corr_lineitem,
+        "validate_events_rules": _q_validate_events,
         # rows-only continued
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "minhash_incremental_pairs": _q_incremental_minhash,
@@ -2710,6 +2791,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_pairs_oracle": _SQL_EMBED_DUP,
         "search_bm25_documents": _SQL_BM25,
         "profile_lineitem_stats": _SQL_PROFILE,
+        "corr_quantity_linenumber": _SQL_CORR,
+        "validate_events_rules": _SQL_VALIDATE,
         "simhash_near_dup_pairs": _SQL_SIMHASH,
         "text_fingerprints": _SQL_FINGERPRINTS,
         "dedup_groups_minhash": _SQL_DEDUP_GROUPS,

@@ -70,3 +70,39 @@ def dataset_profile(ds, columns: list[str]) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["column", "n", "n_null", "mean", "std", "min", "max"]
     )
+
+
+def grouped_corr(ds, key: str, x: str, y: str) -> pd.DataFrame:
+    """Pearson correlation of ``x`` vs ``y`` per ``key`` group, from
+    one streaming pass of per-block partials (n, Σx, Σy, Σxy, Σx²,
+    Σy²) — the textbook distributed-corr fold; the exchange is
+    O(blocks × keys). Population (not sample) moments, written with
+    the same operand order a SQL oracle can mirror:
+    (Σxy/n − mx·my) / sqrt((Σx²/n − mx²)(Σy²/n − my²))."""
+
+    def part(t: pa.Table) -> pa.Table:
+        df = t.select([key, x, y]).to_pandas()
+        g = df.groupby(key, sort=False)
+        vx, vy = df[x].astype(np.float64), df[y].astype(np.float64)
+        out = pd.DataFrame({
+            "n": g[x].count(),
+            "sx": g[x].sum().astype(np.float64),
+            "sy": g[y].sum().astype(np.float64),
+            "sxy": (vx * vy).groupby(df[key], sort=False).sum(),
+            "sxx": (vx * vx).groupby(df[key], sort=False).sum(),
+            "syy": (vy * vy).groupby(df[key], sort=False).sum(),
+        }).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(key, as_index=False).sum()
+    n = agg["n"].to_numpy(dtype=np.float64)
+    mx = agg["sx"].to_numpy() / n
+    my = agg["sy"].to_numpy() / n
+    cov = agg["sxy"].to_numpy() / n - mx * my
+    vx = agg["sxx"].to_numpy() / n - mx * mx
+    vy = agg["syy"].to_numpy() / n - my * my
+    denom = np.sqrt(vx * vy)
+    corr = np.where(denom > 0, cov / denom, np.nan)
+    return pd.DataFrame({key: agg[key], "n": agg["n"].astype("int64"),
+                         "corr": corr})

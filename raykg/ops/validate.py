@@ -1,0 +1,56 @@
+"""Schema / data-quality validation gate: evaluate a rule list over a
+Dataset in one streaming pass and report per-rule violation counts —
+the pre-ingest contract check a training-data pipeline runs before
+accepting a new drop of data.
+
+Scale shape: every rule is a vectorized Arrow predicate evaluated
+per block; each block emits ONE row per rule (row count, violation
+count, min violating id) — the exchange is O(blocks × rules), never
+O(rows). All outputs are integers, so a SQL oracle (`count(*) FILTER`)
+matches bit-exactly with no float concerns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def validate_rules(ds, rules: list[tuple], id_col: str) -> pd.DataFrame:
+    """``rules`` is a list of ``(name, fn)`` where ``fn(batch)``
+    returns a Boolean Arrow array marking VIOLATING rows. Returns one
+    row per rule: ``(rule, n_rows, n_violations, first_bad_id)`` with
+    ``first_bad_id`` the minimum violating ``id_col`` (None if no
+    violations). Null predicate results count as non-violations."""
+    names = [n for n, _ in rules]
+
+    def part(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        out_n, out_v, out_first = [], [], []
+        for _, fn in rules:
+            mask = pc.fill_null(fn(t), False)
+            out_n.append(t.num_rows)
+            out_v.append(int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0))
+            bad = pc.filter(ids, mask)
+            out_first.append(pc.min(bad).as_py() if len(bad) else None)
+        return pa.table({
+            "rule": pa.array(names),
+            "n_rows": pa.array(out_n, pa.int64()),
+            "n_violations": pa.array(out_v, pa.int64()),
+            "first_bad_id": pa.array(out_first, pa.int64()),
+        })
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("rule", as_index=False, sort=False).agg(
+        n_rows=("n_rows", "sum"),
+        n_violations=("n_violations", "sum"),
+        first_bad_id=("first_bad_id", "min"),
+    )
+    # preserve the caller's rule order
+    agg["_ord"] = agg["rule"].map({n: i for i, n in enumerate(names)})
+    agg = agg.sort_values("_ord").drop(columns="_ord").reset_index(drop=True)
+    agg["n_rows"] = agg["n_rows"].astype("int64")
+    agg["n_violations"] = agg["n_violations"].astype("int64")
+    return agg

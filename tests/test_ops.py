@@ -1121,3 +1121,58 @@ def test_dataset_profile_nulls_and_partition_invariance():
         assert abs(got.loc["b", "std"] - bv.std()) < 1e-9
         assert got.loc["a", "min"] == df["a"].min()
         assert got.loc["a", "max"] == df["a"].max()
+
+
+def test_grouped_corr_matches_pandas():
+    from raykg.ops.profile import grouped_corr
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n),
+        "x": rng.integers(0, 50, n).astype(float),
+    })
+    df["y"] = df["x"] * 2 + rng.integers(0, 30, n)
+    for parts in (1, 6):
+        got = grouped_corr(rd.from_pandas(df).repartition(parts),
+                           "k", "x", "y").set_index("k")
+        for k, g in df.groupby("k"):
+            want = np.corrcoef(g["x"], g["y"])[0, 1]
+            assert abs(got.loc[k, "corr"] - want) < 1e-9, (k, parts)
+            assert got.loc[k, "n"] == len(g)
+
+
+def test_grouped_corr_constant_column_nan():
+    from raykg.ops.profile import grouped_corr
+
+    df = pd.DataFrame({"k": ["a"] * 10, "x": [5.0] * 10,
+                       "y": np.arange(10.0)})
+    got = grouped_corr(rd.from_pandas(df), "k", "x", "y")
+    assert np.isnan(got["corr"].iloc[0])
+
+
+def test_validate_rules_counts_and_first_id():
+    import pyarrow.compute as pc
+
+    from raykg.ops.validate import validate_rules
+
+    df = pd.DataFrame({
+        "id": np.arange(100, 200),
+        "v": np.r_[np.zeros(50), np.ones(50) * 999],
+        "s": ["ok"] * 95 + ["bad"] * 5,
+    })
+    rules = [
+        ("too_big", lambda t: pc.greater(t.column("v"), 100.0)),
+        ("bad_s", lambda t: pc.equal(t.column("s"), "bad")),
+        ("never", lambda t: pc.greater(t.column("v"), 1e9)),
+    ]
+    for parts in (1, 5):
+        got = validate_rules(rd.from_pandas(df).repartition(parts),
+                             rules, id_col="id").set_index("rule")
+        assert list(got.index) == ["too_big", "bad_s", "never"]
+        assert got.loc["too_big", "n_violations"] == 50
+        assert got.loc["too_big", "first_bad_id"] == 150
+        assert got.loc["bad_s", "n_violations"] == 5
+        assert got.loc["bad_s", "first_bad_id"] == 195
+        assert got.loc["never", "n_violations"] == 0
+        assert (got["n_rows"] == 100).all()
