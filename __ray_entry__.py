@@ -1739,7 +1739,11 @@ def _q_decontaminate(sf_dir: str):
     held-out eval set; training docs sharing any word 8-gram with it
     (the planted exact/near dups of those docs) are removed. Benchmark
     side is driver-read by definition (eval suites are small); corpus
-    side streams through one broadcast-set filter."""
+    side streams through one broadcast-set filter. FULL SQL ORACLE:
+    exact string 8-gram overlap via a list-slice comprehension — the
+    operator's FNV-hashed membership matches it exactly up to a
+    ~4e-12 false-positive probability (corpus-grams × bench-grams /
+    2^64), the safe direction and far below one expected row."""
     import pyarrow.parquet as pq
 
     from raykg.ops.decontam import decontaminate
@@ -1750,7 +1754,31 @@ def _q_decontaminate(sf_dir: str):
     bench = [t for i, t in zip(ids, tbl.column("text").to_pylist())
              if i % 97 == 0]
     ds = rd.read_parquet(path, columns=["doc_id", "source", "text"])
-    return decontaminate(ds, bench, n=8).select_columns(["doc_id", "source"])
+    out = decontaminate(ds, bench, n=8).select_columns(
+        ["doc_id", "source"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_DECONTAM = r"""
+WITH docs AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest([array_to_string(ws[i:i+7], ' ')
+                 FOR i IN range(1, len(ws) - 6)]) AS g
+  FROM docs WHERE len(ws) >= 8
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+dirty AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench USING (g))
+SELECT d.doc_id, d.source
+FROM docs d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty)
+ORDER BY d.doc_id
+"""
 
 
 def _q_hll_distinct_users(sf_dir: str):
@@ -2796,6 +2824,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup_pairs": _SQL_SIMHASH,
         "text_fingerprints": _SQL_FINGERPRINTS,
         "dedup_groups_minhash": _SQL_DEDUP_GROUPS,
+        "decontaminate_documents": _SQL_DECONTAM,
         "text_quality": _SQL_QUALITY,
         "text_langid": _SQL_LANGID,
         "redact_pii_documents": _SQL_REDACT,
