@@ -1781,6 +1781,21 @@ ORDER BY d.doc_id
 """
 
 
+def _q_cms_user_counts(sf_dir: str):
+    """Count-Min sketch event-frequency estimates for a fixed user-id
+    probe set (raykg/ops/sketch.cms_frequencies) — the bounded-memory
+    approx complement of the exact two-pass heavy hitters; per-block
+    pre-summed counter rows cap the exchange at depth × width per
+    block. Rows-only: the estimate is deterministic and partition-
+    invariant (tested bit-exact), but the accuracy contract is
+    probabilistic (never under, ≤ 2N/width over w.h.p.)."""
+    from raykg.ops.sketch import cms_frequencies
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    return cms_frequencies(ds, "user_id", list(range(1, 21)))
+
+
 def _q_hll_distinct_users(sf_dir: str):
     """Approximate distinct users per event type via the HyperLogLog
     register relation (max-rho groupby) — the scale path where the
@@ -2740,6 +2755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_training_sequences": _q_pack_sequences,
         "decontaminate_documents": _q_decontaminate,
         "approx_distinct_users_hll": _q_hll_distinct_users,
+        "approx_user_event_counts_cms": _q_cms_user_counts,
         "approx_value_quantiles": _q_approx_quantiles,
         "curation_pipeline": _q_curation_pipeline,
         "dedup_groups_minhash": _q_dedup_groups,

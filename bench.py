@@ -195,6 +195,12 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("text_normalized", em._q_normalize_text)
         timed("search_bm25_documents", em._q_bm25_search)
         timed("graph_pagerank_parts", em._q_pagerank_parts)
+        timed("profile_lineitem_stats", em._q_profile_lineitem)
+        timed("corr_quantity_linenumber", em._q_corr_lineitem)
+        timed("validate_events_rules", em._q_validate_events)
+        timed("decontaminate_documents", em._q_decontaminate)
+        timed("simhash_near_dup_pairs", em._q_simhash_pairs)
+        timed("text_fingerprints", em._q_fingerprints)
 
     result = {
         "metric": "kg_pipeline_wall",

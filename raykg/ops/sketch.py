@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ray.data.aggregate import Max
+from ray.data.aggregate import Max, Sum
 
 from raykg.util import hash_strings
 
@@ -179,3 +179,78 @@ def approx_grouped_quantiles(
         .groupby("_b")
         .map_groups(q_bucket, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------------- Count-Min
+
+
+def _cms_slots(h: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(n, depth) slot indices from one 64-bit hash per value, using
+    the standard Kirsch–Mitzenmacher double hashing h1 + i·h2 (two
+    independent halves of the finalized hash)."""
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    h2 = (h >> np.uint64(32)).astype(np.uint64) | np.uint64(1)  # odd
+    i = np.arange(depth, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        return ((h1[:, None] + i * h2[:, None]) % np.uint64(width)).astype(
+            np.int64
+        )
+
+
+def cms_frequencies(
+    ds,
+    value_col: str,
+    query_values: list,
+    depth: int = 4,
+    width: int = 2048,
+) -> pd.DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimates for ``query_values`` — the approx complement of the
+    EXACT two-pass heavy hitters (ops/heavy.py): one pass, bounded
+    memory, never underestimates; overestimate ≤ 2N/width with
+    probability 1 − 2^−depth per query.
+
+    Relational formulation (the HLL register trick): a value's sketch
+    contribution is ``+1`` to (row i, slot_i(value)) for each of the
+    ``depth`` rows, and the sketch IS ``sum(c) GROUP BY (row, slot)``.
+    One vectorized map_batches emits per-block PRE-SUMMED counter rows
+    (≤ depth × width per block, regardless of row count), a small
+    groupby folds them, and estimates are the min over each query
+    value's depth counters. Deterministic given the data — partition-
+    invariant bit-for-bit (tested) — though the estimate's accuracy
+    contract stays probabilistic, so the driver query is rows-only."""
+    # hash query values exactly as the column is hashed (type-matched)
+    qh = _hash_col(pa.chunked_array([pa.array(query_values)]))
+    q_slots = _cms_slots(qh, depth, width)  # (nq, depth)
+
+    def block_counters(t: pa.Table) -> pa.Table:
+        h = _hash_col(t.column(value_col))
+        slots = _cms_slots(h, depth, width)  # (n, depth)
+        flat = (np.arange(depth, dtype=np.int64)[None, :] * width
+                + slots).ravel()
+        counts = np.bincount(flat, minlength=depth * width)
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            "cell": pa.array(nz, pa.int64()),
+            "c": pa.array(counts[nz], pa.int64()),
+        })
+
+    counters = (
+        ds.map_batches(block_counters, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    table = np.zeros(depth * width, dtype=np.int64)
+    table[counters["cell"].to_numpy()] = counters["c"].to_numpy()
+    cells = np.arange(depth, dtype=np.int64)[None, :] * width + q_slots
+    est = table[cells].min(axis=1)
+    return pd.DataFrame({
+        "value": [str(v) for v in query_values],
+        "est_count": est.astype("int64"),
+    })
+
+
+def cms_never_underestimates(est: np.ndarray, exact: np.ndarray) -> bool:
+    """CMS structural invariant (useful in tests and data checks)."""
+    return bool((est >= exact).all())

@@ -1176,3 +1176,38 @@ def test_validate_rules_counts_and_first_id():
         assert got.loc["bad_s", "first_bad_id"] == 195
         assert got.loc["never", "n_violations"] == 0
         assert (got["n_rows"] == 100).all()
+
+
+def test_cms_bounds_and_partition_invariance():
+    from raykg.ops.sketch import cms_frequencies, cms_never_underestimates
+
+    rng = np.random.default_rng(41)
+    n = 30000
+    # zipf-ish: a few heavy keys, long tail
+    keys = np.r_[np.repeat([7, 13, 42], [5000, 3000, 1500]),
+                 rng.integers(100, 5000, n - 9500)]
+    df = pd.DataFrame({"k": keys})
+    probe = [7, 13, 42, 100, 4999, 999999]
+    exact = np.array([(keys == v).sum() for v in probe])
+    width = 2048
+    outs = []
+    for parts in (1, 9):
+        got = cms_frequencies(rd.from_pandas(df).repartition(parts),
+                              "k", probe, depth=4, width=width)
+        outs.append(got)
+        est = got["est_count"].to_numpy()
+        assert cms_never_underestimates(est, exact)
+        assert (est - exact <= 2 * n / width).all(), (est, exact)
+    # deterministic: identical across partitionings
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_cms_string_column():
+    from raykg.ops.sketch import cms_frequencies
+
+    df = pd.DataFrame({"s": ["a"] * 500 + ["b"] * 50 + ["c"] * 5})
+    got = cms_frequencies(rd.from_pandas(df), "s", ["a", "b", "c", "zz"],
+                          depth=4, width=512).set_index("value")
+    assert got.loc["a", "est_count"] >= 500
+    assert got.loc["b", "est_count"] >= 50
+    assert got.loc["zz", "est_count"] <= 555  # bounded by N
