@@ -2693,6 +2693,114 @@ FROM l GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def _q_embed_l2_normalize(sf_dir: str):
+    """Unit-normalize the embedding column, exploded per dimension.
+    The per-row sum of squares uses an explicit left-to-right fold
+    (raykg.ops.embed._fold_sq_norm) so the double is bit-identical to
+    DuckDB's list_sum — verified bit-equal, no rounding needed."""
+    from raykg.ops.embed import l2_normalize
+    from raykg.ops.explode import explode_column
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    out = explode_column(l2_normalize(ds), "embedding", ["vec_id"],
+                         out_col="val").to_pandas()
+    return out
+
+
+_SQL_L2_NORMALIZE = """
+SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+       CAST(unnest(embedding) AS DOUBLE)
+         / sqrt(list_sum(list_transform(embedding,
+                                        x -> x::DOUBLE * x::DOUBLE))) AS val
+FROM embeddings
+"""
+
+
+def _q_embed_pca(sf_dir: str):
+    """Distributed covariance-method PCA (top-4 axes) over the
+    embedding table: streaming d x d moment partials -> driver eigh ->
+    broadcast projection. Rows-only: eigendecomposition is not
+    SQL-expressible; exactness vs numpy is pinned in
+    tests/test_embed_bpe.py."""
+    from raykg.ops.embed import pca_project
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    out = pca_project(ds, k=4).to_pandas()[["vec_id", "pc"]]
+    out["pc1"] = [float(p[0]) for p in out["pc"]]
+    return out[["vec_id", "pc1"]]
+
+
+def _q_quantity_histogram(sf_dir: str):
+    """Fixed-width histogram of l_quantity (10 bins of width 5): each
+    block ships <= nbins pre-counted partial rows."""
+    from raykg.ops.profile import numeric_histogram
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_quantity"])
+    return numeric_histogram(ds, "l_quantity", lo=0.5, width=5.0, nbins=10)
+
+
+_SQL_QUANTITY_HISTOGRAM = """
+SELECT bin, 0.5 + bin * 5.0 AS lo, 0.5 + (bin + 1) * 5.0 AS hi,
+       count(*)::BIGINT AS n
+FROM (
+  SELECT LEAST(GREATEST(CAST(floor((l_quantity - 0.5) / 5.0) AS BIGINT),
+                        0), 9) AS bin
+  FROM lineitem
+) GROUP BY bin ORDER BY bin
+"""
+
+
+def _q_zscore_lineitem(sf_dir: str):
+    """Per-returnflag standardization of l_quantity — two streaming
+    passes (grouped moment partials -> broadcast stats -> per-batch
+    map), never a row shuffle. l_quantity is integer-valued so the
+    folded sums are exact and both sides compute identical doubles
+    (the profile-oracle lesson); shared half-up rounding."""
+    from raykg.ops.profile import grouped_zscore
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"])
+    out = grouped_zscore(ds, "l_returnflag", "l_quantity").to_pandas()
+    # half-up rounding on both sides (numpy .round is banker's)
+    out["z"] = np.floor(out["z"] * 1000000 + 0.5) / 1000000
+    return out[["l_orderkey", "l_linenumber", "l_returnflag", "z"]]
+
+
+_SQL_ZSCORE_LINEITEM = """
+WITH s AS (
+  SELECT l_returnflag AS k, count(*)::DOUBLE AS n,
+         sum(l_quantity)::DOUBLE AS s,
+         sum(l_quantity * l_quantity)::DOUBLE AS s2
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       floor(((l.l_quantity - s.s / s.n)
+              / sqrt((s.s2 - s.s * s.s / s.n) / (s.n - 1)))
+             * 1000000 + 0.5) / 1000000 AS z
+FROM lineitem l JOIN s ON l.l_returnflag = s.k
+"""
+
+
+def _q_bpe_tokenize(sf_dir: str):
+    """Train a 60-merge BPE tokenizer on the document corpus
+    (distributed word-frequency pass + incremental actor-sharded merge
+    loop), then encode every document. Rows-only: the merge loop is
+    inherently iterative/stateful; determinism incl. shard-count
+    invariance is pinned in tests/test_embed_bpe.py."""
+    from raykg.ops.bpe import bpe_encode, train_bpe
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    merges = train_bpe(ds, n_merges=60, n_shards=4)
+    out = bpe_encode(ds, merges, counts_only=True,
+                     out_col="n_bpe_tokens").to_pandas()
+    return out[["doc_id", "n_bpe_tokens"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -2770,6 +2878,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_lineitem_stats": _q_profile_lineitem,
         "corr_quantity_linenumber": _q_corr_lineitem,
         "validate_events_rules": _q_validate_events,
+        "embed_l2_normalize": _q_embed_l2_normalize,
+        "agg_quantity_histogram": _q_quantity_histogram,
+        "window_zscore_lineitem": _q_zscore_lineitem,
+        # rows-only (iterative / eigen-based)
+        "embed_pca_project": _q_embed_pca,
+        "bpe_tokenize_documents": _q_bpe_tokenize,
         # rows-only continued
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "minhash_incremental_pairs": _q_incremental_minhash,
@@ -2837,6 +2951,9 @@ def oracle_sql() -> dict[str, str]:
         "profile_lineitem_stats": _SQL_PROFILE,
         "corr_quantity_linenumber": _SQL_CORR,
         "validate_events_rules": _SQL_VALIDATE,
+        "embed_l2_normalize": _SQL_L2_NORMALIZE,
+        "agg_quantity_histogram": _SQL_QUANTITY_HISTOGRAM,
+        "window_zscore_lineitem": _SQL_ZSCORE_LINEITEM,
         "simhash_near_dup_pairs": _SQL_SIMHASH,
         "text_fingerprints": _SQL_FINGERPRINTS,
         "dedup_groups_minhash": _SQL_DEDUP_GROUPS,

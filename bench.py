@@ -201,6 +201,11 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("decontaminate_documents", em._q_decontaminate)
         timed("simhash_near_dup_pairs", em._q_simhash_pairs)
         timed("text_fingerprints", em._q_fingerprints)
+        timed("embed_l2_normalize", em._q_embed_l2_normalize)
+        timed("embed_pca_project", em._q_embed_pca)
+        timed("agg_quantity_histogram", em._q_quantity_histogram)
+        timed("window_zscore_lineitem", em._q_zscore_lineitem)
+        timed("bpe_tokenize_documents", em._q_bpe_tokenize)
 
     result = {
         "metric": "kg_pipeline_wall",

@@ -72,6 +72,94 @@ def dataset_profile(ds, columns: list[str]) -> pd.DataFrame:
     )
 
 
+def numeric_histogram(ds, col: str, lo: float, width: float,
+                      nbins: int) -> pd.DataFrame:
+    """Fixed-width histogram of a numeric column in one streaming
+    pass.  Each block emits at most ``nbins`` partial rows
+    (``np.bincount`` locally), so the exchange is O(blocks × nbins)
+    regardless of row count.  Out-of-range values clamp into the
+    first/last bin (``LEAST/GREATEST`` semantics a SQL oracle can
+    mirror exactly: ``floor((x - lo) / width)`` on identical
+    doubles).  -> ``(bin, lo, hi, n)``, one row per non-empty bin.
+    """
+
+    def part(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[~np.isnan(x)]
+        idx = np.clip(np.floor((x - lo) / width), 0, nbins - 1).astype(np.int64)
+        counts = np.bincount(idx, minlength=nbins)
+        return pa.table({
+            "bin": pa.array(np.arange(nbins, dtype=np.int64)),
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("bin", as_index=False)["n"].sum()
+    agg = agg[agg["n"] > 0].reset_index(drop=True)
+    b = agg["bin"].to_numpy(dtype=np.float64)
+    return pd.DataFrame({
+        "bin": agg["bin"].astype("int64"),
+        "lo": lo + b * width,
+        "hi": lo + (b + 1.0) * width,
+        "n": agg["n"].astype("int64"),
+    })
+
+
+def grouped_zscore(ds, key: str, col: str, out_col: str = "z",
+                   ddof: int = 1):
+    """Per-group standardization: ``z = (x - mean_g) / std_g`` with
+    the SAMPLE std (ddof=1), as a two-pass streaming transform.
+
+    Pass 1 folds per-block grouped (n, Σx, Σx²) partials into an
+    O(keys) stats table on the driver; pass 2 broadcasts it once via
+    ``ray.put`` and maps every batch (no shuffle of the rows
+    themselves — the wide exchange a naive groupby+join would pay is
+    avoided entirely).  Variance uses the explicit operand order
+    ``(Σx² - Σx·Σx/n) / (n - ddof)`` so a SQL oracle computing the
+    same expression on integer-valued columns (exact sums below 2^53)
+    is bit-identical.  Groups with n <= ddof or zero variance emit
+    NaN.  For key cardinalities beyond broadcast reach (~10^8) use
+    ``ops.joins.hash_join`` against the stats table instead.
+    """
+    import ray
+
+    def part(t: pa.Table) -> pa.Table:
+        df = t.select([key, col]).to_pandas()
+        v = df[col].astype(np.float64)
+        g = df.groupby(key, sort=False)
+        out = pd.DataFrame({
+            "n": g[col].count(),
+            "s": g[col].sum().astype(np.float64),
+            "s2": (v * v).groupby(df[key], sort=False).sum(),
+        }).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(key, as_index=False).sum()
+    n = agg["n"].to_numpy(dtype=np.float64)
+    s = agg["s"].to_numpy()
+    s2 = agg["s2"].to_numpy()
+    mean = s / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var = (s2 - s * s / n) / (n - ddof)
+        std = np.sqrt(var)
+    std = np.where((n > ddof) & (var > 0), std, np.nan)
+    stats_ref = ray.put({
+        k: (m, sd) for k, m, sd in zip(agg[key].tolist(), mean, std)
+    })
+
+    def apply(t: pa.Table) -> pa.Table:
+        stats = ray.get(stats_ref)
+        keys = t.column(key).to_pandas()
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ms = keys.map(lambda k: stats.get(k, (np.nan, np.nan)))
+        m = np.fromiter((p[0] for p in ms), dtype=np.float64, count=len(ms))
+        sd = np.fromiter((p[1] for p in ms), dtype=np.float64, count=len(ms))
+        return t.append_column(out_col, pa.array((x - m) / sd, pa.float64()))
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
 def grouped_corr(ds, key: str, x: str, y: str) -> pd.DataFrame:
     """Pearson correlation of ``x`` vs ``y`` per ``key`` group, from
     one streaming pass of per-block partials (n, Σx, Σy, Σxy, Σx²,
