@@ -2785,6 +2785,50 @@ FROM lineitem l JOIN s ON l.l_returnflag = s.k
 """
 
 
+def _q_kmeans_embeddings(sf_dir: str):
+    """Exact distributed k-means (raykg/ops/kmeans.py): Lloyd
+    iterations as streaming passes of per-center (count, Σx, Σd²)
+    partials — O(blocks × k) exchange per pass — from a hash-spread
+    kmeans_lite init. Rows-only: the fit is inherently iterative;
+    exactness (sequential-Lloyd structure, partition invariance,
+    empty-center survival) is pinned in tests/test_ops.py."""
+    from raykg.ops.kmeans import kmeans_assign, kmeans_fit
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    centers, _, _ = kmeans_fit(ds, k=8, n_iter=15, seed=3)
+    out = (kmeans_assign(ds, centers).to_pandas()
+           .groupby("cluster", as_index=False).agg(size=("vec_id", "count")))
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
+def _q_entropy_events(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution
+    (raykg/ops/profile.py grouped_entropy): per-block exact integer
+    pre-counts, value-ascending left fold through libm log — the
+    DuckDB oracle folds list(c ORDER BY event_type) through list_sum,
+    so both sides are bit-identical with NO rounding."""
+    from raykg.ops.profile import grouped_entropy
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+    return grouped_entropy(ds, "user_id", "event_type")
+
+
+_SQL_ENTROPY_EVENTS = """
+WITH c AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS c
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_distinct,
+       ln(sum(c)::DOUBLE)
+         - list_sum(list_transform(list(c::DOUBLE ORDER BY event_type),
+                                   x -> x * ln(x)))
+           / sum(c)::DOUBLE AS entropy
+FROM c GROUP BY user_id
+"""
+
+
 def _q_bpe_tokenize(sf_dir: str):
     """Train a 60-merge BPE tokenizer on the document corpus
     (distributed word-frequency pass + incremental actor-sharded merge
@@ -2881,9 +2925,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_l2_normalize": _q_embed_l2_normalize,
         "agg_quantity_histogram": _q_quantity_histogram,
         "window_zscore_lineitem": _q_zscore_lineitem,
+        "agg_user_event_entropy": _q_entropy_events,
         # rows-only (iterative / eigen-based)
         "embed_pca_project": _q_embed_pca,
         "bpe_tokenize_documents": _q_bpe_tokenize,
+        "cluster_embeddings_kmeans": _q_kmeans_embeddings,
         # rows-only continued
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "minhash_incremental_pairs": _q_incremental_minhash,
@@ -2954,6 +3000,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_l2_normalize": _SQL_L2_NORMALIZE,
         "agg_quantity_histogram": _SQL_QUANTITY_HISTOGRAM,
         "window_zscore_lineitem": _SQL_ZSCORE_LINEITEM,
+        "agg_user_event_entropy": _SQL_ENTROPY_EVENTS,
         "simhash_near_dup_pairs": _SQL_SIMHASH,
         "text_fingerprints": _SQL_FINGERPRINTS,
         "dedup_groups_minhash": _SQL_DEDUP_GROUPS,

@@ -206,6 +206,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("agg_quantity_histogram", em._q_quantity_histogram)
         timed("window_zscore_lineitem", em._q_zscore_lineitem)
         timed("bpe_tokenize_documents", em._q_bpe_tokenize)
+        timed("agg_user_event_entropy", em._q_entropy_events)
+        timed("cluster_embeddings_kmeans", em._q_kmeans_embeddings)
 
     result = {
         "metric": "kg_pipeline_wall",

@@ -1,0 +1,143 @@
+"""Distributed exact k-means (Lloyd's algorithm) over an embedding
+column — the clustering step corpus-curation pipelines run for data
+mixing, topic balancing, and cluster-based curriculum (and the exact
+counterpart of the sample-based ``kmeans_lite`` that seeds IVF / PQ /
+SemDeDup).
+
+Scale shape:
+
+- **Init** — centers come from ``kmeans_lite`` on a hash-spread,
+  globally-capped sample (the pq.py pattern: a head sample sees one
+  arm of a clustered corpus), so init cost is independent of corpus
+  size and deterministic in the seed.
+- **Each Lloyd iteration is ONE streaming pass**: centers broadcast
+  once via ``ray.put``; every block computes assignments with the
+  ``|x|² − 2x·C + |C|²`` GEMM identity (one BLAS call per block, no
+  per-row loop) and emits per-center partials ``(count, Σx, Σ
+  min-dist²)`` — one row per NON-EMPTY center per block, so the
+  exchange is O(blocks × k) regardless of row count.  The driver
+  folds those metadata-sized partials into new centers and the
+  iteration's inertia; empty centers keep their previous position.
+- **Convergence** — stops when the max center shift drops below
+  ``tol`` or after ``n_iter`` passes.  At 100 TB each iteration reads
+  the corpus once; cap ``n_iter`` (curation k-means converges in a
+  handful of passes from a k-means-lite init) or fall back to the
+  sample-based fit when exactness is not required.
+
+Determinism: identical partitioning gives bit-identical centers; the
+driver fold's block order can perturb float sums at the 1-ulp level
+across different partitionings, so cross-partitioning tests pin
+ASSIGNMENTS (stable on separated data) and centers to 1e-9.
+
+Reference tie-in: the reference clusters NIL mentions with greedy /
+agglomerative strategies over small per-batch groups
+(pipeline/greedyclustering/__main__.py:30-34); corpus-scale k-means is
+the operation those strategies cannot reach — this module is the
+missing global variant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from raykg.encode import column_to_vectors
+
+_KNUTH = np.uint64(2654435761)
+_M32 = np.uint64(1 << 32)
+
+
+def _spread_sample(ds, vec_col: str, id_col: str, max_sample: int):
+    n_total = ds.count()
+    rate = min(1.0, (4.0 * max_sample) / max(n_total, 1))
+    thr = np.uint64(int(rate * (1 << 32)))
+
+    def spread(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.filter(pa.array((ids * _KNUTH) % _M32 < thr))
+
+    sample = (ds.map_batches(spread, batch_format="pyarrow")
+              .limit(max_sample).take_all())
+    if not sample:
+        raise ValueError("empty dataset")
+    return np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                     for r in sample])
+
+
+def kmeans_fit(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+               k: int = 8, n_iter: int = 20, tol: float = 1e-6,
+               seed: int = 3, sample_per_block: int = 256):
+    """Fit exact k-means.  Returns ``(centers, inertia, iters_run)``
+    where ``centers`` is (k, d) float64 and ``inertia`` the total
+    squared distance of every row to its assigned center at the last
+    completed iteration.
+    """
+    from raykg.ops.similarity import kmeans_lite
+
+    X0 = _spread_sample(ds, vec_col, id_col, sample_per_block * 16)
+    centers = kmeans_lite(X0, k, seed=seed)
+    k_eff = centers.shape[0]
+
+    inertia = float("inf")
+    iters = 0
+    for _ in range(n_iter):
+        cref = ray.put(centers)
+
+        def partials(t: pa.Table, _cref=cref) -> pa.Table:
+            C = ray.get(_cref)
+            V = column_to_vectors(t.column(vec_col)).astype(np.float64)
+            # |x|^2 - 2 x.C + |C|^2, one GEMM per block
+            d2 = ((V * V).sum(axis=1)[:, None]
+                  - 2.0 * (V @ C.T)
+                  + (C * C).sum(axis=1)[None, :])
+            lab = d2.argmin(axis=1)
+            mind = d2[np.arange(len(lab)), lab]
+            out_c, out_n, out_s, out_ssd = [], [], [], []
+            for c in np.unique(lab):
+                m = lab == c
+                out_c.append(int(c))
+                out_n.append(int(m.sum()))
+                out_s.append(V[m].sum(axis=0).tolist())
+                out_ssd.append(float(mind[m].sum()))
+            return pa.table({
+                "c": pa.array(out_c, pa.int32()),
+                "n": pa.array(out_n, pa.int64()),
+                "s": pa.array(out_s),
+                "ssd": pa.array(out_ssd, pa.float64()),
+            })
+
+        parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+        iters += 1
+        agg_n = parts.groupby("c")["n"].sum()
+        agg_ssd = float(parts["ssd"].sum())
+        new_centers = centers.copy()
+        for c, g in parts.groupby("c"):
+            s = np.sum(np.stack([np.asarray(v) for v in g["s"]]), axis=0)
+            new_centers[c] = s / agg_n[c]
+        shift = float(np.sqrt(((new_centers - centers) ** 2)
+                              .sum(axis=1)).max())
+        centers, inertia = new_centers, agg_ssd
+        if shift < tol:
+            break
+    return centers, inertia, iters
+
+
+def kmeans_assign(ds, centers: np.ndarray, vec_col: str = "embedding",
+                  out_col: str = "cluster"):
+    """Streaming assignment: broadcast the (k, d) centers once, label
+    every row with its nearest center (argmin ties -> lowest id)."""
+    cref = ray.put(np.asarray(centers, dtype=np.float64))
+
+    def fn(t: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        V = column_to_vectors(t.column(vec_col)).astype(np.float64)
+        d2 = ((V * V).sum(axis=1)[:, None]
+              - 2.0 * (V @ C.T)
+              + (C * C).sum(axis=1)[None, :])
+        return t.append_column(
+            out_col, pa.array(d2.argmin(axis=1).astype(np.int32)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -160,6 +160,54 @@ def grouped_zscore(ds, key: str, col: str, out_col: str = "z",
     return ds.map_batches(apply, batch_format="pyarrow")
 
 
+def grouped_entropy(ds, key: str, col: str) -> pd.DataFrame:
+    """Shannon entropy (nats) of ``col``'s value distribution per
+    ``key`` group — the domain/topic-diversity statistic a corpus
+    audit computes per source (e.g. per-user event-type diversity,
+    per-domain language spread).
+
+    One streaming pass: each block pre-counts its (key, value) pairs
+    (`groupby.size`, exact integers), so the exchange is
+    O(blocks × distinct pairs per block) — the Zipf-head bound, never
+    O(rows).  The driver folds the integer counts exactly, then per
+    key computes ``H = ln(n) - (Σ c·ln c)/n`` with the Σ as an
+    explicit LEFT fold in value-ascending order using libm ``log``
+    (``math.log``, not numpy's vectorized log which can differ by
+    1 ulp) — bit-identical to a DuckDB oracle folding
+    ``list(c ORDER BY value)`` through ``list_sum``, so the checked
+    query needs NO rounding anywhere.  Driver work is O(distinct
+    pairs); for key cardinalities beyond driver reach, route the
+    count table through the many-keys-per-call bucket pattern
+    (`ops/rank.py`) instead.
+    -> ``(key, n, n_distinct, entropy)``.
+    """
+    import math
+
+    def part(t: pa.Table) -> pa.Table:
+        df = t.select([key, col]).to_pandas()
+        out = (df.groupby([key, col], sort=False).size()
+                 .rename("c").reset_index())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby([key, col], as_index=False)["c"].sum()
+    counts = counts.sort_values([key, col], kind="mergesort")
+    logmemo: dict = {}
+    rows = []
+    for k, g in counts.groupby(key, sort=True):
+        n = int(g["c"].sum())
+        acc = 0.0
+        for c in g["c"]:  # value-ascending left fold, libm log
+            x = float(c)
+            term = logmemo.get(c)
+            if term is None:
+                term = logmemo[c] = x * math.log(x)
+            acc += term
+        rows.append((k, n, int(len(g)),
+                     math.log(float(n)) - acc / float(n)))
+    return pd.DataFrame(rows, columns=[key, "n", "n_distinct", "entropy"])
+
+
 def grouped_corr(ds, key: str, x: str, y: str) -> pd.DataFrame:
     """Pearson correlation of ``x`` vs ``y`` per ``key`` group, from
     one streaming pass of per-block partials (n, Σx, Σy, Σxy, Σx²,

@@ -1211,3 +1211,95 @@ def test_cms_string_column():
     assert got.loc["a", "est_count"] >= 500
     assert got.loc["b", "est_count"] >= 50
     assert got.loc["zz", "est_count"] <= 555  # bounded by N
+
+
+def test_grouped_entropy_matches_scipy_formula_and_partitions():
+    import math
+
+    from raykg.ops.profile import grouped_entropy
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c", "d"], n),
+        "v": rng.choice(list("xyzuvw"), n, p=[.4, .25, .15, .1, .07, .03]),
+    })
+    ref = {}
+    for k, g in df.groupby("k"):
+        p = g["v"].value_counts(normalize=True).to_numpy()
+        ref[k] = float(-(p * np.log(p)).sum())
+    base = None
+    for parts in (1, 7):
+        got = grouped_entropy(rd.from_pandas(df).repartition(parts),
+                              "k", "v").set_index("k")
+        for k, g in df.groupby("k"):
+            assert abs(got.loc[k, "entropy"] - ref[k]) < 1e-12, (k, parts)
+            assert got.loc[k, "n"] == len(g)
+            assert got.loc[k, "n_distinct"] == g["v"].nunique()
+        # integer pre-counts make the result bit-identical across
+        # partitionings, not just close
+        if base is None:
+            base = got
+        else:
+            assert (got["entropy"] == base["entropy"]).all()
+
+
+def test_grouped_entropy_single_value_is_zero():
+    from raykg.ops.profile import grouped_entropy
+
+    df = pd.DataFrame({"k": ["a"] * 17, "v": ["only"] * 17})
+    got = grouped_entropy(rd.from_pandas(df), "k", "v")
+    assert got["entropy"].iloc[0] == 0.0
+    assert got["n_distinct"].iloc[0] == 1
+
+
+def _blob_frame(seed=11, k=4, per=300, d=8, spread=0.05):
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((k, d)) * 5.0
+    X = np.concatenate([c + rng.standard_normal((per, d)) * spread
+                        for c in cents])
+    ids = np.arange(len(X), dtype=np.int64)
+    perm = rng.permutation(len(X))
+    df = pd.DataFrame({"vec_id": ids})
+    df["embedding"] = [X[i].astype(np.float32) for i in range(len(X))]
+    return df.iloc[perm].reset_index(drop=True), X[perm]
+
+
+def test_kmeans_matches_sequential_lloyd_and_partitions():
+    from raykg.ops.kmeans import kmeans_assign, kmeans_fit
+
+    df, X = _blob_frame()
+    got = {}
+    for parts in (2, 9):
+        ds = rd.from_pandas(df).repartition(parts)
+        centers, inertia, iters = kmeans_fit(ds, k=4, n_iter=25, seed=3)
+        assert iters < 25  # converged on separated blobs
+        lab = (kmeans_assign(ds, centers).to_pandas()
+               .sort_values("vec_id")["cluster"].to_numpy())
+        got[parts] = (centers, inertia, lab)
+    # assignments identical across partitionings; centers to 1e-9
+    assert (got[2][2] == got[9][2]).all()
+    assert np.allclose(got[2][0], got[9][0], atol=1e-9)
+    # sequential Lloyd from the same init (kmeans_lite on the same
+    # spread sample runs inside kmeans_fit, so compare via inertia and
+    # cluster structure instead of center identity): every cluster is
+    # pure wrt the planted blobs
+    lab_sorted = got[2][2]
+    planted = np.repeat(np.arange(4), 300)  # vec_id == original index
+    for c in np.unique(lab_sorted):
+        members = planted[lab_sorted == c]
+        assert len(set(members.tolist())) == 1  # no blob split/merge
+    # inertia == sum of within-blob variance, small
+    assert got[2][1] < 0.05 ** 2 * 8 * 1200 * 2
+
+
+def test_kmeans_empty_cluster_keeps_center():
+    from raykg.ops.kmeans import kmeans_fit
+
+    # 2 tight blobs but k=3: one center must go hungry and survive
+    df, _ = _blob_frame(seed=5, k=2, per=100, d=4)
+    centers, inertia, _ = kmeans_fit(rd.from_pandas(df), k=3, n_iter=10,
+                                     seed=3)
+    assert centers.shape == (3, 4)
+    assert np.isfinite(centers).all()
+    assert np.isfinite(inertia)
