@@ -2785,6 +2785,60 @@ FROM lineitem l JOIN s ON l.l_returnflag = s.k
 """
 
 
+def _q_similarity_join_docs(sf_dir: str):
+    """Cross-table fuzzy join (raykg/ops/dedup.py
+    jaccard_similarity_join): even-doc_id documents vs odd-doc_id
+    documents at 5-gram jaccard >= 0.7 — the entity-matching join,
+    EXACT via cross-side AllPairs prefix filtering. Oracle: DuckDB
+    brute-force shingle-set cross join (same derivation as
+    jaccard_dup_pairs'); shared half-up rounding at 1e-4."""
+    from raykg.ops.dedup import jaccard_similarity_join
+
+    import pyarrow.compute as pc
+
+    def half(parity):
+        def fn(t):
+            ids = t.column("doc_id")
+            m = pc.equal(pc.bit_wise_and(ids, 1), parity)
+            return t.filter(m)
+        return fn
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    left = docs.map_batches(half(0), batch_format="pyarrow")
+    right = docs.map_batches(half(1), batch_format="pyarrow")
+    out = jaccard_similarity_join(left, right, threshold=0.7).to_pandas()
+    out["jaccard"] = np.floor(out["jaccard"] * 10000 + 0.5) / 10000
+    return out.sort_values(["id_l", "id_r"]).reset_index(drop=True)
+
+
+_SQL_SIMILARITY_JOIN = """
+WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest([substr(t, i, 5) FOR i IN range(1, length(t) - 3)]) AS g
+    FROM docs WHERE length(t) >= 5
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY 1, 2
+)
+SELECT id_l, id_r,
+       floor(inter::DOUBLE / (sa.n + sb.n - inter) * 10000 + 0.5) / 10000
+         AS jaccard
+FROM pairs
+JOIN sizes sa ON id_l = sa.doc_id
+JOIN sizes sb ON id_r = sb.doc_id
+WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.7
+ORDER BY id_l, id_r
+"""
+
+
 def _q_kmeans_embeddings(sf_dir: str):
     """Exact distributed k-means (raykg/ops/kmeans.py): Lloyd
     iterations as streaming passes of per-center (count, Σx, Σd²)
@@ -2926,6 +2980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_quantity_histogram": _q_quantity_histogram,
         "window_zscore_lineitem": _q_zscore_lineitem,
         "agg_user_event_entropy": _q_entropy_events,
+        "join_similarity_documents": _q_similarity_join_docs,
         # rows-only (iterative / eigen-based)
         "embed_pca_project": _q_embed_pca,
         "bpe_tokenize_documents": _q_bpe_tokenize,
@@ -3001,6 +3056,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_quantity_histogram": _SQL_QUANTITY_HISTOGRAM,
         "window_zscore_lineitem": _SQL_ZSCORE_LINEITEM,
         "agg_user_event_entropy": _SQL_ENTROPY_EVENTS,
+        "join_similarity_documents": _SQL_SIMILARITY_JOIN,
         "simhash_near_dup_pairs": _SQL_SIMHASH,
         "text_fingerprints": _SQL_FINGERPRINTS,
         "dedup_groups_minhash": _SQL_DEDUP_GROUPS,

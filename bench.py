@@ -208,6 +208,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("bpe_tokenize_documents", em._q_bpe_tokenize)
         timed("agg_user_event_entropy", em._q_entropy_events)
         timed("cluster_embeddings_kmeans", em._q_kmeans_embeddings)
+        timed("join_similarity_documents", em._q_similarity_join_docs)
 
     result = {
         "metric": "kg_pipeline_wall",

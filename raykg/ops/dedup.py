@@ -549,6 +549,118 @@ def jaccard_near_dup_pairs(
     )
 
 
+def jaccard_similarity_join(
+    left_ds,
+    right_ds,
+    left_text: str = "text",
+    right_text: str = "text",
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    broadcast_pairs: int = 1 << 18,
+    broadcast_bytes: int = 256 << 20,
+):
+    """EXACT cross-table fuzzy join: every (left, right) pair with
+    n-gram Jaccard >= threshold — the entity-matching / record-linkage
+    join (the reference's whole problem is matching mention surfaces
+    to entity titles; this is that operation as a first-class
+    two-table operator, string-similarity rather than vector search).
+
+    Same machinery as ``jaccard_near_dup_pairs``: both sides are
+    tagged into one stream (``gid = id*2 + side`` — parity carries the
+    side through the shuffle, so colliding id spaces are fine),
+    prefix-filtered in global shingle-hash order (the AllPairs bound
+    is per-set, so it holds unchanged for cross-set pairs: the
+    smallest common token of any qualifying pair lies in BOTH
+    prefixes), and only CROSS-side candidates leave each token group
+    (left x right product of the per-side unique id lists — the
+    within-side quadratic never happens).  Verification reuses the
+    adaptive broadcast-vs-shuffle exact-jaccard stage over the tagged
+    union.  Ids may be negative; decode is ``(gid - gid % 2) / 2``.
+
+    -> Dataset(id_l, id_r, jaccard), one row per qualifying pair.
+    """
+
+    def tag(side: int, id_c: str, txt_c: str):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column(id_c).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "gid": pa.array(ids * 2 + side),
+                "text": t.column(txt_c).cast(pa.string()),
+            })
+        return fn
+
+    union = left_ds.map_batches(
+        tag(0, left_id, left_text), batch_format="pyarrow"
+    ).union(right_ds.map_batches(
+        tag(1, right_id, right_text), batch_format="pyarrow"
+    ))
+
+    def prefix_tokens(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        gids = batch.column("gid").to_numpy(zero_copy_only=False)
+        toks, docs = [], []
+        for i, t in zip(gids.tolist(), texts):
+            sh = np.sort(_shingles(t, shingle_k))
+            alpha = int(np.ceil(threshold * len(sh) - 1e-9))
+            p = len(sh) - alpha + 1
+            toks.append(sh[:p])
+            docs.append(np.full(p, i, dtype=np.int64))
+        tok = (
+            np.concatenate(toks) if toks else np.zeros(0, dtype=np.uint64)
+        )
+        with np.errstate(over="ignore"):
+            coarse = ((tok * np.uint64(0x9E3779B97F4A7C15))
+                      >> np.uint64(52)).astype(np.int32)
+        return pa.table({
+            "bucket": pa.array(coarse),
+            "token": pa.array(tok.astype(np.int64)),
+            "gid": pa.array(
+                np.concatenate(docs) if docs
+                else np.zeros(0, dtype=np.int64)
+            ),
+        })
+
+    def cross_pairs_in_bucket(cg: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in cg.groupby("token", sort=False):
+            ids = np.unique(g["gid"].to_numpy())
+            L = ids[ids % 2 == 0]
+            R = ids[ids % 2 == 1]
+            if len(L) and len(R):
+                out_a.append(np.repeat(L, len(R)))
+                out_b.append(np.tile(R, len(L)))
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(
+                {"id_a": "int64", "id_b": "int64"}
+            )
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    candidates = (
+        union.map_batches(prefix_tokens, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cross_pairs_in_bucket, batch_format="pandas")
+    )
+    verified = _verify_candidate_pairs(
+        union, candidates, "text", "gid", shingle_k, threshold,
+        broadcast_pairs, broadcast_bytes,
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "id_l": pa.array((a - a % 2) // 2),
+            "id_r": pa.array((b - b % 2) // 2),
+            "jaccard": t.column("jaccard"),
+        })
+
+    return verified.map_batches(decode, batch_format="pyarrow")
+
+
 def simhash_signatures(texts: list[str], seed: int = 11) -> np.ndarray:
     """64-bit SimHash over whitespace tokens (uint64 per doc)."""
     out = np.zeros(len(texts), dtype=np.uint64)

@@ -1303,3 +1303,42 @@ def test_kmeans_empty_cluster_keeps_center():
     assert centers.shape == (3, 4)
     assert np.isfinite(centers).all()
     assert np.isfinite(inertia)
+
+
+def test_jaccard_similarity_join_vs_brute_force_both_paths():
+    """Cross-table fuzzy join must find EXACTLY the brute-force
+    left x right jaccard >= t set — colliding id spaces (same ids on
+    both sides), negative ids, and short texts included — on both the
+    broadcast and the forced-shuffle verification paths."""
+    from raykg.ops.dedup import jaccard_ngrams, jaccard_similarity_join
+
+    rng = np.random.default_rng(29)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    ltexts = [" ".join(rng.choice(words, size=18)) for _ in range(25)]
+    rtexts = [" ".join(rng.choice(words, size=18)) for _ in range(20)]
+    for i in range(0, 20, 5):  # planted cross-side near-matches
+        w = ltexts[i].split()
+        w[rng.integers(0, 18)] = "omega"
+        rtexts.append(" ".join(w))
+    ltexts.append("ab")  # below shingle width
+    rtexts.append("ab")
+    left = pd.DataFrame({"doc_id": range(len(ltexts)), "text": ltexts})
+    right = pd.DataFrame(
+        {"rid": np.arange(len(rtexts)) - 3, "body": rtexts})  # collides + negatives
+
+    exp = {
+        (i, j)
+        for i in left.doc_id for j in right.rid
+        if jaccard_ngrams(ltexts[int(i)],
+                          rtexts[int(j) + 3]) >= 0.6
+    }
+    for bp in (1 << 18, 0):  # broadcast path, then forced shuffle path
+        got = jaccard_similarity_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            right_text="body", right_id="rid",
+            threshold=0.6, broadcast_pairs=bp,
+        ).to_pandas()
+        assert set(zip(got.id_l, got.id_r)) == exp, bp
+        assert (got.jaccard >= 0.6).all()
