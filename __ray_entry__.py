@@ -2785,6 +2785,65 @@ FROM lineitem l JOIN s ON l.l_returnflag = s.k
 """
 
 
+def _q_diff_orders(sf_dir: str):
+    """Snapshot diff (raykg/ops/diff.py table_diff): orders vs a
+    deterministically perturbed refresh (every 97th key removed,
+    every 101st price bumped, every 103rd re-keyed as an addition) —
+    per-side (key, row-hash) streams, ONE full-outer hash_join
+    shuffle, O(changes) output. Oracle compares column values via
+    IS DISTINCT FROM (equivalent modulo 64-bit hash collision)."""
+    from raykg.ops.diff import table_diff
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    path = os.path.join(sf_dir, "orders.parquet")
+    old = rd.read_parquet(path, columns=cols)
+
+    def derive(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        keep = (k % 97) != 0
+        price2 = np.where(k % 101 == 0, price + 1.0, price)
+        base = pa.table({"o_orderkey": k[keep], "o_custkey": cust[keep],
+                         "o_totalprice": price2[keep]})
+        addm = (k % 103) == 0
+        add = pa.table({"o_orderkey": k[addm] + 10000000,
+                        "o_custkey": cust[addm],
+                        "o_totalprice": price[addm]})
+        return pa.concat_tables([base, add])
+
+    new = rd.read_parquet(path, columns=cols).map_batches(
+        derive, batch_format="pyarrow")
+    out = table_diff(old, new, "o_orderkey",
+                     ["o_custkey", "o_totalprice"]).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+_SQL_DIFF_ORDERS = """
+WITH old AS (
+  SELECT o_orderkey AS k, o_custkey, o_totalprice FROM orders
+),
+new AS (
+  SELECT o_orderkey AS k, o_custkey,
+         CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 103 = 0
+)
+SELECT COALESCE(o.k, n.k) AS o_orderkey,
+       CASE WHEN o.k IS NULL THEN 'added'
+            WHEN n.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.k = n.k
+WHERE o.k IS NULL OR n.k IS NULL
+   OR o.o_custkey IS DISTINCT FROM n.o_custkey
+   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+ORDER BY 1
+"""
+
+
 def _q_similarity_join_docs(sf_dir: str):
     """Cross-table fuzzy join (raykg/ops/dedup.py
     jaccard_similarity_join): even-doc_id documents vs odd-doc_id
@@ -2981,6 +3040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_zscore_lineitem": _q_zscore_lineitem,
         "agg_user_event_entropy": _q_entropy_events,
         "join_similarity_documents": _q_similarity_join_docs,
+        "diff_orders_snapshot": _q_diff_orders,
         # rows-only (iterative / eigen-based)
         "embed_pca_project": _q_embed_pca,
         "bpe_tokenize_documents": _q_bpe_tokenize,
@@ -3057,6 +3117,7 @@ def oracle_sql() -> dict[str, str]:
         "window_zscore_lineitem": _SQL_ZSCORE_LINEITEM,
         "agg_user_event_entropy": _SQL_ENTROPY_EVENTS,
         "join_similarity_documents": _SQL_SIMILARITY_JOIN,
+        "diff_orders_snapshot": _SQL_DIFF_ORDERS,
         "simhash_near_dup_pairs": _SQL_SIMHASH,
         "text_fingerprints": _SQL_FINGERPRINTS,
         "dedup_groups_minhash": _SQL_DEDUP_GROUPS,

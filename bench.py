@@ -209,6 +209,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("agg_user_event_entropy", em._q_entropy_events)
         timed("cluster_embeddings_kmeans", em._q_kmeans_embeddings)
         timed("join_similarity_documents", em._q_similarity_join_docs)
+        timed("diff_orders_snapshot", em._q_diff_orders)
 
     result = {
         "metric": "kg_pipeline_wall",

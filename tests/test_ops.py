@@ -1342,3 +1342,35 @@ def test_jaccard_similarity_join_vs_brute_force_both_paths():
         ).to_pandas()
         assert set(zip(got.id_l, got.id_r)) == exp, bp
         assert (got.jaccard >= 0.6).all()
+
+
+def test_table_diff_statuses_and_nulls():
+    from raykg.ops.diff import table_diff
+
+    old = pd.DataFrame({
+        "k": [1, 2, 3, 4, 5],
+        "a": ["x", "y", None, "w", "v"],
+        "b": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    new = pd.DataFrame({
+        "k": [2, 3, 4, 5, 6],          # 1 removed, 6 added
+        "a": ["y", None, "w", "v2", "z"],  # 5 changed (a)
+        "b": [2.0, 3.5, 4.0, 5.0, 6.0],    # 3 changed (b, null a equal)
+    })
+    got = (table_diff(rd.from_pandas(old).repartition(2),
+                      rd.from_pandas(new).repartition(3),
+                      "k", ["a", "b"]).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    want = {1: "removed", 3: "changed", 5: "changed", 6: "added"}
+    assert dict(zip(got.k, got.status)) == want
+    # unchanged rows (2, 4) dropped
+
+
+def test_table_diff_duplicate_key_raises():
+    from raykg.ops.diff import table_diff
+
+    old = pd.DataFrame({"k": [1, 1], "a": ["x", "y"]})
+    new = pd.DataFrame({"k": [1], "a": ["x"]})
+    with pytest.raises(Exception):
+        table_diff(rd.from_pandas(old), rd.from_pandas(new),
+                   "k", ["a"]).to_pandas()
