@@ -2785,6 +2785,46 @@ FROM lineitem l JOIN s ON l.l_returnflag = s.k
 """
 
 
+def _q_triangle_count(sf_dir: str):
+    """Exact triangle count (raykg/ops/cc.py triangle_count) of a
+    deterministic graph derived from orders (endpoints o_custkey %
+    2000 and (o_custkey + o_orderkey) % 2000): normalize/dedup →
+    degree orientation (two hash_joins — bounds wedge fan-out at
+    O(√m), the WWW'11 last-reducer fix) → wedge-close join. Oracle is
+    DuckDB's three-way self-join over the same derived edge set."""
+    from raykg.ops.cc import triangle_count
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(c % 2000),
+                         "dst": pa.array((c + k) % 2000)})
+
+    edges = orders.map_batches(derive, batch_format="pyarrow")
+    n = triangle_count(edges)
+    import pandas as pd
+    return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
+
+
+_SQL_TRIANGLES = """
+WITH raw AS (
+  SELECT o_custkey % 2000 AS a, (o_custkey + o_orderkey) % 2000 AS b
+  FROM orders
+),
+e AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM raw WHERE a <> b
+)
+SELECT count(*)::BIGINT AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+"""
+
+
 def _q_diff_orders(sf_dir: str):
     """Snapshot diff (raykg/ops/diff.py table_diff): orders vs a
     deterministically perturbed refresh (every 97th key removed,
@@ -3041,6 +3081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_user_event_entropy": _q_entropy_events,
         "join_similarity_documents": _q_similarity_join_docs,
         "diff_orders_snapshot": _q_diff_orders,
+        "graph_triangle_count": _q_triangle_count,
         # rows-only (iterative / eigen-based)
         "embed_pca_project": _q_embed_pca,
         "bpe_tokenize_documents": _q_bpe_tokenize,
@@ -3118,6 +3159,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_user_event_entropy": _SQL_ENTROPY_EVENTS,
         "join_similarity_documents": _SQL_SIMILARITY_JOIN,
         "diff_orders_snapshot": _SQL_DIFF_ORDERS,
+        "graph_triangle_count": _SQL_TRIANGLES,
         "simhash_near_dup_pairs": _SQL_SIMHASH,
         "text_fingerprints": _SQL_FINGERPRINTS,
         "dedup_groups_minhash": _SQL_DEDUP_GROUPS,

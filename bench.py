@@ -210,6 +210,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("cluster_embeddings_kmeans", em._q_kmeans_embeddings)
         timed("join_similarity_documents", em._q_similarity_join_docs)
         timed("diff_orders_snapshot", em._q_diff_orders)
+        timed("graph_triangle_count", em._q_triangle_count)
 
     result = {
         "metric": "kg_pipeline_wall",

@@ -1374,3 +1374,33 @@ def test_table_diff_duplicate_key_raises():
     with pytest.raises(Exception):
         table_diff(rd.from_pandas(old), rd.from_pandas(new),
                    "k", ["a"]).to_pandas()
+
+
+def test_triangle_count_vs_dense_trace():
+    from raykg.ops.cc import triangle_count
+
+    rng = np.random.default_rng(41)
+    n = 60
+    # random graph + a hub (vertex 0 connected to everyone) + planted
+    # self-loops and duplicate/bidirectional rows
+    A = (rng.random((n, n)) < 0.12)
+    A[0, :] = True  # hub — the "last reducer" case degree orientation fixes
+    A = np.triu(A, 1)
+    A = A | A.T
+    uu, vv = np.nonzero(np.triu(A, 1))
+    src = np.concatenate([uu, vv, [3, 7]])        # reversed dups + loops
+    dst = np.concatenate([vv, uu, [3, 7]])
+    want = int(np.trace(np.linalg.matrix_power(A.astype(np.int64), 3)) // 6)
+    assert want > 0
+    df = pd.DataFrame({"src": src, "dst": dst})
+    for parts in (1, 5):
+        got = triangle_count(rd.from_pandas(df).repartition(parts))
+        assert got == want, (parts, got, want)
+
+
+def test_triangle_count_empty_and_triangle_free():
+    from raykg.ops.cc import triangle_count
+
+    # a path graph has zero triangles
+    df = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 4]})
+    assert triangle_count(rd.from_pandas(df)) == 0
