@@ -2785,6 +2785,100 @@ FROM lineitem l JOIN s ON l.l_returnflag = s.k
 """
 
 
+def _q_semantic_decontam(sf_dir: str):
+    """Embedding-space decontamination (raykg/ops/decontam.py
+    semantic_decontaminate): corpus = embeddings ∪ an id-shifted copy
+    of the eval rows (planted leaks at cosine exactly 1 — the raw
+    table's max background cosine is ~0.52, so a direct run is
+    vacuously clean); eval suite = vec_id % 50 == 0 rows. Broadcast
+    normalized eval matrix, one GEMM per batch, running row-max.
+    Oracle: DuckDB list_cosine_similarity cross join over DOUBLE
+    lists; shared half-up rounding at 1e-6 (values sit at ~1.0 and
+    ≤0.53 — far from every boundary)."""
+    import pandas as pd
+
+    from raykg.ops.decontam import semantic_decontaminate
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def is_eval(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 50 == 0))
+
+    eval_rows = emb.map_batches(is_eval, batch_format="pyarrow").take_all()
+    eval_X = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                       for r in eval_rows])
+
+    def shifted_copy(t: pa.Table) -> pa.Table:
+        t = is_eval(t)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table({"vec_id": pa.array(ids + 1000000),
+                         "embedding": t.column("embedding")})
+
+    corpus = emb.union(
+        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(shifted_copy, batch_format="pyarrow"))
+    out = semantic_decontaminate(corpus, eval_X,
+                                 id_col="vec_id").to_pandas()
+    out["max_sim"] = np.floor(out["max_sim"] * 1000000 + 0.5) / 1000000
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+_SQL_SEMANTIC_DECONTAM = """
+WITH ev AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0
+),
+sims AS (
+  SELECT c.vec_id,
+         max(list_cosine_similarity(
+               list_transform(c.embedding, x -> x::DOUBLE), ev.e)) AS s
+  FROM corpus c CROSS JOIN ev
+  GROUP BY c.vec_id
+)
+SELECT vec_id, floor(s * 1000000 + 0.5) / 1000000 AS max_sim,
+       s >= 0.8 AS contaminated
+FROM sims ORDER BY vec_id
+"""
+
+
+def _q_value_mad(sf_dir: str):
+    """Per-type robust stats (raykg/ops/profile.py grouped_mad):
+    median + MAD in ONE bucketed co-location shuffle, both statistics
+    from the key's group in the same task. np.quantile linear
+    interpolation == quantile_cont; shared half-up rounding."""
+    from raykg.ops.profile import grouped_mad
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    out = grouped_mad(ds, "event_type", "value").to_pandas()
+    out["med"] = np.floor(out["med"] * 1000000 + 0.5) / 1000000
+    out["mad"] = np.floor(out["mad"] * 1000000 + 0.5) / 1000000
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_VALUE_MAD = """
+WITH m AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, any_value(m.n) AS n,
+       floor(any_value(m.med) * 1000000 + 0.5) / 1000000 AS med,
+       floor(quantile_cont(abs(e.value - m.med), 0.5) * 1000000 + 0.5)
+         / 1000000 AS mad
+FROM events e JOIN m USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
 def _q_triangle_count(sf_dir: str):
     """Exact triangle count (raykg/ops/cc.py triangle_count) of a
     deterministic graph derived from orders (endpoints o_custkey %
@@ -3082,6 +3176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_similarity_documents": _q_similarity_join_docs,
         "diff_orders_snapshot": _q_diff_orders,
         "graph_triangle_count": _q_triangle_count,
+        "agg_value_mad": _q_value_mad,
+        "decontaminate_semantic": _q_semantic_decontam,
         # rows-only (iterative / eigen-based)
         "embed_pca_project": _q_embed_pca,
         "bpe_tokenize_documents": _q_bpe_tokenize,
@@ -3160,6 +3256,8 @@ def oracle_sql() -> dict[str, str]:
         "join_similarity_documents": _SQL_SIMILARITY_JOIN,
         "diff_orders_snapshot": _SQL_DIFF_ORDERS,
         "graph_triangle_count": _SQL_TRIANGLES,
+        "agg_value_mad": _SQL_VALUE_MAD,
+        "decontaminate_semantic": _SQL_SEMANTIC_DECONTAM,
         "simhash_near_dup_pairs": _SQL_SIMHASH,
         "text_fingerprints": _SQL_FINGERPRINTS,
         "dedup_groups_minhash": _SQL_DEDUP_GROUPS,

@@ -211,6 +211,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("join_similarity_documents", em._q_similarity_join_docs)
         timed("diff_orders_snapshot", em._q_diff_orders)
         timed("graph_triangle_count", em._q_triangle_count)
+        timed("agg_value_mad", em._q_value_mad)
+        timed("decontaminate_semantic", em._q_semantic_decontam)
 
     result = {
         "metric": "kg_pipeline_wall",

@@ -77,3 +77,49 @@ def decontaminate(ds, bench_texts: list[str], n: int = 8,
         return t.filter(pa.array(dirty if invert else ~dirty))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def semantic_decontaminate(ds, eval_vectors, vec_col: str = "embedding",
+                           id_col: str = "doc_id", threshold: float = 0.8,
+                           chunk: int = 4096):
+    """Embedding-space decontamination: flag every corpus row whose
+    COSINE similarity to ANY held-out eval vector reaches
+    ``threshold`` — the semantic complement of the n-gram
+    ``decontaminate`` (paraphrased eval leakage that shares no 8-gram
+    still lands next to the eval point in embedding space).
+
+    Scale shape mirrors the n-gram variant: the (m, d) eval matrix is
+    unit-normalized once and broadcast via ``ray.put``; each batch is
+    one (rows × m) GEMM (chunked over eval columns at ``chunk`` so a
+    100k-probe eval suite stays in cache), keeping only the running
+    row-max — a stateless streaming map, no shuffle.  For eval suites
+    beyond GEMM reach, pre-bucket both sides with the LSH machinery of
+    ``dedup.embedding_cosine_pairs`` instead.
+
+    -> Dataset(id_col, max_sim, contaminated).
+    """
+    import ray
+
+    from raykg.encode import column_to_vectors
+
+    E = np.asarray(eval_vectors, dtype=np.float64)
+    nrm = np.linalg.norm(E, axis=1, keepdims=True)
+    nrm[nrm == 0.0] = 1.0
+    eref = ray.put(np.ascontiguousarray((E / nrm).T))  # (d, m)
+
+    def fn(t: pa.Table) -> pa.Table:
+        Et = ray.get(eref)
+        V = column_to_vectors(t.column(vec_col)).astype(np.float64)
+        vn = np.linalg.norm(V, axis=1, keepdims=True)
+        vn[vn == 0.0] = 1.0
+        V = V / vn
+        best = np.full(V.shape[0], -np.inf)
+        for j in range(0, Et.shape[1], chunk):
+            np.maximum(best, (V @ Et[:, j:j + chunk]).max(axis=1), out=best)
+        return pa.table({
+            id_col: t.column(id_col),
+            "max_sim": pa.array(best, pa.float64()),
+            "contaminated": pa.array(best >= threshold),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

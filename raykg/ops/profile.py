@@ -160,6 +160,44 @@ def grouped_zscore(ds, key: str, col: str, out_col: str = "z",
     return ds.map_batches(apply, batch_format="pyarrow")
 
 
+def grouped_mad(ds, key: str, col: str, coarse: int = 64):
+    """Per-group median and MAD (median absolute deviation,
+    ``median(|x - median(x)|)``) — the robust location/scale pair an
+    outlier gate uses when means/stds are poisoned by the outliers
+    themselves.
+
+    Exact quantiles need each key's values co-located, so this is ONE
+    bucketed shuffle (hash(key) % coarse — scheduling per bucket, not
+    per key, the many-keys-per-call pattern); both statistics of a
+    key come from its group in the same task, so there is no second
+    pass and no broadcast.  Interpolation is ``np.quantile`` linear ==
+    SQL ``quantile_cont``.  -> Dataset(key, n, med, mad).
+    """
+    from raykg.util import hash_strings
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        c = t.column(key)
+        if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
+            b = hash_strings(c.to_pylist()) % coarse
+        else:
+            b = (c.to_numpy(zero_copy_only=False).astype(np.uint64)
+                 * np.uint64(2654435761)) % np.uint64(coarse)
+        return t.append_column("_b", pa.array(b.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, v in g.groupby(key)[col]:
+            a = v.to_numpy(dtype=np.float64)
+            med = float(np.quantile(a, 0.5))
+            mad = float(np.quantile(np.abs(a - med), 0.5))
+            rows.append((k, len(a), med, mad))
+        return pd.DataFrame(rows, columns=[key, "n", "med", "mad"])
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
 def grouped_entropy(ds, key: str, col: str) -> pd.DataFrame:
     """Shannon entropy (nats) of ``col``'s value distribution per
     ``key`` group — the domain/topic-diversity statistic a corpus

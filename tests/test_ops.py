@@ -1404,3 +1404,47 @@ def test_triangle_count_empty_and_triangle_free():
     # a path graph has zero triangles
     df = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 4]})
     assert triangle_count(rd.from_pandas(df)) == 0
+
+
+def test_grouped_mad_matches_numpy():
+    from raykg.ops.profile import grouped_mad
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 2000),
+        "v": rng.normal(10, 3, 2000),
+    })
+    df.loc[:20, "v"] = 1e6  # outliers: MAD must shrug, std would not
+    got = (grouped_mad(rd.from_pandas(df).repartition(5), "k", "v")
+           .to_pandas().set_index("k"))
+    for k, g in df.groupby("k"):
+        a = g["v"].to_numpy()
+        med = np.quantile(a, 0.5)
+        assert abs(got.loc[k, "med"] - med) < 1e-12
+        assert abs(got.loc[k, "mad"] - np.quantile(np.abs(a - med), 0.5)) < 1e-12
+        assert got.loc[k, "n"] == len(g)
+        assert got.loc[k, "mad"] < 10  # robust to the planted 1e6 spikes
+
+
+def test_semantic_decontaminate_flags_planted_leaks():
+    from raykg.ops.decontam import semantic_decontaminate
+
+    rng = np.random.default_rng(3)
+    corpus = rng.standard_normal((200, 16)).astype(np.float32)
+    evalX = rng.standard_normal((5, 16))
+    # rows 10..14 are near-copies of the eval probes
+    corpus[10:15] = (evalX + rng.standard_normal((5, 16)) * 0.01).astype(
+        np.float32)
+    df = pd.DataFrame({"doc_id": np.arange(200)})
+    df["embedding"] = [v for v in corpus]
+    got = (semantic_decontaminate(rd.from_pandas(df).repartition(4), evalX,
+                                  threshold=0.9, chunk=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got.contaminated[10:15].all()
+    assert not got.contaminated.drop(range(10, 15)).any()
+    # max_sim matches a direct numpy computation
+    E = evalX / np.linalg.norm(evalX, axis=1, keepdims=True)
+    V = corpus.astype(np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    np.testing.assert_allclose(got.max_sim.to_numpy(),
+                               (V @ E.T).max(axis=1), atol=1e-12)
