@@ -2785,6 +2785,32 @@ FROM lineitem l JOIN s ON l.l_returnflag = s.k
 """
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Exactly-100 length-weighted document sample (raykg/ops/
+    sample.py weighted_sample_k): Efraimidis-Spirakis priorities
+    ln(u)/w from the Knuth hash — deterministic, partitioning- and
+    resume-stable, and the oracle computes the IDENTICAL
+    integer-then-double expression and takes the same top-k."""
+    from raykg.ops.sample import weighted_sample_k
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "n_chars"])
+    out = weighted_sample_k(ds, "doc_id", "n_chars", k=100,
+                            seed=7).to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         ln((((doc_id + 7) * 2654435761) % 4294967296 + 1)
+            / 4294967296.0) / n_chars AS pri
+  FROM documents WHERE n_chars > 0
+  ORDER BY pri DESC, doc_id LIMIT 100
+) ORDER BY doc_id
+"""
+
+
 def _q_semantic_decontam(sf_dir: str):
     """Embedding-space decontamination (raykg/ops/decontam.py
     semantic_decontaminate): corpus = embeddings ∪ an id-shifted copy
@@ -3178,6 +3204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangle_count": _q_triangle_count,
         "agg_value_mad": _q_value_mad,
         "decontaminate_semantic": _q_semantic_decontam,
+        "sample_documents_weighted": _q_weighted_sample,
         # rows-only (iterative / eigen-based)
         "embed_pca_project": _q_embed_pca,
         "bpe_tokenize_documents": _q_bpe_tokenize,
@@ -3258,6 +3285,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangle_count": _SQL_TRIANGLES,
         "agg_value_mad": _SQL_VALUE_MAD,
         "decontaminate_semantic": _SQL_SEMANTIC_DECONTAM,
+        "sample_documents_weighted": _SQL_WEIGHTED_SAMPLE,
         "simhash_near_dup_pairs": _SQL_SIMHASH,
         "text_fingerprints": _SQL_FINGERPRINTS,
         "dedup_groups_minhash": _SQL_DEDUP_GROUPS,

@@ -213,6 +213,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("graph_triangle_count", em._q_triangle_count)
         timed("agg_value_mad", em._q_value_mad)
         timed("decontaminate_semantic", em._q_semantic_decontam)
+        timed("sample_documents_weighted", em._q_weighted_sample)
 
     result = {
         "metric": "kg_pipeline_wall",

@@ -144,17 +144,17 @@ def grouped_zscore(ds, key: str, col: str, out_col: str = "z",
         var = (s2 - s * s / n) / (n - ddof)
         std = np.sqrt(var)
     std = np.where((n > ddof) & (var > 0), std, np.nan)
-    stats_ref = ray.put({
-        k: (m, sd) for k, m, sd in zip(agg[key].tolist(), mean, std)
-    })
+    idx = pd.Index(agg[key])
+    stats_ref = ray.put((idx, mean, std))
 
     def apply(t: pa.Table) -> pa.Table:
-        stats = ray.get(stats_ref)
+        kidx, means, stds = ray.get(stats_ref)
         keys = t.column(key).to_pandas()
         x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
-        ms = keys.map(lambda k: stats.get(k, (np.nan, np.nan)))
-        m = np.fromiter((p[0] for p in ms), dtype=np.float64, count=len(ms))
-        sd = np.fromiter((p[1] for p in ms), dtype=np.float64, count=len(ms))
+        # vectorized hash lookup (Index.get_indexer), no per-row lambda
+        pos = kidx.get_indexer(keys)
+        m = np.where(pos >= 0, means[pos], np.nan)
+        sd = np.where(pos >= 0, stds[pos], np.nan)
         return t.append_column(out_col, pa.array((x - m) / sd, pa.float64()))
 
     return ds.map_batches(apply, batch_format="pyarrow")

@@ -121,3 +121,44 @@ def sample_k_per_key(ds, key_col: str, id_col: str, k: int, seed: int = 0):
     )
     return out.map_batches(lambda t: t.drop_columns(["_rh"]),
                            batch_format="pyarrow")
+
+
+def weighted_sample_k(ds, id_col: str, weight_col: str, k: int,
+                      seed: int = 0):
+    """Exactly-k WEIGHTED sample without replacement (fewer when the
+    table is smaller): row i is selected with probability
+    proportional to ``weight_col`` via the Efraimidis–Spirakis
+    priority ``u_i^(1/w_i)`` — computed as the rank-equivalent
+    ``ln(u_i)/w_i`` (descending) with ``u_i = (knuth32(id)+1)/2^32``.
+
+    The hash-derived u makes the sample deterministic across runs,
+    partitionings and resume (the same property as
+    ``sample_k_per_key``) and exactly SQL-checkable: the oracle
+    computes the identical integer-then-double expression and takes
+    the same top-k (ties by id).  Rows with weight <= 0 are excluded.
+    Selection is per-block local top-k then one single-group merge —
+    blocks × k rows cross the exchange, never the table.
+    """
+    from raykg.ops.rank import top_k_per_key
+
+    def add_priority(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        h = ((ids.astype(np.uint64) + np.uint64(seed)) * _KNUTH) % _M32
+        u = (h.astype(np.float64) + 1.0) / float(1 << 32)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pri = np.log(u) / w
+        t = t.filter(pa.array(w > 0))
+        pri = pri[w > 0]
+        return (t.append_column("_pri", pa.array(pri, pa.float64()))
+                .append_column("_g", pa.array(
+                    np.zeros(len(pri), dtype=np.int32))))
+
+    out = top_k_per_key(
+        ds.map_batches(add_priority, batch_format="pyarrow"),
+        key_col="_g", val_col="_pri", id_col=id_col, k=k,
+        val_ascending=False,
+    )
+    return out.map_batches(lambda t: t.drop_columns(["_pri", "_g"]),
+                           batch_format="pyarrow")

@@ -735,3 +735,30 @@ def test_resample_ffill_edges_vs_duckdb():
     # the 03:00 point after the tied 02:10 events takes eid=12's value
     tied = k1[k1["gts"] == pd.Timestamp("2024-01-01 03:00")]
     assert tied["v"].iloc[0] == 3.0
+
+
+def test_weighted_sample_k_deterministic_and_weight_biased():
+    from raykg.ops.sample import weighted_sample_k
+
+    n = 4000
+    df = pd.DataFrame({"id": np.arange(n),
+                       "w": np.where(np.arange(n) < 200, 50.0, 1.0)})
+    df.loc[5, "w"] = 0.0     # excluded
+    df.loc[6, "w"] = -1.0    # excluded
+    # numpy reference: identical priority expression
+    h = ((df.id.to_numpy().astype(np.uint64) + np.uint64(3))
+         * np.uint64(2654435761)) % np.uint64(1 << 32)
+    u = (h.astype(np.float64) + 1.0) / float(1 << 32)
+    w = df.w.to_numpy()
+    pri = np.where(w > 0, np.log(u) / w, -np.inf)
+    want = set(np.argsort(-pri, kind="stable")[:300].tolist())
+    got_sets = []
+    for parts in (1, 6):
+        got = weighted_sample_k(rd.from_pandas(df).repartition(parts),
+                                "id", "w", k=300, seed=3).to_pandas()
+        got_sets.append(set(got.id.tolist()))
+    assert got_sets[0] == got_sets[1] == want
+    assert 5 not in want and 6 not in want
+    # the 5% of rows carrying 50x weight should dominate the sample
+    heavy = sum(1 for i in want if i < 200)
+    assert heavy > 150
