@@ -2785,6 +2785,33 @@ FROM lineitem l JOIN s ON l.l_returnflag = s.k
 """
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Context-window chunking (raykg/ops/chunk.py chunk_documents):
+    size-200 windows at stride 150, streaming explode with one
+    vectorized utf8 slice per chunk ROUND (never per row). Codepoint
+    slice semantics == SQL substr; the oracle mirrors the
+    trunc-division ceil chunk-count formula exactly."""
+    from raykg.ops.chunk import chunk_documents
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = chunk_documents(ds, size=200, stride=150).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+_SQL_CHUNK_DOCUMENTS = """
+SELECT doc_id, g AS chunk_idx, g * 150 AS offset,
+       substr(text, g * 150 + 1, 200) AS chunk
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, greatest(0, (length(text) - 200 + 149) // 150) + 1))
+           AS g
+  FROM documents WHERE length(text) > 0
+)
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def _q_weighted_sample(sf_dir: str):
     """Exactly-100 length-weighted document sample (raykg/ops/
     sample.py weighted_sample_k): Efraimidis-Spirakis priorities
@@ -3205,6 +3232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_value_mad": _q_value_mad,
         "decontaminate_semantic": _q_semantic_decontam,
         "sample_documents_weighted": _q_weighted_sample,
+        "chunk_documents_windows": _q_chunk_documents,
         # rows-only (iterative / eigen-based)
         "embed_pca_project": _q_embed_pca,
         "bpe_tokenize_documents": _q_bpe_tokenize,
@@ -3286,6 +3314,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_value_mad": _SQL_VALUE_MAD,
         "decontaminate_semantic": _SQL_SEMANTIC_DECONTAM,
         "sample_documents_weighted": _SQL_WEIGHTED_SAMPLE,
+        "chunk_documents_windows": _SQL_CHUNK_DOCUMENTS,
         "simhash_near_dup_pairs": _SQL_SIMHASH,
         "text_fingerprints": _SQL_FINGERPRINTS,
         "dedup_groups_minhash": _SQL_DEDUP_GROUPS,

@@ -214,6 +214,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("agg_value_mad", em._q_value_mad)
         timed("decontaminate_semantic", em._q_semantic_decontam)
         timed("sample_documents_weighted", em._q_weighted_sample)
+        timed("chunk_documents_windows", em._q_chunk_documents)
 
     result = {
         "metric": "kg_pipeline_wall",

@@ -762,3 +762,24 @@ def test_weighted_sample_k_deterministic_and_weight_biased():
     # the 5% of rows carrying 50x weight should dominate the sample
     heavy = sum(1 for i in want if i < 200)
     assert heavy > 150
+
+
+def test_chunk_documents_matches_python_reference():
+    from raykg.ops.chunk import chunk_documents
+
+    size, stride = 10, 7
+    texts = ["", "short", "x" * 10, "y" * 11, "z" * 17, "w" * 18,
+             "aé漢x🎉z" * 4, "exactly_17_chars!!"[:17], None]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (chunk_documents(rd.from_pandas(df).repartition(3),
+                           size=size, stride=stride)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"])
+           .reset_index(drop=True))
+    want = []
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        n = 1 + max(0, -(-(len(t) - size) // stride))
+        for c in range(n):
+            want.append((i, c, c * stride, t[c * stride:c * stride + size]))
+    assert list(zip(got.doc_id, got.chunk_idx, got.offset, got.chunk)) == want
