@@ -2785,6 +2785,60 @@ FROM lineitem l JOIN s ON l.l_returnflag = s.k
 """
 
 
+def _q_compression_ratio(sf_dir: str):
+    """zlib compression-ratio quality signal (raykg/ops/textstats.py
+    compression_ratio): stateless streaming map, per-string C call
+    (the LangId precedent). Rows-only: zlib is not SQL-expressible;
+    determinism and the repetitive<prose<random ordering are pinned
+    in tests/test_ops.py."""
+    from raykg.ops.textstats import compression_ratio
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = compression_ratio(ds).to_pandas()[
+        ["doc_id", "raw_bytes", "zlib_bytes", "zlib_ratio"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_filter_pushdown_lineitem(sf_dir: str):
+    """Row-filter pushdown at the READ: the predicate and the
+    two-column projection ship into the parquet scanner
+    (`read_parquet(columns=..., filter=...)`) so row groups whose
+    l_quantity statistics exclude the predicate are never read and
+    non-matching rows never enter the object store — the
+    prune-at-the-read discipline at its most literal. Grouped sums
+    are integer-valued (exact in float64), so the oracle is
+    bit-exact with no rounding."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity"],
+        filter=(pads.field("l_quantity") > 45.0),
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("l_returnflag", sort=False)["l_quantity"]
+        out = pd.DataFrame({"n_rows": g.count(), "sum_qty": g.sum()})
+        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("l_returnflag", as_index=False)
+           .agg(n_rows=("n_rows", "sum"), sum_qty=("sum_qty", "sum")))
+    agg["n_rows"] = agg["n_rows"].astype("int64")
+    return agg.sort_values("l_returnflag").reset_index(drop=True)
+
+
+_SQL_FILTER_PUSHDOWN = """
+SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+       sum(l_quantity)::DOUBLE AS sum_qty
+FROM lineitem WHERE l_quantity > 45
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def _q_chunk_documents(sf_dir: str):
     """Context-window chunking (raykg/ops/chunk.py chunk_documents):
     size-200 windows at stride 150, streaming explode with one
@@ -3233,10 +3287,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_semantic": _q_semantic_decontam,
         "sample_documents_weighted": _q_weighted_sample,
         "chunk_documents_windows": _q_chunk_documents,
+        "filter_pushdown_lineitem": _q_filter_pushdown_lineitem,
         # rows-only (iterative / eigen-based)
         "embed_pca_project": _q_embed_pca,
         "bpe_tokenize_documents": _q_bpe_tokenize,
         "cluster_embeddings_kmeans": _q_kmeans_embeddings,
+        "quality_compression_ratio": _q_compression_ratio,
         # rows-only continued
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "minhash_incremental_pairs": _q_incremental_minhash,
@@ -3315,6 +3371,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_semantic": _SQL_SEMANTIC_DECONTAM,
         "sample_documents_weighted": _SQL_WEIGHTED_SAMPLE,
         "chunk_documents_windows": _SQL_CHUNK_DOCUMENTS,
+        "filter_pushdown_lineitem": _SQL_FILTER_PUSHDOWN,
         "simhash_near_dup_pairs": _SQL_SIMHASH,
         "text_fingerprints": _SQL_FINGERPRINTS,
         "dedup_groups_minhash": _SQL_DEDUP_GROUPS,

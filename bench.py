@@ -215,6 +215,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("decontaminate_semantic", em._q_semantic_decontam)
         timed("sample_documents_weighted", em._q_weighted_sample)
         timed("chunk_documents_windows", em._q_chunk_documents)
+        timed("filter_pushdown_lineitem", em._q_filter_pushdown_lineitem)
+        timed("quality_compression_ratio", em._q_compression_ratio)
 
     result = {
         "metric": "kg_pipeline_wall",

@@ -1448,3 +1448,27 @@ def test_semantic_decontaminate_flags_planted_leaks():
     V = V / np.linalg.norm(V, axis=1, keepdims=True)
     np.testing.assert_allclose(got.max_sim.to_numpy(),
                                (V @ E.T).max(axis=1), atol=1e-12)
+
+
+def test_compression_ratio_orders_text_kinds():
+    from raykg.ops.textstats import compression_ratio
+
+    rng = np.random.default_rng(5)
+    texts = [
+        "spam spam spam " * 200,                       # repetitive
+        " ".join(rng.choice(["the", "of", "market", "growth", "said",
+                             "report", "analysts", "quarter"], 400)),
+        "".join(chr(c) for c in rng.integers(33, 127, 3000)),  # random
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": range(4), "text": texts})
+    got = (compression_ratio(rd.from_pandas(df).repartition(2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got.zlib_ratio[0] < got.zlib_ratio[1] < got.zlib_ratio[2]
+    assert got.zlib_ratio[0] < 0.1          # boilerplate collapses
+    assert got.zlib_ratio[2] > 0.7          # randomness does not
+    assert got.zlib_ratio[3] == 1.0 and got.raw_bytes[3] == 0
+    # deterministic
+    again = (compression_ratio(rd.from_pandas(df)).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert (got.zlib_bytes == again.zlib_bytes).all()
