@@ -2785,6 +2785,63 @@ FROM lineitem l JOIN s ON l.l_returnflag = s.k
 """
 
 
+def _q_split_users(sf_dir: str):
+    """Group-aware train/val/test split (raykg/ops/sample.py
+    split_assign): every event of one user lands in the same split —
+    the leakage guard — via the Knuth hash of user_id against dyadic
+    cumulative thresholds (exactly SQL-computable integers). Returns
+    the distinct (user, split) assignment."""
+    import pandas as pd
+
+    from raykg.ops.sample import split_assign
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id"])
+    out = split_assign(ds, "event_id",
+                       {"train": 0.75, "val": 0.125, "test": 0.125},
+                       by_col="user_id", seed=0)
+
+    def distinct(t: pa.Table) -> pa.Table:
+        df = t.select(["user_id", "split"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    res = (out.map_batches(distinct, batch_format="pyarrow")
+           .to_pandas().drop_duplicates())
+    return res.sort_values("user_id").reset_index(drop=True)
+
+
+_SQL_SPLIT_USERS = """
+SELECT DISTINCT user_id,
+       CASE WHEN h < 3221225472 THEN 'train'
+            WHEN h < 3758096384 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT user_id, (user_id * 2654435761) % 4294967296 AS h FROM events)
+ORDER BY user_id
+"""
+
+
+def _q_k_anonymity(sf_dir: str):
+    """k-anonymity audit (raykg/ops/validate.py k_anonymity) over the
+    (c_nationkey, c_mktsegment) quasi-identifier pair: combos carried
+    by fewer than 5 customers are re-identification risks. Per-block
+    exact pre-counts, O(distinct combos) exchange."""
+    from raykg.ops.validate import k_anonymity
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_nationkey", "c_mktsegment"])
+    out = k_anonymity(ds, ["c_nationkey", "c_mktsegment"], k=5).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["c_nationkey", "c_mktsegment"])
+            .reset_index(drop=True))
+
+
+_SQL_K_ANONYMITY = """
+SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n
+FROM customer GROUP BY 1, 2 HAVING count(*) < 5
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
 def _q_compression_ratio(sf_dir: str):
     """zlib compression-ratio quality signal (raykg/ops/textstats.py
     compression_ratio): stateless streaming map, per-string C call
@@ -3288,6 +3345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents_weighted": _q_weighted_sample,
         "chunk_documents_windows": _q_chunk_documents,
         "filter_pushdown_lineitem": _q_filter_pushdown_lineitem,
+        "split_users_assignment": _q_split_users,
+        "validate_k_anonymity": _q_k_anonymity,
         # rows-only (iterative / eigen-based)
         "embed_pca_project": _q_embed_pca,
         "bpe_tokenize_documents": _q_bpe_tokenize,
@@ -3372,6 +3431,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents_weighted": _SQL_WEIGHTED_SAMPLE,
         "chunk_documents_windows": _SQL_CHUNK_DOCUMENTS,
         "filter_pushdown_lineitem": _SQL_FILTER_PUSHDOWN,
+        "split_users_assignment": _SQL_SPLIT_USERS,
+        "validate_k_anonymity": _SQL_K_ANONYMITY,
         "simhash_near_dup_pairs": _SQL_SIMHASH,
         "text_fingerprints": _SQL_FINGERPRINTS,
         "dedup_groups_minhash": _SQL_DEDUP_GROUPS,

@@ -217,6 +217,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("chunk_documents_windows", em._q_chunk_documents)
         timed("filter_pushdown_lineitem", em._q_filter_pushdown_lineitem)
         timed("quality_compression_ratio", em._q_compression_ratio)
+        timed("split_users_assignment", em._q_split_users)
+        timed("validate_k_anonymity", em._q_k_anonymity)
 
     result = {
         "metric": "kg_pipeline_wall",

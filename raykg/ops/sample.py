@@ -162,3 +162,47 @@ def weighted_sample_k(ds, id_col: str, weight_col: str, k: int,
     )
     return out.map_batches(lambda t: t.drop_columns(["_pri", "_g"]),
                            batch_format="pyarrow")
+
+
+def split_assign(ds, id_col: str, fracs: dict[str, float],
+                 by_col: str | None = None, seed: int = 0,
+                 out_col: str = "split"):
+    """Deterministic train/val/test split assignment: each row gets a
+    split label by comparing the Knuth hash of its id (or of
+    ``by_col``, the GROUP-AWARE mode: every row of one conversation /
+    source / author lands in the SAME split, the standard guard
+    against train→eval leakage through near-identical sibling rows)
+    against cumulative fraction thresholds.
+
+    Hash-based assignment is stable under partitioning, retries and
+    resume, and exactly SQL-checkable when the fractions are binary
+    (the ``mixture_sample`` lesson: thresholds ``frac * 2^32`` compute
+    identically in numpy and SQL for dyadic fractions).  Stateless
+    streaming map, no shuffle.
+    """
+    labels = list(fracs.keys())
+    cum, acc = [], 0.0
+    for name in labels:
+        acc += fracs[name]
+        cum.append(np.uint64(int(acc * (1 << 32))))
+    if not (0.999999 <= acc <= 1.000001):
+        raise ValueError(f"fractions sum to {acc}, expected 1")
+    cum[-1] = np.uint64(1 << 32)  # close the top bucket exactly
+
+    from raykg.util import hash_strings
+
+    def fn(t: pa.Table) -> pa.Table:
+        src = t.column(by_col or id_col)
+        if pa.types.is_string(src.type) or pa.types.is_large_string(src.type):
+            h = (hash_strings(src.to_pylist()) + np.uint64(seed)) % _M32
+        else:
+            ids = src.to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = ((ids + np.uint64(seed)) * _KNUTH) % _M32
+        out = np.empty(len(h), dtype=object)
+        lo = np.uint64(0)
+        for name, hi in zip(labels, cum):
+            out[(h >= lo) & (h < hi)] = name
+            lo = hi
+        return t.append_column(out_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

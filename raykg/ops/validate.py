@@ -54,3 +54,36 @@ def validate_rules(ds, rules: list[tuple], id_col: str) -> pd.DataFrame:
     agg["n_rows"] = agg["n_rows"].astype("int64")
     agg["n_violations"] = agg["n_violations"].astype("int64")
     return agg
+
+
+def k_anonymity(ds, quasi_cols: list[str], k: int = 5, coarse: int = 64):
+    """k-anonymity audit over a quasi-identifier column set: every
+    combination of ``quasi_cols`` values carried by FEWER than ``k``
+    rows is a re-identification risk — the privacy gate run before a
+    dataset leaves a curation pipeline.
+
+    One streaming pass of per-block exact (combo, count) pre-counts
+    (the grouped-entropy shape: the exchange is O(blocks × distinct
+    combos), Zipf-bounded, never O(rows)), one coarse-bucket fold,
+    then a count filter.  -> Dataset(*quasi_cols, n) of violating
+    combos (n < k).
+    """
+    from raykg.util import hash_string_columns
+
+    def part(t: pa.Table) -> pa.Table:
+        df = t.select(quasi_cols).to_pandas()
+        out = (df.groupby(quasi_cols, sort=False, dropna=False).size()
+               .rename("n").reset_index())
+        h = hash_string_columns(
+            *[out[c].astype(str).tolist() for c in quasi_cols])
+        out["_b"] = (h % coarse).astype(np.int32)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(quasi_cols, sort=False, dropna=False)["n"].sum()
+               .reset_index())
+        return agg[agg["n"] < k]
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(fold, batch_format="pandas"))

@@ -1472,3 +1472,40 @@ def test_compression_ratio_orders_text_kinds():
     again = (compression_ratio(rd.from_pandas(df)).to_pandas()
              .sort_values("doc_id").reset_index(drop=True))
     assert (got.zlib_bytes == again.zlib_bytes).all()
+
+
+def test_split_assign_group_aware_and_fractions():
+    from raykg.ops.sample import split_assign
+
+    n = 8000
+    df = pd.DataFrame({"id": np.arange(n), "grp": (np.arange(n) // 8)})
+    fr = {"train": 0.75, "val": 0.125, "test": 0.125}
+    got = (split_assign(rd.from_pandas(df).repartition(5), "id", fr,
+                        by_col="grp", seed=1).to_pandas())
+    # group-aware: one split per group, always
+    assert (got.groupby("grp")["split"].nunique() == 1).all()
+    # fractions approximately honored at the group level
+    per = got.drop_duplicates("grp")["split"].value_counts(normalize=True)
+    assert abs(per["train"] - 0.75) < 0.03
+    assert abs(per["val"] - 0.125) < 0.02
+    # deterministic across partitionings
+    again = split_assign(rd.from_pandas(df).repartition(2), "id", fr,
+                         by_col="grp", seed=1).to_pandas()
+    assert (got.sort_values("id")["split"].to_numpy()
+            == again.sort_values("id")["split"].to_numpy()).all()
+    # every row labeled
+    assert got["split"].isin(list(fr)).all()
+
+
+def test_k_anonymity_finds_rare_combos():
+    from raykg.ops.validate import k_anonymity
+
+    df = pd.DataFrame({
+        "zip": ["10001"] * 50 + ["94110"] * 3 + ["60601"] * 1,
+        "age": [30] * 50 + [40] * 3 + [50] * 1,
+    })
+    got = (k_anonymity(rd.from_pandas(df).repartition(4),
+                       ["zip", "age"], k=5).to_pandas()
+           .sort_values("zip").reset_index(drop=True))
+    assert list(zip(got.zip, got.age, got.n)) == [
+        ("60601", 50, 1), ("94110", 40, 3)]
