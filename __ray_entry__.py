@@ -2827,18 +2827,30 @@ def _q_k_anonymity(sf_dir: str):
     exact pre-counts, O(distinct combos) exchange."""
     from raykg.ops.validate import k_anonymity
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_nationkey", "c_mktsegment"])
-    out = k_anonymity(ds, ["c_nationkey", "c_mktsegment"], k=5).to_pandas()
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def band(t: pa.Table) -> pa.Table:
+        bal = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        b = np.floor(bal / 1000.0).astype(np.int64)
+        return t.append_column("bal_band", pa.array(b)).drop_columns(
+            ["c_acctbal"])
+
+    out = k_anonymity(ds.map_batches(band, batch_format="pyarrow"),
+                      ["c_nationkey", "c_mktsegment", "bal_band"],
+                      k=5).to_pandas()
     out["n"] = out["n"].astype("int64")
-    return (out.sort_values(["c_nationkey", "c_mktsegment"])
+    return (out.sort_values(["c_nationkey", "c_mktsegment", "bal_band"])
             .reset_index(drop=True))
 
 
 _SQL_K_ANONYMITY = """
-SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n
-FROM customer GROUP BY 1, 2 HAVING count(*) < 5
-ORDER BY c_nationkey, c_mktsegment
+SELECT c_nationkey, c_mktsegment,
+       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+       count(*)::BIGINT AS n
+FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 5
+ORDER BY c_nationkey, c_mktsegment, bal_band
 """
 
 
