@@ -2785,6 +2785,31 @@ FROM lineitem l JOIN s ON l.l_returnflag = s.k
 """
 
 
+def _q_rebalance_documents(sf_dir: str):
+    """Distribution rebalancing (raykg/ops/sample.py rebalance):
+    every source downsampled at min_count/count to equal expected
+    volume — the data-derived mixture. The oracle computes the
+    identical rate expression (mn::DOUBLE / n::DOUBLE * 2^32) and
+    hash filter."""
+    from raykg.ops.sample import rebalance
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source"])
+    out = rebalance(ds, "source", "doc_id", seed=0).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_REBALANCE_DOCS = """
+WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+m AS (SELECT min(n) AS mn FROM c)
+SELECT d.doc_id, d.source
+FROM documents d JOIN c USING (source), m
+WHERE ((d.doc_id * 2654435761) % 4294967296)
+      < (m.mn::DOUBLE / c.n::DOUBLE) * 4294967296.0
+ORDER BY d.doc_id
+"""
+
+
 def _q_split_users(sf_dir: str):
     """Group-aware train/val/test split (raykg/ops/sample.py
     split_assign): every event of one user lands in the same split —
@@ -3358,6 +3383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents_windows": _q_chunk_documents,
         "filter_pushdown_lineitem": _q_filter_pushdown_lineitem,
         "split_users_assignment": _q_split_users,
+        "rebalance_documents_sources": _q_rebalance_documents,
         "validate_k_anonymity": _q_k_anonymity,
         # rows-only (iterative / eigen-based)
         "embed_pca_project": _q_embed_pca,
@@ -3444,6 +3470,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents_windows": _SQL_CHUNK_DOCUMENTS,
         "filter_pushdown_lineitem": _SQL_FILTER_PUSHDOWN,
         "split_users_assignment": _SQL_SPLIT_USERS,
+        "rebalance_documents_sources": _SQL_REBALANCE_DOCS,
         "validate_k_anonymity": _SQL_K_ANONYMITY,
         "simhash_near_dup_pairs": _SQL_SIMHASH,
         "text_fingerprints": _SQL_FINGERPRINTS,

@@ -219,6 +219,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("quality_compression_ratio", em._q_compression_ratio)
         timed("split_users_assignment", em._q_split_users)
         timed("validate_k_anonymity", em._q_k_anonymity)
+        timed("rebalance_documents_sources", em._q_rebalance_documents)
 
     result = {
         "metric": "kg_pipeline_wall",

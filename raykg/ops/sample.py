@@ -206,3 +206,36 @@ def split_assign(ds, id_col: str, fracs: dict[str, float],
         return t.append_column(out_col, pa.array(out, pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def rebalance(ds, key_col: str, id_col: str, seed: int = 0):
+    """Rebalance a skewed key distribution to EQUAL expected counts:
+    every key is downsampled at rate ``min_count / count_key`` via the
+    same deterministic hash filter as ``mixture_sample`` (stable under
+    partitioning/retries/resume) — the "don't let one domain dominate
+    the mix" curation step with the rates derived from the data
+    instead of hand-picked.
+
+    Pass 1 is a grouped count (per-block pre-counts, O(keys) on the
+    driver); the rate table broadcasts via the closure (tiny); pass 2
+    is the stateless hash filter.  Rows whose key was unseen in pass 1
+    (impossible for the same input) would be dropped.
+    """
+    counts: dict = {}
+    for row in (ds.groupby(key_col).count().take_all()):
+        counts[row[key_col]] = row["count()"]
+    if not counts:
+        return ds
+    min_n = min(counts.values())
+    thr = {k: np.float64(min_n) / np.float64(n) * np.float64(1 << 32)
+           for k, n in counts.items()}
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        h = ((ids + np.uint64(seed)) * _KNUTH) % _M32
+        keys = t.column(key_col).to_pandas()
+        lim = keys.map(thr).to_numpy(dtype=np.float64)
+        return t.filter(pa.array(h.astype(np.float64) < lim))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

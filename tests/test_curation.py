@@ -783,3 +783,22 @@ def test_chunk_documents_matches_python_reference():
         for c in range(n):
             want.append((i, c, c * stride, t[c * stride:c * stride + size]))
     assert list(zip(got.doc_id, got.chunk_idx, got.offset, got.chunk)) == want
+
+
+def test_rebalance_equalizes_expected_counts():
+    from raykg.ops.sample import rebalance
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "id": np.arange(30000),
+        "dom": np.repeat(["big", "mid", "small"], [24000, 5000, 1000]),
+    })
+    got = rebalance(rd.from_pandas(df).repartition(6), "dom", "id",
+                    seed=2).to_pandas()
+    counts = got["dom"].value_counts()
+    assert counts["small"] == 1000                 # rate 1.0, all kept
+    for d in ("big", "mid"):
+        assert abs(counts[d] - 1000) < 150         # ~equal expectation
+    again = rebalance(rd.from_pandas(df).repartition(2), "dom", "id",
+                      seed=2).to_pandas()
+    assert set(got.id) == set(again.id)            # partition-stable
