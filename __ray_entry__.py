@@ -2785,6 +2785,74 @@ FROM lineitem l JOIN s ON l.l_returnflag = s.k
 """
 
 
+def _q_entity_match_groups(sf_dir: str):
+    """Entity-resolution composition: cross-catalog fuzzy matches
+    (jaccard_similarity_join, even- vs odd-doc_id halves at 0.7) fed
+    into connected_components — min-reachable-id entity labels across
+    both catalogs. Oracle closes the brute-force cross-side jaccard
+    edges under a recursive transitive-closure CTE (the
+    dedup_groups_minhash machinery with a parity join condition)."""
+    import pyarrow.compute as pc
+
+    from raykg.ops.cc import connected_components
+    from raykg.ops.dedup import jaccard_similarity_join
+
+    def half(parity):
+        def fn(t):
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == parity))
+        return fn
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    pairs = jaccard_similarity_join(
+        docs.map_batches(half(0), batch_format="pyarrow"),
+        docs.map_batches(half(1), batch_format="pyarrow"),
+        threshold=0.7)
+    out = connected_components(pairs, src="id_l", dst="id_r").to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+_SQL_ENTITY_MATCH_GROUPS = """
+WITH RECURSIVE
+docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest([substr(t, i, 5) FOR i IN range(1, length(t) - 3)]) AS g
+    FROM docs WHERE length(t) >= 5
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.7
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+)
+SELECT n AS node, least(n, min(m)) AS component
+FROM reach GROUP BY n
+ORDER BY node
+"""
+
+
 def _q_rebalance_documents(sf_dir: str):
     """Distribution rebalancing (raykg/ops/sample.py rebalance):
     every source downsampled at min_count/count to equal expected
@@ -3384,6 +3452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_pushdown_lineitem": _q_filter_pushdown_lineitem,
         "split_users_assignment": _q_split_users,
         "rebalance_documents_sources": _q_rebalance_documents,
+        "entity_match_groups": _q_entity_match_groups,
         "validate_k_anonymity": _q_k_anonymity,
         # rows-only (iterative / eigen-based)
         "embed_pca_project": _q_embed_pca,
@@ -3471,6 +3540,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_pushdown_lineitem": _SQL_FILTER_PUSHDOWN,
         "split_users_assignment": _SQL_SPLIT_USERS,
         "rebalance_documents_sources": _SQL_REBALANCE_DOCS,
+        "entity_match_groups": _SQL_ENTITY_MATCH_GROUPS,
         "validate_k_anonymity": _SQL_K_ANONYMITY,
         "simhash_near_dup_pairs": _SQL_SIMHASH,
         "text_fingerprints": _SQL_FINGERPRINTS,

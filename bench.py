@@ -220,6 +220,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("split_users_assignment", em._q_split_users)
         timed("validate_k_anonymity", em._q_k_anonymity)
         timed("rebalance_documents_sources", em._q_rebalance_documents)
+        timed("entity_match_groups", em._q_entity_match_groups)
 
     result = {
         "metric": "kg_pipeline_wall",
