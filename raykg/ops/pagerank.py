@@ -10,16 +10,17 @@ with no out-edges. Fixed ``n_iter`` iterations from the uniform
 start — deterministic, so tests pin it against a dense numpy
 reference bit-for-bit (float64 sums ordered per bucket).
 
-Scale shape: edges are bucketed ONCE by h(src) and iterated in place;
-each iteration is (1) a bucket-local rank lookup (ranks arrive
-bucketed the same way — the co-partitioning trick, no per-iteration
-re-join of the full edge set), (2) a contribution groupby h(dst), and
-(3) a left-join back onto the node list for zero-indegree nodes. The
-rank table (one float per node) is the only state that moves between
-iterations; the edge table never leaves its buckets. Partitioning
-assumption: one src-hash bucket of edges fits a task (``coarse``
-spreads uniformly; a super-node's OUT-edges share one bucket — at web
-scale raise ``coarse`` so max out-degree x row width fits memory).
+Scale shape: edges are bucketed ONCE by h(src) into object-store
+blobs and ITERATED AS RAW TASKS (the documented raw-task case:
+iterative co-partitioned state) — each iteration is coarse contrib
+tasks (segmented sums per src bucket, pre-grouped by h(dst)) + coarse
+apply tasks, with only the scalar dangling mass crossing the driver.
+The rank vectors (one float per node) are the only state that moves
+between iterations; the edge blobs never leave the object store.
+Partitioning assumption: one src-hash bucket of edges fits a task
+(``coarse`` spreads uniformly; a super-node's OUT-edges share one
+bucket — at web scale raise ``coarse`` so max out-degree x row width
+fits memory).
 """
 
 from __future__ import annotations
@@ -29,7 +30,6 @@ import pandas as pd
 import pyarrow as pa
 
 import ray
-from ray.data.aggregate import Sum
 
 PR_BUCKETS = 64
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
@@ -47,175 +47,170 @@ def pagerank(
     dst_col: str = "dst",
     damping: float = 0.85,
     n_iter: int = 10,
-    coarse: int = PR_BUCKETS,
+    coarse: int = 32,
 ):
     """-> Dataset of ``(node, rank)`` over all nodes appearing in any
     edge. Duplicate edges count once (multi-edges are deduped, the
     convention of the numpy reference and most graph libraries'
-    default adjacency-matrix formulation)."""
+    default adjacency-matrix formulation).
 
-    # ---- one-time: dedup edges, out-degree per src, node universe.
-    # Everything below is bucketed by the SAME h(key)%coarse so ranks
-    # and edges meet bucket-locally each iteration.
+    Implementation: the ITERATION runs as raw Ray tasks over
+    co-partitioned object-store state — the documented raw-task case
+    (iterative shared state the Dataset API cannot express without
+    paying a full shuffle-job's fixed cost per iteration; the previous
+    Ray-Data-loop formulation spent ~4 all-to-all jobs x n_iter on
+    scheduling overhead alone, 40-70 s at fixture scale for seconds of
+    actual work). One Ray-Data pass buckets the edge list by h(src)
+    into per-bucket blobs (src positions, per-edge 1/outdeg, dst runs
+    grouped by h(dst), sink mask — all precomputed once); each
+    iteration is then coarse ``_pr_contribs`` tasks (one GEMV-shaped
+    gather + segmented sums per src bucket) and coarse ``_pr_apply``
+    tasks (merge the dst-bucket partials), with only the scalar
+    dangling mass synchronizing on the driver. The rank vectors (one
+    float per node) are the only state that moves between iterations;
+    the edge blobs never leave the object store.
+    """
     def prep(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({
-            "src": t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64),
-            "dst": t.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64),
+            "src": t.column(src_col).to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "dst": t.column(dst_col).to_numpy(zero_copy_only=False)
+            .astype(np.int64),
         }).drop_duplicates()
-        df["_b"] = _bucket(df["src"].to_numpy(), coarse)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    edges = (
-        edges_ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("_b")
-        .map_groups(
-            lambda g: g.drop_duplicates(subset=["src", "dst"]),
-            batch_format="pandas",
+    block_refs = list(
+        edges_ds.map_batches(prep, batch_format="pyarrow").to_arrow_refs()
+    )
+    if not block_refs:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.float64()),
+        }))
+
+    # manual bucket exchange: each block splits into coarse edge parts
+    # (by h(src)) + coarse dst-id parts (by h(dst)); parts stay in the
+    # object store, the driver routes refs only.
+    @ray.remote
+    def _pr_split(tbl: pa.Table, c: int):
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        sb = _bucket(s, c)
+        db = _bucket(d, c)
+        out = []
+        for j in range(c):
+            m = sb == j
+            out.append((s[m], d[m]))
+        for j in range(c):
+            out.append(np.unique(d[db == j]))
+        return out
+
+    splits = [
+        _pr_split.options(num_returns=2 * coarse).remote(b, coarse)
+        for b in block_refs
+    ]
+
+    @ray.remote(num_returns=4)
+    def _pr_assemble(c: int, *parts):
+        k = len(parts) // 2
+        s = np.concatenate([p[0] for p in parts[:k]]) if k else np.zeros(
+            0, np.int64)
+        d = np.concatenate([p[1] for p in parts[:k]]) if k else np.zeros(
+            0, np.int64)
+        ed = np.unique(np.stack([s, d], axis=1), axis=0) if len(s) else \
+            np.zeros((0, 2), np.int64)
+        s, d = ed[:, 0], ed[:, 1]
+        dst_only = (np.concatenate(parts[k:]) if k else
+                    np.zeros(0, np.int64))
+        nodes = np.unique(np.concatenate([s, dst_only]))
+        # outdeg per node of this bucket (0 for dst-only sinks)
+        outdeg = np.zeros(len(nodes), dtype=np.int64)
+        if len(s):
+            sp = np.searchsorted(nodes, s)
+            np.add.at(outdeg, sp, 1)
+        else:
+            sp = np.zeros(0, np.int64)
+        inv_deg = 1.0 / outdeg[sp] if len(sp) else np.zeros(0)
+        # order edges by (h(dst), dst) once; contribs then emits each
+        # dst bucket's partial sums with one reduceat per run
+        db = _bucket(d, c)
+        order = np.lexsort((d, db))
+        d, sp, inv_deg, db = d[order], sp[order], inv_deg[order], db[order]
+        db_off = np.searchsorted(db, np.arange(c + 1))
+        sink = outdeg == 0
+        blob = (db_off, d, sp, inv_deg, sink)
+        return blob, nodes, int(len(nodes)), None
+
+    asm = [
+        _pr_assemble.remote(
+            coarse,
+            *[splits[i][j] for i in range(len(splits))],
+            *[splits[i][coarse + j] for i in range(len(splits))],
         )
-        .materialize()  # iterated n_iter times — pay the exchange once
-    )
+        for j in range(coarse)
+    ]
+    blob_refs = [a[0] for a in asm]
+    node_refs = [a[1] for a in asm]
+    n_nodes = sum(ray.get([a[2] for a in asm]))
+    if n_nodes == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.float64()),
+        }))
 
-    def degs(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.groupby("src", as_index=False).size()
-        d = d.rename(columns={"src": "node", "size": "outdeg"})
-        d["_b"] = g["_b"].iloc[0]
-        return d
+    @ray.remote
+    def _pr_init(nodes, n):
+        return np.full(len(nodes), 1.0 / n, dtype=np.float64)
 
-    outdeg = edges.groupby("_b").map_groups(degs, batch_format="pandas")
+    rank_refs = [_pr_init.remote(node_refs[j], n_nodes)
+                 for j in range(coarse)]
 
-    def nodes_of(t: pa.Table) -> pa.Table:
-        ns = np.unique(np.concatenate([
-            t.column("src").to_numpy(zero_copy_only=False),
-            t.column("dst").to_numpy(zero_copy_only=False),
-        ]).astype(np.int64))
-        return pa.table({"node": pa.array(ns, pa.int64()),
-                         "_b": pa.array(_bucket(ns, coarse))})
+    @ray.remote
+    def _pr_contribs(blob, ranks, c: int):
+        db_off, d, sp, inv_deg, sink = blob
+        contrib = ranks[sp] * inv_deg if len(sp) else np.zeros(0)
+        out = []
+        for j in range(c):
+            lo, hi = int(db_off[j]), int(db_off[j + 1])
+            dj, cj = d[lo:hi], contrib[lo:hi]
+            if len(dj):
+                starts = np.flatnonzero(np.r_[True, dj[1:] != dj[:-1]])
+                out.append((dj[starts], np.add.reduceat(cj, starts)))
+            else:
+                out.append((dj, cj))
+        out.append(float(ranks[sink].sum()))
+        return out
 
-    nodes = (
-        edges.map_batches(nodes_of, batch_format="pyarrow")
-        .groupby("_b")
-        .map_groups(lambda g: g.drop_duplicates(subset=["node"]),
-                    batch_format="pandas")
-        .materialize()
-    )
-    n_nodes = nodes.count()
-
-    # node -> outdeg (0 for sinks), bucketed; this joins ranks each
-    # iteration so contributions divide by degree bucket-locally
-    def with_deg(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["_side"] == 0][["node", "_b"]]
-        right = g[g["_side"] == 1][["node", "outdeg"]]
-        m = left.merge(right, on="node", how="left")
-        m["outdeg"] = m["outdeg"].fillna(0).astype("int64")
-        return m
-
-    node_deg = (
-        nodes.map_batches(
-            lambda t: t.append_column("_side", pa.array(
-                np.zeros(t.num_rows, np.int8))),
-            batch_format="pyarrow")
-        .union(outdeg.map_batches(
-            lambda t: pa.table({
-                "node": t.column("node"),
-                "_b": t.column("_b"),
-                "outdeg": t.column("outdeg"),
-                "_side": pa.array(np.ones(t.num_rows, np.int8)),
-            }), batch_format="pyarrow"))
-        .groupby("_b")
-        .map_groups(with_deg, batch_format="pandas")
-        .materialize()
-    )
-
-    ranks = node_deg.map_batches(
-        lambda t: t.append_column(
-            "rank", pa.array(np.full(t.num_rows, 1.0 / n_nodes))),
-        batch_format="pyarrow",
-    ).materialize()
+    @ray.remote
+    def _pr_apply(nodes, base: float, d_factor: float, *parts):
+        acc = np.zeros(len(nodes), dtype=np.float64)
+        for ids, sums in parts:
+            if len(ids):
+                np.add.at(acc, np.searchsorted(nodes, ids), sums)
+        return base + d_factor * acc
 
     for _ in range(n_iter):
-        # (1) bucket-local src-rank lookup -> per-edge contribution
-        def contribs(g: pd.DataFrame) -> pd.DataFrame:
-            rk = g[g["_side"] == 0][["node", "rank", "outdeg"]]
-            eg = g[g["_side"] == 1][["src", "dst"]]
-            m = eg.merge(rk.rename(columns={"node": "src"}), on="src",
-                         how="left")
-            out = pd.DataFrame({
-                "dst": m["dst"],
-                "c": (m["rank"] / m["outdeg"]).astype(np.float64),
-            })
-            out["_db"] = _bucket(out["dst"].to_numpy(), coarse)
-            # bucket-local pre-sum: the exchange ships one row per
-            # distinct dst per src-bucket
-            return out.groupby(["_db", "dst"], as_index=False)["c"].sum()
-
-        tagged = ranks.map_batches(
-            lambda t: pa.table({
-                "node": t.column("node"), "_b": t.column("_b"),
-                "rank": t.column("rank"), "outdeg": t.column("outdeg"),
-                "src": pa.nulls(t.num_rows, pa.int64()),
-                "dst": pa.nulls(t.num_rows, pa.int64()),
-                "_side": pa.array(np.zeros(t.num_rows, np.int8)),
-            }), batch_format="pyarrow",
-        ).union(edges.map_batches(
-            lambda t: pa.table({
-                "node": pa.nulls(t.num_rows, pa.int64()),
-                "_b": t.column("_b"),
-                "rank": pa.nulls(t.num_rows, pa.float64()),
-                "outdeg": pa.nulls(t.num_rows, pa.int64()),
-                "src": t.column("src"), "dst": t.column("dst"),
-                "_side": pa.array(np.ones(t.num_rows, np.int8)),
-            }), batch_format="pyarrow"))
-        contrib = (
-            tagged.groupby("_b").map_groups(contribs, batch_format="pandas")
-            .groupby("_db")
-            .map_groups(
-                lambda g: g.groupby("dst", as_index=False)["c"].sum()
-                .assign(_db=g["_db"].iloc[0]),
-                batch_format="pandas",
-            )
-            .materialize()
-        )
-        # (2) dangling mass: whatever of the unit total did not flow
-        flowed = contrib.map_batches(
-            lambda t: pa.table({"s": pa.array(
-                [np.float64(t.column("c").to_numpy().sum())])}),
-            batch_format="pyarrow",
-        ).sum("s")
-        dangling = 1.0 - float(flowed or 0.0)
+        res = [
+            _pr_contribs.options(num_returns=coarse + 1).remote(
+                blob_refs[j], rank_refs[j], coarse)
+            for j in range(coarse)
+        ]
+        dangling = sum(ray.get([r[coarse] for r in res]))
         base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        rank_refs = [
+            _pr_apply.remote(node_refs[j], base, damping,
+                             *[res[i][j] for i in range(coarse)])
+            for j in range(coarse)
+        ]
 
-        # (3) left-join contributions back onto the node universe
-        def apply(g: pd.DataFrame) -> pd.DataFrame:
-            nd = g[g["_side"] == 0][["node", "_b", "outdeg"]]
-            cb = g[g["_side"] == 1][["node", "c"]]
-            m = nd.merge(cb, on="node", how="left")
-            m["rank"] = base + damping * m["c"].fillna(0.0)
-            return m[["node", "_b", "outdeg", "rank"]]
+    @ray.remote
+    def _pr_table(nodes, ranks) -> pa.Table:
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "rank": pa.array(ranks, pa.float64())})
 
-        ranks = (
-            node_deg.map_batches(
-                lambda t: pa.table({
-                    "node": t.column("node"), "_b": t.column("_b"),
-                    "outdeg": t.column("outdeg"),
-                    "c": pa.nulls(t.num_rows, pa.float64()),
-                    "_side": pa.array(np.zeros(t.num_rows, np.int8)),
-                }), batch_format="pyarrow")
-            .union(contrib.map_batches(
-                lambda t: pa.table({
-                    "node": t.column("dst").cast(pa.int64()),
-                    "_b": t.column("_db").cast(pa.int64()),
-                    "outdeg": pa.nulls(t.num_rows, pa.int64()),
-                    "c": t.column("c"),
-                    "_side": pa.array(np.ones(t.num_rows, np.int8)),
-                }), batch_format="pyarrow"))
-            .groupby("_b")
-            .map_groups(apply, batch_format="pandas")
-            .materialize()
-        )
-
-    return ranks.map_batches(
-        lambda t: t.select(["node", "rank"]), batch_format="pyarrow"
-    )
+    tables = [_pr_table.remote(node_refs[j], rank_refs[j])
+              for j in range(coarse)]
+    return ray.data.from_arrow_refs(tables)
 
 
 def pagerank_numpy(edges: np.ndarray, damping: float = 0.85,
