@@ -11,14 +11,12 @@ of what it hears:
 
     new_lbl(x) = min(lbl(x), min over neighbours y of lbl(y))
 
-Each round is ONE tagged-union exchange: labels and edges co-locate by
-node bucket, messages (neighbour, label) emit per direction, and a
-grouped min folds them — expressed as plain Ray Data ``map_batches``
-+ ``groupby().map_groups``. Convergence detection is free: labels are
-non-negative and MONOTONE NON-INCREASING ints, so the global label sum
-is a strictly decreasing potential — when the sum stops moving, the
-labelling is a fixed point (no aggregate-to-driver of the labels
-themselves, just one scalar per round).
+Each round runs as RAW RAY TASKS over co-partitioned object-store
+state (see connected_components' docstring — the pagerank.py rewrite):
+labels and the bucketed edge blobs stay in the object store, a round
+is coarse segmented-min message tasks + coarse apply tasks, and only
+per-bucket changed-counts reach the driver. Labels are non-negative
+MONOTONE NON-INCREASING ints, so changed == 0 is a fixed point.
 
 Round count is O(component diameter). Near-dup components are dense
 little cliques (diameter ≲ 3), so 3-5 rounds suffice; a pathological
@@ -42,8 +40,6 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from ray.data.aggregate import Sum
-
 CC_BUCKETS = 64
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
@@ -54,125 +50,137 @@ def _bucket(ids: np.ndarray, coarse: int) -> np.ndarray:
 
 
 def connected_components(edges_ds, src: str = "id_a", dst: str = "id_b",
-                         max_rounds: int = 25, coarse: int = CC_BUCKETS):
+                         max_rounds: int = 25, coarse: int = 32):
     """Label every node reachable through ``edges_ds`` with its
     component's MINIMUM node id. Node ids must be non-negative ints.
     Returns Dataset(node, component). Nodes with no edges are absent
-    (callers union isolated nodes as self-components if needed)."""
+    (callers union isolated nodes as self-components if needed).
 
-    # one pass over the (possibly expensive) upstream pair pipeline:
-    # cache the typed edge list in the object store, then every
-    # structure below — init labels AND each round — reads the cache
+    Implementation: hash-min label propagation with the ROUNDS run as
+    raw Ray tasks over co-partitioned object-store state (the same
+    rewrite as ops/pagerank.py — a Ray-Data groupby job per round
+    costs its fixed all-to-all scheduling overhead times the graph
+    diameter). One Ray-Data pass buckets the bidirectional edge list
+    by h(source endpoint) into per-bucket blobs (source positions into
+    the bucket's node list, dst runs pre-grouped by h(dst)); each
+    round is coarse ``_cc_msgs`` tasks (segmented min per dst run) and
+    coarse ``_cc_apply`` tasks (min of incoming vs current), with only
+    per-bucket changed-counts crossing the driver. Converges in
+    O(component diameter) rounds — raise ``max_rounds`` (or star-
+    contract first) for high-diameter graphs.
+    """
+
     def to_ab(t: pa.Table) -> pa.Table:
         a = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
         b = t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
-    edges_all = edges_ds.map_batches(to_ab,
-                                     batch_format="pyarrow").materialize()
+    import ray
 
-    def edge_rows(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy(zero_copy_only=False)
-        b = t.column("b").to_numpy(zero_copy_only=False)
-        # initial labels double as the first message round: each edge
-        # offers its endpoints each other's id (plus self-labels)
-        node = np.concatenate([a, b, a, b])
-        lbl = np.concatenate([b, a, a, b])
-        return pa.table({
-            "_bk": pa.array(_bucket(node, coarse)),
-            "node": pa.array(node),
-            "lbl": pa.array(lbl),
-        })
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "component": pa.array([], pa.int64())})
+    block_refs = list(
+        edges_ds.map_batches(to_ab, batch_format="pyarrow").to_arrow_refs()
+    )
+    if not block_refs:
+        return rd.from_arrow(empty)
 
-    def fold_min(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("node", as_index=False)["lbl"].min()
+    @ray.remote
+    def _cc_split(tbl: pa.Table, c: int):
+        if tbl.num_rows == 0 or "a" not in tbl.column_names:
+            # zero-row blocks can bypass the to_ab map and arrive with
+            # the upstream schema — emit typed empty parts
+            z = np.zeros(0, np.int64)
+            return [(z, z) for _ in range(c)]
+        a = tbl.column("a").to_numpy(zero_copy_only=False)
+        b = tbl.column("b").to_numpy(zero_copy_only=False)
+        s = np.concatenate([a, b])  # both orientations: each endpoint
+        d = np.concatenate([b, a])  # reads its label where it lives
+        sb = _bucket(s, c)
+        return [(s[sb == j], d[sb == j]) for j in range(c)]
+
+    splits = [_cc_split.options(num_returns=coarse).remote(b, coarse)
+              for b in block_refs]
+
+    @ray.remote(num_returns=3)
+    def _cc_assemble(c: int, *parts):
+        s = (np.concatenate([p[0] for p in parts]) if parts
+             else np.zeros(0, np.int64))
+        d = (np.concatenate([p[1] for p in parts]) if parts
+             else np.zeros(0, np.int64))
+        if len(s):
+            ed = np.unique(np.stack([s, d], axis=1), axis=0)
+            s, d = ed[:, 0], ed[:, 1]
+        nodes = np.unique(s)
+        sp = np.searchsorted(nodes, s) if len(s) else np.zeros(0, np.int64)
+        db = _bucket(d, c)
+        order = np.lexsort((d, db))
+        d, sp, db = d[order], sp[order], db[order]
+        db_off = np.searchsorted(db, np.arange(c + 1))
+        return (db_off, d, sp), nodes, int(len(nodes))
+
+    asm = [
+        _cc_assemble.remote(coarse,
+                            *[splits[i][j] for i in range(len(splits))])
+        for j in range(coarse)
+    ]
+    blob_refs = [a[0] for a in asm]
+    node_refs = [a[1] for a in asm]
+    if sum(ray.get([a[2] for a in asm])) == 0:
+        return rd.from_arrow(empty)
+
+    @ray.remote
+    def _cc_init(nodes):
+        return nodes.copy()  # own id is the starting label
+
+    label_refs = [_cc_init.remote(node_refs[j]) for j in range(coarse)]
+
+    @ray.remote
+    def _cc_msgs(blob, labels, c: int):
+        db_off, d, sp = blob
+        lab = labels[sp] if len(sp) else np.zeros(0, np.int64)
+        out = []
+        for j in range(c):
+            lo, hi = int(db_off[j]), int(db_off[j + 1])
+            dj, lj = d[lo:hi], lab[lo:hi]
+            if len(dj):
+                starts = np.flatnonzero(np.r_[True, dj[1:] != dj[:-1]])
+                out.append((dj[starts], np.minimum.reduceat(lj, starts)))
+            else:
+                out.append((dj, lj))
         return out
 
-    labels = (
-        edges_all.map_batches(edge_rows, batch_format="pyarrow")
-        .groupby("_bk").map_groups(fold_min, batch_format="pandas")
-        .materialize()
-    )
-    if labels.count() == 0:  # no edges: empty labelling, typed schema
-        return rd.from_arrow(pa.table({
-            "node": pa.array([], pa.int64()),
-            "component": pa.array([], pa.int64()),
-        }))
+    @ray.remote(num_returns=2)
+    def _cc_apply(nodes, labels, *parts):
+        new = labels.copy()
+        for ids, mins in parts:
+            if len(ids):
+                pos = np.searchsorted(nodes, ids)
+                np.minimum.at(new, pos, mins)
+        return new, int((new != labels).sum())
 
-    def strip_self(t: pa.Table) -> pa.Table:
-        keep = t.column("a").to_numpy(zero_copy_only=False) != \
-            t.column("b").to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(keep))
-
-    edges = edges_all.map_batches(strip_self,
-                                  batch_format="pyarrow").materialize()
-
-    prev_sum = labels.aggregate(Sum("lbl", alias_name="s"))["s"]
     for _ in range(max_rounds):
-        def tag_labels(t: pa.Table) -> pa.Table:
-            node = t.column("node").to_numpy(zero_copy_only=False)
-            return pa.table({
-                "_bk": pa.array(_bucket(node, coarse)),
-                "n1": t.column("node"), "n2": t.column("node"),
-                "lbl": t.column("lbl"),
-            })
+        res = [
+            _cc_msgs.options(num_returns=coarse).remote(
+                blob_refs[j], label_refs[j], coarse)
+            for j in range(coarse)
+        ]
+        nxt = [
+            _cc_apply.remote(node_refs[j], label_refs[j],
+                             *[res[i][j] for i in range(coarse)])
+            for j in range(coarse)
+        ]
+        changed = sum(ray.get([n[1] for n in nxt]))
+        label_refs = [n[0] for n in nxt]
+        if changed == 0:
+            @ray.remote
+            def _cc_table(nodes, labels) -> pa.Table:
+                return pa.table({"node": pa.array(nodes, pa.int64()),
+                                 "component": pa.array(labels, pa.int64())})
 
-        def tag_edges(t: pa.Table) -> pa.Table:
-            a = t.column("a").to_numpy(zero_copy_only=False)
-            return pa.table({
-                "_bk": pa.array(_bucket(a, coarse)),
-                "n1": t.column("a"), "n2": t.column("b"),
-                "lbl": pa.array(np.full(len(a), -1, dtype=np.int64)),
-            })
-
-        def propagate(df: pd.DataFrame) -> pd.DataFrame:
-            cur = df[df["lbl"] >= 0]
-            lab = cur.set_index("n1")["lbl"]
-            e = df[df["lbl"] < 0]
-            # message to the OTHER endpoint: my current label
-            msg = pd.DataFrame({
-                "node": e["n2"].to_numpy(),
-                "lbl": lab.reindex(e["n1"]).to_numpy(),
-            }).dropna()
-            mine = pd.DataFrame({"node": cur["n1"].to_numpy(),
-                                 "lbl": cur["lbl"].to_numpy()})
-            allm = pd.concat([mine, msg])
-            allm["lbl"] = allm["lbl"].astype(np.int64)
-            return allm.groupby("node", as_index=False)["lbl"].min()
-
-        # edges bucket by SOURCE node (reads its label there), so each
-        # undirected edge must appear in both orientations
-        def both_dirs(t: pa.Table) -> pa.Table:
-            a = t.column("a").to_numpy(zero_copy_only=False)
-            b = t.column("b").to_numpy(zero_copy_only=False)
-            return pa.table({"a": pa.array(np.concatenate([a, b])),
-                             "b": pa.array(np.concatenate([b, a]))})
-
-        tagged = (
-            labels.map_batches(tag_labels, batch_format="pyarrow")
-            .union(edges.map_batches(both_dirs, batch_format="pyarrow")
-                   .map_batches(tag_edges, batch_format="pyarrow"))
-        )
-        folded = (
-            tagged.groupby("_bk").map_groups(propagate,
-                                             batch_format="pandas")
-            # a node's messages land in ITS bucket next: regroup by node
-            .map_batches(lambda t: t.append_column(
-                "_bk2", pa.array(_bucket(
-                    t.column("node").to_numpy(zero_copy_only=False),
-                    coarse))), batch_format="pyarrow")
-            .groupby("_bk2").map_groups(
-                lambda df: df.groupby("node", as_index=False)["lbl"].min(),
-                batch_format="pandas")
-            .materialize()
-        )
-        new_sum = folded.aggregate(Sum("lbl", alias_name="s"))["s"]
-        labels = folded
-        if new_sum == prev_sum:
-            return labels.map_batches(
-                lambda t: t.rename_columns(["node", "component"]),
-                batch_format="pyarrow")
-        prev_sum = new_sum
+            return rd.from_arrow_refs(
+                [_cc_table.remote(node_refs[j], label_refs[j])
+                 for j in range(coarse)])
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds "
         "(high-diameter graph — raise max_rounds or use star contraction)")

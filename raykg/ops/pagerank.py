@@ -93,6 +93,11 @@ def pagerank(
     # object store, the driver routes refs only.
     @ray.remote
     def _pr_split(tbl: pa.Table, c: int):
+        if tbl.num_rows == 0 or "src" not in tbl.column_names:
+            # zero-row blocks can bypass the prep map and arrive with
+            # the upstream schema — emit typed empty parts
+            z = np.zeros(0, np.int64)
+            return [(z, z) for _ in range(c)] + [z for _ in range(c)]
         s = tbl.column("src").to_numpy(zero_copy_only=False)
         d = tbl.column("dst").to_numpy(zero_copy_only=False)
         sb = _bucket(s, c)
