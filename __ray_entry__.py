@@ -1056,6 +1056,8 @@ sh AS (
     SELECT doc_id,
            unnest([substr(t, i, 5) FOR i IN range(1, length(t) - 3)]) AS g
     FROM docs WHERE length(t) >= 5
+    UNION ALL
+    SELECT doc_id, t AS g FROM docs WHERE length(t) < 5
   )
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -1097,6 +1099,8 @@ sh AS (
     SELECT doc_id,
            unnest([substr(t, i, 5) FOR i IN range(1, length(t) - 3)]) AS g
     FROM docs WHERE length(t) >= 5
+    UNION ALL
+    SELECT doc_id, t AS g FROM docs WHERE length(t) < 5
   )
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -1482,6 +1486,8 @@ sh AS (
     SELECT doc_id,
            unnest([substr(t, i, 5) FOR i IN range(1, length(t) - 3)]) AS g
     FROM docs WHERE length(t) >= 5
+    UNION ALL
+    SELECT doc_id, t AS g FROM docs WHERE length(t) < 5
   )
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -2711,8 +2717,12 @@ def _q_embed_l2_normalize(sf_dir: str):
 _SQL_L2_NORMALIZE = """
 SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
        CAST(unnest(embedding) AS DOUBLE)
-         / sqrt(list_sum(list_transform(embedding,
-                                        x -> x::DOUBLE * x::DOUBLE))) AS val
+         / CASE WHEN list_sum(list_transform(embedding,
+                                             x -> x::DOUBLE * x::DOUBLE)) = 0
+                THEN 1.0
+                ELSE sqrt(list_sum(list_transform(embedding,
+                                        x -> x::DOUBLE * x::DOUBLE))) END
+         AS val
 FROM embeddings
 """
 
@@ -2821,6 +2831,8 @@ sh AS (
     SELECT doc_id,
            unnest([substr(t, i, 5) FOR i IN range(1, length(t) - 3)]) AS g
     FROM docs WHERE length(t) >= 5
+    UNION ALL
+    SELECT doc_id, t AS g FROM docs WHERE length(t) < 5
   )
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -3281,6 +3293,8 @@ sh AS (
     SELECT doc_id,
            unnest([substr(t, i, 5) FOR i IN range(1, length(t) - 3)]) AS g
     FROM docs WHERE length(t) >= 5
+    UNION ALL
+    SELECT doc_id, t AS g FROM docs WHERE length(t) < 5
   )
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -145,34 +145,38 @@ def train_bpe(ds, text_col: str = "text", n_merges: int = 100,
         shards.append(_RemoteShard.remote(
             list(words[m]), [int(x) for x in freqs[m]]))
 
-    counts: dict = {}
-    for part in ray.get([sh.initial_counts.remote() for sh in shards]):
-        for p, c in part.items():
-            counts[p] = counts.get(p, 0) + c
+    try:
+        counts: dict = {}
+        for part in ray.get([sh.initial_counts.remote() for sh in shards]):
+            for p, c in part.items():
+                counts[p] = counts.get(p, 0) + c
 
-    merges: list[tuple] = []
-    for _ in range(n_merges):
-        if not counts:
-            break
-        # argmax with deterministic tie-break: count desc, pair asc
-        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if counts[best] < max(min_freq, 1):
-            break
-        merges.append(best)
-        deltas = ray.get([sh.apply_merge.remote(best) for sh in shards])
-        counts.pop(best, None)
-        for d in deltas:
-            for p, c in d.items():
-                if p == best:
-                    continue
-                nc = counts.get(p, 0) + c
-                if nc <= 0:
-                    counts.pop(p, None)
-                else:
-                    counts[p] = nc
-    for sh in shards:
-        ray.kill(sh)
-    return merges
+        merges: list[tuple] = []
+        for _ in range(n_merges):
+            if not counts:
+                break
+            # argmax with deterministic tie-break: count desc, pair asc
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            if counts[best] < max(min_freq, 1):
+                break
+            merges.append(best)
+            deltas = ray.get([sh.apply_merge.remote(best) for sh in shards])
+            counts.pop(best, None)
+            for d in deltas:
+                for p, c in d.items():
+                    if p == best:
+                        continue
+                    nc = counts.get(p, 0) + c
+                    if nc <= 0:
+                        counts.pop(p, None)
+                    else:
+                        counts[p] = nc
+        return merges
+    finally:
+        # kill on every exit path: a mid-loop failure must not leak
+        # n_shards live actors each pinning fractional CPU
+        for sh in shards:
+            ray.kill(sh)
 
 
 def train_bpe_sequential(word_freqs: dict[str, int],

@@ -70,6 +70,8 @@ def connected_components(edges_ds, src: str = "id_a", dst: str = "id_b",
     contract first) for high-diameter graphs.
     """
 
+    coarse = max(2, coarse)  # num_returns=1 would not unpack per-bucket refs
+
     def to_ab(t: pa.Table) -> pa.Table:
         a = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
         b = t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)

@@ -457,6 +457,33 @@ def _dedup_pairs(pairs):
     )
 
 
+def _prefix_token_table(texts, ids, shingle_k, threshold, id_name):
+    """AllPairs prefix emission shared by jaccard_near_dup_pairs and
+    jaccard_similarity_join: each doc's shingle-hash set sorted in the
+    global (hash) order, first |S| - ceil(t*|S|) + 1 tokens emitted.
+    The -1e-9 guards float products like 0.8*10 -> 8.000000000000002
+    -> ceil 9, which would SHRINK the prefix and miss pairs (erring
+    the other way only emits one extra token)."""
+    toks, docs = [], []
+    for i, t in zip(ids.tolist(), texts):
+        sh = np.sort(_shingles(t, shingle_k))
+        alpha = int(np.ceil(threshold * len(sh) - 1e-9))
+        p = len(sh) - alpha + 1
+        toks.append(sh[:p])
+        docs.append(np.full(p, i, dtype=np.int64))
+    tok = np.concatenate(toks) if toks else np.zeros(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        coarse = ((tok * np.uint64(0x9E3779B97F4A7C15))
+                  >> np.uint64(52)).astype(np.int32)
+    return pa.table({
+        "bucket": pa.array(coarse),
+        "token": pa.array(tok.astype(np.int64)),
+        id_name: pa.array(
+            np.concatenate(docs) if docs else np.zeros(0, dtype=np.int64)
+        ),
+    })
+
+
 def jaccard_near_dup_pairs(
     ds,
     text_col: str = "text",
@@ -491,35 +518,10 @@ def jaccard_near_dup_pairs(
     """
 
     def prefix_tokens(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        toks, docs = [], []
-        for i, t in zip(ids.tolist(), texts):
-            sh = np.sort(_shingles(t, shingle_k))  # hash order == global order
-            # required overlap ceil(t*|S|); the -1e-9 guards float
-            # products like 0.8*10 -> 8.000000000000002 -> ceil 9,
-            # which would SHRINK the prefix and miss pairs (erring the
-            # other way only emits one extra token)
-            alpha = int(np.ceil(threshold * len(sh) - 1e-9))
-            p = len(sh) - alpha + 1
-            toks.append(sh[:p])
-            docs.append(np.full(p, i, dtype=np.int64))
-        tok = (
-            np.concatenate(toks) if toks else np.zeros(0, dtype=np.uint64)
-        )
-        with np.errstate(over="ignore"):
-            coarse = ((tok * np.uint64(0x9E3779B97F4A7C15))
-                      >> np.uint64(52)).astype(np.int32)
-        return pa.table(
-            {
-                "bucket": pa.array(coarse),
-                "token": pa.array(tok.astype(np.int64)),
-                id_col: pa.array(
-                    np.concatenate(docs) if docs
-                    else np.zeros(0, dtype=np.int64)
-                ),
-            }
-        )
+        return _prefix_token_table(
+            batch.column(text_col).to_pylist(),
+            batch.column(id_col).to_numpy(zero_copy_only=False),
+            shingle_k, threshold, id_col)
 
     def pairs_in_coarse_bucket(cg: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
@@ -598,29 +600,10 @@ def jaccard_similarity_join(
     ))
 
     def prefix_tokens(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        gids = batch.column("gid").to_numpy(zero_copy_only=False)
-        toks, docs = [], []
-        for i, t in zip(gids.tolist(), texts):
-            sh = np.sort(_shingles(t, shingle_k))
-            alpha = int(np.ceil(threshold * len(sh) - 1e-9))
-            p = len(sh) - alpha + 1
-            toks.append(sh[:p])
-            docs.append(np.full(p, i, dtype=np.int64))
-        tok = (
-            np.concatenate(toks) if toks else np.zeros(0, dtype=np.uint64)
-        )
-        with np.errstate(over="ignore"):
-            coarse = ((tok * np.uint64(0x9E3779B97F4A7C15))
-                      >> np.uint64(52)).astype(np.int32)
-        return pa.table({
-            "bucket": pa.array(coarse),
-            "token": pa.array(tok.astype(np.int64)),
-            "gid": pa.array(
-                np.concatenate(docs) if docs
-                else np.zeros(0, dtype=np.int64)
-            ),
-        })
+        return _prefix_token_table(
+            batch.column("text").to_pylist(),
+            batch.column("gid").to_numpy(zero_copy_only=False),
+            shingle_k, threshold, "gid")
 
     def cross_pairs_in_bucket(cg: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
@@ -883,22 +866,11 @@ def semantic_dedup(
     """
     from raykg.encode import column_to_vectors
 
-    # hash-spread sample with a GLOBAL cap (the pq.py pattern): a
-    # per-block quota alone would grow with block count and a head
-    # sample sees one arm of a clustered corpus. count() is metadata
-    # for parquet inputs.
-    max_sample = sample_per_block * 16
-    n_total = ds.count()
-    rate = min(1.0, (4.0 * max_sample) / max(n_total, 1))
-    thr = np.uint64(int(rate * (1 << 32)))
-    knuth = np.uint64(2654435761)
+    # hash-spread sample with a GLOBAL cap — shared helper
+    # (raykg.ops.sample.hash_spread_sample_rows, the pq.py pattern)
+    from raykg.ops.sample import hash_spread_sample_rows
 
-    def spread(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
-        return t.filter(pa.array((ids * knuth) % np.uint64(1 << 32) < thr))
-
-    sample = (ds.map_batches(spread, batch_format="pyarrow")
-              .limit(max_sample).take_all())
+    sample = hash_spread_sample_rows(ds, id_col, sample_per_block * 16)
     if not sample:
         return ray.data.from_pandas(
             pd.DataFrame({id_col: pd.Series([], dtype="int64"),

@@ -87,4 +87,8 @@ def table_diff(old_ds, new_ds, key: str, compare_cols: list[str],
         out = pd.DataFrame({key: df[key], "status": status})
         return out[out["status"] != ""]
 
-    return joined.map_batches(classify, batch_format="pandas")
+    # batch_size=None: one call per join-output BLOCK. A key's rows
+    # never split across blocks (they share a join bucket task), so
+    # the duplicate-key guard above sees every copy together.
+    return joined.map_batches(classify, batch_format="pandas",
+                              batch_size=None)

@@ -132,6 +132,8 @@ def pca_project(ds, vec_col: str = "embedding", k: int = 8,
         proj = (v - m) @ c.T
         flat = pa.array(np.ascontiguousarray(proj).reshape(-1), pa.float64())
         col = pa.FixedSizeListArray.from_arrays(flat, proj.shape[1])
+        if out_col in t.column_names:
+            t = t.drop_columns([out_col])
         return t.append_column(out_col, col)
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -46,21 +46,11 @@ import ray
 
 from raykg.encode import column_to_vectors
 
-_KNUTH = np.uint64(2654435761)
-_M32 = np.uint64(1 << 32)
-
 
 def _spread_sample(ds, vec_col: str, id_col: str, max_sample: int):
-    n_total = ds.count()
-    rate = min(1.0, (4.0 * max_sample) / max(n_total, 1))
-    thr = np.uint64(int(rate * (1 << 32)))
+    from raykg.ops.sample import hash_spread_sample_rows
 
-    def spread(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
-        return t.filter(pa.array((ids * _KNUTH) % _M32 < thr))
-
-    sample = (ds.map_batches(spread, batch_format="pyarrow")
-              .limit(max_sample).take_all())
+    sample = hash_spread_sample_rows(ds, id_col, max_sample)
     if not sample:
         raise ValueError("empty dataset")
     return np.stack([np.asarray(r[vec_col], dtype=np.float64)
@@ -79,7 +69,6 @@ def kmeans_fit(ds, vec_col: str = "embedding", id_col: str = "vec_id",
 
     X0 = _spread_sample(ds, vec_col, id_col, sample_per_block * 16)
     centers = kmeans_lite(X0, k, seed=seed)
-    k_eff = centers.shape[0]
 
     inertia = float("inf")
     iters = 0

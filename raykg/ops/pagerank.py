@@ -70,6 +70,8 @@ def pagerank(
     float per node) are the only state that moves between iterations;
     the edge blobs never leave the object store.
     """
+    coarse = max(2, coarse)  # num_returns=1 would not unpack per-bucket refs
+
     def prep(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({
             "src": t.column(src_col).to_numpy(zero_copy_only=False)
@@ -115,7 +117,7 @@ def pagerank(
         for b in block_refs
     ]
 
-    @ray.remote(num_returns=4)
+    @ray.remote(num_returns=3)
     def _pr_assemble(c: int, *parts):
         k = len(parts) // 2
         s = np.concatenate([p[0] for p in parts[:k]]) if k else np.zeros(
@@ -144,7 +146,7 @@ def pagerank(
         db_off = np.searchsorted(db, np.arange(c + 1))
         sink = outdeg == 0
         blob = (db_off, d, sp, inv_deg, sink)
-        return blob, nodes, int(len(nodes)), None
+        return blob, nodes, int(len(nodes))
 
     asm = [
         _pr_assemble.remote(

@@ -239,3 +239,24 @@ def rebalance(ds, key_col: str, id_col: str, seed: int = 0):
         return t.filter(pa.array(h.astype(np.float64) < lim))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hash_spread_sample_rows(ds, id_col: str, max_sample: int):
+    """Hash-spread sample with a GLOBAL cap (the pq.py pattern): a
+    per-block quota alone would grow with block count and a head
+    sample sees one arm of a clustered corpus. Rate-filters by the
+    Knuth hash of the id at 4x the cap, then limits. count() is
+    metadata for parquet inputs. Returns a list of row dicts."""
+    import pyarrow as pa
+
+    n_total = ds.count()
+    rate = min(1.0, (4.0 * max_sample) / max(n_total, 1))
+    thr = np.uint64(int(rate * (1 << 32)))
+
+    def spread(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        return t.filter(pa.array((ids * _KNUTH) % _M32 < thr))
+
+    return (ds.map_batches(spread, batch_format="pyarrow")
+            .limit(max_sample).take_all())
