@@ -2795,6 +2795,32 @@ FROM lineitem l JOIN s ON l.l_returnflag = s.k
 """
 
 
+def _q_rank_ties_lineitem(sf_dir: str):
+    """Tie-aware per-key top-k (raykg/ops/rank.py top_k_per_key with
+    keep_ties=True — SQL RANK() <= k / FETCH WITH TIES semantics):
+    top-2 quantities per order, every tied row kept. Same skew-safe
+    partial combiner (local rank filter keeps a superset)."""
+    from raykg.ops.rank import top_k_per_key
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_quantity"])
+    out = top_k_per_key(ds, "l_orderkey", "l_quantity", "l_linenumber",
+                        k=2, keep_ties=True).to_pandas()
+    return (out[["l_orderkey", "l_linenumber", "l_quantity"]]
+            .sort_values(["l_orderkey", "l_linenumber"])
+            .reset_index(drop=True))
+
+
+_SQL_RANK_TIES = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+QUALIFY rank() OVER (PARTITION BY l_orderkey
+                     ORDER BY l_quantity DESC) <= 2
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
 def _q_entity_match_groups(sf_dir: str):
     """Entity-resolution composition: cross-catalog fuzzy matches
     (jaccard_similarity_join, even- vs odd-doc_id halves at 0.7) fed
@@ -3467,6 +3493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_users_assignment": _q_split_users,
         "rebalance_documents_sources": _q_rebalance_documents,
         "entity_match_groups": _q_entity_match_groups,
+        "rank_ties_lineitem": _q_rank_ties_lineitem,
         "validate_k_anonymity": _q_k_anonymity,
         # rows-only (iterative / eigen-based)
         "embed_pca_project": _q_embed_pca,
@@ -3555,6 +3582,7 @@ def oracle_sql() -> dict[str, str]:
         "split_users_assignment": _SQL_SPLIT_USERS,
         "rebalance_documents_sources": _SQL_REBALANCE_DOCS,
         "entity_match_groups": _SQL_ENTITY_MATCH_GROUPS,
+        "rank_ties_lineitem": _SQL_RANK_TIES,
         "validate_k_anonymity": _SQL_K_ANONYMITY,
         "simhash_near_dup_pairs": _SQL_SIMHASH,
         "text_fingerprints": _SQL_FINGERPRINTS,

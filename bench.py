@@ -221,6 +221,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("validate_k_anonymity", em._q_k_anonymity)
         timed("rebalance_documents_sources", em._q_rebalance_documents)
         timed("entity_match_groups", em._q_entity_match_groups)
+        timed("rank_ties_lineitem", em._q_rank_ties_lineitem)
 
     result = {
         "metric": "kg_pipeline_wall",

@@ -802,3 +802,26 @@ def test_rebalance_equalizes_expected_counts():
     again = rebalance(rd.from_pandas(df).repartition(2), "dom", "id",
                       seed=2).to_pandas()
     assert set(got.id) == set(again.id)            # partition-stable
+
+
+def test_top_k_per_key_keep_ties_matches_rank_semantics():
+    from raykg.ops.rank import top_k_per_key
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 2000),
+        "id": np.arange(2000),
+        "v": rng.integers(0, 12, 2000),  # heavy ties
+    })
+    for parts in (1, 5):
+        got = (top_k_per_key(rd.from_pandas(df).repartition(parts),
+                             "k", "v", "id", k=3, keep_ties=True)
+               .to_pandas())
+        for key, g in df.groupby("k"):
+            r = g["v"].rank(method="min", ascending=False)
+            want = set(g.loc[r <= 3, "id"])
+            assert set(got.loc[got.k == key, "id"]) == want, (key, parts)
+    # without ties the old row_number contract is unchanged
+    got2 = (top_k_per_key(rd.from_pandas(df), "k", "v", "id", k=3)
+            .to_pandas())
+    assert got2.groupby("k").size().eq(3).all()
