@@ -2795,6 +2795,57 @@ FROM lineitem l JOIN s ON l.l_returnflag = s.k
 """
 
 
+def _q_composite_join_lineitem(sf_dir: str):
+    """Multi-column equi-join (raykg/ops/joins.py composite_join):
+    every lineitem row joined to its (returnflag, linestatus) group
+    totals — length-prefixed exact key packing (no separator
+    ambiguity), one tagged-union shuffle. Integer-valued sums keep
+    the oracle bit-exact."""
+    import pandas as pd
+
+    from raykg.ops.joins import composite_join
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    line = rd.read_parquet(path, columns=["l_orderkey", "l_linenumber",
+                                          "l_returnflag", "l_linestatus",
+                                          "l_quantity"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+             .agg(grp_qty=("l_quantity", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    totals = (rd.read_parquet(path, columns=["l_returnflag",
+                                             "l_linestatus", "l_quantity"])
+              .map_batches(partials, batch_format="pyarrow")
+              .groupby("l_returnflag")
+              .map_groups(lambda g: g.groupby(
+                  ["l_returnflag", "l_linestatus"], as_index=False)
+                  .agg(grp_qty=("grp_qty", "sum")),
+                  batch_format="pandas"))
+    out = composite_join(
+        line, totals, on=["l_returnflag", "l_linestatus"],
+        left_cols=["l_orderkey", "l_linenumber", "l_quantity"],
+        right_cols=["grp_qty"],
+    ).to_pandas()
+    out["grp_qty"] = out["grp_qty"].astype("float64")
+    return (out.sort_values(["l_orderkey", "l_linenumber"])
+            .reset_index(drop=True))
+
+
+_SQL_COMPOSITE_JOIN = """
+WITH g AS (
+  SELECT l_returnflag, l_linestatus, sum(l_quantity)::DOUBLE AS grp_qty
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l.l_returnflag, l.l_linestatus, l.l_orderkey, l.l_linenumber,
+       l.l_quantity, g.grp_qty
+FROM lineitem l JOIN g USING (l_returnflag, l_linestatus)
+ORDER BY l.l_orderkey, l.l_linenumber
+"""
+
+
 def _q_rank_ties_lineitem(sf_dir: str):
     """Tie-aware per-key top-k (raykg/ops/rank.py top_k_per_key with
     keep_ties=True — SQL RANK() <= k / FETCH WITH TIES semantics):
@@ -3494,6 +3545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rebalance_documents_sources": _q_rebalance_documents,
         "entity_match_groups": _q_entity_match_groups,
         "rank_ties_lineitem": _q_rank_ties_lineitem,
+        "join_composite_flagstatus": _q_composite_join_lineitem,
         "validate_k_anonymity": _q_k_anonymity,
         # rows-only (iterative / eigen-based)
         "embed_pca_project": _q_embed_pca,
@@ -3583,6 +3635,7 @@ def oracle_sql() -> dict[str, str]:
         "rebalance_documents_sources": _SQL_REBALANCE_DOCS,
         "entity_match_groups": _SQL_ENTITY_MATCH_GROUPS,
         "rank_ties_lineitem": _SQL_RANK_TIES,
+        "join_composite_flagstatus": _SQL_COMPOSITE_JOIN,
         "validate_k_anonymity": _SQL_K_ANONYMITY,
         "simhash_near_dup_pairs": _SQL_SIMHASH,
         "text_fingerprints": _SQL_FINGERPRINTS,

@@ -222,6 +222,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("rebalance_documents_sources", em._q_rebalance_documents)
         timed("entity_match_groups", em._q_entity_match_groups)
         timed("rank_ties_lineitem", em._q_rank_ties_lineitem)
+        timed("join_composite_flagstatus", em._q_composite_join_lineitem)
 
     result = {
         "metric": "kg_pipeline_wall",

@@ -796,3 +796,86 @@ def cross_join(
         return pd.concat([left, right], axis=1)
 
     return left_ds.map_batches(expand, batch_format="pandas")
+
+
+def composite_join(
+    left_ds,
+    right_ds,
+    on: list[str],
+    right_on: list[str] | None = None,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+    **hash_join_kwargs,
+):
+    """Multi-column equi-join: packs the key columns of each side into
+    one exact string key (LENGTH-PREFIXED parts — "3:abc2:xy" — so no
+    value content can make two different key tuples collide, unlike a
+    separator sentinel; NULL in any key column never matches, SQL
+    semantics) and runs the single-key ``hash_join``. The original
+    left key columns ride along as payload so output keeps them
+    typed; the packed key is dropped.
+
+    Output columns: ``on + left_cols + right_cols``. All ``how`` modes
+    of hash_join are supported EXCEPT right/outer (the unpacked left
+    key columns would be NULL for unmatched right rows — pack the key
+    yourself and keep the packed column if you need those modes).
+    """
+    if how in ("right", "outer"):
+        raise ValueError(
+            "composite_join supports inner/left/semi/anti; for "
+            "right/outer pack the key manually and keep the packed col")
+    right_on = right_on or on
+    left_cols = list(left_cols or [])
+    right_cols = list(right_cols or [])
+
+    def packer(cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            key = None
+            valid = None
+            for c in cols:
+                col = t.column(c)
+                v = col.is_valid().to_numpy(zero_copy_only=False)
+                valid = v if valid is None else (valid & v)
+                s = pd.Series(col.cast(pa.string()).fill_null("")
+                              .to_pylist(), dtype="object")
+                part = (s.str.len().astype(str) + ":" + s).to_numpy(
+                    dtype=object)
+                key = part if key is None else key + part
+            # NULL in any key column -> never matches (SQL semantics):
+            # those rows are dropped from the join here and, for
+            # how='left', unioned back below with null right columns
+            t = t.append_column("_ck", pa.array(key, pa.string()))
+            return t.filter(pa.array(valid))
+        return fn
+
+    lk = left_ds.map_batches(packer(on), batch_format="pyarrow")
+    rk = right_ds.map_batches(packer(right_on), batch_format="pyarrow")
+    out_right = right_cols if how not in ("semi", "anti") else []
+    joined = hash_join(
+        lk, rk, on="_ck",
+        left_cols=on + left_cols,
+        right_cols=out_right,
+        how=how,
+        **hash_join_kwargs,
+    ).map_batches(lambda t: t.drop_columns(["_ck"]),
+                  batch_format="pyarrow")
+    if how != "left":
+        return joined
+
+    def null_key_rows(t: pa.Table) -> pa.Table:
+        valid = None
+        for c in on:
+            v = t.column(c).is_valid().to_numpy(zero_copy_only=False)
+            valid = v if valid is None else (valid & v)
+        t = t.filter(pa.array(~valid)).select(on + left_cols)
+        rtypes = hash_join_kwargs.get("right_types") or {}
+        for c in out_right:
+            # match the joined side's null-widened right column types
+            # (pass right_types for non-float right columns)
+            t = t.append_column(
+                c, pa.nulls(t.num_rows, rtypes.get(c, pa.float64())))
+        return t
+
+    return joined.union(
+        left_ds.map_batches(null_key_rows, batch_format="pyarrow"))

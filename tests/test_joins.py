@@ -1,0 +1,48 @@
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+def test_composite_join_matches_pandas_and_defeats_separator_ambiguity():
+    from raykg.ops.joins import composite_join
+
+    left = pd.DataFrame({
+        "a": ["x#y", "x", "q", "n", None],
+        "b": ["z", "y#z", "z", "m", "k"],
+        "lv": [1, 2, 3, 4, 5],
+    })
+    # ("x#y","z") must NOT match ("x","y#z") — a '#'-sentinel pack would
+    right = pd.DataFrame({
+        "a": ["x#y", "q", "n"],
+        "b": ["z", "z", "other"],
+        "rv": [10.0, 30.0, 99.0],
+    })
+    got = composite_join(
+        rd.from_pandas(left).repartition(2),
+        rd.from_pandas(right),
+        on=["a", "b"], left_cols=["lv"], right_cols=["rv"],
+    ).to_pandas().sort_values("lv").reset_index(drop=True)
+    want = left.dropna().merge(right, on=["a", "b"], how="inner")
+    assert list(got.lv) == sorted(want.lv)
+    assert set(zip(got.a, got.b, got.lv, got.rv)) == set(
+        zip(want.a, want.b, want.lv, want.rv))
+    # semi mode
+    semi = composite_join(rd.from_pandas(left), rd.from_pandas(right),
+                          on=["a", "b"], left_cols=["lv"],
+                          how="semi").to_pandas()
+    assert sorted(semi.lv) == sorted(want.lv)
+
+
+def test_composite_join_left_keeps_null_key_rows():
+    from raykg.ops.joins import composite_join
+
+    left = pd.DataFrame({"a": ["x", None, "y"], "b": ["1", "1", "9"],
+                         "lv": [1, 2, 3]})
+    right = pd.DataFrame({"a": ["x"], "b": ["1"], "rv": [10.0]})
+    got = composite_join(rd.from_pandas(left), rd.from_pandas(right),
+                         on=["a", "b"], left_cols=["lv"],
+                         right_cols=["rv"], how="left").to_pandas()
+    got = got.sort_values("lv").reset_index(drop=True)
+    assert list(got.lv) == [1, 2, 3]
+    assert got.rv.iloc[0] == 10.0
+    assert got.rv.isna().iloc[1] and got.rv.isna().iloc[2]
