@@ -2795,6 +2795,30 @@ FROM lineitem l JOIN s ON l.l_returnflag = s.k
 """
 
 
+def _q_global_quantiles_events(sf_dir: str):
+    """Exact GLOBAL quantiles without a global sort (raykg/ops/
+    quantile.py exact_global_quantile): sample-guided bracket →
+    counting pass → histogram narrowing → bounded collect + exact
+    selection. quantile_cont interpolation; shared half-up rounding."""
+    import pandas as pd
+
+    from raykg.ops.quantile import exact_global_quantile
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"])
+    p50 = exact_global_quantile(ds, "value", 0.5)
+    p95 = exact_global_quantile(ds, "value", 0.95)
+    r = lambda v: np.floor(v * 1000000 + 0.5) / 1000000  # noqa: E731
+    return pd.DataFrame({"p50": [r(p50)], "p95": [r(p95)]})
+
+
+_SQL_GLOBAL_QUANTILES = """
+SELECT floor(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000 AS p50,
+       floor(quantile_cont(value, 0.95) * 1000000 + 0.5) / 1000000 AS p95
+FROM events
+"""
+
+
 def _q_composite_join_lineitem(sf_dir: str):
     """Multi-column equi-join (raykg/ops/joins.py composite_join):
     every lineitem row joined to its (returnflag, linestatus) group
@@ -3546,6 +3570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_match_groups": _q_entity_match_groups,
         "rank_ties_lineitem": _q_rank_ties_lineitem,
         "join_composite_flagstatus": _q_composite_join_lineitem,
+        "agg_global_value_quantiles": _q_global_quantiles_events,
         "validate_k_anonymity": _q_k_anonymity,
         # rows-only (iterative / eigen-based)
         "embed_pca_project": _q_embed_pca,
@@ -3636,6 +3661,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_match_groups": _SQL_ENTITY_MATCH_GROUPS,
         "rank_ties_lineitem": _SQL_RANK_TIES,
         "join_composite_flagstatus": _SQL_COMPOSITE_JOIN,
+        "agg_global_value_quantiles": _SQL_GLOBAL_QUANTILES,
         "validate_k_anonymity": _SQL_K_ANONYMITY,
         "simhash_near_dup_pairs": _SQL_SIMHASH,
         "text_fingerprints": _SQL_FINGERPRINTS,

@@ -1,0 +1,157 @@
+"""Exact GLOBAL quantiles of a numeric column without a global sort —
+distributed selection by sample-guided range narrowing (the classic
+k-th-element algorithm every SQL engine hides under ORDER BY /
+quantile_cont when the column does not fit one machine).
+
+Plan, all streaming passes:
+
+1. **Sample pass** — a hash-spread row sample brackets the target
+   rank: ``[lo, hi]`` are sample quantiles a DKW-style margin either
+   side of q, so with overwhelming probability the true k-th element
+   lies inside.
+2. **Count pass** — one ``map_batches`` emits per-block
+   ``(n_below_lo, n_in_range, n_total)`` partials (three ints per
+   block). If the bracket missed (pathological sample), it widens to
+   the whole range and retries — never wrong, only slower.
+3. **Narrow / collect** — while the in-range count exceeds
+   ``collect_budget``, one histogram pass over ``[lo, hi]`` (64
+   equal-width bins, per-block ``np.bincount`` partials) shrinks the
+   bracket to the bin containing the target rank; a bracket that can
+   no longer shrink (massive ties: lo == hi as doubles) IS the
+   answer. Finally the surviving in-range values — bounded by the
+   budget — are collected and the exact k-th / k+1-th elements
+   interpolated with ``np.quantile``-compatible (quantile_cont)
+   linear interpolation.
+
+Each pass ships O(blocks) or O(blocks × bins) scalars; row data never
+moves. Pass count is 2 + O(log_64(spread)) in the worst case, 3 for
+typical distributions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _column(t: pa.Table, col: str) -> np.ndarray:
+    x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    return x[~np.isnan(x)]
+
+
+def exact_global_quantile(ds, col: str, q: float, id_col: str | None = None,
+                          sample_cap: int = 65536,
+                          collect_budget: int = 1 << 20,
+                          max_narrow: int = 24) -> float:
+    """Exact ``quantile_cont(col, q)`` (linear interpolation between
+    the floor/ceil rank elements, == ``np.quantile`` default) over the
+    whole dataset. NaNs are ignored, matching SQL aggregate semantics.
+    """
+    if not (0.0 <= q <= 1.0):
+        raise ValueError("q must be in [0, 1]")
+
+    # ---- total count + global min/max (one pass)
+    def extent(t: pa.Table) -> pa.Table:
+        x = _column(t, col)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "mn": pa.array([float(x.min()) if len(x) else np.inf]),
+            "mx": pa.array([float(x.max()) if len(x) else -np.inf]),
+        })
+
+    ext = ds.map_batches(extent, batch_format="pyarrow").to_pandas()
+    n = int(ext["n"].sum())
+    if n == 0:
+        return float("nan")
+    lo_all, hi_all = float(ext["mn"].min()), float(ext["mx"].max())
+    # target ranks for linear interpolation: value = v[f] + frac*(v[f+1]-v[f])
+    pos = q * (n - 1)
+    f = int(np.floor(pos))
+    frac = pos - f
+    need = {f, min(f + 1, n - 1)}
+
+    # ---- sample-guided initial bracket
+    def spread(t: pa.Table) -> pa.Table:
+        x = _column(t, col)
+        if len(x) == 0:
+            return pa.table({"v": pa.array([], pa.float64())})
+        # hash the value BITS (not block positions — those repeat per
+        # block and would bias a position-correlated layout)
+        h = (x.view(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        keep = h < np.uint64(max(1, int((1 << 32) * min(
+            1.0, 4.0 * sample_cap / max(n, 1)))))
+        return pa.table({"v": pa.array(x[keep], pa.float64())})
+
+    sample = (ds.map_batches(spread, batch_format="pyarrow")
+              .limit(sample_cap).to_pandas()["v"].to_numpy())
+    if len(sample):
+        margin = 2.0 / np.sqrt(len(sample)) + 1e-3  # DKW-ish rank slack
+        lo = float(np.quantile(sample, max(0.0, q - margin)))
+        hi = float(np.quantile(sample, min(1.0, q + margin)))
+    else:
+        lo, hi = lo_all, hi_all
+
+    def count_pass(lo_v: float, hi_v: float):
+        def part(t: pa.Table) -> pa.Table:
+            x = _column(t, col)
+            return pa.table({
+                "below": pa.array([int((x < lo_v).sum())], pa.int64()),
+                "inr": pa.array(
+                    [int(((x >= lo_v) & (x <= hi_v)).sum())], pa.int64()),
+            })
+
+        p = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+        return int(p["below"].sum()), int(p["inr"].sum())
+
+    below, inr = count_pass(lo, hi)
+    if not (below <= f and max(need) < below + inr):
+        lo, hi = lo_all, hi_all          # sample bracket missed: widen
+        below, inr = count_pass(lo, hi)
+
+    # ---- histogram narrowing while too many rows survive
+    for _ in range(max_narrow):
+        if inr <= collect_budget or not (hi > lo):
+            break
+        edges = np.linspace(lo, hi, 65)
+
+        def hist(t: pa.Table) -> pa.Table:
+            x = _column(t, col)
+            x = x[(x >= lo) & (x <= hi)]
+            idx = np.clip(np.searchsorted(edges, x, side="right") - 1,
+                          0, 63)
+            return pa.table({
+                "b": pa.array(np.arange(64, dtype=np.int64)),
+                "c": pa.array(np.bincount(idx, minlength=64), pa.int64()),
+            })
+
+        hp = (ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+              .groupby("b")["c"].sum())
+        cum = below
+        new = None
+        for b in range(64):
+            c = int(hp.get(b, 0))
+            if cum <= min(need) and max(need) < cum + c:
+                new = (float(edges[b]), float(edges[b + 1]), cum)
+                break
+            cum += c
+        if new is None:          # ranks straddle a bin edge: keep pair
+            # fall back to collecting the two bins around rank f
+            break
+        nlo, nhi, nbelow = new
+        if nlo == lo and nhi == hi:
+            break                # cannot shrink further (ties)
+        lo, hi, below = nlo, nhi, nbelow
+        below, inr = count_pass(lo, hi)
+
+    # ---- collect the bounded in-range values and select exactly
+    def keep(t: pa.Table) -> pa.Table:
+        x = _column(t, col)
+        return pa.table({"v": pa.array(x[(x >= lo) & (x <= hi)],
+                                       pa.float64())})
+
+    vals = np.sort(
+        ds.map_batches(keep, batch_format="pyarrow").to_pandas()["v"]
+        .to_numpy())
+    vf = vals[f - below]
+    vc = vals[min(f + 1, n - 1) - below]
+    return float(vf + frac * (vc - vf))

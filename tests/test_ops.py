@@ -1509,3 +1509,32 @@ def test_k_anonymity_finds_rare_combos():
            .sort_values("zip").reset_index(drop=True))
     assert list(zip(got.zip, got.age, got.n)) == [
         ("60601", 50, 1), ("94110", 40, 3)]
+
+
+def test_exact_global_quantile_matches_numpy():
+    from raykg.ops.quantile import exact_global_quantile
+
+    rng = np.random.default_rng(17)
+    # heavy ties + outliers + nans, across several distributions
+    x = np.concatenate([
+        rng.normal(100, 15, 20000),
+        np.full(5000, 42.0),              # massive tie block
+        rng.exponential(1000, 2000),
+        [np.nan] * 100,
+    ])
+    df = pd.DataFrame({"v": x})
+    clean = x[~np.isnan(x)]
+    ds = rd.from_pandas(df).repartition(7)
+    for q in (0.0, 0.1, 0.5, 0.9, 0.99, 1.0):
+        got = exact_global_quantile(ds, "v", q, collect_budget=2048)
+        want = float(np.quantile(clean, q))
+        assert got == want, (q, got, want)
+
+
+def test_exact_global_quantile_all_equal_and_tiny():
+    from raykg.ops.quantile import exact_global_quantile
+
+    ds = rd.from_pandas(pd.DataFrame({"v": [7.0] * 1000}))
+    assert exact_global_quantile(ds, "v", 0.5, collect_budget=10) == 7.0
+    ds2 = rd.from_pandas(pd.DataFrame({"v": [3.0, 1.0]}))
+    assert exact_global_quantile(ds2, "v", 0.5) == 2.0  # interpolated
