@@ -2795,6 +2795,18 @@ FROM lineitem l JOIN s ON l.l_returnflag = s.k
 """
 
 
+def _q_storage_profile(sf_dir: str):
+    """Physical-layout audit from parquet FOOTERS only (raykg/ops/
+    profile.py storage_profile): per-column compressed/uncompressed
+    bytes, value counts, row-group counts — fanned out over fragment
+    files, no row data read. Rows-only (paths aren't visible to the
+    registered-view oracle); footer parity vs DuckDB's
+    parquet_metadata() is pinned in tests/test_ops.py."""
+    from raykg.ops.profile import storage_profile
+
+    return storage_profile(os.path.join(sf_dir, "lineitem.parquet"))
+
+
 def _q_global_quantiles_events(sf_dir: str):
     """Exact GLOBAL quantiles without a global sort (raykg/ops/
     quantile.py exact_global_quantile): sample-guided bracket →
@@ -3577,6 +3589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokenize_documents": _q_bpe_tokenize,
         "cluster_embeddings_kmeans": _q_kmeans_embeddings,
         "quality_compression_ratio": _q_compression_ratio,
+        "profile_storage_lineitem": _q_storage_profile,
         # rows-only continued
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "minhash_incremental_pairs": _q_incremental_minhash,

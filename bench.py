@@ -224,6 +224,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("rank_ties_lineitem", em._q_rank_ties_lineitem)
         timed("join_composite_flagstatus", em._q_composite_join_lineitem)
         timed("agg_global_value_quantiles", em._q_global_quantiles_events)
+        timed("profile_storage_lineitem", em._q_storage_profile)
 
     result = {
         "metric": "kg_pipeline_wall",

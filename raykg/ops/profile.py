@@ -280,3 +280,67 @@ def grouped_corr(ds, key: str, x: str, y: str) -> pd.DataFrame:
     corr = np.where(denom > 0, cov / denom, np.nan)
     return pd.DataFrame({key: agg[key], "n": agg["n"].astype("int64"),
                          "corr": corr})
+
+
+def storage_profile(paths) -> pd.DataFrame:
+    """Physical-layout audit of a parquet dataset from METADATA ONLY —
+    per column: compressed/uncompressed bytes, value count, null
+    count, row-group count — the first thing to read before tuning a
+    100 TB layout (is the hot column dictionary-compressed? did one
+    writer emit a single giant row group that caps read parallelism —
+    the round-2 headline bug this repo fixed?).
+
+    No row data is read: each task opens its fragment's FOOTER
+    (``pyarrow.parquet.ParquetFile.metadata``) and emits one partial
+    row per column; fan-out is a Dataset over the file list, so a
+    million-fragment corpus profiles in one streaming pass of footer
+    reads. -> (column, n_values, n_nulls, compressed_bytes,
+    uncompressed_bytes, n_row_groups, n_files).
+    """
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        import os
+
+        if os.path.isdir(paths):
+            paths = sorted(
+                os.path.join(paths, f) for f in os.listdir(paths)
+                if f.endswith(".parquet"))
+        else:
+            paths = [paths]
+
+    def footer(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for path in batch["path"]:
+            md = pq.ParquetFile(path).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    rows.append((
+                        ".".join(c.path_in_schema.split(".")),
+                        c.num_values,
+                        (c.statistics.null_count
+                         if c.statistics is not None
+                         and c.statistics.has_null_count else 0),
+                        c.total_compressed_size,
+                        c.total_uncompressed_size,
+                        1, path,
+                    ))
+        return pd.DataFrame(rows, columns=[
+            "column", "n_values", "n_nulls", "compressed_bytes",
+            "uncompressed_bytes", "n_row_groups", "path"])
+
+    parts = (rd.from_items([{"path": p} for p in paths])
+             .map_batches(footer, batch_format="pandas").to_pandas())
+    agg = parts.groupby("column", as_index=False).agg(
+        n_values=("n_values", "sum"),
+        n_nulls=("n_nulls", "sum"),
+        compressed_bytes=("compressed_bytes", "sum"),
+        uncompressed_bytes=("uncompressed_bytes", "sum"),
+        n_row_groups=("n_row_groups", "sum"),
+        n_files=("path", "nunique"),
+    )
+    return agg.sort_values("column").reset_index(drop=True)

@@ -1538,3 +1538,27 @@ def test_exact_global_quantile_all_equal_and_tiny():
     assert exact_global_quantile(ds, "v", 0.5, collect_budget=10) == 7.0
     ds2 = rd.from_pandas(pd.DataFrame({"v": [3.0, 1.0]}))
     assert exact_global_quantile(ds2, "v", 0.5) == 2.0  # interpolated
+
+
+def test_storage_profile_matches_duckdb_parquet_metadata():
+    import duckdb
+
+    from raykg.ops.profile import storage_profile
+
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    got = storage_profile(path)
+    want = duckdb.sql(f"""
+        SELECT path_in_schema AS column,
+               sum(num_values)::BIGINT AS n_values,
+               sum(total_compressed_size)::BIGINT AS compressed_bytes,
+               sum(total_uncompressed_size)::BIGINT AS uncompressed_bytes,
+               count(*)::BIGINT AS n_chunks
+        FROM parquet_metadata('{path}') GROUP BY 1 ORDER BY 1
+    """).df()
+    assert list(got["column"]) == list(want["column"])
+    assert (got["n_values"].to_numpy()
+            == want["n_values"].to_numpy()).all()
+    assert (got["compressed_bytes"].to_numpy()
+            == want["compressed_bytes"].to_numpy()).all()
+    assert (got["uncompressed_bytes"].to_numpy()
+            == want["uncompressed_bytes"].to_numpy()).all()
