@@ -192,6 +192,170 @@ class HashEncoder:
         return _l2_normalize(mixed, self.scale)
 
 
+class TinyTransformerEncoder(HashEncoder):
+    """A real (if small) transformer in the encoder seam: seeded random
+    weights, batched numpy GEMM inference — the compute SHAPE of the
+    reference's BERT-large towers
+    (``pipeline/biencoder/blink/biencoder/biencoder.py:73-133``) without
+    its weights, which the sandbox cannot hold. The point is the seam:
+    every downstream operator (retrieval, NIL scoring, clustering,
+    triples) must be encoder-agnostic, and the parity gate re-runs
+    engine + oracle with THIS encoder to prove it
+    (``tests/test_parity.py::test_tiny_transformer_parity``).
+
+    Model: token ids by 64-bit hash into a ``vocab``-row embedding
+    table (so identical tokens share a vector — bag-of-words cosine
+    structure survives the layers via the residual stream), learned-
+    style positional embeddings, ``n_layers`` pre-norm blocks of
+    multi-head self-attention + a 2x MLP, masked mean pooling, linear
+    projection to ``dim``, L2-normalize x ``scale``. Mention sequences
+    are the BLINK layout ``left [E1] mention [E2] right`` after the
+    SAME quota-balanced windowing as ``HashEncoder`` (inherited);
+    entities are ``title [TTL] descr`` after ``truncate_candidate``.
+
+    Determinism: weights derive from ``seed`` only; padded positions
+    are masked out of both attention and pooling, so a row's vector
+    does not depend on its neighbors beyond BLAS summation-order noise
+    (~1e-6 relative — why the parity gate is >=0.95, not bit-exact).
+    Rows are processed in fixed 128-row chunks to bound the attention
+    tensor at (128, heads, L, L).
+    """
+
+    def __init__(self, dim: int = DIM, scale: float = VEC_SCALE,
+                 max_seq_length: int | None = 128, seed: int = 7,
+                 d_model: int = 64, n_layers: int = 2, n_heads: int = 4,
+                 vocab: int = 8192):
+        super().__init__(dim=dim, scale=scale, max_seq_length=max_seq_length)
+        self.d_model, self.n_layers, self.n_heads = d_model, n_layers, n_heads
+        self.vocab = vocab
+        msl = max_seq_length or 128
+        rng = np.random.default_rng(seed)
+        f32 = np.float32
+        self.E = (rng.standard_normal((vocab, d_model)) * 0.5).astype(f32)
+        # weak positional signal: keeps token-identity similarity the
+        # dominant term in the pooled vector (what clustering needs)
+        self.P = (rng.standard_normal((msl + 8, d_model)) * 0.02).astype(f32)
+        self.layers = []
+        for _ in range(n_layers):
+            w = {
+                name: (rng.standard_normal((d_model, d_model))
+                       * (1.0 / np.sqrt(d_model))).astype(f32)
+                for name in ("wq", "wk", "wv", "wo")
+            }
+            w["w1"] = (rng.standard_normal((d_model, 2 * d_model))
+                       * (1.0 / np.sqrt(d_model))).astype(f32)
+            w["w2"] = (rng.standard_normal((2 * d_model, d_model))
+                       * (0.5 / np.sqrt(d_model))).astype(f32)
+            self.layers.append(w)
+        self.w_out = (rng.standard_normal((d_model, dim))
+                      * (1.0 / np.sqrt(d_model))).astype(f32)
+
+    # --- tokenization: whitespace words + specials, hashed to ids ---
+    _SPECIALS = {"[E1]": 0, "[E2]": 1, "[TTL]": 2}
+
+    def _token_ids(self, tokens: list[str]) -> np.ndarray:
+        n_special = len(self._SPECIALS)
+        out = np.empty(len(tokens), dtype=np.int64)
+        for i, t in enumerate(tokens):
+            s = self._SPECIALS.get(t)
+            if s is not None:
+                out[i] = s
+            else:
+                h = 14695981039346656037
+                for b in t.encode("utf-8"):
+                    h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+                out[i] = h % (self.vocab - n_special) + n_special
+        return out
+
+    @staticmethod
+    def _layernorm(x: np.ndarray) -> np.ndarray:
+        mu = x.mean(axis=-1, keepdims=True)
+        var = x.var(axis=-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + 1e-5)
+
+    def _forward_pooled(self, seqs: list[np.ndarray]) -> np.ndarray:
+        """List of per-row id arrays -> (n, d_model) pooled states."""
+        n = len(seqs)
+        out = np.zeros((n, self.d_model), dtype=np.float32)
+        if n == 0:
+            return out
+        CHUNK = 128
+        for c0 in range(0, n, CHUNK):
+            chunk = seqs[c0 : c0 + CHUNK]
+            L = max(1, max(len(s) for s in chunk))
+            ids = np.zeros((len(chunk), L), dtype=np.int64)
+            mask = np.zeros((len(chunk), L), dtype=np.float32)
+            for i, s in enumerate(chunk):
+                ids[i, : len(s)] = s
+                mask[i, : len(s)] = 1.0
+            x = self.E[ids] + self.P[:L][None, :, :]
+            neg = (1.0 - mask)[:, None, None, :] * np.float32(-1e9)
+            nh, dh = self.n_heads, self.d_model // self.n_heads
+
+            def split(m):  # (b, L, d) -> (b, heads, L, dh)
+                return m.reshape(m.shape[0], L, nh, dh).transpose(0, 2, 1, 3)
+
+            for w in self.layers:
+                h = self._layernorm(x)
+                q, k, v = split(h @ w["wq"]), split(h @ w["wk"]), split(h @ w["wv"])
+                att = q @ k.transpose(0, 1, 3, 2) / np.float32(np.sqrt(dh)) + neg
+                att = att - att.max(axis=-1, keepdims=True)
+                e = np.exp(att)
+                att = e / e.sum(axis=-1, keepdims=True)
+                ctx = (att @ v).transpose(0, 2, 1, 3).reshape(len(chunk), L, -1)
+                x = x + ctx @ w["wo"]
+                h = self._layernorm(x)
+                x = x + np.maximum(h @ w["w1"], 0.0) @ w["w2"]
+            denom = np.maximum(mask.sum(axis=1, keepdims=True), 1.0)
+            out[c0 : c0 + len(chunk)] = (
+                (x * mask[:, :, None]).sum(axis=1) / denom
+            )
+        return out
+
+    def _encode_sequences(self, token_lists: list[list[str]]) -> np.ndarray:
+        msl = self.max_seq_length or 128
+        seqs = [self._token_ids(toks[:msl]) for toks in token_lists]
+        pooled = self._forward_pooled(seqs)
+        return _l2_normalize(pooled @ self.w_out, self.scale)
+
+    def encode_mentions(self, mentions, context_left, context_right) -> np.ndarray:
+        msl = self.max_seq_length or 128
+        token_lists = []
+        for m, l, r in zip(mentions, context_left, context_right):
+            mt = self.tokenize(m or "")
+            lt, rt = self.tokenize(l or ""), self.tokenize(r or "")
+            if len(lt) + len(rt) + len(mt) + 2 > msl:
+                lt, rt = balance_context_window(len(mt) + 2, lt, rt, msl)
+            token_lists.append(lt + ["[E1]"] + mt + ["[E2]"] + rt)
+        return self._encode_sequences(token_lists)
+
+    def encode_entities(self, titles, descrs) -> np.ndarray:
+        msl = self.max_seq_length or 128
+        token_lists = []
+        for t, d in zip(titles, descrs):
+            tt, dt = truncate_candidate(
+                self.tokenize(t or ""), self.tokenize(d or ""), msl
+            )
+            token_lists.append(tt + ["[TTL]"] + dt)
+        return self._encode_sequences(token_lists)
+
+
+# Encoder registry: PipelineConfig / fixtures / the oracle select by
+# spec string so configs stay JSON-serializable (digest) and the
+# factory pickles into map_batches closures as a module-level name.
+ENCODERS = {"hash": HashEncoder, "tiny": TinyTransformerEncoder}
+
+
+def make_encoder(spec: str = "hash", dim: int = DIM,
+                 scale: float = VEC_SCALE):
+    try:
+        cls = ENCODERS[spec]
+    except KeyError:
+        raise ValueError(f"unknown encoder spec {spec!r}; "
+                         f"one of {sorted(ENCODERS)}") from None
+    return cls(dim=dim, scale=scale)
+
+
 class MentionEncoder:
     """Actor-pool stage: mentions table -> + ``encoding`` column.
 
@@ -205,8 +369,9 @@ class MentionEncoder:
                        concurrency=(1, 8))
     """
 
-    def __init__(self, dim: int = DIM, scale: float = VEC_SCALE):
-        self.encoder = HashEncoder(dim=dim, scale=scale)
+    def __init__(self, dim: int = DIM, scale: float = VEC_SCALE,
+                 spec: str = "hash"):
+        self.encoder = make_encoder(spec, dim=dim, scale=scale)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         enc = self.encoder.encode_mentions(

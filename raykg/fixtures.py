@@ -123,10 +123,13 @@ def generate_world(
     n_epochs: int = 5,
     seed: int = 42,
     dim: int = DIM,
+    encoder_spec: str = "hash",
 ):
     """Returns (transcripts_df, kb_df, gold_df). Deterministic in seed."""
+    from raykg.encode import make_encoder
+
     rng = np.random.default_rng(seed)
-    encoder = HashEncoder(dim=dim)
+    encoder = make_encoder(encoder_spec, dim=dim)
 
     n_entities = n_kb + n_tomb + n_nil
     titles = _make_titles(rng, n_entities)
@@ -288,6 +291,7 @@ def write_fixture(
     seed: int = 42,
     dim: int = DIM,
     convs_per_part: int = 512,
+    encoder_spec: str = "hash",
 ) -> dict:
     """Writes transcripts/ (hive-partitioned by epoch, several part
     files per epoch), kb.parquet, gold.parquet under ``out_dir``.
@@ -300,6 +304,8 @@ def write_fixture(
         n_epochs=n_epochs, seed=seed, dim=dim,
         convs_per_part=convs_per_part,
     )
+    if encoder_spec != "hash":  # keep old manifests valid
+        params["encoder_spec"] = encoder_spec
     manifest_path = os.path.join(out_dir, "fixture_manifest.json")
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:

@@ -34,8 +34,9 @@ class LinkStage:
         compact: bool = True,
         ann_ref=None,
         nprobe: int = 16,
+        encoder: str = "hash",
     ):
-        self.encode = MentionEncoder(dim=dim)
+        self.encode = MentionEncoder(dim=dim, spec=encoder)
         self.retrieve = Retriever(kb_ref, rw_ref, top_k, compact=compact,
                                   ann_ref=ann_ref, nprobe=nprobe)
         self.score = NilStage(model, rw_uris=rw_uris or [])
@@ -54,7 +55,7 @@ _STAGE_CACHE: dict = {}
 
 
 def make_link_fn(kb_ref, rw_ref, rw_uris_ref, model, dim, top_k, compact,
-                 ann_ref=None, nprobe: int = 16):
+                 ann_ref=None, nprobe: int = 16, encoder: str = "hash"):
     """``rw_uris_ref`` is a ray.put ref of the minted-uri list — large
     broadcast state always travels by ref, never inside the pickled
     task closure. ``ann_ref``: prebuilt IVF metadata ref (see
@@ -66,6 +67,7 @@ def make_link_fn(kb_ref, rw_ref, rw_uris_ref, model, dim, top_k, compact,
 
     key = (
         _key(kb_ref), _key(rw_ref), _key(ann_ref), nprobe, dim, top_k, compact,
+        encoder,
     )
 
     def link_fn(batch: pa.Table) -> pa.Table:
@@ -76,6 +78,7 @@ def make_link_fn(kb_ref, rw_ref, rw_uris_ref, model, dim, top_k, compact,
             stage = LinkStage(
                 kb_ref, rw_ref, rw_uris, model, dim=dim, top_k=top_k,
                 compact=compact, ann_ref=ann_ref, nprobe=nprobe,
+                encoder=encoder,
             )
             _STAGE_CACHE[key] = stage
         return stage(batch)

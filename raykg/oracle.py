@@ -128,12 +128,15 @@ def run_reference_chain(
     top_k: int = TOP_K,
     dim: int = 64,
     vectorizers: dict | None = None,
+    encoder_spec: str = "hash",
 ) -> dict:
     """Sequential epochs over the fixture; returns mentions df, clusters
     per epoch, and the full triple set."""
     import os
 
-    encoder = HashEncoder(dim=dim)
+    from raykg.encode import make_encoder
+
+    encoder = make_encoder(encoder_spec, dim=dim)
     kb_tbl = pq.read_table(os.path.join(fixture_dir, "kb.parquet"))
     kb_vecs = column_to_vectors(kb_tbl.column("embedding"))
     kb_meta = [

@@ -68,6 +68,12 @@ class PipelineConfig:
     dim: int = DIM
     top_k: int = TOP_K
     clusterer: str = "greedy"  # greedy | feature | threestep
+    # encoder spec (raykg.encode.ENCODERS): "hash" = the deterministic
+    # trigram-projection stand-in; "tiny" = TinyTransformerEncoder, a
+    # seeded numpy transformer with the real towers' batched-GEMM
+    # inference shape. The KB parquet's embedding column must come from
+    # the SAME encoder (fixtures.generate_world(encoder_spec=...)).
+    encoder: str = "hash"
     # surface is the default: bounded per-bucket clustering groups (no
     # O(n²) epoch-global task), parity-gated ≥0.95 vs the global-mode
     # oracle (tests/test_parity.py). "global" reproduces the reference's
@@ -387,7 +393,8 @@ def run_epoch(
             per_shard = max(1, cpus // cfg.kb_shards)
             use_rw_shards = rw_shards is not None and rw_shards.total > 0
             ds = ds.map_batches(
-                MentionEncoder(dim=cfg.dim), batch_format="pyarrow",
+                MentionEncoder(dim=cfg.dim, spec=cfg.encoder),
+                batch_format="pyarrow",
                 batch_size=cfg.encode_batch,
             )
             # shard s's stage holds KB shard s AND (fused) the matching
@@ -491,6 +498,7 @@ def run_epoch(
                     "compact": not cfg.write_candidates,
                     "ann_ref": kb_handles.get("ann_ref"),
                     "nprobe": cfg.ivf_nprobe,
+                    "encoder": cfg.encoder,
                 },
                 batch_format="pyarrow",
                 batch_size=cfg.encode_batch,
@@ -512,6 +520,7 @@ def run_epoch(
                     not cfg.write_candidates,
                     ann_ref=kb_handles.get("ann_ref"),
                     nprobe=cfg.ivf_nprobe,
+                    encoder=cfg.encoder,
                 ),
                 batch_format="pyarrow",
                 batch_size=cfg.encode_batch,

@@ -215,3 +215,47 @@ def test_wordpiece_tokenizer_drops_into_encoder_seam():
     # encode_entities consumes the truncated pieces without error
     v = enc.encode_entities(["Acme Corp"], ["builder working talks " * 30])
     assert v.shape == (1, 32) and np.isfinite(v).all()
+
+
+class TestTinyTransformer:
+    def test_deterministic_and_batch_invariant(self):
+        from raykg.encode import TinyTransformerEncoder
+
+        enc = TinyTransformerEncoder(dim=64)
+        m = ["Marie Curie", "Albert Einstein", "Quantum Lab"]
+        l = ["we talked about", "see", ""]
+        r = ["yesterday", "for details", "opened"]
+        v = enc.encode_mentions(m, l, r)
+        v2 = TinyTransformerEncoder(dim=64).encode_mentions(m, l, r)
+        assert np.abs(v - v2).max() == 0.0  # weights derive from seed only
+        solo = enc.encode_mentions([m[1]], [l[1]], [r[1]])
+        # padding is masked out of attention and pooling; only BLAS
+        # summation-order noise remains
+        assert np.abs(solo[0] - v[1]).max() < 1e-4
+        assert np.allclose(np.linalg.norm(v, axis=1), 10.0, atol=1e-3)
+
+    def test_similarity_structure(self):
+        from raykg.encode import TinyTransformerEncoder
+
+        enc = TinyTransformerEncoder(dim=64)
+        v = enc.encode_mentions(
+            ["Marie Curie", "Marie Curie", "Zorblax Quux"],
+            ["ctx a", "ctx b", "ctx c"],
+            ["tail a", "tail b", "tail c"],
+        )
+        same = float(v[0] @ v[1]) / 100.0
+        diff = float(v[0] @ v[2]) / 100.0
+        assert same > diff + 0.1, (same, diff)
+
+    def test_entity_tower_truncates(self):
+        from raykg.encode import TinyTransformerEncoder
+
+        enc = TinyTransformerEncoder(dim=64, max_seq_length=16)
+        long_descr = " ".join(f"w{i}" for i in range(200))
+        v1 = enc.encode_entities(["Title Here"], [long_descr])
+        # words beyond the truncation budget cannot change the vector
+        v3 = enc.encode_entities(["Title Here"], [long_descr + " extra"])
+        assert np.abs(v1 - v3).max() == 0.0
+        # ...but an inside-budget word does
+        v2 = enc.encode_entities(["Title Here"], ["CHANGED " + long_descr])
+        assert np.abs(v1 - v2).max() > 0

@@ -126,3 +126,33 @@ def test_pq_mode_parity(small_fixture, tmp_path_factory, oracle_result):
     pred = set(zip(tri.subj, tri.pred, tri.obj))
     p, r = _pr(pred, oracle_result["triples"])
     assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_tiny_transformer_parity(tmp_path_factory):
+    """The encoder seam holds for a NON-hash embedding model: generate a
+    world whose KB vectors come from TinyTransformerEncoder (a seeded
+    numpy transformer — batched GEMM inference, the real towers' compute
+    shape), run engine + oracle with that encoder, and gate triples at
+    the same P/R bar. Proves every downstream operator (retrieval, NIL
+    features, clustering, canonical ids, triples) is encoder-agnostic —
+    i.e. a real transformer drops into ``ENCODERS`` and nothing else
+    changes."""
+    from raykg import fixtures
+
+    fx = str(tmp_path_factory.mktemp("fixture_tiny"))
+    fixtures.write_fixture(
+        fx, n_convs=40, n_kb=60, n_nil=10, n_tomb=4, n_epochs=2, seed=43,
+        encoder_spec="tiny",
+    )
+    out = str(tmp_path_factory.mktemp("parity_tiny_out"))
+    run_pipeline(
+        fx, out, PipelineConfig(blocking="global", encoder="tiny"),
+    )
+    tri = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
+    pred = set(zip(tri.subj, tri.pred, tri.obj))
+    gold = run_reference_chain(fx, encoder_spec="tiny")["triples"]
+    p, r = _pr(pred, gold)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+    # the run must exercise BOTH outcomes or the gate is vacuous
+    preds = {t[1] for t in pred}
+    assert "kg:linksTo" in preds and "kg:hasMember" in preds, preds
