@@ -714,6 +714,57 @@ FROM ranked WHERE rn = 1
 """
 
 
+def _q_asof_next_order(sf_dir: str):
+    """Forward as-of join (raykg.ops.joins.asof_join
+    direction='forward'): each event picks the same user's EARLIEST
+    order at or after the event timestamp — computed as the backward
+    as-of on the negated time axis, so the single-shuffle plan and
+    hot-key salting apply unchanged.  Tie rule (equal o_orderdate):
+    max first right col (o_orderkey), mirrored in the oracle's
+    ORDER BY."""
+    from raykg.ops.joins import asof_join
+
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    out = asof_join(
+        events, orders,
+        key="user_id", right_key="o_custkey",
+        ts="ts", right_ts="o_orderdate",
+        left_cols=["event_id"],
+        right_cols=["o_orderkey", "o_totalprice"],
+        fill={"o_orderkey": -1, "o_totalprice": 0.0},
+        direction="forward",
+    ).to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out.rename(columns={"o_orderkey": "next_orderkey",
+                               "o_totalprice": "next_totalprice"})
+
+
+_SQL_ASOF_NEXT_ORDER = """
+WITH ranked AS (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate ASC, o.o_orderkey DESC
+         ) AS rn
+  FROM events e
+  LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+)
+SELECT user_id, ts, event_id,
+       COALESCE(o_orderkey, -1) AS next_orderkey,
+       round(COALESCE(o_totalprice, 0.0), 2) AS next_totalprice
+FROM ranked WHERE rn = 1
+"""
+
+
 def _q_value_quantiles(sf_dir: str):
     """Per-type p50/p95 of event value — grouped quantiles with
     quantile_cont (linear interpolation == np.quantile default)."""
@@ -3322,6 +3373,16 @@ def _q_diff_orders(sf_dir: str):
     IS DISTINCT FROM (equivalent modulo 64-bit hash collision)."""
     from raykg.ops.diff import table_diff
 
+    old, new = _orders_snapshots(sf_dir)
+    out = table_diff(old, new, "o_orderkey",
+                     ["o_custkey", "o_totalprice"]).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def _orders_snapshots(sf_dir: str):
+    """(old, new) orders snapshots for the diff/CDC queries: new is a
+    deterministic perturbation of old — every 97th key removed, every
+    101st price bumped, every 103rd re-keyed as an addition."""
     cols = ["o_orderkey", "o_custkey", "o_totalprice"]
     path = os.path.join(sf_dir, "orders.parquet")
     old = rd.read_parquet(path, columns=cols)
@@ -3342,9 +3403,7 @@ def _q_diff_orders(sf_dir: str):
 
     new = rd.read_parquet(path, columns=cols).map_batches(
         derive, batch_format="pyarrow")
-    out = table_diff(old, new, "o_orderkey",
-                     ["o_custkey", "o_totalprice"]).to_pandas()
-    return out.sort_values("o_orderkey").reset_index(drop=True)
+    return old, new
 
 
 _SQL_DIFF_ORDERS = """
@@ -3369,6 +3428,115 @@ WHERE o.k IS NULL OR n.k IS NULL
    OR o.o_custkey IS DISTINCT FROM n.o_custkey
    OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
 ORDER BY 1
+"""
+
+
+def _q_cdc_apply_orders(sf_dir: str):
+    """CDC publish composition (raykg/ops/diff.py): table_diff finds
+    the O(changes) keys, enrich_changes pulls the new side's values
+    for them (one left hash-join), apply_changes removes every changed
+    key's old row (one anti hash-join) and unions the upserts in — the
+    published snapshot must BE the refresh, row for row.  No driver
+    materialization anywhere in the chain; the oracle is simply the
+    perturbed refresh itself, so the check closes the full
+    diff → enrich → apply roundtrip end-to-end."""
+    from raykg.ops.diff import apply_changes, enrich_changes, table_diff
+
+    old, new = _orders_snapshots(sf_dir)
+    vcols = ["o_custkey", "o_totalprice"]
+    diff = table_diff(old, new, "o_orderkey", vcols)
+    changes = enrich_changes(diff, new, "o_orderkey", vcols)
+    old2, _ = _orders_snapshots(sf_dir)
+    out = apply_changes(old2, changes, "o_orderkey", vcols).to_pandas()
+    out["o_custkey"] = out["o_custkey"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+_SQL_CDC_APPLY_ORDERS = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+            ELSE o_totalprice END AS o_totalprice
+FROM orders WHERE o_orderkey % 97 <> 0
+UNION ALL
+SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey % 103 = 0
+ORDER BY 1
+"""
+
+
+def _q_bin_quantity_equidepth(sf_dir: str):
+    """Equi-depth bucketing (raykg/ops/quantile.py equi_depth_bins):
+    4 quantile buckets over lineitem.l_quantity — boundaries from the
+    distributed exact-selection quantile (no global sort), assignment
+    a stateless searchsorted map.  Integer-valued column + power-of-
+    two nbins makes the quantile_cont interpolation exact in float64
+    on both sides, so the oracle mirrors bin = #boundaries-strictly-
+    below bit-exactly."""
+    from raykg.ops.quantile import equi_depth_bins
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_quantity"])
+    binned, _ = equi_depth_bins(li, "l_quantity", 4)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd2
+        df = t.to_pandas()
+        g = df.groupby("bin")["l_quantity"]
+        out = pd2.DataFrame({
+            "bin": g.count().index.astype("int32"),
+            "n": g.count().to_numpy(),
+            "mn": g.min().to_numpy(),
+            "mx": g.max().to_numpy(),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = binned.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (parts.groupby("bin", as_index=False)
+           .agg(n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max")))
+    out["bin"] = out["bin"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+_SQL_BIN_QUANTITY = """
+WITH b AS (
+  SELECT quantile_cont(l_quantity, 0.25) AS b1,
+         quantile_cont(l_quantity, 0.50) AS b2,
+         quantile_cont(l_quantity, 0.75) AS b3
+  FROM lineitem
+)
+SELECT (CASE WHEN l_quantity > b1 THEN 1 ELSE 0 END
+      + CASE WHEN l_quantity > b2 THEN 1 ELSE 0 END
+      + CASE WHEN l_quantity > b3 THEN 1 ELSE 0 END) AS bin,
+       count(*) AS n, min(l_quantity) AS mn, max(l_quantity) AS mx
+FROM lineitem, b
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q_extract_props_k(sf_dir: str):
+    """Structured field extraction (raykg/ops/textstats.py
+    regex_extract): parse the integer ``k`` out of the JSON-ish
+    ``events.props`` string column — one vectorized RE2
+    ``pc.extract_regex`` kernel per block, no per-row Python, typed
+    cast to int64.  DuckDB's regexp_extract is RE2 too, so the oracle
+    mirrors the pattern verbatim."""
+    from raykg.ops.textstats import regex_extract
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "props"])
+    out = (regex_extract(ev, "props", r'"k": (\d+)', ["k"],
+                         types={"k": pa.int64()})
+           .select_columns(["event_id", "k"]).to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_EXTRACT_PROPS_K = """
+SELECT event_id,
+       CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '')
+            AS BIGINT) AS k
+FROM events
+ORDER BY event_id
 """
 
 
@@ -3522,6 +3690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_sample_events": _q_sample_events,
         "window_sessionize_events": _q_sessionize_events,
         "join_asof_latest_order": _q_asof_latest_order,
+        "join_asof_next_order": _q_asof_next_order,
         "join_interval_window_counts": _q_interval_window_counts,
         "window_lag_cumsum_events": _q_window_lag_cumsum,
         "window_rolling_events": _q_window_rolling,
@@ -3571,6 +3740,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_user_event_entropy": _q_entropy_events,
         "join_similarity_documents": _q_similarity_join_docs,
         "diff_orders_snapshot": _q_diff_orders,
+        "cdc_apply_orders": _q_cdc_apply_orders,
+        "extract_props_k": _q_extract_props_k,
+        "bin_quantity_equidepth": _q_bin_quantity_equidepth,
         "graph_triangle_count": _q_triangle_count,
         "agg_value_mad": _q_value_mad,
         "decontaminate_semantic": _q_semantic_decontam,
@@ -3636,6 +3808,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_sample_events": _SQL_SAMPLE_EVENTS,
         "window_sessionize_events": _SQL_SESSIONIZE,
         "join_asof_latest_order": _SQL_ASOF_ORDER,
+        "join_asof_next_order": _SQL_ASOF_NEXT_ORDER,
         "join_interval_window_counts": _SQL_INTERVAL_COUNTS,
         "window_lag_cumsum_events": _SQL_WINDOW_LAG,
         "window_rolling_events": _SQL_WINDOW_ROLLING,
@@ -3663,6 +3836,9 @@ def oracle_sql() -> dict[str, str]:
         "agg_user_event_entropy": _SQL_ENTROPY_EVENTS,
         "join_similarity_documents": _SQL_SIMILARITY_JOIN,
         "diff_orders_snapshot": _SQL_DIFF_ORDERS,
+        "cdc_apply_orders": _SQL_CDC_APPLY_ORDERS,
+        "extract_props_k": _SQL_EXTRACT_PROPS_K,
+        "bin_quantity_equidepth": _SQL_BIN_QUANTITY,
         "graph_triangle_count": _SQL_TRIANGLES,
         "agg_value_mad": _SQL_VALUE_MAD,
         "decontaminate_semantic": _SQL_SEMANTIC_DECONTAM,

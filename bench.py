@@ -210,6 +210,10 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("cluster_embeddings_kmeans", em._q_kmeans_embeddings)
         timed("join_similarity_documents", em._q_similarity_join_docs)
         timed("diff_orders_snapshot", em._q_diff_orders)
+        timed("cdc_apply_orders", em._q_cdc_apply_orders)
+        timed("extract_props_k", em._q_extract_props_k)
+        timed("bin_quantity_equidepth", em._q_bin_quantity_equidepth)
+        timed("join_asof_next_order", em._q_asof_next_order)
         timed("graph_triangle_count", em._q_triangle_count)
         timed("agg_value_mad", em._q_value_mad)
         timed("decontaminate_semantic", em._q_semantic_decontam)

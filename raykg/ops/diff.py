@@ -34,6 +34,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from raykg.ops.joins import hash_join
 from raykg.util import hash_string_columns
@@ -92,3 +93,72 @@ def table_diff(old_ds, new_ds, key: str, compare_cols: list[str],
     # the duplicate-key guard above sees every copy together.
     return joined.map_batches(classify, batch_format="pandas",
                               batch_size=None)
+
+
+def enrich_changes(diff_ds, new_ds, key: str, cols: list[str],
+                   key_type: pa.DataType | None = None,
+                   col_types: dict[str, pa.DataType] | None = None):
+    """Turn ``table_diff``'s (key, status) stream into a full CDC
+    change stream ``(key, status, *cols)`` by pulling the NEW side's
+    values for added/changed keys: one left hash-join shuffle of the
+    O(changes) diff against the new snapshot — 'removed' keys have no
+    new row and keep nulls for every value column.  Composes as
+    ``apply_changes(old, enrich_changes(table_diff(old, new), new))``
+    == new (the roundtrip law, pinned in tests/test_ops.py)."""
+    kt = key_type or pa.int64()
+    # explicit types keep a lazy new_ds from executing for schema();
+    # they must cover every requested right column, so only pass them
+    # when col_types does (parquet reads infer from metadata for free)
+    rt = None
+    if col_types is not None and all(c in col_types for c in cols):
+        rt = {key: kt, **col_types}
+    return hash_join(
+        diff_ds, new_ds, on=key,
+        left_cols=["status"], right_cols=cols, how="left",
+        left_types={key: kt, "status": pa.string()}, right_types=rt,
+    )
+
+
+def apply_changes(snapshot_ds, changes_ds, key: str, cols: list[str],
+                  change_col: str = "status",
+                  key_type: pa.DataType | None = None,
+                  col_types: dict[str, pa.DataType] | None = None):
+    """The publish step after ``table_diff``: apply a compacted CDC
+    change stream to a snapshot and return the new snapshot.
+
+    ``changes_ds`` rows are ``(key, status, *cols)`` with status in
+    {'added', 'changed', 'removed'} (``table_diff`` vocabulary; the
+    CDC synonyms insert/update/delete are accepted) and at most one
+    change per key — a compacted stream, which is what ``table_diff``
+    + ``enrich_changes`` emit by construction.  Scale shape: ONE anti
+    hash-join shuffle removes every changed key's old row (removed/
+    changed displace it; added keys have no old row, and the anti-join
+    ignores them for free), then the non-delete change rows union in
+    as a streaming concat — no driver materialization, output stays a
+    Dataset of ``[key] + cols``.
+
+    ``changes_ds`` feeds BOTH consumers (anti-join keys and upsert
+    rows), so it is materialized once into the object store here —
+    legitimate for a CDC stream, which is O(changes), not O(table);
+    without it a lazy upstream (e.g. the whole table_diff chain)
+    would execute twice.
+    """
+    changes_ds = changes_ds.materialize()
+    kt = key_type or pa.int64()
+    lt = None
+    if col_types is not None and all(c in col_types for c in cols):
+        lt = {key: kt, **col_types}
+    survivors = hash_join(
+        snapshot_ds, changes_ds, on=key, left_cols=cols,
+        right_cols=[], how="anti",
+        left_types=lt, right_types={key: kt},
+    )
+
+    def upserts(t: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(
+            t.column(change_col),
+            value_set=pa.array(["removed", "delete"])))
+        return t.filter(mask).select([key] + cols)
+
+    incoming = changes_ds.map_batches(upserts, batch_format="pyarrow")
+    return survivors.union(incoming)

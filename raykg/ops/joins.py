@@ -290,12 +290,26 @@ def asof_join(
     max_group: int = ASOF_MAX_GROUP,
     n_salts: int = ASOF_SALTS,
     census: bool = True,
+    direction: str = "backward",
 ):
     """For each left row: the right row of the same key with the
-    greatest ``right_ts`` <= left ``ts``; ties on right_ts resolve to
-    the row with the max first requested right column. Unmatched left
-    rows take ``fill[col]`` (required for every right col, so output
-    dtypes stay stable).
+    greatest ``right_ts`` <= left ``ts`` (``direction='backward'``,
+    the default), the smallest ``right_ts`` >= ``ts`` (``'forward'``),
+    or whichever of the two is closer in absolute distance
+    (``'nearest'``, exact ties resolving backward — pandas
+    ``merge_asof`` semantics, pinned in tests). Ties on right_ts
+    resolve to the row with the max first requested right column in
+    every direction. Unmatched left rows take ``fill[col]`` (required
+    for every right col, so output dtypes stay stable).
+
+    ``'forward'`` is computed as the backward as-of on the NEGATED
+    time axis — one extra stateless map per side, after which the
+    whole plan (single tagged-union shuffle, hot-key time-range
+    salting, prefix injection) applies unchanged: the backward path's
+    latest-earlier-range prefix row IS the earliest-later-range
+    suffix on the original axis. ``'nearest'`` augments each salted
+    range with BOTH boundary rows (prefix and suffix) so the closer
+    neighbour is always in-range.
 
     HOT-KEY SPLITTING: a pre-aggregated census finds keys whose
     combined row count exceeds ``max_group``; their rows are salted
@@ -314,6 +328,14 @@ def asof_join(
     combined row count exceeds ``max_group``; such a key then lands in
     one group task anyway.
     """
+    if direction == "forward":
+        return _asof_forward(
+            left_ds, right_ds, key, right_key, ts, right_ts,
+            left_cols, right_cols, fill=fill, coarse=coarse,
+            max_group=max_group, n_salts=n_salts, census=census)
+    if direction not in ("backward", "nearest"):
+        raise ValueError(f"unsupported direction={direction!r}")
+    nearest = direction == "nearest"
     fill = fill or {}
     ltypes = _schema_types(left_ds)
     rtypes = _schema_types(right_ds)
@@ -422,14 +444,23 @@ def asof_join(
             "_side", pa.array(np.ones(batch.num_rows, dtype=np.int8))
         )
 
-    # ---- per-(hot key, range) PREFIX: the latest right row (max
-    # right_ts, tie by max first right col — the merge's own rule) of
-    # every EARLIER range, bounded at hot_keys × n_salts driver rows
-    prefix_ref = None
-    if hot_map:
-        sort_cols = [right_ts, right_cols[0]]
+    # ---- per-(hot key, range) boundary rows, bounded at
+    # hot_keys × n_salts driver rows: the PREFIX (latest right row of
+    # every earlier range — max right_ts, tie by max first right col,
+    # the merge's own rule) and, for direction='nearest', also the
+    # SUFFIX (earliest right row of every later range — min right_ts,
+    # same col tie rule) so the closer neighbour is always in-range.
+    def _boundary_ref(latest: bool):
+        col0 = right_cols[0]
+        sort_cols = [right_ts, col0]
+        asc = [True, True] if latest else [True, False]
 
-        def local_last(df: pd.DataFrame) -> pd.DataFrame:
+        def pick(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.sort_values(sort_cols, ascending=asc, kind="mergesort")
+            g = g.groupby([right_key, "_salt"], as_index=False)
+            return g.tail(1) if latest else g.head(1)
+
+        def local_pick(df: pd.DataFrame) -> pd.DataFrame:
             hm = ray.get(hot_ref)
             df = df[df[right_key].isin(list(hm))]
             if not len(df):
@@ -438,41 +469,44 @@ def asof_join(
                 df[right_key].to_numpy(),
                 df[right_ts].astype("datetime64[ns]").astype("int64").to_numpy(),
             )
-            df = df.assign(_salt=salt)
-            return (
-                df.sort_values(sort_cols, kind="mergesort")
-                .groupby([right_key, "_salt"], as_index=False)
-                .tail(1)
-            )
+            return pick(df.assign(_salt=salt))
 
-        lasts = (
-            right_ds.map_batches(local_last, batch_format="pandas")
+        picks = (
+            right_ds.map_batches(local_pick, batch_format="pandas")
             .groupby([right_key, "_salt"])
-            .map_groups(
-                lambda g: g.sort_values(sort_cols, kind="mergesort").tail(1),
-                batch_format="pandas",
-            )
+            .map_groups(pick, batch_format="pandas")
             .to_pandas()
         )
-        prefix: dict = {}
-        for k, kg in lasts.groupby(right_key):
-            kg = kg.sort_values("_salt")
+        out: dict = {}
+        for k, kg in picks.groupby(right_key):
             best = None
             rows = {int(r["_salt"]): r for _, r in kg.iterrows()}
-            for s in range(1, n_salts):
-                prev = rows.get(s - 1)
-                if prev is not None and (
-                    best is None
-                    or (prev[right_ts], prev[right_cols[0]])
-                    >= (best[right_ts], best[right_cols[0]])
-                ):
-                    best = prev
+            seq = range(1, n_salts) if latest else range(n_salts - 2, -1, -1)
+            for s in seq:
+                cand = rows.get(s - 1 if latest else s + 1)
+                if cand is not None:
+                    if best is None:
+                        best = cand
+                    elif latest and (
+                        (cand[right_ts], cand[col0])
+                        >= (best[right_ts], best[col0])
+                    ):
+                        best = cand
+                    elif not latest and (
+                        cand[right_ts] < best[right_ts]
+                        or (cand[right_ts] == best[right_ts]
+                            and cand[col0] > best[col0])
+                    ):
+                        best = cand
                 if best is not None:
-                    prefix[(k, s)] = {
+                    out[(k, s)] = {
                         ts: best[right_ts],
                         **{"_r_" + c: best[c] for c in right_cols},
                     }
-        prefix_ref = ray.put(prefix)
+        return ray.put(out)
+
+    prefix_ref = _boundary_ref(True) if hot_map else None
+    suffix_ref = _boundary_ref(False) if (hot_map and nearest) else None
 
     tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow")
@@ -480,30 +514,56 @@ def asof_join(
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         pfx = ray.get(prefix_ref) if prefix_ref is not None else {}
+        sfx = ray.get(suffix_ref) if suffix_ref is not None else {}
         parts = []
         for (k, s), kg in g.groupby([key, "_salt"], sort=False):
             left = kg[kg["_side"] == 0]
             if len(left) == 0:
                 continue
             right = kg[kg["_side"] == 1]
-            inj = pfx.get((k, int(s)))
-            if inj is not None:
-                inj_row = {key: k, "_side": np.int8(1), "_salt": s, **inj}
-                for c in left_cols:
-                    inj_row.setdefault(c, None)
+            inj_rows = [r for r in (pfx.get((k, int(s))),
+                                    sfx.get((k, int(s)))) if r is not None]
+            if inj_rows:
+                new_rows = []
+                for inj in inj_rows:
+                    inj_row = {key: k, "_side": np.int8(1), "_salt": s,
+                               **inj}
+                    for c in left_cols:
+                        inj_row.setdefault(c, None)
+                    new_rows.append(inj_row)
                 right = pd.concat(
-                    [right, pd.DataFrame([inj_row])], ignore_index=True
+                    [right, pd.DataFrame(new_rows)], ignore_index=True
                 )
             right = right.sort_values([ts, "_r_" + right_cols[0]])
             res = left[[key, ts] + left_cols].reset_index(drop=True)
             if len(right):
-                idx = (
-                    np.searchsorted(
-                        right[ts].to_numpy(), left[ts].to_numpy(),
-                        side="right",
-                    )
-                    - 1
-                )
+                rts_v = right[ts].to_numpy()
+                lts_v = left[ts].to_numpy()
+                idx = np.searchsorted(rts_v, lts_v, side="right") - 1
+                if nearest:
+                    nr = len(right)
+                    idx_f = np.searchsorted(rts_v, lts_v, side="left")
+                    if_ok = idx_f < nr
+                    # forward hit lands on the FIRST row of an equal-
+                    # right_ts run; realign to the last (max first
+                    # right col — the shared tie rule)
+                    idx_fc = np.clip(idx_f, 0, nr - 1)
+                    idx_fa = np.searchsorted(
+                        rts_v, rts_v[idx_fc], side="right") - 1
+                    ib_ok = idx >= 0
+                    if np.issubdtype(rts_v.dtype, np.datetime64):
+                        li = lts_v.astype("datetime64[ns]").astype("int64")
+                        ri = rts_v.astype("datetime64[ns]").astype("int64")
+                        big = np.iinfo(np.int64).max
+                    else:
+                        li = lts_v.astype(np.float64)
+                        ri = rts_v.astype(np.float64)
+                        big = np.inf
+                    d_b = np.where(ib_ok, li - ri[np.clip(idx, 0, None)],
+                                   big)
+                    d_f = np.where(if_ok, ri[idx_fc] - li, big)
+                    # strict <: exact-distance ties resolve backward
+                    idx = np.where(if_ok & (d_f < d_b), idx_fa, idx)
             else:
                 idx = np.full(len(left), -1)
             for c in right_cols:
@@ -537,6 +597,38 @@ def asof_join(
         return t
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def _asof_forward(left_ds, right_ds, key, right_key, ts, right_ts,
+                  left_cols, right_cols, **kwargs):
+    """direction='forward' as-of: the backward as-of on the NEGATED
+    time axis (greatest -right_ts <= -ts  ==  smallest right_ts >=
+    ts). One extra stateless map per side builds the negated int64
+    axis; everything else — the single shuffle, hot-key time-range
+    salting, prefix injection (which becomes the suffix on the
+    original axis), the max-first-right-col tie rule — applies
+    unchanged. Timestamps or integer time axes only (same cast
+    contract as the backward path)."""
+    import pyarrow.compute as pc
+
+    def neg(col):
+        def fn(t: pa.Table) -> pa.Table:
+            v = t.column(col).cast(pa.timestamp("ns")).cast(pa.int64())
+            return t.append_column("_negts", pc.negate_checked(v))
+        return fn
+
+    left2 = left_ds.map_batches(neg(ts), batch_format="pyarrow")
+    right2 = right_ds.map_batches(neg(right_ts), batch_format="pyarrow")
+    inner = asof_join(
+        left2, right2, key, right_key, "_negts", "_negts",
+        [ts] + left_cols, right_cols, direction="backward", **kwargs)
+
+    out_cols = [key, ts] + list(left_cols) + list(right_cols)
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.select(out_cols)
+
+    return inner.map_batches(strip, batch_format="pyarrow")
 
 
 BROADCAST_JOIN_BYTES = 64 << 20  # small side under this -> map-side join

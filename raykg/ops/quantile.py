@@ -155,3 +155,44 @@ def exact_global_quantile(ds, col: str, q: float, id_col: str | None = None,
     vf = vals[f - below]
     vc = vals[min(f + 1, n - 1) - below]
     return float(vf + frac * (vc - vf))
+
+
+def equi_depth_bins(ds, col: str, nbins: int, out_col: str = "bin",
+                    **quantile_kwargs):
+    """Equi-depth (quantile) bucketing — the feature-engineering
+    discretizer: append ``out_col`` = index of the quantile bucket
+    each row's ``col`` value falls in (0 .. nbins-1), with boundaries
+    the exact global ``quantile_cont(col, i/nbins)`` order statistics.
+
+    Plan: the ``nbins - 1`` interior boundaries come from
+    ``exact_global_quantile`` (distributed selection — O(blocks)
+    scalars per pass, no global sort); assignment is then one
+    stateless ``map_batches`` with the tiny boundary vector in the
+    closure: ``bin = searchsorted(boundaries, x, side='left')`` ==
+    the number of boundaries strictly below x, which is exactly
+    ``sum(CASE WHEN x > b_i)`` in SQL — ties at a boundary all land in
+    the LOWER bucket on both sides.  NaN/null values get bin = -1.
+
+    Boundary-count note: each boundary costs ~3 streaming passes, so
+    this is meant for the usual 4-100 buckets; for hundreds of
+    buckets use ``sketch.approx_grouped_quantiles``' sampled variant.
+    With an integer-valued column and ``nbins`` a power of two the
+    interpolation arithmetic is exact in float64 on both the numpy
+    and SQL sides (pos = q*(n-1) and frac are exact binaries), making
+    the oracle bit-exact — the pinning used by
+    ``__ray_entry__.bin_quantity_equidepth``.
+    """
+    if nbins < 2:
+        raise ValueError("nbins must be >= 2")
+    bounds = np.array([
+        exact_global_quantile(ds, col, i / nbins, **quantile_kwargs)
+        for i in range(1, nbins)
+    ])
+
+    def assign(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(bounds, x, side="left").astype(np.int32)
+        b[np.isnan(x)] = -1
+        return t.append_column(out_col, pa.array(b, pa.int32()))
+
+    return ds.map_batches(assign, batch_format="pyarrow"), bounds

@@ -279,3 +279,45 @@ def compression_ratio(ds, text_col: str = "text", id_col: str = "doc_id",
                 .append_column("zlib_ratio", pa.array(ratio, pa.float64())))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def regex_extract(ds, col: str, pattern: str, names: list[str],
+                  types: dict[str, "pa.DataType"] | None = None):
+    """Structured field extraction from a string column (log / semi-
+    structured parsing): append one column per capture group in
+    ``pattern``, named by ``names`` (order = group order), null where
+    the pattern does not match. Fully vectorized — one
+    ``pyarrow.compute.extract_regex`` (RE2) kernel call per block, no
+    per-row Python; ``types`` optionally casts extracted strings (e.g.
+    ``{"k": pa.int64()}``). DuckDB's ``regexp_extract`` is RE2 too, so
+    an oracle can mirror the pattern verbatim
+    (``__ray_entry__.extract_props_k``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # pc.extract_regex needs NAMED groups; synthesize them from the
+    # plain capture groups (every "(" not escaped and not "(?...")
+    import re as _re
+
+    idx = -1
+
+    def _name_group(m):
+        nonlocal idx
+        idx += 1
+        return f"(?P<{names[idx]}>"
+
+    named = _re.sub(r"(?<!\\)\((?!\?)", _name_group, pattern)
+    if idx + 1 != len(names):
+        raise ValueError(
+            f"pattern has {idx + 1} capture groups, got {len(names)} names")
+
+    def fn(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t.column(col), named)
+        for n in names:
+            child = pc.struct_field(ext, n)
+            if types and n in types:
+                child = child.cast(types[n])
+            t = t.append_column(n, child)
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")

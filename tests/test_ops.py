@@ -1562,3 +1562,167 @@ def test_storage_profile_matches_duckdb_parquet_metadata():
             == want["compressed_bytes"].to_numpy()).all()
     assert (got["uncompressed_bytes"].to_numpy()
             == want["uncompressed_bytes"].to_numpy()).all()
+
+
+def test_apply_changes_roundtrip_and_vocab():
+    from raykg.ops.diff import apply_changes, enrich_changes, table_diff
+
+    old = pd.DataFrame({
+        "k": [1, 2, 3, 4, 5],
+        "a": [10, 20, 30, 40, 50],
+        "b": ["x", "y", None, "w", "v"],
+    })
+    new = pd.DataFrame({
+        "k": [1, 2, 4, 5, 6],          # 3 removed, 6 added
+        "a": [10, 21, 40, 50, 60],     # 2 changed
+        "b": ["x", "y", "w", "V", "u"],  # 5 changed
+    })
+    diff = table_diff(rd.from_pandas(old).repartition(2),
+                      rd.from_pandas(new).repartition(3), "k", ["a", "b"])
+    changes = enrich_changes(diff, rd.from_pandas(new), "k", ["a", "b"])
+    got = (apply_changes(rd.from_pandas(old).repartition(2), changes,
+                         "k", ["a", "b"]).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    want = new.sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["a"].astype("int64").tolist() == want["a"].tolist()
+    assert got["b"].tolist() == want["b"].tolist()
+
+    # CDC synonym vocabulary: delete == removed
+    ch2 = pd.DataFrame({"k": [3, 7], "status": ["delete", "insert"],
+                        "a": [None, 70], "b": [None, "q"]})
+    got2 = (apply_changes(rd.from_pandas(old), rd.from_pandas(ch2),
+                          "k", ["a", "b"],
+                          col_types={"a": pa.float64(), "b": pa.string()})
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got2["k"].tolist() == [1, 2, 4, 5, 7]
+    assert got2.loc[got2["k"] == 7, "b"].iloc[0] == "q"
+
+
+def test_regex_extract_groups_nulls_and_cast():
+    from raykg.ops.textstats import regex_extract
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "s": ['{"k": 69, "v": "aa"}', '{"k": 7, "v": "b"}',
+              "no match here", None],
+    })
+    out = (regex_extract(rd.from_pandas(df).repartition(2), "s",
+                         r'\{"k": (\d+), "v": "(\w+)"\}', ["k", "v"],
+                         types={"k": pa.int64()})
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out["k"].tolist()[:2] == [69, 7]
+    assert pd.isna(out["k"].iloc[2]) and pd.isna(out["k"].iloc[3])
+    assert out["v"].tolist()[:2] == ["aa", "b"]
+    assert out["s"].tolist()[:2] == df["s"].tolist()[:2]  # input kept
+
+    # group-count mismatch is an explicit error
+    with pytest.raises(ValueError):
+        regex_extract(rd.from_pandas(df), "s", r"(\d+)", ["a", "b"])
+
+
+def test_equi_depth_bins_matches_numpy_and_nan():
+    from raykg.ops.quantile import equi_depth_bins
+
+    rng = np.random.default_rng(7)
+    x = np.concatenate([rng.integers(0, 100, 997).astype(float), [np.nan]])
+    df = pd.DataFrame({"id": np.arange(len(x)), "v": x})
+    binned, bounds = equi_depth_bins(
+        rd.from_pandas(df).repartition(4), "v", 4)
+    got = binned.to_pandas().sort_values("id").reset_index(drop=True)
+
+    want_bounds = np.quantile(x[~np.isnan(x)], [0.25, 0.5, 0.75])
+    assert np.allclose(bounds, want_bounds)
+    want = np.searchsorted(want_bounds, x, side="left")
+    want[np.isnan(x)] = -1
+    assert got["bin"].to_numpy().tolist() == want.astype(int).tolist()
+    # depths roughly equal (exact quartiles on ties-light data)
+    counts = got[got["bin"] >= 0]["bin"].value_counts()
+    assert counts.max() - counts.min() <= x.size * 0.05
+
+    with pytest.raises(ValueError):
+        equi_depth_bins(rd.from_pandas(df), "v", 1)
+
+
+def test_asof_join_directions_match_pandas():
+    """direction='forward' (negated-axis plan) and 'nearest' (dual
+    searchsorted, equidistant ties backward) vs pandas.merge_asof."""
+    from raykg.ops.joins import asof_join
+
+    rng = np.random.default_rng(5)
+    n_l, n_r = 500, 200
+    left = pd.DataFrame({
+        "k": rng.integers(0, 12, n_l),
+        "t": rng.integers(0, 10_000, n_l).astype("datetime64[s]"),
+        "payload": np.arange(n_l),
+    })
+    right = pd.DataFrame({
+        "rk": rng.integers(0, 15, n_r),
+        "rt": rng.integers(0, 10_000, n_r).astype("datetime64[s]"),
+        "val": rng.integers(0, 1000, n_r),
+    })
+    right = (right.sort_values(["rk", "rt", "val"])
+             .groupby(["rk", "rt"], as_index=False).last())
+
+    for direction in ("forward", "nearest"):
+        got = asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            key="k", right_key="rk", ts="t", right_ts="rt",
+            left_cols=["payload"], right_cols=["val"], fill={"val": -1},
+            direction=direction,
+        ).to_pandas().sort_values("payload").reset_index(drop=True)
+        exp = pd.merge_asof(
+            left.sort_values("t"),
+            right.sort_values("rt").rename(columns={"rk": "k", "rt": "t"}),
+            on="t", by="k", direction=direction,
+        )
+        exp["val"] = exp["val"].fillna(-1).astype("int64")
+        exp = exp.sort_values("payload").reset_index(drop=True)
+        assert (got["val"].to_numpy() == exp["val"].to_numpy()).all(), \
+            direction
+        assert (got["t"].to_numpy() == exp["t"].to_numpy()).all()
+
+    with pytest.raises(ValueError):
+        asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                  key="k", right_key="rk", ts="t", right_ts="rt",
+                  left_cols=["payload"], right_cols=["val"],
+                  direction="sideways")
+
+
+def test_asof_join_directions_hot_key_salting():
+    """forward/nearest with a planted hot key: salted output identical
+    to the unsalted path (forward rides the negated-axis prefix;
+    nearest needs BOTH boundary rows per range)."""
+    from raykg.ops.joins import asof_join
+
+    rng = np.random.default_rng(7)
+    n_l = 4000
+    left = pd.DataFrame({
+        "k": np.where(rng.random(n_l) < 0.9, 1, 2),
+        "t": rng.integers(0, 100_000, n_l).astype("datetime64[s]"),
+        "payload": np.arange(n_l),
+    })
+    right = pd.DataFrame({
+        "rk": np.array([1] * 12 + [2] * 5),
+        "rt": np.concatenate(
+            [np.sort(rng.choice(20_000, 12, replace=False)),
+             np.sort(rng.choice(100_000, 5, replace=False))]
+        ).astype("datetime64[s]"),
+        "val": rng.integers(0, 1000, 17),
+    })
+    kw = dict(key="k", right_key="rk", ts="t", right_ts="rt",
+              left_cols=["payload"], right_cols=["val"], fill={"val": -1})
+
+    def norm(d):
+        return d.sort_values("payload").reset_index(drop=True)
+
+    for direction in ("forward", "nearest"):
+        plain = norm(asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            max_group=10**9, direction=direction, **kw).to_pandas())
+        salted = norm(asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            max_group=500, n_salts=8, direction=direction,
+            **kw).to_pandas())
+        assert (plain["val"].to_numpy()
+                == salted["val"].to_numpy()).all(), direction
