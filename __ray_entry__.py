@@ -1654,6 +1654,116 @@ def _sql_redact() -> str:
 _SQL_REDACT = _sql_redact()
 
 
+# ---- web-corpus curation: HTML strip + C4 line filter --------------
+# documents.text is single-line word-salad, so both queries derive a
+# web-shaped corpus deterministically on BOTH sides (same trick as
+# embedding_dup_pairs_oracle): sentence breaks from a frequent word,
+# HTML wrapping / boilerplate poison keyed off doc_id.
+
+_HTML_PREFIX = ("<html><head><style>p{color:red}</style></head>"
+                "<body><h1>")
+_HTML_MID = "</h1>\n<p>"
+_HTML_SUFFIX = (".</p>\n<p>5 &lt; 6 &amp; it&#39;s a &quot;test&quot;"
+                "&nbsp;done.</p>\n<script type=\"text/javascript\">"
+                "var j = 1 && 2;</script></body></html>")
+
+
+def _derive_html(t):
+    import pyarrow.compute as pc
+
+    body = pc.replace_substring(t.column("text"), " value ", ".</p>\n<p>")
+    html = pc.binary_join_element_wise(
+        pa.array([_HTML_PREFIX] * len(t)), t.column("source").combine_chunks(),
+        pa.array([_HTML_MID] * len(t)), body.combine_chunks(),
+        pa.array([_HTML_SUFFIX] * len(t)), "")
+    return t.select(["doc_id"]).append_column("text", html)
+
+
+def _q_html_strip(sf_dir: str):
+    """HTML boilerplate strip (script/style blocks, tags, entities,
+    whitespace collapse) — raykg.ops.curate.strip_html, all RE2 Arrow
+    kernels, bit-equal to the generated DuckDB regexp_replace chain."""
+    from raykg.ops.curate import strip_html
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "source"])
+    ds = ds.map_batches(_derive_html, batch_format="pyarrow")
+    return strip_html(ds).drop_columns(["text"])
+
+
+def _sql_html_strip() -> str:
+    from raykg.ops.curate import html_strip_sql_expr
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+    derived = (f"{lit(_HTML_PREFIX)} || source || {lit(_HTML_MID)} || "
+               f"replace(text, ' value ', '.</p>' || chr(10) || '<p>') || "
+               f"{lit(_HTML_SUFFIX)}")
+    return (f"SELECT doc_id, {html_strip_sql_expr(derived)} AS text_clean "
+            f"FROM documents")
+
+
+_SQL_HTML_STRIP = _sql_html_strip()
+
+
+def _q_c4_filter(sf_dir: str):
+    """C4-style heuristic document filter (terminal-punctuation +
+    min-words line rules, brace / lorem-ipsum / min-lines document
+    rules) — raykg.ops.curate.c4_filter, in-block explode/implode."""
+    import pyarrow.compute as pc
+
+    from raykg.ops.curate import c4_filter
+
+    def derive(t):
+        ids = t.column("doc_id").to_numpy()
+        body = pc.replace_substring(t.column("text"), " table ", ".\n")
+        suffix = np.where(ids % 13 == 0, " {",
+                          np.where(ids % 11 == 0, "\nlorem ipsum.", "."))
+        text = pc.binary_join_element_wise(
+            body.combine_chunks(), pa.array(suffix.tolist()), "")
+        return t.select(["doc_id"]).append_column("text", text)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return c4_filter(ds.map_batches(derive, batch_format="pyarrow"))
+
+
+def _sql_c4_filter() -> str:
+    from raykg.ops.curate import (C4_LINE_END_RX, C4_MIN_LINES,
+                                  C4_MIN_WORDS_PER_LINE, C4_WORD_RX)
+
+    word = C4_WORD_RX.replace("'", "''")
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         replace(text, ' table ', '.' || chr(10)) ||
+         CASE WHEN doc_id % 13 = 0 THEN ' {{'
+              WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum.'
+              ELSE '.' END AS text
+  FROM documents),
+k AS (
+  SELECT doc_id, text AS orig,
+         list_filter(
+           list_transform(string_split(text, chr(10)),
+                          s -> trim(s, ' ' || chr(9) || chr(13))),
+           s -> regexp_matches(s, '{C4_LINE_END_RX}')
+                AND len(regexp_extract_all(s, '{word}'))
+                    >= {C4_MIN_WORDS_PER_LINE}) AS kept,
+         len(string_split(text, chr(10)))::BIGINT AS n_lines_total
+  FROM src)
+SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+       len(kept)::BIGINT AS n_lines_kept, n_lines_total
+FROM k
+WHERE len(kept) >= {C4_MIN_LINES}
+  AND NOT contains(orig, '{{')
+  AND NOT contains(lower(orig), 'lorem ipsum')
+"""
+
+
+_SQL_C4_FILTER = _sql_c4_filter()
+
+
 def _q_vocab_top_words(sf_dir: str):
     """Corpus word-frequency table, top-200 — partial aggregation
     (per-block np.unique pre-count) before the shuffle."""
@@ -3709,6 +3819,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_dup_pairs": _q_jaccard_dup_pairs,
         "embedding_dup_pairs_oracle": _q_embedding_dup_oracle,
         "redact_pii_documents": _q_redact_documents,
+        "html_strip_documents": _q_html_strip,
+        "c4_filter_documents": _q_c4_filter,
         "vocab_top_words": _q_vocab_top_words,
         "sample_documents_mixture": _q_sample_mixture,
         "shuffle_documents_head": _q_shuffle_head,
@@ -3859,6 +3971,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _SQL_QUALITY,
         "text_langid": _SQL_LANGID,
         "redact_pii_documents": _SQL_REDACT,
+        "html_strip_documents": _SQL_HTML_STRIP,
+        "c4_filter_documents": _SQL_C4_FILTER,
         "vocab_top_words": _SQL_VOCAB,
         "sample_documents_mixture": _SQL_MIXTURE,
         "shuffle_documents_head": _SQL_SHUFFLE_HEAD,
