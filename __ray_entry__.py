@@ -1529,7 +1529,10 @@ ORDER BY doc_id
 """
 
 
-_SQL_DEDUP_GROUPS = """
+# shared CTE chain: brute-force jaccard pairs -> transitive closure ->
+# min-id component labels (used by dedup_groups_minhash AND
+# dedup_keep_best_documents; see _SQL_DEDUP_GROUPS docquery)
+_SQL_MINHASH_CC_PREFIX = """
 WITH RECURSIVE
 docs AS (SELECT doc_id, lower(text) AS t FROM documents),
 sh AS (
@@ -1563,10 +1566,29 @@ reach(n, m) AS (
   SELECT a, b FROM edges
   UNION
   SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+),
+comp AS (
+  SELECT n AS node, least(n, min(m)) AS component
+  FROM reach GROUP BY n
 )
-SELECT n AS node, least(n, min(m)) AS component
-FROM reach GROUP BY n
-ORDER BY node
+"""
+
+_SQL_DEDUP_GROUPS = _SQL_MINHASH_CC_PREFIX + """
+SELECT node, component FROM comp ORDER BY node
+"""
+
+_SQL_KEEP_BEST = _SQL_MINHASH_CC_PREFIX + """
+, win AS (
+  SELECT component, node AS winner FROM (
+    SELECT c.component, c.node,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY d.n_chars DESC, c.node) AS rn
+    FROM comp c JOIN documents d ON d.doc_id = c.node)
+  WHERE rn = 1
+)
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM comp)
+   OR d.doc_id IN (SELECT winner FROM win)
 """
 
 
@@ -2822,6 +2844,24 @@ def _q_dedup_groups(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def _q_dedup_keep_best(sf_dir: str):
+    """Quality-aware near-dedup: MinHash pairs -> connected components
+    -> keep the HIGHEST-n_chars member of each duplicate family (ties:
+    min doc_id) plus all unpaired docs (raykg.ops.cc.near_dedup_
+    keep_best). Oracle shares dedup_groups_minhash's brute-force
+    jaccard + transitive-closure CTE and picks winners by
+    row_number() OVER (ORDER BY n_chars DESC, node)."""
+    from raykg.ops.cc import near_dedup_keep_best
+    from raykg.ops.dedup import minhash_lsh_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "n_chars"])
+    pairs = minhash_lsh_pairs(ds, threshold=0.8)
+    kept = near_dedup_keep_best(ds, pairs, id_col="doc_id",
+                                score_col="n_chars")
+    return kept.select_columns(["doc_id", "n_chars"])
+
+
 def _q_rollup_pricing(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): one input shuffle
     at the finest grain, coarser levels re-aggregated from it
@@ -3835,6 +3875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_value_quantiles": _q_approx_quantiles,
         "curation_pipeline": _q_curation_pipeline,
         "dedup_groups_minhash": _q_dedup_groups,
+        "dedup_keep_best_documents": _q_dedup_keep_best,
         "graph_pagerank_parts": _q_pagerank_parts,
         "search_bm25_documents": _q_bm25_search,
         "join_cross_region_nation": _q_cross_region_nation,
@@ -3967,6 +4008,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup_pairs": _SQL_SIMHASH,
         "text_fingerprints": _SQL_FINGERPRINTS,
         "dedup_groups_minhash": _SQL_DEDUP_GROUPS,
+        "dedup_keep_best_documents": _SQL_KEEP_BEST,
         "decontaminate_documents": _SQL_DECONTAM,
         "text_quality": _SQL_QUALITY,
         "text_langid": _SQL_LANGID,

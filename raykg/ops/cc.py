@@ -222,6 +222,54 @@ def near_dedup_keep_canonical(ds, pairs_ds, id_col: str = "doc_id",
     return ds.map_batches(keep_rows, batch_format="pyarrow")
 
 
+def near_dedup_keep_best(ds, pairs_ds, id_col: str = "doc_id",
+                         score_col: str = "n_chars",
+                         src: str = "id_a", dst: str = "id_b",
+                         max_rounds: int = 25,
+                         coarse: int = CC_BUCKETS):
+    """Quality-aware near-dedup: keep, from each duplicate family, the
+    member with the HIGHEST ``score_col`` (ties -> minimum id) — the
+    standard curation policy ("keep the longest / best-quality copy"),
+    vs :func:`near_dedup_keep_canonical`'s min-id rule.
+
+    Scale shape: component labels and member scores are bounded by the
+    PAIRED-node count (duplicate volume), not corpus size — members
+    broadcast once, one streaming corpus pass gathers their scores, a
+    driver-side argmax over that small frame derives the drop list,
+    and the corpus filters in a second stateless streaming pass. The
+    corpus itself is never materialized.
+    """
+    import pandas as pd
+    import ray
+
+    comp = connected_components(pairs_ds, src=src, dst=dst,
+                                max_rounds=max_rounds, coarse=coarse).to_pandas()
+    if len(comp) == 0:
+        return ds
+    members = np.sort(comp["node"].to_numpy())
+    members_ref = ray.put(members)
+
+    def member_scores(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        hit = np.isin(ids, ray.get(members_ref))
+        return t.filter(pa.array(hit)).select([id_col, score_col])
+
+    sc = ds.map_batches(member_scores, batch_format="pyarrow").to_pandas()
+    m = comp.merge(sc, left_on="node", right_on=id_col)
+    m = m.sort_values([score_col, "node"], ascending=[False, True],
+                      kind="stable")
+    winners = m.drop_duplicates("component")["node"].to_numpy()
+    drop = np.sort(np.setdiff1d(members, winners))
+    drop_ref = ray.put(drop)
+
+    def keep_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        bad = np.isin(ids, ray.get(drop_ref))
+        return t.filter(pa.array(~bad))
+
+    return ds.map_batches(keep_rows, batch_format="pyarrow")
+
+
 def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
                    coarse: int = CC_BUCKETS) -> int:
     """EXACT global triangle count of an undirected graph — the

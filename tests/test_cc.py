@@ -101,3 +101,35 @@ def test_near_dedup_keep_canonical():
     ).to_pandas()
     # families {1,3,5} -> keep 1; {8,9} -> keep 8; others untouched
     assert sorted(kept["doc_id"]) == [0, 1, 2, 4, 6, 7, 8]
+
+
+def test_near_dedup_keep_best_by_score_with_ties():
+    from raykg.ops.cc import near_dedup_keep_best
+
+    docs = pd.DataFrame({
+        "doc_id": range(10),
+        "text": [f"d{i}" for i in range(10)],
+        # family {1,3,5}: 5 has the top score -> keep 5
+        # family {8,9}: tied scores -> keep min id 8
+        "score": [0, 2, 0, 4, 0, 9, 0, 0, 7, 7],
+    })
+    pairs = pd.DataFrame({"id_a": [1, 3, 8], "id_b": [3, 5, 9]})
+    kept = near_dedup_keep_best(
+        rd.from_pandas(docs), rd.from_pandas(pairs),
+        score_col="score", coarse=4,
+    ).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 2, 4, 5, 6, 7, 8]
+
+
+def test_near_dedup_keep_best_no_pairs_keeps_all():
+    from raykg.ops.cc import near_dedup_keep_best
+
+    docs = pd.DataFrame({"doc_id": range(5),
+                         "text": list("abcde"), "score": range(5)})
+    pairs = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64")})
+    kept = near_dedup_keep_best(
+        rd.from_pandas(docs), rd.from_pandas(pairs),
+        score_col="score", coarse=4,
+    ).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 1, 2, 3, 4]
