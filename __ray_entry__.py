@@ -1803,6 +1803,27 @@ SELECT word, count(*)::BIGINT AS n FROM (
 GROUP BY word ORDER BY n DESC, word LIMIT 200
 """
 
+
+def _q_vocab_top_bigrams(sf_dir: str):
+    """Corpus word-bigram frequency table, top-100 — the n-gram
+    generalization of vocab_top_words (raykg.ops.vocab.top_ngrams):
+    per-block vectorized gram construction + np.unique pre-count, so
+    the shuffle carries one row per distinct bigram per block."""
+    from raykg.ops.vocab import top_ngrams
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    return top_ngrams(ds, n=2, k=100)
+
+
+_SQL_BIGRAMS = """
+SELECT gram, count(*)::BIGINT AS n FROM (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> array_to_string(t[i:i+1], ' '))) AS gram
+  FROM (SELECT string_split(text, ' ') AS t FROM documents)
+) GROUP BY gram ORDER BY n DESC, gram LIMIT 100
+"""
+
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
 _MIX_DEFAULT = 0.125
 
@@ -3862,6 +3883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_strip_documents": _q_html_strip,
         "c4_filter_documents": _q_c4_filter,
         "vocab_top_words": _q_vocab_top_words,
+        "vocab_top_bigrams": _q_vocab_top_bigrams,
         "sample_documents_mixture": _q_sample_mixture,
         "shuffle_documents_head": _q_shuffle_head,
         "sample_k_per_source": _q_sample_k_per_source,
@@ -4016,6 +4038,7 @@ def oracle_sql() -> dict[str, str]:
         "html_strip_documents": _SQL_HTML_STRIP,
         "c4_filter_documents": _SQL_C4_FILTER,
         "vocab_top_words": _SQL_VOCAB,
+        "vocab_top_bigrams": _SQL_BIGRAMS,
         "sample_documents_mixture": _SQL_MIXTURE,
         "shuffle_documents_head": _SQL_SHUFFLE_HEAD,
         "sample_k_per_source": _SQL_SAMPLE_K,

@@ -73,3 +73,69 @@ def top_words(ds, k: int = 200, text_col: str = "text",
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def _local_ngram_counts(t: pa.Table, text_col: str, n: int) -> pa.Table:
+    """Per-block word-n-gram pre-count. Same Zipf-head shuffle bound
+    as the unigram path: one (gram, n) row per DISTINCT n-gram per
+    block enters the exchange. Gram construction is vectorized — one
+    flat token array per block, start indices by offset arithmetic,
+    one C-level ``str.cat`` per gram position."""
+    empty = pa.table({"gram": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    texts = t.column(text_col).to_pandas()
+    if len(texts) == 0:
+        return empty
+    # exact whitespace split — matches string_split(text, ' ') in the
+    # DuckDB oracle (empty tokens from double spaces kept on BOTH
+    # sides; the synthetic corpus has none)
+    tokens = texts.str.split(" ")
+    lens = tokens.str.len().to_numpy(dtype=np.int64)
+    flat = tokens.explode().to_numpy(dtype=object)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    num = np.maximum(lens - n + 1, 0)
+    total = int(num.sum())
+    if total == 0:
+        return empty
+    within = np.arange(total) - np.repeat(np.cumsum(num) - num, num)
+    starts = np.repeat(offsets[:-1], num) + within
+    first = pd.Series(flat[starts])
+    grams = first.str.cat([pd.Series(flat[starts + k]) for k in range(1, n)],
+                          sep=" ").to_numpy(dtype=object)
+    g, c = np.unique(grams, return_counts=True)
+    return pa.table({"gram": pa.array(g, pa.string()),
+                     "n": pa.array(c, pa.int64())})
+
+
+def ngram_frequencies(ds, n: int = 2, text_col: str = "text"):
+    """Full (gram, n) word-n-gram frequency table."""
+    return (
+        ds.map_batches(
+            lambda t: _local_ngram_counts(t, text_col, n),
+            batch_format="pyarrow",
+        )
+        .groupby("gram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def top_ngrams(ds, n: int = 2, k: int = 100,
+               text_col: str = "text") -> pd.DataFrame:
+    """Top-k word n-grams by (count desc, gram asc) — per-block
+    partial top-k then a ≤ k × n_blocks driver merge."""
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["n", "gram"],
+                                       ascending=[False, True])
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    out = (
+        ngram_frequencies(ds, n=n, text_col=text_col)
+        .map_batches(block_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["n", "gram"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

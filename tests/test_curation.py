@@ -89,6 +89,21 @@ def test_top_words_matches_duckdb():
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_top_ngrams_hand_checked_and_partition_invariant():
+    from raykg.ops.vocab import top_ngrams
+
+    docs = ["a b c a b", "b c", "x", ""]  # trigrams only from doc 0
+    for nparts in (1, 3):
+        ds = rd.from_pandas(
+            pd.DataFrame({"text": docs})).repartition(nparts)
+        bi = top_ngrams(ds, n=2, k=10)
+        assert list(map(tuple, bi.to_records(index=False))) == [
+            ("a b", 2), ("b c", 2), ("c a", 1)]
+        tri = top_ngrams(ds, n=3, k=10)
+        assert list(map(tuple, tri.to_records(index=False))) == [
+            ("a b c", 1), ("b c a", 1), ("c a b", 1)]
+
+
 # --------------------------------------------------------------- pack
 def _ffd_reference(ids, toks, budget):
     """Independent oracle: naive FFD, dict-of-lists."""
