@@ -3827,6 +3827,207 @@ def _q_bpe_tokenize(sf_dir: str):
     return out[["doc_id", "n_bpe_tokens"]]
 
 
+# URL derivation shared by the Ray query and the SQL oracle: a
+# deterministic synthetic url per document (the testdata documents
+# carry no url column), built from columns BOTH sides read — the
+# id-shifted-copy convention the embedding oracles use.
+_URL_EXPR_SQL = ("'https://' || source || '.example.org' || "
+                 "(CASE WHEN doc_id % 4 = 0 THEN ':8080' ELSE '' END) || "
+                 "'/docs/' || lang || '?id=' || doc_id")
+
+
+def _q_url_host_stats(sf_dir: str):
+    """Per-host document/path statistics after vectorized RE2 URL
+    parsing (raykg/ops/urls.py): one extract_regex pass, per-block
+    pre-aggregation (one row per distinct host per block). DuckDB is
+    RE2 too, so the oracle parses the identically-derived url with the
+    same pattern and group index — every field bit-equal."""
+    from raykg.ops.urls import host_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source", "lang"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        src = t.column("source").to_pylist()
+        lang = t.column("lang").to_pylist()
+        urls = [
+            f"https://{s}.example.org{':8080' if d % 4 == 0 else ''}"
+            f"/docs/{lg}?id={d}"
+            for s, lg, d in zip(src, lang, doc)
+        ]
+        return t.append_column("url", pa.array(urls, pa.string()))
+
+    out = host_stats(ds.map_batches(derive, batch_format="pyarrow"))
+    return out
+
+
+_SQL_URL_HOSTS = f"""
+WITH u AS (
+  SELECT {_URL_EXPR_SQL} AS url FROM documents
+), p AS (
+  SELECT regexp_extract(url,
+    '^([a-z][a-z0-9+.\\-]*)://([^/?#]+)([^?#]*)(\\?([^#]*))?', 2) AS host,
+         regexp_extract(url,
+    '^([a-z][a-z0-9+.\\-]*)://([^/?#]+)([^?#]*)(\\?([^#]*))?', 3) AS path
+  FROM u
+)
+SELECT host, count(*)::BIGINT AS n_docs,
+       count(DISTINCT path)::BIGINT AS n_paths
+FROM p GROUP BY host ORDER BY host
+"""
+
+
+def _q_winsorize_quantity(sf_dir: str):
+    """Winsorization of l_quantity to its exact global
+    [quantile_cont(0.125), quantile_cont(0.875)] (raykg/ops/quantile.py
+    winsorize: distributed selection for the bounds — O(blocks)
+    scalars per pass, never a sort — then one stateless clip pass).
+    Integer column + binary-fraction quantiles -> the interpolated
+    bounds, every clipped value, and the per-flag sums are exact in
+    float64 on both sides; the oracle clamps with the same
+    quantile_cont bounds. Output: per l_returnflag row count, clipped
+    sum, and low/high clip counts."""
+    from raykg.ops.quantile import winsorize
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_quantity"])
+    clipped, _ = winsorize(ds, "l_quantity", 0.125, 0.875)
+    df = clipped.to_pandas()
+    out = (df.groupby("l_returnflag", as_index=False)
+           .agg(n=("l_quantity", "size"), sum_w=("l_quantity_w", "sum"),
+                n_lo=("clipped", lambda s: int((s == -1).sum())),
+                n_hi=("clipped", lambda s: int((s == 1).sum()))))
+    out["n"] = out["n"].astype("int64")
+    out["n_lo"] = out["n_lo"].astype("int64")
+    out["n_hi"] = out["n_hi"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+_SQL_WINSORIZE = """
+WITH b AS (
+  SELECT quantile_cont(l_quantity, 0.125) AS lo,
+         quantile_cont(l_quantity, 0.875) AS hi
+  FROM lineitem
+)
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       sum(least(greatest(l_quantity::DOUBLE, lo), hi)) AS sum_w,
+       count(*) FILTER (l_quantity < lo)::BIGINT AS n_lo,
+       count(*) FILTER (l_quantity > hi)::BIGINT AS n_hi
+FROM lineitem, b
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def _q_ols_lineitem(sf_dir: str):
+    """Per-flag simple linear regression l_quantity ~ l_linenumber
+    (raykg/ops/profile.py grouped_ols): one pass of per-block moment
+    partials, O(blocks × keys) exchange — the distributed regr_slope/
+    regr_intercept. Integer columns keep every folded sum exact, and
+    the SQL oracle mirrors the slope/intercept operand chain from raw
+    sums before the shared half-up rounding."""
+    from raykg.ops.profile import grouped_ols
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_linenumber",
+                                  "l_quantity"])
+    out = grouped_ols(ds, "l_returnflag", "l_linenumber", "l_quantity")
+    for c in ("slope", "intercept"):
+        out[c] = np.floor(out[c] * 1e6 + 0.5) / 1e6
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+_SQL_OLS = """
+WITH p AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(l_linenumber) AS sx, sum(l_quantity) AS sy,
+         sum(l_linenumber * l_quantity) AS sxy,
+         sum(l_linenumber * l_linenumber) AS sxx
+  FROM lineitem GROUP BY 1
+), s AS (
+  SELECT l_returnflag, n,
+         (sxy / n - (sx / n) * (sy / n))
+           / (sxx / n - (sx / n) * (sx / n)) AS slope,
+         sx / n AS mx, sy / n AS my
+  FROM p
+)
+SELECT l_returnflag, n,
+       floor(slope * 1e6 + 0.5) / 1e6 AS slope,
+       floor((my - slope * mx) * 1e6 + 0.5) / 1e6 AS intercept
+FROM s ORDER BY l_returnflag
+"""
+
+
+_CLS_FEATURES = ["f_tok", "f_wlen", "f_the", "f_spark"]
+
+
+def _q_train_doc_classifier(sf_dir: str):
+    """Distributed IRLS logistic regression (raykg/ops/logreg.py):
+    train a document classifier over vectorized text features WITHOUT
+    collecting a row — per-block (d+1)²-float Newton partials, one
+    streaming pass per iteration (the reference trains the same
+    objective by loading the entire prepared set into one 43 GB pandas
+    frame, feature_ablation_study.py:376-426). The synthetic target
+    (n_chars > 300) is deliberately learnable from the token-level
+    features without being identical to any of them — it exercises
+    convergence, scaling, and the L2-bounded near-separable case at
+    every SF. Rows-only: the fit is inherently iterative; agreement
+    with the in-memory optimum and partition invariance are pinned in
+    tests/test_logreg.py. Returns the standardized coefficients plus
+    training accuracy, rounded to the solver-stable 1e-4."""
+    import pandas as pd
+
+    from raykg.ops.logreg import fit_logreg_distributed, score_dataset
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "n_chars"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        n_tok = pc.list_value_length(pc.split_pattern(txt, " "))
+        n_tok = pc.cast(pc.max_element_wise(n_tok, 1), pa.float64())
+        n_chars = pc.cast(t.column("n_chars"), pa.float64())
+
+        def rate(word: str):
+            c = pc.count_substring(txt, f" {word} ")
+            return pc.divide(pc.cast(c, pa.float64()), n_tok)
+
+        out = pa.table({
+            "doc_id": t.column("doc_id"),
+            "f_tok": n_tok,
+            "f_wlen": pc.divide(n_chars, n_tok),
+            "f_the": rate("the"),
+            "f_spark": rate("spark"),
+            "label": pc.cast(pc.greater(t.column("n_chars"), 300),
+                             pa.int64()),
+        })
+        return out
+
+    feat_ds = ds.map_batches(feats, batch_format="pyarrow")
+    model = fit_logreg_distributed(feat_ds, _CLS_FEATURES, "label",
+                                   C=1.0, max_iter=50)
+    scored = score_dataset(feat_ds, model, _CLS_FEATURES, out_col="p")
+
+    def acc_part(t: pa.Table) -> pa.Table:
+        p = t.column("p").to_numpy(zero_copy_only=False)
+        y = t.column("label").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "hit": pa.array([int(((p > 0.5).astype(np.int64) == y).sum())],
+                            pa.int64()),
+            "n": pa.array([len(y)], pa.int64()),
+        })
+
+    agg = scored.map_batches(acc_part, batch_format="pyarrow").to_pandas()
+    acc = float(agg["hit"].sum()) / float(agg["n"].sum())
+    rows = [{"feature": f, "coef": float(np.floor(c * 1e4 + 0.5) / 1e4)}
+            for f, c in zip(model.features, model.coef)]
+    rows.append({"feature": "_intercept",
+                 "coef": float(np.floor(model.intercept * 1e4 + 0.5) / 1e4)})
+    rows.append({"feature": "_train_accuracy",
+                 "coef": float(np.floor(acc * 1e4 + 0.5) / 1e4)})
+    return pd.DataFrame(rows)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -3931,6 +4132,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_composite_flagstatus": _q_composite_join_lineitem,
         "agg_global_value_quantiles": _q_global_quantiles_events,
         "validate_k_anonymity": _q_k_anonymity,
+        "url_host_stats": _q_url_host_stats,
+        "winsorize_quantity": _q_winsorize_quantity,
+        "regress_quantity_by_flag": _q_ols_lineitem,
+        # rows-only (iterative model fit)
+        "train_doc_classifier": _q_train_doc_classifier,
         # rows-only (iterative / eigen-based)
         "embed_pca_project": _q_embed_pca,
         "bpe_tokenize_documents": _q_bpe_tokenize,
@@ -4043,4 +4249,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_documents_head": _SQL_SHUFFLE_HEAD,
         "sample_k_per_source": _SQL_SAMPLE_K,
         "quality_repetition_stats": _SQL_REPETITION,
+        "url_host_stats": _SQL_URL_HOSTS,
+        "winsorize_quantity": _SQL_WINSORIZE,
+        "regress_quantity_by_flag": _SQL_OLS,
     }

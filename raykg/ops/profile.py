@@ -282,6 +282,41 @@ def grouped_corr(ds, key: str, x: str, y: str) -> pd.DataFrame:
                          "corr": corr})
 
 
+def grouped_ols(ds, key: str, x: str, y: str) -> pd.DataFrame:
+    """Per-key simple linear regression (``y ~ x``) from the same
+    one-pass moment partials as :func:`grouped_corr` — the distributed
+    ``regr_slope`` / ``regr_intercept``. Exchange is O(blocks × keys);
+    slope = (Σxy/n − mx·my) / (Σx²/n − mx²), intercept = my − slope·mx,
+    operand order written so a SQL oracle over raw sums mirrors it
+    bit-for-bit when the columns are exact-integer-valued (the
+    test-SF convention established by ``dataset_profile``)."""
+
+    def part(t: pa.Table) -> pa.Table:
+        df = t.select([key, x, y]).to_pandas()
+        g = df.groupby(key, sort=False)
+        vx, vy = df[x].astype(np.float64), df[y].astype(np.float64)
+        out = pd.DataFrame({
+            "n": g[x].count(),
+            "sx": g[x].sum().astype(np.float64),
+            "sy": g[y].sum().astype(np.float64),
+            "sxy": (vx * vy).groupby(df[key], sort=False).sum(),
+            "sxx": (vx * vx).groupby(df[key], sort=False).sum(),
+        }).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(key, as_index=False).sum()
+    n = agg["n"].to_numpy(dtype=np.float64)
+    mx = agg["sx"].to_numpy() / n
+    my = agg["sy"].to_numpy() / n
+    cov = agg["sxy"].to_numpy() / n - mx * my
+    vx = agg["sxx"].to_numpy() / n - mx * mx
+    slope = np.where(vx > 0, cov / np.where(vx > 0, vx, 1.0), np.nan)
+    intercept = my - slope * mx
+    return pd.DataFrame({key: agg[key], "n": agg["n"].astype("int64"),
+                         "slope": slope, "intercept": intercept})
+
+
 def storage_profile(paths) -> pd.DataFrame:
     """Physical-layout audit of a parquet dataset from METADATA ONLY —
     per column: compressed/uncompressed bytes, value count, null

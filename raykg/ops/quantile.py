@@ -196,3 +196,41 @@ def equi_depth_bins(ds, col: str, nbins: int, out_col: str = "bin",
         return t.append_column(out_col, pa.array(b, pa.int32()))
 
     return ds.map_batches(assign, batch_format="pyarrow"), bounds
+
+
+def winsorize(ds, col: str, q_lo: float = 0.125, q_hi: float = 0.875,
+              out_col: str | None = None, **quantile_kwargs):
+    """Winsorization (outlier clipping) of ``col`` to its exact global
+    ``[quantile_cont(q_lo), quantile_cont(q_hi)]`` — the standard
+    robust-preprocessing step before training on heavy-tailed
+    features.
+
+    Plan: the two bounds come from ``exact_global_quantile``
+    (distributed selection, O(blocks) scalars per pass); clipping is
+    then one stateless vectorized ``map_batches`` with the two floats
+    in the closure. Appends ``out_col`` (default ``col + '_w'``) and
+    a ``clipped`` int8 flag (-1 clipped low, 1 clipped high, 0 kept)
+    so downstream audits can count interventions without re-deriving
+    the bounds.
+
+    Exactness: with an integer-valued column and binary-fraction
+    quantiles (0.125/0.875 defaults) the interpolated bounds and every
+    clipped value are exact in float64, so a SQL oracle using the same
+    interpolation identity folds bit-equal (the
+    ``equi_depth_bins`` pinning convention).
+    """
+    if not (0.0 <= q_lo < q_hi <= 1.0):
+        raise ValueError("need 0 <= q_lo < q_hi <= 1")
+    lo = exact_global_quantile(ds, col, q_lo, **quantile_kwargs)
+    hi = exact_global_quantile(ds, col, q_hi, **quantile_kwargs)
+    out = out_col or (col + "_w")
+
+    def clip(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        flag = np.zeros(len(x), dtype=np.int8)
+        flag[x < lo] = -1
+        flag[x > hi] = 1
+        t = t.append_column(out, pa.array(np.clip(x, lo, hi), pa.float64()))
+        return t.append_column("clipped", pa.array(flag, pa.int8()))
+
+    return ds.map_batches(clip, batch_format="pyarrow"), (lo, hi)
