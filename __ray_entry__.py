@@ -3827,6 +3827,135 @@ def _q_bpe_tokenize(sf_dir: str):
     return out[["doc_id", "n_bpe_tokens"]]
 
 
+def _q_remove_dup_spans(sf_dir: str):
+    """ExactSubstr REMOVE mode (raykg/ops/spandedup.py
+    remove_duplicate_spans; Lee et al. 2022 §4): rewrite every
+    document keeping exactly ONE corpus-wide occurrence (the
+    lexicographically first (doc_id, pos)) of each duplicated word
+    5-gram. Three exchanges, each bounded by duplication volume —
+    census pre-combine, dup-occurrence co-location by span hash,
+    tagged-union doc rewrite. The SQL oracle recomputes span
+    occurrences with list comprehensions, picks canonicals with a
+    window row_number, and rebuilds text via an interval-coverage
+    EXISTS + ordered string_agg — full-text bit-equality."""
+    from raykg.ops.spandedup import remove_duplicate_spans
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = remove_duplicate_spans(ds, width=5).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_REMOVE_DUP_SPANS = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+), occ AS (
+  SELECT doc_id,
+         unnest([{'pos': i - 1, 'span': array_to_string(ws[i:i+4], ' ')}
+                 FOR i IN range(1, len(ws) - 3)]) AS o
+  FROM d WHERE len(ws) >= 5
+), o2 AS (
+  SELECT doc_id, o.pos AS pos, o.span AS span,
+         count(*) OVER (PARTITION BY o.span) AS cnt,
+         row_number() OVER (PARTITION BY o.span
+                            ORDER BY doc_id, o.pos) AS rn
+  FROM occ
+), removals AS (
+  SELECT doc_id, pos FROM o2 WHERE cnt >= 2 AND rn > 1
+), words AS (
+  SELECT doc_id,
+         unnest([{'p': i - 1, 'w': ws[i]} FOR i IN range(1, len(ws) + 1)])
+           AS x
+  FROM d
+), cov AS (
+  SELECT w2.doc_id, w2.x.p AS p, w2.x.w AS w,
+         EXISTS (SELECT 1 FROM removals r
+                 WHERE r.doc_id = w2.doc_id
+                   AND r.pos <= w2.x.p AND w2.x.p < r.pos + 5) AS c
+  FROM words w2
+)
+SELECT d.doc_id,
+       coalesce(agg.txt, '') AS text_clean,
+       coalesce(agg.n_words, 0)::BIGINT AS n_words,
+       coalesce(agg.n_removed, 0)::BIGINT AS n_removed
+FROM d LEFT JOIN (
+  SELECT doc_id,
+         string_agg(w, ' ' ORDER BY p) FILTER (NOT c) AS txt,
+         count(*) AS n_words,
+         count(*) FILTER (c) AS n_removed
+  FROM cov GROUP BY doc_id
+) agg USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def _q_blocklist_filter(sf_dir: str):
+    """Blocklist document filter (raykg/ops/curate.py
+    blocklist_filter): one case-insensitive RE2 alternation DFA pass
+    per block, word-boundary anchored — C4's badword step. DuckDB is
+    RE2 too; the oracle applies the identical pattern with
+    regexp_matches."""
+    from raykg.ops.curate import blocklist_filter
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source", "text"])
+    kept = blocklist_filter(ds, ["deadlock", "segfault", "slow"])
+    out = kept.to_pandas()[["doc_id", "source"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_BLOCKLIST = r"""
+SELECT doc_id, source FROM documents
+WHERE NOT regexp_matches(text, '(?i)\b(?:deadlock|segfault|slow)\b')
+ORDER BY doc_id
+"""
+
+
+def _q_inverted_index(sf_dir: str):
+    """Inverted-index construction (raykg/ops/invindex.py): term →
+    (df, doc-ordered postings + term frequencies), SEGMENTED at 256
+    postings per row so a corpus-scale stopword becomes bounded rows
+    instead of one giant list cell. Per-block (term, doc, tf)
+    pre-combine, one term-hash-bucket exchange. The oracle rebuilds
+    the same segmentation with a row_number window over grouped
+    postings. Posting lists travel as comma-joined strings so the
+    value-hash compares canonical bytes on both sides."""
+    from raykg.ops.invindex import build_inverted_index
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = build_inverted_index(ds, segment=256).to_pandas()
+    out["doc_ids"] = out["doc_ids"].map(
+        lambda s: ",".join(str(i) for i in s))
+    out["tfs"] = out["tfs"].map(lambda s: ",".join(str(i) for i in s))
+    return out.sort_values(["term", "seg"]).reset_index(drop=True)
+
+
+_SQL_INVERTED_INDEX = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+), tfd AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf FROM w GROUP BY term, doc_id
+), r AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1 AS rn,
+         count(*) OVER (PARTITION BY term) AS df
+  FROM tfd
+)
+SELECT term, df::BIGINT AS df, (rn // 256)::BIGINT AS seg,
+       ((df + 255) // 256)::BIGINT AS n_seg,
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids,
+       array_to_string(list(tf ORDER BY doc_id), ',') AS tfs
+FROM r GROUP BY term, df, rn // 256
+ORDER BY term, seg
+"""
+
+
 # URL derivation shared by the Ray query and the SQL oracle: a
 # deterministic synthetic url per document (the testdata documents
 # carry no url column), built from columns BOTH sides read — the
@@ -4133,6 +4262,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_global_value_quantiles": _q_global_quantiles_events,
         "validate_k_anonymity": _q_k_anonymity,
         "url_host_stats": _q_url_host_stats,
+        "remove_dup_spans_documents": _q_remove_dup_spans,
+        "index_inverted_documents": _q_inverted_index,
+        "blocklist_filter_documents": _q_blocklist_filter,
         "winsorize_quantity": _q_winsorize_quantity,
         "regress_quantity_by_flag": _q_ols_lineitem,
         # rows-only (iterative model fit)
@@ -4250,6 +4382,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_k_per_source": _SQL_SAMPLE_K,
         "quality_repetition_stats": _SQL_REPETITION,
         "url_host_stats": _SQL_URL_HOSTS,
+        "remove_dup_spans_documents": _SQL_REMOVE_DUP_SPANS,
+        "index_inverted_documents": _SQL_INVERTED_INDEX,
+        "blocklist_filter_documents": _SQL_BLOCKLIST,
         "winsorize_quantity": _SQL_WINSORIZE,
         "regress_quantity_by_flag": _SQL_OLS,
     }

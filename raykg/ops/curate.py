@@ -144,3 +144,32 @@ def html_strip_sql_expr(col_expr: str) -> str:
         else:
             e = f"replace({e}, '{p}', '{r}')"
     return f"trim({e}, ' ' || chr(9) || chr(13))"
+
+
+def blocklist_filter(ds, words: list[str], text_col: str = "text",
+                     invert: bool = False, whole_word: bool = True):
+    """Blocklist (badword) document filter — the C4 'List of Dirty,
+    Naughty ... Words' step: drop any document containing one of
+    ``words``. ONE vectorized RE2 alternation pass per block
+    (``pc.count_substring_regex``); RE2 compiles alternations into a
+    single DFA, so a thousand-word blocklist scans in linear time per
+    byte, never once per word. Case-insensitive. ``whole_word`` wraps
+    the alternation in ``\\b`` anchors (C4 semantics); ``invert=True``
+    returns the MATCHED docs for audit sinks.
+
+    DuckDB's regexp engine is RE2 as well, so a SQL oracle with the
+    identical pattern via ``regexp_matches`` is exact
+    (``__ray_entry__.blocklist_filter_documents``)."""
+    import re as _re
+
+    if not words:
+        raise ValueError("empty blocklist")
+    alt = "|".join(_re.escape(w.lower()) for w in sorted(words))
+    pattern = rf"(?i)\b(?:{alt})\b" if whole_word else rf"(?i)(?:{alt})"
+
+    def fn(t: pa.Table) -> pa.Table:
+        hits = pc.count_substring_regex(t.column(text_col), pattern)
+        bad = pc.greater(hits, 0)
+        return t.filter(bad if invert else pc.invert(bad))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

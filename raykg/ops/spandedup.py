@@ -140,3 +140,187 @@ def filter_span_duplicates(ds, max_dup_fraction: float = 0.5,
         return t.filter(pa.array(~bad))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _occurrence_positions(texts: list[str], n: int):
+    """(gram_hash, doc_index, start_pos) for every word n-gram
+    occurrence of the batch — the position-carrying variant of
+    ``decontam._word_ngram_hashes`` (same tokenization: lowercase,
+    whitespace split dropping empties; same FNV fold)."""
+    import pandas as pd
+
+    from raykg.util import _FNV_OFFSET, _FNV_PRIME, hash_strings
+
+    s = pd.Series(texts, dtype="object").str.lower().str.split()
+    ex = s.explode().dropna()
+    if len(ex) < n:
+        z = np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.uint64), z, z
+    words = ex.tolist()
+    wh = hash_strings(words)
+    di = ex.index.to_numpy(dtype=np.int64)
+    # word position within its own document
+    starts = np.empty(len(di), dtype=bool)
+    starts[0] = True
+    starts[1:] = di[1:] != di[:-1]
+    first = np.flatnonzero(starts)
+    counts = np.diff(np.append(first, len(di)))
+    pos = np.arange(len(di), dtype=np.int64) - np.repeat(first, counts)
+    W = np.lib.stride_tricks.sliding_window_view(wh, n)
+    with np.errstate(over="ignore"):
+        h = np.full(len(W), _FNV_OFFSET, dtype=np.uint64)
+        h = (h ^ np.uint64(n)) * _FNV_PRIME
+        for j in range(n):
+            h = (h ^ W[:, j]) * _FNV_PRIME
+    valid = di[: len(W)] == di[n - 1:]
+    return h[valid], di[: len(W)][valid], pos[: len(W)][valid]
+
+
+def remove_duplicate_spans(ds, id_col: str = "doc_id",
+                           text_col: str = "text", width: int = 8,
+                           min_count: int = 2, coarse: int = SPAN_BUCKETS,
+                           out_col: str = "text_clean"):
+    """ExactSubstr REMOVE mode (Lee et al. 2022 §4: keep ONE occurrence
+    of each duplicated span, delete the rest): rewrite every document
+    so that word positions covered by a non-canonical occurrence of a
+    duplicated ``width``-gram are dropped. The canonical occurrence of
+    a span is its lexicographically smallest (doc_id, start_pos) —
+    deterministic under any partitioning.
+
+    Output rows: ``(id_col, out_col, n_words, n_removed)`` where
+    ``out_col`` is the kept words joined by single spaces (the
+    tokenization normalizes case/whitespace — documented contract, so
+    an unchanged doc still comes back lowercased single-spaced).
+
+    Scale shape (three exchanges, all bounded by DUPLICATION volume,
+    never corpus volume):
+      1. census — per-block pre-combined (hash, n) rows (one per
+         distinct span per block, the ``duplicate_span_stats`` bound)
+         → per-hash-bucket total → the duplicated-hash set, sorted +
+         broadcast via ``ray.put`` (dup-DISTINCT spans; a dup-heavy
+         corpus would switch this to the Bloom bitmap of
+         ``ops.dedup``, documented seam);
+      2. occurrences of DUPLICATED spans only ship (hash, doc, pos)
+         to hash buckets, where every occurrence of a span co-locates
+         → emit non-canonical (doc, start) removal intervals;
+      3. removals + docs co-locate by doc bucket (tagged union, the
+         ``ops.joins`` shape) → per-doc interval-union rewrite (one
+         diff-array cumsum per doc).
+    """
+    import ray
+
+    # ---- pass 1: duplicated-span hash set
+    def census(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        h, _ = _word_ngram_hashes(texts, width)
+        if len(h) == 0:
+            return pa.table({"_bk": pa.array([], pa.int32()),
+                             "h": pa.array([], pa.uint64()),
+                             "n": pa.array([], pa.int64())})
+        uh, cnt = np.unique(h, return_counts=True)
+        return pa.table({
+            "_bk": pa.array((uh % np.uint64(coarse)).astype(np.int32)),
+            "h": pa.array(uh, pa.uint64()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    def bucket_dups(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("h", sort=False)["n"].sum()
+        return pd.DataFrame({"h": tot.index[tot >= min_count]})
+
+    dup_hashes = np.sort(
+        ds.map_batches(census, batch_format="pyarrow")
+        .groupby("_bk").map_groups(bucket_dups, batch_format="pandas")
+        .to_pandas()["h"].to_numpy(dtype=np.uint64))
+    dup_ref = ray.put(dup_hashes)
+
+    # ---- pass 2: removal intervals from non-canonical occurrences
+    def occurrences(t: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        texts = t.column(text_col).to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h, di, pos = _occurrence_positions(texts, width)
+        keep = np.isin(h, dup) if len(h) else np.zeros(0, dtype=bool)
+        h, doc, pos = h[keep], ids[di[keep]], pos[keep]
+        return pa.table({
+            "_bk": pa.array((h % np.uint64(coarse)).astype(np.int32)),
+            "h": pa.array(h, pa.uint64()),
+            "doc": pa.array(doc.astype(np.int64), pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+        })
+
+    def non_canonical(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc": pd.Series([], dtype="int64"),
+                                 "pos": pd.Series([], dtype="int64")})
+        h = df["h"].to_numpy(dtype=np.uint64)
+        doc = df["doc"].to_numpy()
+        pos = df["pos"].to_numpy()
+        order = np.lexsort((pos, doc, h))
+        sh = h[order]
+        first = np.empty(len(sh), dtype=bool)
+        first[0] = True
+        first[1:] = sh[1:] != sh[:-1]
+        keep_mask = ~first                 # drop the canonical (first) row
+        sel = order[keep_mask]
+        return pd.DataFrame({"doc": doc[sel], "pos": pos[sel]})
+
+    removals = (
+        ds.map_batches(occurrences, batch_format="pyarrow")
+        .groupby("_bk").map_groups(non_canonical, batch_format="pandas")
+    )
+
+    # ---- pass 3: tagged-union co-location by doc, per-doc rewrite
+    def tag_docs(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "_dk": pa.array(((ids.astype(np.uint64)
+                              * np.uint64(0x9E3779B97F4A7C15))
+                             >> np.uint64(52)).astype(np.int32) % coarse),
+            "doc": pa.array(ids, pa.int64()),
+            "pos": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            "txt": t.column(text_col).cast(pa.string()),
+        })
+
+    def tag_removals(t: pa.Table) -> pa.Table:
+        ids = t.column("doc").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "_dk": pa.array(((ids.astype(np.uint64)
+                              * np.uint64(0x9E3779B97F4A7C15))
+                             >> np.uint64(52)).astype(np.int32) % coarse),
+            "doc": pa.array(ids, pa.int64()),
+            "pos": t.column("pos").cast(pa.int64()),
+            "txt": pa.array([None] * len(ids), pa.string()),
+        })
+
+    union = ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        removals.map_batches(tag_removals, batch_format="pyarrow"))
+
+    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+        docs = df[df["txt"].notna()]
+        rem = df[df["txt"].isna()]
+        rem_by_doc = {k: g["pos"].to_numpy()
+                      for k, g in rem.groupby("doc", sort=False)}
+        out_id, out_txt, out_n, out_rm = [], [], [], []
+        for doc, txt in zip(docs["doc"].to_numpy(), docs["txt"]):
+            words = txt.lower().split()
+            starts = rem_by_doc.get(doc)
+            if starts is None or not len(words):
+                kept = words
+                removed = 0
+            else:
+                diff = np.zeros(len(words) + 1, dtype=np.int64)
+                np.add.at(diff, starts, 1)
+                ends = np.minimum(starts + width, len(words))
+                np.add.at(diff, ends, -1)
+                covered = np.cumsum(diff[:-1]) > 0
+                removed = int(covered.sum())
+                kept = [w for w, c in zip(words, covered) if not c]
+            out_id.append(doc)
+            out_txt.append(" ".join(kept))
+            out_n.append(len(words))
+            out_rm.append(removed)
+        return pd.DataFrame({id_col: out_id, out_col: out_txt,
+                             "n_words": out_n, "n_removed": out_rm})
+
+    return union.groupby("_dk").map_groups(rewrite, batch_format="pandas")

@@ -98,3 +98,31 @@ def test_c4_filter_partition_invariant(nparts):
     out = c4_filter(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert sorted(set(out["doc_id"] % len(C4_DOCS))) == [0, 4]
     assert len(out) == 24 // len(C4_DOCS) * 2  # ids ≡ 0,4 mod 6 -> 8
+
+
+def test_blocklist_filter():
+    import pandas as pd
+    import ray.data as rd
+
+    from raykg.ops.curate import blocklist_filter
+
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [
+            "clean text here",
+            "contains a BadWord inside",          # case-insensitive hit
+            "badwordish is not a whole-word hit",
+            "other term appears",
+            "badword at start",
+            "",
+        ],
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    kept = blocklist_filter(ds, ["badword", "term"]).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 2, 5]
+    hits = blocklist_filter(ds, ["badword", "term"],
+                            invert=True).to_pandas()
+    assert sorted(hits["doc_id"]) == [1, 3, 4]
+    # substring mode catches the embedded form too
+    sub = blocklist_filter(ds, ["badword"], whole_word=False).to_pandas()
+    assert sorted(sub["doc_id"]) == [0, 3, 5]

@@ -69,3 +69,63 @@ def test_filter_span_duplicates_drops_heavy_docs():
     want_drop = {d for d, (ns, nd) in ref.items() if nd / ns > 0.8}
     assert set(df.doc_id) - set(kept.doc_id) == want_drop
     assert 7 in want_drop  # the fully self-repeated doc goes
+
+
+# ---------------------------------------------------------------- remove mode
+
+def _remove_reference(texts, ids, width, min_count=2):
+    """Brute-force ExactSubstr remove-mode on word spans."""
+    words = {i: t.lower().split() for i, t in zip(ids, texts)}
+    occ = {}
+    for i in ids:
+        ws = words[i]
+        for s in range(len(ws) - width + 1):
+            occ.setdefault(tuple(ws[s:s + width]), []).append((i, s))
+    removals = {}
+    for span, places in occ.items():
+        if len(places) >= min_count:
+            for (d, s) in sorted(places)[1:]:
+                removals.setdefault(d, []).append(s)
+    out = {}
+    for i in ids:
+        ws = words[i]
+        covered = [False] * len(ws)
+        for s in removals.get(i, []):
+            for p in range(s, min(s + width, len(ws))):
+                covered[p] = True
+        out[i] = (" ".join(w for w, c in zip(ws, covered) if not c),
+                  len(ws), sum(covered))
+    return out
+
+
+def test_remove_duplicate_spans_matches_bruteforce():
+    import ray.data as rd
+
+    from raykg.ops.spandedup import remove_duplicate_spans
+
+    boiler = "this footer text is repeated verbatim in every single page"
+    texts = [
+        f"unique article {i} body words alpha{i} beta{i} gamma{i} "
+        f"delta{i} epsilon{i} zeta{i} eta{i} theta{i} " + boiler
+        for i in range(6)
+    ]
+    texts.append("short doc")                        # < width words
+    texts.append(boiler + " " + boiler)              # self-repetition
+    ids = list(range(len(texts)))
+    want = _remove_reference(texts, ids, width=5)
+
+    for parts in (1, 4):
+        ds = rd.from_pandas(
+            __import__("pandas").DataFrame({"doc_id": ids, "text": texts})
+        ).repartition(parts)
+        got = remove_duplicate_spans(ds, width=5).to_pandas()
+        got = got.set_index("doc_id").sort_index()
+        assert len(got) == len(ids)
+        for i in ids:
+            w_txt, w_n, w_rm = want[i]
+            assert got.loc[i, "text_clean"] == w_txt, (parts, i)
+            assert got.loc[i, "n_words"] == w_n
+            assert got.loc[i, "n_removed"] == w_rm
+    # the canonical occurrence survives exactly once corpus-wide
+    joined = " ".join(got["text_clean"])
+    assert joined.count(boiler) == 1

@@ -104,3 +104,58 @@ def test_grouped_ols_matches_numpy():
         assert abs(row["slope"] - slope) < 1e-8
         assert abs(row["intercept"] - intercept) < 1e-6
         assert row["n"] == len(g)
+
+
+# ------------------------------------------------------------ inverted index
+
+def test_inverted_index_matches_bruteforce():
+    import ray.data as rd
+
+    from raykg.ops.invindex import build_inverted_index, lookup_postings
+
+    texts = ["a b a c", "b b d", "a d d e", "c", ""]
+    ids = [10, 20, 30, 40, 50]
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    want = {}
+    for i, t in zip(ids, texts):
+        for w in t.split():
+            want.setdefault(w, {}).setdefault(i, 0)
+            want[w][i] += 1
+    for parts in (1, 3):
+        ds = rd.from_pandas(df).repartition(parts)
+        idx = build_inverted_index(ds).to_pandas()
+        assert set(idx["term"]) == set(want)
+        for _, row in idx.iterrows():
+            postings = want[row["term"]]
+            assert row["df"] == len(postings)
+            assert row["seg"] == 0 and row["n_seg"] == 1
+            assert list(row["doc_ids"]) == sorted(postings)
+            assert list(row["tfs"]) == [postings[d] for d in
+                                        sorted(postings)]
+    got = lookup_postings(build_inverted_index(ds), ["a", "zz"])
+    assert list(got["term"]) == ["a"]
+    assert list(got["doc_ids"].iloc[0]) == [10, 30]
+
+
+def test_inverted_index_segments_hot_terms():
+    import ray.data as rd
+
+    from raykg.ops.invindex import build_inverted_index, lookup_postings
+
+    # 'hot' appears in 25 docs; segment=8 -> 4 segments of <= 8
+    df = pd.DataFrame({
+        "doc_id": range(25),
+        "text": ["hot cold" if i % 2 == 0 else "hot" for i in range(25)],
+    })
+    idx = build_inverted_index(rd.from_pandas(df).repartition(5),
+                               segment=8)
+    got = idx.to_pandas()
+    hot = got[got["term"] == "hot"].sort_values("seg")
+    assert len(hot) == 4
+    assert list(hot["n_seg"]) == [4] * 4
+    assert all(len(s) <= 8 for s in hot["doc_ids"])
+    assert [i for seg in hot["doc_ids"] for i in seg] == list(range(25))
+    # reassembly helper glues segments back in order
+    full = lookup_postings(idx, ["hot"])
+    assert list(full["doc_ids"].iloc[0]) == list(range(25))
+    assert full["df"].iloc[0] == 25
