@@ -3892,6 +3892,111 @@ ORDER BY d.doc_id
 """
 
 
+_FUNNEL_STEPS = ["signup", "view", "purchase"]
+
+
+def _q_funnel_events(sf_dir: str):
+    """Ordered-funnel analysis (raykg/ops/funnel.py): users who signed
+    up, then viewed strictly later, then purchased strictly after
+    that — first-occurrence chaining, one key-bucketed exchange of the
+    step-relevant events only, per-bucket vectorized chain, O(buckets
+    × steps) partials to the driver. The oracle chains the same
+    strict-inequality mins through three CTEs."""
+    from raykg.ops.funnel import funnel_counts
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ds, _FUNNEL_STEPS)
+
+
+_SQL_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+)
+SELECT 1::BIGINT AS step, 'signup' AS name,
+       (SELECT count(*) FROM s1)::BIGINT AS n_reached
+UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+ORDER BY step
+"""
+
+
+def _q_global_rank_purchases(sf_dir: str):
+    """Exact global rank + percent rank of purchase values
+    (raykg/ops/rank.py global_rank): sample-guided value ranges with
+    ties kept whole per bucket, one count pass for prefix offsets,
+    one co-location pass — the distributed row_number() OVER (ORDER
+    BY value, id), no global sort, no driver rows. The oracle mirrors
+    the (rank-1)/(n-1) identity operand-for-operand."""
+    from raykg.ops.rank import global_rank
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "value"])
+    ds = ds.filter(expr="event_type == 'purchase'").drop_columns(
+        ["event_type"])
+    out = global_rank(ds, "value", "event_id", pct_col="pct").to_pandas()
+    out["value"] = np.floor(out["value"] * 1e6 + 0.5) / 1e6
+    out["pct"] = np.floor(out["pct"] * 1e6 + 0.5) / 1e6
+    return out.sort_values("rank").reset_index(drop=True)
+
+
+_SQL_GLOBAL_RANK = """
+SELECT event_id, floor(value * 1e6 + 0.5) / 1e6 AS value,
+       row_number() OVER (ORDER BY value, event_id) AS rank,
+       floor((row_number() OVER (ORDER BY value, event_id) - 1)::DOUBLE
+             / (count(*) OVER () - 1) * 1e6 + 0.5) / 1e6 AS pct
+FROM events WHERE event_type = 'purchase'
+ORDER BY rank
+"""
+
+
+def _q_negative_samples(sf_dir: str):
+    """Deterministic k-negative sampling (raykg/ops/sample.py
+    negative_sample_k) for (order, customer) training pairs: two
+    hash-derived negatives per anchor from the contiguous customer id
+    universe, positive-collision bumped — stateless, partition/resume
+    stable, and the SQL oracle computes the identical integer chain."""
+    from raykg.ops.sample import negative_sample_k
+
+    n_cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey"]).count()
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pa.array(
+            t.column("o_orderkey").to_numpy(zero_copy_only=False) % 5 == 0)),
+        batch_format="pyarrow")
+    out = negative_sample_k(ds, "o_orderkey", "o_custkey",
+                            n_universe=n_cust, k=2, seed=7).to_pandas()
+    return out.sort_values(["o_orderkey", "j"]).reset_index(drop=True)
+
+
+_SQL_NEG_SAMPLES = """
+WITH u AS (SELECT count(*)::BIGINT AS n FROM customer),
+e AS (
+  SELECT o_orderkey, o_custkey, j
+  FROM orders, range(1, 3) t(j) WHERE o_orderkey % 5 = 0
+), h AS (
+  SELECT o_orderkey, o_custkey, j::BIGINT AS j,
+         ((o_orderkey * 2654435761 + j * 40503 + 7) % 4294967296) % n
+           AS neg0, n
+  FROM e, u
+)
+SELECT o_orderkey, o_custkey, j,
+       CASE WHEN neg0 = o_custkey THEN (neg0 + 1) % n ELSE neg0 END
+         AS neg_id
+FROM h ORDER BY o_orderkey, j
+"""
+
+
 def _q_blocklist_filter(sf_dir: str):
     """Blocklist document filter (raykg/ops/curate.py
     blocklist_filter): one case-insensitive RE2 alternation DFA pass
@@ -4265,6 +4370,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_dup_spans_documents": _q_remove_dup_spans,
         "index_inverted_documents": _q_inverted_index,
         "blocklist_filter_documents": _q_blocklist_filter,
+        "funnel_user_journey": _q_funnel_events,
+        "rank_global_purchases": _q_global_rank_purchases,
+        "sample_negative_pairs": _q_negative_samples,
         "winsorize_quantity": _q_winsorize_quantity,
         "regress_quantity_by_flag": _q_ols_lineitem,
         # rows-only (iterative model fit)
@@ -4385,6 +4493,9 @@ def oracle_sql() -> dict[str, str]:
         "remove_dup_spans_documents": _SQL_REMOVE_DUP_SPANS,
         "index_inverted_documents": _SQL_INVERTED_INDEX,
         "blocklist_filter_documents": _SQL_BLOCKLIST,
+        "funnel_user_journey": _SQL_FUNNEL,
+        "rank_global_purchases": _SQL_GLOBAL_RANK,
+        "sample_negative_pairs": _SQL_NEG_SAMPLES,
         "winsorize_quantity": _SQL_WINSORIZE,
         "regress_quantity_by_flag": _SQL_OLS,
     }

@@ -21,6 +21,7 @@ partial) fit in one group task; raise ``coarse`` to shrink buckets.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -85,3 +86,89 @@ def top_k_per_key(
         .groupby("_bucket")
         .map_groups(final_topk, batch_format="pandas")
     )
+
+
+def global_rank(ds, val_col: str, id_col: str, out_col: str = "rank",
+                pct_col: str | None = None, n_ranges: int = 64,
+                sample_cap: int = 65536):
+    """Exact GLOBAL rank of every row by (``val_col``, ``id_col``) —
+    the distributed ``row_number() OVER (ORDER BY val, id)`` (and
+    optionally ``percent_rank``-style ``(rank-1)/(n-1)`` in
+    ``pct_col``) — without a driver-side sort.
+
+    Plan (two data passes + one sample pass):
+      1. a hash-spread value sample picks ``n_ranges - 1`` split
+         values; splits are DEDUPLICATED and buckets are closed-open
+         on the VALUE, so ties never straddle a bucket (a value
+         repeated a billion times lands in one task — same
+         hot-value assumption as any groupby on the column;
+         document-level values are near-unique in practice);
+      2. one count pass emits per-block bucket bincounts →
+         O(blocks × n_ranges) ints fold into global prefix offsets on
+         the driver;
+      3. rows co-locate by bucket, each bucket sorts once by
+         (value, id) and emits ``offset + local_ordinal + 1``.
+
+    Rows with null/NaN values rank AFTER everything else (SQL NULLS
+    LAST), ordered by id.
+    """
+    import ray
+
+    from raykg.ops.sample import hash_spread_sample_rows
+
+    rows = hash_spread_sample_rows(ds.select_columns([val_col, id_col]),
+                                   id_col, sample_cap)
+    sample = pd.DataFrame(rows) if rows else pd.DataFrame(
+        {val_col: [], id_col: []})
+    sv = np.sort(sample[val_col].to_numpy(dtype=np.float64))
+    sv = sv[~np.isnan(sv)]
+    if len(sv):
+        qs = np.linspace(0, 1, n_ranges + 1)[1:-1]
+        splits = np.unique(np.quantile(sv, qs))
+    else:
+        splits = np.array([], dtype=np.float64)
+    n_buckets = len(splits) + 2          # +1 value range, +1 NaN bucket
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        b = np.searchsorted(splits, v, side="right").astype(np.int32)
+        b[np.isnan(v)] = n_buckets - 1   # NULLS LAST
+        return pa.table({
+            "_rb": pa.array(b),
+            val_col: pa.array(v, pa.float64()),
+            id_col: t.column(id_col),
+        })
+
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    part = (ds.map_batches(assign, batch_format="pyarrow")
+            .map_batches(lambda t: pa.table({
+                "b": pa.array(np.arange(n_buckets, dtype=np.int32)),
+                "n": pa.array(np.bincount(
+                    t.column("_rb").to_numpy(zero_copy_only=False),
+                    minlength=n_buckets).astype(np.int64)),
+            }), batch_format="pyarrow")
+            .to_pandas())
+    for b, n in zip(part["b"], part["n"]):
+        counts[b] += n
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(counts.sum())
+    off_ref = ray.put(offsets)
+
+    def bucket_rank(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        b = int(df["_rb"].iloc[0])
+        v = df[val_col].to_numpy()
+        i = df[id_col].to_numpy()
+        # NaN bucket: order by id only (lexsort treats NaN poorly)
+        order = np.argsort(i, kind="stable") if b == len(off) - 1 \
+            else np.lexsort((i, v))
+        rank = np.empty(len(df), dtype=np.int64)
+        rank[order] = off[b] + np.arange(len(df), dtype=np.int64) + 1
+        out = pd.DataFrame({id_col: i, val_col: v, out_col: rank})
+        if pct_col is not None:
+            out[pct_col] = (rank - 1) / max(total - 1, 1)
+        return out
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("_rb").map_groups(bucket_rank, batch_format="pandas"))

@@ -260,3 +260,53 @@ def hash_spread_sample_rows(ds, id_col: str, max_sample: int):
 
     return (ds.map_batches(spread, batch_format="pyarrow")
             .limit(max_sample).take_all())
+
+
+def negative_sample_k(ds, anchor_col: str, positive_col: str,
+                      n_universe: int, k: int, base: int = 0,
+                      seed: int = 0, out_col: str = "neg_id"):
+    """Deterministic k-negative sampling for contrastive / ranking
+    training pairs: for every (anchor, positive) row emit ``k`` rows
+    with a pseudo-random negative id drawn from the contiguous
+    universe ``[base, base + n_universe)``, excluding the row's own
+    positive (collision bumps to the next id, mod universe).
+
+    Stateless and hash-derived (Knuth multiplicative over
+    ``anchor * K + (j+1) * 40503 + seed``), so the draw is stable
+    under partitioning, retries, and resume, and exactly
+    SQL-expressible — the ``mixture_sample`` convention. No shuffle:
+    one vectorized ``map_batches`` explode (k rows out per row in).
+    Anchors must fit 31 bits for the int64 product to stay exact on
+    the SQL side (they do for every test table; widen to the
+    ``_murmur64`` mixer when ids exceed that — loses the SQL mirror).
+
+    Universe-membership note: a NON-contiguous id universe needs the
+    draw mapped through a dense index of valid ids (broadcast sorted
+    id array + ``np.take``) — seam documented, not needed for the
+    fixture tables.
+    """
+    if n_universe < 2:
+        raise ValueError("universe must hold at least 2 ids")
+
+    def fn(t: pa.Table) -> pa.Table:
+        a = t.column(anchor_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        p = t.column(positive_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(a)
+        aa = np.repeat(a, k)
+        pp = np.repeat(p, k)
+        jj = np.tile(np.arange(1, k + 1, dtype=np.int64), n)
+        h = (aa * np.int64(2654435761) + jj * np.int64(40503)
+             + np.int64(seed)) % np.int64(1 << 32)
+        neg = h % np.int64(n_universe) + np.int64(base)
+        clash = neg == pp
+        neg[clash] = (neg[clash] - base + 1) % n_universe + base
+        return pa.table({
+            anchor_col: pa.array(aa),
+            positive_col: pa.array(pp),
+            "j": pa.array(jj),
+            out_col: pa.array(neg),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,106 @@
+"""Funnel analysis (raykg/ops/funnel.py), global rank
+(raykg/ops/rank.py), negative sampling (raykg/ops/sample.py)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from raykg.ops.funnel import funnel_counts
+from raykg.ops.rank import global_rank
+from raykg.ops.sample import negative_sample_k
+
+
+def _funnel_reference(df, steps):
+    reached = [0] * len(steps)
+    for _, g in df.groupby("user_id"):
+        g = g.sort_values("ts")
+        t_prev = None
+        for i, s in enumerate(steps):
+            cand = g[(g["event_type"] == s)]
+            if t_prev is not None:
+                cand = cand[cand["ts"] > t_prev]
+            if not len(cand):
+                break
+            t_prev = cand["ts"].min()
+            reached[i] += 1
+    return reached
+
+
+def test_funnel_matches_bruteforce():
+    rng = np.random.default_rng(4)
+    n = 5000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 300, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "event_type": rng.choice(["signup", "view", "click", "purchase"],
+                                 n, p=[0.1, 0.4, 0.3, 0.2]),
+    })
+    steps = ["signup", "view", "purchase"]
+    want = _funnel_reference(df, steps)
+    for parts in (1, 8):
+        out = funnel_counts(rd.from_pandas(df).repartition(parts), steps)
+        assert list(out["n_reached"]) == want
+        assert list(out["name"]) == steps
+    # monotone non-increasing
+    assert all(a >= b for a, b in zip(want, want[1:]))
+    assert want[0] > want[-1] > 0      # non-vacuous fixture
+
+
+def test_funnel_strict_ordering():
+    # same-timestamp events do not chain; order of steps matters
+    ts = pd.to_datetime([0, 1, 2, 2, 3], unit="s")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2, 2, 3],
+        "ts": [ts[0], ts[1], ts[2], ts[3], ts[4]],
+        "event_type": ["a", "b", "a", "b", "b"],
+    })
+    # user 1: a then b -> depth 2; user 2: a and b simultaneous -> 1;
+    # user 3: b only -> 0
+    out = funnel_counts(rd.from_pandas(df), ["a", "b"])
+    assert list(out["n_reached"]) == [2, 1]
+
+
+def test_global_rank_exact():
+    rng = np.random.default_rng(1)
+    v = np.round(rng.normal(size=4000), 2)          # plant value ties
+    v[100:110] = 7.77                                # hot tie run
+    ids = rng.permutation(4000)
+    df = pd.DataFrame({"id": ids, "v": v})
+    order = np.lexsort((df["id"].to_numpy(), df["v"].to_numpy()))
+    want = np.empty(4000, dtype=np.int64)
+    want[order] = np.arange(1, 4001)
+    for parts in (1, 7):
+        out = global_rank(rd.from_pandas(df).repartition(parts),
+                          "v", "id", pct_col="pct").to_pandas()
+        out = out.sort_values("id").reset_index(drop=True)
+        ref = df.assign(rank=want).sort_values("id").reset_index(drop=True)
+        assert np.array_equal(out["rank"].to_numpy(),
+                              ref["rank"].to_numpy())
+        assert np.allclose(out["pct"],
+                           (ref["rank"] - 1) / 3999, atol=0)
+
+
+def test_global_rank_nulls_last():
+    df = pd.DataFrame({"id": [1, 2, 3, 4],
+                       "v": [5.0, np.nan, 1.0, np.nan]})
+    out = global_rank(rd.from_pandas(df), "v", "id").to_pandas()
+    out = out.set_index("id")["rank"]
+    assert out[3] == 1 and out[1] == 2
+    assert sorted([out[2], out[4]]) == [3, 4]
+    assert out[2] < out[4]                  # NaNs ordered by id
+
+
+def test_negative_sample_k():
+    df = pd.DataFrame({"anchor": [10, 11, 12], "pos": [3, 1, 4]})
+    for parts in (1, 3):
+        out = negative_sample_k(rd.from_pandas(df).repartition(parts),
+                                "anchor", "pos", n_universe=5, k=4,
+                                seed=7).to_pandas()
+        assert len(out) == 12
+        assert ((out["neg_id"] >= 0) & (out["neg_id"] < 5)).all()
+        assert (out["neg_id"] != out["pos"]).all()
+        # deterministic: recompute the hash chain
+        h = (out["anchor"] * 2654435761 + out["j"] * 40503 + 7) % (1 << 32)
+        neg = h % 5
+        neg[neg == out["pos"]] = (neg[neg == out["pos"]] + 1) % 5
+        assert (out["neg_id"] == neg).all()
