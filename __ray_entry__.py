@@ -3997,6 +3997,35 @@ FROM h ORDER BY o_orderkey, j
 """
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Weekly cohort-retention matrix (raykg/ops/funnel.py
+    cohort_retention): users cohorted by first-activity week, distinct
+    active users counted per (cohort, week offset). One key-bucket
+    exchange of per-block-deduplicated (user, week) pairs; the oracle
+    is the DISTINCT-pairs + min-per-user formulation over integer
+    epoch-week buckets (both sides floor epoch seconds / 604800)."""
+    from raykg.ops.funnel import cohort_retention
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type"])
+    return cohort_retention(ds, period_days=7, max_offset=12)
+
+
+_SQL_RETENTION = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS per
+  FROM events
+), coh AS (
+  SELECT user_id, min(per) AS cohort FROM d GROUP BY 1
+)
+SELECT c.cohort::BIGINT AS cohort, (d.per - c.cohort)::BIGINT AS "offset",
+       count(*)::BIGINT AS n_active
+FROM d JOIN coh c USING (user_id)
+WHERE d.per - c.cohort BETWEEN 0 AND 12
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _q_blocklist_filter(sf_dir: str):
     """Blocklist document filter (raykg/ops/curate.py
     blocklist_filter): one case-insensitive RE2 alternation DFA pass
@@ -4371,6 +4400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_inverted_documents": _q_inverted_index,
         "blocklist_filter_documents": _q_blocklist_filter,
         "funnel_user_journey": _q_funnel_events,
+        "cohort_retention_weekly": _q_cohort_retention,
         "rank_global_purchases": _q_global_rank_purchases,
         "sample_negative_pairs": _q_negative_samples,
         "winsorize_quantity": _q_winsorize_quantity,
@@ -4494,6 +4524,7 @@ def oracle_sql() -> dict[str, str]:
         "index_inverted_documents": _SQL_INVERTED_INDEX,
         "blocklist_filter_documents": _SQL_BLOCKLIST,
         "funnel_user_journey": _SQL_FUNNEL,
+        "cohort_retention_weekly": _SQL_RETENTION,
         "rank_global_purchases": _SQL_GLOBAL_RANK,
         "sample_negative_pairs": _SQL_NEG_SAMPLES,
         "winsorize_quantity": _SQL_WINSORIZE,

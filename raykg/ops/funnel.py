@@ -80,3 +80,85 @@ def funnel_counts(ds, steps: list[str], key: str = "user_id",
                       for i in range(len(steps))],
     })
     return out
+
+
+def cohort_retention(ds, key: str = "user_id", ts_col: str = "ts",
+                     anchor_type: str | None = None,
+                     type_col: str = "event_type",
+                     period_days: int = 7, max_offset: int = 12,
+                     coarse: int = FUNNEL_BUCKETS) -> pd.DataFrame:
+    """Cohort retention matrix: assign every key (user) to the cohort
+    period of its FIRST event (optionally first ``anchor_type``
+    event), then count how many of each cohort were active again
+    k periods later — the product-analytics retention triangle.
+
+    -> (cohort, offset, n_active) with cohort the epoch-period index
+    of the anchor, offset 0..max_offset, n_active the DISTINCT keys
+    of that cohort active in cohort+offset. offset 0 row equals
+    cohort size by construction.
+
+    Scale shape: one key-bucketed exchange of (key, period) pairs
+    pre-DEDUPLICATED per block (a user active 10⁶ times in a week
+    ships once per block, not per event); each bucket owns all rows
+    of its keys, so anchor selection and offset counting are local —
+    what reaches the driver is O(buckets × cohorts × max_offset)
+    count partials.
+
+    Semantics notes (mirrored by the SQL oracle): periods are
+    ``floor(epoch_microseconds / (period_days·86400·10⁶))`` —
+    calendar-agnostic fixed-width buckets (µs floor-division, exactly
+    DuckDB's ``epoch_us(ts) // period_us``); activity in the anchor
+    period itself is offset 0; offsets beyond ``max_offset`` are
+    dropped.
+    """
+    period_us = np.int64(period_days * 86400) * np.int64(1_000_000)
+
+    def pre(t: pa.Table) -> pa.Table:
+        ids = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_us = (t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+                 .to_numpy(zero_copy_only=False))
+        per = ts_us // period_us
+        if anchor_type is not None:
+            is_anchor = pc.equal(t.column(type_col), anchor_type
+                                 ).to_numpy(zero_copy_only=False)
+        else:
+            is_anchor = np.ones(len(ids), dtype=bool)
+        # per-block dedup of (key, period, is_anchor-capable rows kept
+        # separately so the bucket can pick the true anchor min)
+        rows = np.stack([ids, per, is_anchor.astype(np.int64)], axis=1)
+        uniq = np.unique(rows, axis=0)
+        with np.errstate(over="ignore"):
+            bk = ((uniq[:, 0].astype(np.uint64)
+                   * np.uint64(0x9E3779B97F4A7C15))
+                  >> np.uint64(52)).astype(np.int32) % coarse
+        return pa.table({
+            "_fk": pa.array(bk),
+            key: pa.array(uniq[:, 0], pa.int64()),
+            "per": pa.array(uniq[:, 1], pa.int64()),
+            "anch": pa.array(uniq[:, 2] == 1),
+        })
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        anchors = (df[df["anch"]].groupby(key, sort=False)["per"].min()
+                   .rename("cohort"))
+        if not len(anchors):
+            return pd.DataFrame({"cohort": pd.Series([], dtype="int64"),
+                                 "offset": pd.Series([], dtype="int64"),
+                                 "n_active": pd.Series([], dtype="int64")})
+        act = df[[key, "per"]].drop_duplicates().merge(
+            anchors, left_on=key, right_index=True)
+        act["offset"] = act["per"] - act["cohort"]
+        act = act[(act["offset"] >= 0) & (act["offset"] <= max_offset)]
+        out = (act.groupby(["cohort", "offset"], as_index=False)
+               .agg(n_active=(key, "nunique")))
+        return out
+
+    parts = (ds.map_batches(pre, batch_format="pyarrow")
+             .groupby("_fk").map_groups(bucket_counts,
+                                        batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby(["cohort", "offset"], as_index=False)
+           ["n_active"].sum())
+    for c in ("cohort", "offset", "n_active"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["cohort", "offset"]).reset_index(drop=True)

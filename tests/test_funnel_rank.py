@@ -104,3 +104,100 @@ def test_negative_sample_k():
         neg = h % 5
         neg[neg == out["pos"]] = (neg[neg == out["pos"]] + 1) % 5
         assert (out["neg_id"] == neg).all()
+
+
+# ---------------------------------------------------------- cohort retention
+
+def _retention_reference(df, period_s=7 * 86400, max_offset=12):
+    want = {}
+    ts = df["ts"].astype("int64") // 10**9
+    per = ts // period_s
+    d = pd.DataFrame({"u": df["user_id"], "p": per})
+    coh = d.groupby("u")["p"].min()
+    act = d.drop_duplicates()
+    for u, p in zip(act["u"], act["p"]):
+        off = p - coh[u]
+        if 0 <= off <= max_offset:
+            want[(coh[u], off)] = want.get((coh[u], off), 0) + 1
+    return want
+
+
+def test_cohort_retention_matches_bruteforce():
+    from raykg.ops.funnel import cohort_retention
+
+    rng = np.random.default_rng(9)
+    n = 8000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 400, n),
+        "ts": pd.to_datetime(rng.integers(0, 90 * 86400, n), unit="s"),
+        "event_type": rng.choice(["view", "signup"], n),
+    })
+    want = _retention_reference(df)
+    for parts in (1, 6):
+        out = cohort_retention(rd.from_pandas(df).repartition(parts))
+        got = {(c, o): int(v) for c, o, v in
+               zip(out["cohort"], out["offset"], out["n_active"])}
+        assert got == want
+    # offset-0 equals cohort size; retention non-increasing overall
+    sizes = out[out["offset"] == 0].set_index("cohort")["n_active"]
+    total_users = df["user_id"].nunique()
+    assert sizes.sum() == total_users
+
+
+def test_cohort_retention_anchor_type():
+    from raykg.ops.funnel import cohort_retention
+
+    ts = pd.to_datetime([0, 8 * 86400, 15 * 86400], unit="s")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1],
+        "ts": ts,
+        "event_type": ["view", "signup", "view"],
+    })
+    out = cohort_retention(rd.from_pandas(df), anchor_type="signup")
+    # cohort anchored at the signup week (period 1); pre-anchor view
+    # (period 0) dropped, post-anchor view lands at offset 1
+    got = {(c, o): v for c, o, v in
+           zip(out["cohort"], out["offset"], out["n_active"])}
+    assert got == {(1, 0): 1, (1, 1): 1}
+
+
+# ------------------------------------------------------------- z-order layout
+
+def test_zorder_improves_both_columns():
+    from raykg.ops.layout import (block_extents, mean_normalized_span,
+                                  zorder_sort)
+
+    rng = np.random.default_rng(5)
+    n = 16384
+    df = pd.DataFrame({"x": rng.random(n), "y": rng.random(n),
+                       "id": np.arange(n)})
+    ds = rd.from_pandas(df).repartition(16)
+
+    base = block_extents(ds, ["x", "y"])
+    z = zorder_sort(ds, ["x", "y"], bits=8).repartition(16)
+    after = block_extents(z, ["x", "y"])
+
+    bx = mean_normalized_span(base, "x", 0, 1)
+    by = mean_normalized_span(base, "y", 0, 1)
+    ax = mean_normalized_span(after, "x", 0, 1)
+    ay = mean_normalized_span(after, "y", 0, 1)
+    # random layout: every block spans ~everything on both columns
+    assert bx > 0.9 and by > 0.9
+    # z-order: BOTH columns' zone maps become selective
+    assert ax < 0.5 and ay < 0.5
+    # row preservation
+    got = z.to_pandas()
+    assert len(got) == n and set(got["id"]) == set(range(n))
+
+
+def test_zorder_validates_args():
+    import pytest
+
+    from raykg.ops.layout import zorder_sort
+
+    df = pd.DataFrame({"x": [1.0], "y": [2.0]})
+    ds = rd.from_pandas(df)
+    with pytest.raises(ValueError):
+        zorder_sort(ds, ["x"])
+    with pytest.raises(ValueError):
+        zorder_sort(ds, ["x", "y"], bits=40)
