@@ -229,6 +229,17 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("join_composite_flagstatus", em._q_composite_join_lineitem)
         timed("agg_global_value_quantiles", em._q_global_quantiles_events)
         timed("profile_storage_lineitem", em._q_storage_profile)
+        timed("train_doc_classifier", em._q_train_doc_classifier)
+        timed("url_host_stats", em._q_url_host_stats)
+        timed("winsorize_quantity", em._q_winsorize_quantity)
+        timed("regress_quantity_by_flag", em._q_ols_lineitem)
+        timed("remove_dup_spans_documents", em._q_remove_dup_spans)
+        timed("index_inverted_documents", em._q_inverted_index)
+        timed("blocklist_filter_documents", em._q_blocklist_filter)
+        timed("funnel_user_journey", em._q_funnel_events)
+        timed("cohort_retention_weekly", em._q_cohort_retention)
+        timed("rank_global_purchases", em._q_global_rank_purchases)
+        timed("sample_negative_pairs", em._q_negative_samples)
 
     result = {
         "metric": "kg_pipeline_wall",
