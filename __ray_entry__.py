@@ -4291,6 +4291,257 @@ def _q_train_doc_classifier(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _wrap_doc_lines(t: pa.Table, width: int = 12) -> pa.Table:
+    """Deterministic line derivation for the line-dedup query: wrap
+    every ``width`` whitespace words into one newline-joined line (the
+    fixture docs are single-line word streams; both engines apply the
+    identical wrap, so the operator under test is the dedup)."""
+    out = []
+    for x in t.column("text").to_pylist():
+        ws = x.split()
+        out.append("\n".join(
+            " ".join(ws[i:i + width]) for i in range(0, len(ws), width)))
+    return pa.table({"doc_id": t.column("doc_id"),
+                     "text": pa.array(out, pa.string())})
+
+
+def _q_line_dedup(sf_dir: str):
+    """CCNet-style line-level dedup (raykg/ops/linededup.py; Wenzek et
+    al. 2020 §3 paragraph dedup — the boilerplate strip every web-crawl
+    pipeline runs): every line whose normalized text occurs in >= 2
+    DISTINCT documents is removed from ALL of them. Census exchange
+    ships (hash, doc_id) only; the dup relation rebuilds map-side via
+    a sorted broadcast under the threshold, else through two
+    tagged-union exchanges. The oracle recomputes the wrap with list
+    slices, counts distinct docs per trimmed line, and rebuilds text
+    with an ordered filtered string_agg — full-text bit-equality."""
+    from raykg.ops.linededup import line_dedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    wrapped = ds.map_batches(_wrap_doc_lines, batch_format="pyarrow")
+    out = line_dedup(wrapped, min_docs=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_LINE_DEDUP = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+), wrapped AS (
+  SELECT doc_id,
+         array_to_string([array_to_string(ws[i:i+11], ' ')
+                          FOR i IN range(1, len(ws) + 1, 12)],
+                         chr(10)) AS wt
+  FROM d
+), ls AS (
+  SELECT doc_id, string_split(wt, chr(10)) AS l FROM wrapped
+), lines AS (
+  SELECT doc_id,
+         unnest([{'ln': i - 1, 'line': l[i]} FOR i IN range(1, len(l) + 1)])
+           AS x
+  FROM ls
+), norm AS (
+  SELECT doc_id, x.ln AS ln, x.line AS line, trim(lower(x.line)) AS nl
+  FROM lines
+), dup AS (
+  SELECT nl FROM norm WHERE nl <> ''
+  GROUP BY nl HAVING count(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT n.doc_id, n.ln, n.line, (dp.nl IS NOT NULL) AS rm
+  FROM norm n LEFT JOIN dup dp ON n.nl = dp.nl
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY ln) FILTER (NOT rm),
+                '') AS text_clean,
+       count(*)::BIGINT AS n_lines,
+       (count(*) FILTER (rm))::BIGINT AS n_removed
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _q_bloom_semi_lineitem(sf_dir: str):
+    """Runtime-filter semi join (raykg/ops/joins.py bloom_semi_join):
+    a 512 KB Bloom bitmap of the high-value order keys prunes the
+    lineitem scan map-side before the exact semi-join exchange — the
+    warehouse-style Bloom pushdown for a selective dimension filter.
+    Result is exact (false positives die in the verify join)."""
+    from raykg.ops.joins import bloom_semi_join
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_quantity"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+
+    def high_value(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater(t.column("o_totalprice"), pa.scalar(200000.0))
+        ).select(["o_orderkey"])
+
+    kept = bloom_semi_join(
+        line,
+        orders.map_batches(high_value, batch_format="pyarrow"),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        left_cols=["l_returnflag", "l_quantity"],
+        how="semi",
+    )
+    out = (
+        kept.groupby("l_returnflag")
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                   Count(alias_name="n_items"))
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    return out
+
+
+_SQL_BLOOM_SEMI = """
+SELECT l_returnflag,
+       sum(l_quantity)::BIGINT AS sum_qty,
+       count(*)::BIGINT AS n_items
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_totalprice > 200000.0)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def _q_forget_users(sf_dir: str):
+    """GDPR right-to-be-forgotten cascade audit: the forget set
+    (negative-balance customers) deletes its customer rows, their
+    orders, and those orders' lineitems. Each fact-table membership
+    runs through the Bloom-pruned semi join (raykg/ops/joins.py
+    bloom_semi_join) — no broadcast assumption on the forget set, no
+    driver materialization of deleted keys; only per-table counts
+    reach the driver."""
+    import pandas as pd
+
+    from raykg.ops.joins import bloom_semi_join
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_acctbal"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    line = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                           columns=["l_orderkey"])
+
+    def forget_keys(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.less(t.column("c_acctbal"), pa.scalar(0.0))
+        ).select(["c_custkey"])
+
+    forget = cust.map_batches(forget_keys, batch_format="pyarrow")
+    del_orders = bloom_semi_join(
+        orders, forget, on="o_custkey", right_on="c_custkey",
+        left_cols=["o_orderkey"], how="semi",
+    ).materialize()
+    del_line_n = bloom_semi_join(
+        line, del_orders.select_columns(["o_orderkey"]),
+        on="l_orderkey", right_on="o_orderkey", how="semi",
+    ).count()
+    rows = [
+        {"rel": "customer", "n_before": cust.count(),
+         "n_deleted": forget.count()},
+        {"rel": "orders", "n_before": orders.count(),
+         "n_deleted": del_orders.count()},
+        {"rel": "lineitem", "n_before": line.count(),
+         "n_deleted": del_line_n},
+    ]
+    df = pd.DataFrame(rows)
+    df["n_before"] = df["n_before"].astype("int64")
+    df["n_deleted"] = df["n_deleted"].astype("int64")
+    return df
+
+
+_SQL_FORGET_USERS = """
+WITH forget AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal < 0
+), del_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM forget)
+)
+SELECT 'customer' AS rel,
+       (SELECT count(*) FROM customer)::BIGINT AS n_before,
+       (SELECT count(*) FROM forget)::BIGINT AS n_deleted
+UNION ALL
+SELECT 'orders',
+       (SELECT count(*) FROM orders)::BIGINT,
+       (SELECT count(*) FROM del_orders)::BIGINT
+UNION ALL
+SELECT 'lineitem',
+       (SELECT count(*) FROM lineitem)::BIGINT,
+       (SELECT count(*) FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))::BIGINT
+"""
+
+
+def _q_csv_roundtrip(sf_dir: str):
+    """Multi-format I/O: orders stream out as partitioned CSV
+    (one file per block — the resumable-sink layout) and stream back
+    in through ``read_csv``, then a grouped aggregate runs on the
+    re-ingested rows. Integer columns only, so the text round-trip is
+    exact and the oracle (which never sees the CSV) must match
+    bit-for-bit — this pins both the writer and the reader."""
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = f"/tmp/raykg_csv_orders_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderstatus"],
+    )
+    ds.write_csv(out_dir)
+    back = rd.read_csv(out_dir)
+    out = (
+        back.groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_custkey", alias_name="sum_custkey"))
+        .to_pandas()
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["sum_custkey"] = out["sum_custkey"].astype("int64")
+    return out
+
+
+_SQL_CSV_ROUNDTRIP = """
+SELECT o_orderstatus,
+       count(*)::BIGINT AS n_orders,
+       sum(o_custkey)::BIGINT AS sum_custkey
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def _q_sq8_knn(sf_dir: str):
+    """Int8 scalar-quantized cosine top-k (raykg/ops/similarity.py
+    knn_sq8; FAISS SQ8): 4x-compressed approximate scan + exact
+    block-local re-rank of the shortlist — the memory-bound companion
+    to pq_knn. Rows-only (approximate recall); the >=0.98 recall gate
+    vs brute force lives in tests/test_ops.py."""
+    import pyarrow.parquet as pq
+
+    from raykg.ops.similarity import knn_sq8
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path).slice(0, 5)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in
+                  head.column("embedding").to_pylist()])
+    qids = np.asarray(head.column("vec_id").to_pylist(), dtype=np.int64)
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    return knn_sq8(ds, Q, qids, k=5, shortlist_mult=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -4315,6 +4566,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hopping_events": _q_hopping_window,
         "dedup_documents_exact": _q_dedup_documents,
         "dedup_incremental_increment2": _q_incremental_dedup,
+        "dedup_lines_documents": _q_line_dedup,
+        "join_bloom_semi_lineitem": _q_bloom_semi_lineitem,
+        "forget_users_cascade": _q_forget_users,
+        "ingest_csv_roundtrip": _q_csv_roundtrip,
         "text_token_counts": _q_token_counts,
         "text_normalized": _q_normalize_text,
         "sort_docs_by_len": _q_docs_by_len,
@@ -4420,6 +4675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "ivf_knn": _q_ivf_knn,
         "pq_knn": _q_pq_knn,
+        "sq8_knn": _q_sq8_knn,
         "text_fingerprints": _q_fingerprints,
         "media_frame_sample": _q_media_frames,
         "media_decode_features": _q_media_features,
@@ -4446,6 +4702,10 @@ def oracle_sql() -> dict[str, str]:
         "window_hopping_events": _SQL_HOPPING,
         "dedup_documents_exact": _SQL_DEDUP_DOCS,
         "dedup_incremental_increment2": _SQL_INC_DEDUP,
+        "dedup_lines_documents": _SQL_LINE_DEDUP,
+        "join_bloom_semi_lineitem": _SQL_BLOOM_SEMI,
+        "forget_users_cascade": _SQL_FORGET_USERS,
+        "ingest_csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "text_token_counts": _SQL_TOKEN_COUNTS,
         "text_normalized": _SQL_NORMALIZE_TEXT,
         "join_cross_region_nation": _SQL_CROSS_REGION_NATION,

@@ -240,6 +240,11 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("cohort_retention_weekly", em._q_cohort_retention)
         timed("rank_global_purchases", em._q_global_rank_purchases)
         timed("sample_negative_pairs", em._q_negative_samples)
+        timed("dedup_lines_documents", em._q_line_dedup)
+        timed("join_bloom_semi_lineitem", em._q_bloom_semi_lineitem)
+        timed("forget_users_cascade", em._q_forget_users)
+        timed("ingest_csv_roundtrip", em._q_csv_roundtrip)
+        timed("sq8_knn", em._q_sq8_knn)
 
     result = {
         "metric": "kg_pipeline_wall",

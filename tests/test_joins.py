@@ -46,3 +46,52 @@ def test_composite_join_left_keeps_null_key_rows():
     assert list(got.lv) == [1, 2, 3]
     assert got.rv.iloc[0] == 10.0
     assert got.rv.isna().iloc[1] and got.rv.isna().iloc[2]
+
+
+def test_bloom_semi_join_matches_hash_join():
+    from raykg.ops.joins import bloom_semi_join, hash_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 500, size=2000),
+        "v": np.arange(2000),
+    })
+    right = pd.DataFrame({"rk": np.arange(0, 500, 7)})  # selective
+    for how in ("semi", "anti"):
+        got = bloom_semi_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(2),
+            on="k", right_on="rk", left_cols=["v"], how=how,
+        ).to_pandas().sort_values("v").reset_index(drop=True)
+        want = hash_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="k", right_on="rk", left_cols=["v"], how=how,
+        ).to_pandas().sort_values("v").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["k", "v"]], want[["k", "v"]])
+
+
+def test_bloom_semi_join_string_keys_and_disjoint():
+    from raykg.ops.joins import bloom_semi_join
+
+    left = pd.DataFrame({"k": ["a", "b", "c", "d", "a"],
+                         "v": [1, 2, 3, 4, 5]})
+    right = pd.DataFrame({"k": ["a", "c", "zz"]})
+    semi = bloom_semi_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="k", left_cols=["v"], how="semi",
+    ).to_pandas()
+    assert sorted(semi.v) == [1, 3, 5]
+    anti = bloom_semi_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="k", left_cols=["v"], how="anti",
+    ).to_pandas()
+    assert sorted(anti.v) == [2, 4]
+    # disjoint right -> anti passes everything, semi nothing
+    none = pd.DataFrame({"k": ["x", "y"]})
+    assert bloom_semi_join(rd.from_pandas(left), rd.from_pandas(none),
+                           on="k", left_cols=["v"], how="semi",
+                           ).count() == 0
+    assert bloom_semi_join(rd.from_pandas(left), rd.from_pandas(none),
+                           on="k", left_cols=["v"], how="anti",
+                           ).count() == 5

@@ -1726,3 +1726,64 @@ def test_asof_join_directions_hot_key_salting():
             **kw).to_pandas())
         assert (plain["val"].to_numpy()
                 == salted["val"].to_numpy()).all(), direction
+
+
+def _emb_ds(M: np.ndarray, parts: int = 4):
+    ids = np.arange(len(M), dtype=np.int64)
+    return ids, rd.from_arrow(pa.table({
+        "vec_id": ids,
+        "embedding": pa.array([v.tolist() for v in M.astype(np.float32)],
+                              type=pa.list_(pa.float32())),
+    })).repartition(parts)
+
+
+def test_sq8_encode_bounds_and_error():
+    from raykg.ops.similarity import fit_sq8, sq8_encode
+
+    rng = np.random.default_rng(7)
+    M = rng.normal(size=(300, 16)) * np.linspace(0.1, 5, 16)
+    ids, ds = _emb_ds(M)
+    lo, scale = fit_sq8(ds)
+    enc = sq8_encode(ds, lo, scale).to_pandas().sort_values("vec_id")
+    codes = np.stack(enc["code"].to_numpy())
+    assert codes.dtype == np.uint8
+    # dequantized error bounded by half a quantization step per dim
+    deq = codes.astype(np.float64) * scale + lo
+    M32 = M.astype(np.float32).astype(np.float64)
+    assert np.all(np.abs(deq - M32) <= scale * 0.5 + 1e-9)
+
+
+def test_sq8_knn_recall_gate():
+    from raykg.ops.similarity import knn_sq8
+
+    rng = np.random.default_rng(8)
+    # clustered embeddings (the bench KB shape)
+    centers = rng.normal(size=(10, 32)) * 3
+    M = (centers[rng.integers(0, 10, size=1000)]
+         + rng.normal(size=(1000, 32)) * 0.5)
+    ids, ds = _emb_ds(M, parts=6)
+    Q = M[:20]
+    got = knn_sq8(ds, Q, ids[:20], k=10, shortlist_mult=8).to_pandas()
+    brute = knn_bruteforce(ds, Q, ids[:20], k=10).to_pandas()
+    inter = len(set(zip(got.qid, got.vec_id))
+                & set(zip(brute.qid, brute.vec_id)))
+    assert inter / len(brute) >= 0.98
+    # contract: k rows per query, ranks 1..k
+    assert got.groupby("qid")["rank"].apply(
+        lambda s: sorted(s) == list(range(1, 11))).all()
+
+
+def test_sq8_knn_deterministic_across_partitioning():
+    from raykg.ops.similarity import fit_sq8, knn_sq8
+
+    rng = np.random.default_rng(9)
+    M = rng.normal(size=(400, 8))
+    ids, ds4 = _emb_ds(M, parts=4)
+    _, ds9 = _emb_ds(M, parts=9)
+    lo, scale = fit_sq8(ds4)
+    a = knn_sq8(ds4, M[:5], ids[:5], k=5, lo=lo, scale=scale).to_pandas()
+    b = knn_sq8(ds9, M[:5], ids[:5], k=5, lo=lo, scale=scale).to_pandas()
+    key = ["qid", "rank"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
