@@ -4542,6 +4542,121 @@ def _q_sq8_knn(sf_dir: str):
     return knn_sq8(ds, Q, qids, k=5, shortlist_mult=8)
 
 
+def _q_mv_refresh(sf_dir: str):
+    """Incremental materialized-view maintenance (raykg/ops/mv.py;
+    Gupta & Mumick 1995): a stored per-customer (count, sum) aggregate
+    over the OLD orders snapshot is refreshed by the O(changes) CDC
+    stream of the perturbed refresh — table_diff keys Bloom-prune both
+    snapshots, contributions pre-aggregate per block, one outer join
+    folds deltas in, zero-count groups drop. The oracle recomputes the
+    aggregate from scratch over the refreshed snapshot; money sums are
+    rounded half-up to 2 decimals on both sides (delta application
+    reassociates float addition)."""
+    import pandas as pd
+
+    from raykg.ops.mv import changes_with_both_sides, refresh_grouped_sum
+
+    old, new = _orders_snapshots(sf_dir)
+    base = (old.groupby("o_custkey")
+            .aggregate(Count(alias_name="n_orders"),
+                       Sum("o_totalprice",
+                           alias_name="sum_o_totalprice")))
+    old2, new2 = _orders_snapshots(sf_dir)
+    changes2 = changes_with_both_sides(
+        old2, new2, "o_orderkey", ["o_custkey", "o_totalprice"])
+    refreshed = refresh_grouped_sum(
+        base, changes2, "o_custkey", ["o_totalprice"],
+        count_col="n_orders")
+    out = refreshed.to_pandas().sort_values("o_custkey")
+    out["total_price"] = np.floor(
+        out.pop("sum_o_totalprice") * 100 + 0.5) / 100
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_SQL_MV_REFRESH = """
+WITH new AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 103 = 0
+)
+SELECT o_custkey,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM new GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def _q_validate_fk(sf_dir: str):
+    """Referential-integrity audit (raykg/ops/validate.py
+    referential_integrity — the dbt-style relationship test): orphan
+    counts for three foreign keys, each via the Bloom-pruned anti
+    join. The third relationship checks lineitem against the PERTURBED
+    orders refresh (every 97th order deleted), so its orphan count is
+    deliberately non-zero — a deletion that broke FK integrity, which
+    is exactly what this gate exists to catch."""
+    import pandas as pd
+
+    from raykg.ops.validate import referential_integrity
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey"])
+    events = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id"])
+    line = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                           columns=["l_orderkey"])
+
+    def refresh_keys(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": np.concatenate(
+            [k[(k % 97) != 0], k[(k % 103) == 0] + 10000000])})
+
+    new_orders = orders.map_batches(refresh_keys, batch_format="pyarrow")
+    checks = [
+        ("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+        ("events->customer", events, "user_id", cust, "c_custkey"),
+        ("lineitem->orders_refresh", line, "l_orderkey",
+         new_orders, "o_orderkey"),
+    ]
+    rows = []
+    for rel, child, ck, parent, pk in checks:
+        n, orphans = referential_integrity(child, ck, parent, pk)
+        rows.append({"rel": rel, "n_rows": n, "n_orphans": orphans})
+    df = pd.DataFrame(rows)
+    df["n_rows"] = df["n_rows"].astype("int64")
+    df["n_orphans"] = df["n_orphans"].astype("int64")
+    return df
+
+
+_SQL_VALIDATE_FK = """
+WITH new_orders AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000 FROM orders WHERE o_orderkey % 103 = 0
+)
+SELECT 'orders->customer' AS rel,
+       (SELECT count(*) FROM orders)::BIGINT AS n_rows,
+       (SELECT count(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT
+         AS n_orphans
+UNION ALL
+SELECT 'events->customer',
+       (SELECT count(*) FROM events)::BIGINT,
+       (SELECT count(*) FROM events
+        WHERE user_id NOT IN (SELECT c_custkey FROM customer))::BIGINT
+UNION ALL
+SELECT 'lineitem->orders_refresh',
+       (SELECT count(*) FROM lineitem)::BIGINT,
+       (SELECT count(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM new_orders))::BIGINT
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -4635,6 +4750,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_similarity_documents": _q_similarity_join_docs,
         "diff_orders_snapshot": _q_diff_orders,
         "cdc_apply_orders": _q_cdc_apply_orders,
+        "mv_refresh_customer_orders": _q_mv_refresh,
+        "validate_fk_relations": _q_validate_fk,
         "extract_props_k": _q_extract_props_k,
         "bin_quantity_equidepth": _q_bin_quantity_equidepth,
         "graph_triangle_count": _q_triangle_count,
@@ -4748,6 +4865,8 @@ def oracle_sql() -> dict[str, str]:
         "join_similarity_documents": _SQL_SIMILARITY_JOIN,
         "diff_orders_snapshot": _SQL_DIFF_ORDERS,
         "cdc_apply_orders": _SQL_CDC_APPLY_ORDERS,
+        "mv_refresh_customer_orders": _SQL_MV_REFRESH,
+        "validate_fk_relations": _SQL_VALIDATE_FK,
         "extract_props_k": _SQL_EXTRACT_PROPS_K,
         "bin_quantity_equidepth": _SQL_BIN_QUANTITY,
         "graph_triangle_count": _SQL_TRIANGLES,

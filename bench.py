@@ -245,6 +245,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("forget_users_cascade", em._q_forget_users)
         timed("ingest_csv_roundtrip", em._q_csv_roundtrip)
         timed("sq8_knn", em._q_sq8_knn)
+        timed("mv_refresh_customer_orders", em._q_mv_refresh)
+        timed("validate_fk_relations", em._q_validate_fk)
 
     result = {
         "metric": "kg_pipeline_wall",

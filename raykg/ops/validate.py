@@ -87,3 +87,28 @@ def k_anonymity(ds, quasi_cols: list[str], k: int = 5, coarse: int = 64):
     return (ds.map_batches(part, batch_format="pyarrow")
             .groupby("_b")
             .map_groups(fold, batch_format="pandas"))
+
+
+def referential_integrity(child_ds, child_key: str, parent_ds,
+                          parent_key: str) -> tuple[int, int]:
+    """Foreign-key audit: (child row count, orphan count) where an
+    orphan is a child row whose key has no parent — the dbt-style
+    relationship test run before accepting a refresh. The orphan scan
+    is the Bloom-pruned anti join (``ops.joins.bloom_semi_join``):
+    definite non-members short-circuit map-side; only maybe-members
+    enter the exact exchange. Null child keys count as orphans (they
+    reference nothing)."""
+    from raykg.ops.joins import bloom_semi_join
+
+    def non_null(t: pa.Table) -> pa.Table:
+        return t.filter(t.column(child_key).is_valid())
+
+    keyed = child_ds.select_columns([child_key])
+    n_child = keyed.count()
+    present = keyed.map_batches(non_null, batch_format="pyarrow")
+    n_null = n_child - present.count()
+    orphans = bloom_semi_join(
+        present, parent_ds.select_columns([parent_key]),
+        on=child_key, right_on=parent_key, how="anti",
+    ).count()
+    return n_child, orphans + n_null

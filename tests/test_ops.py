@@ -1787,3 +1787,78 @@ def test_sq8_knn_deterministic_across_partitioning():
     pd.testing.assert_frame_equal(
         a.sort_values(key).reset_index(drop=True),
         b.sort_values(key).reset_index(drop=True))
+
+
+def test_mv_refresh_equals_recompute():
+    from raykg.ops.mv import changes_with_both_sides, refresh_grouped_sum
+    from ray.data.aggregate import Count, Sum
+
+    rng = np.random.default_rng(21)
+    n = 400
+    old = pd.DataFrame({
+        "k": np.arange(n, dtype=np.int64),
+        "g": rng.integers(0, 12, size=n),
+        "v": rng.normal(size=n).round(3) * 100,
+    })
+    # refresh: delete some keys (emptying group 11 entirely), change
+    # values AND groups of others, add new keys in a brand-new group
+    new = old[old.k % 7 != 0].copy()
+    new = new[new.g != 11]
+    chg = new.k % 5 == 0
+    new.loc[chg, "v"] += 1.5
+    new.loc[new.k % 9 == 0, "g"] = (new.loc[new.k % 9 == 0, "g"] + 1) % 12
+    added = pd.DataFrame({"k": np.arange(n, n + 30, dtype=np.int64),
+                          "g": 99, "v": 7.25})
+    new = pd.concat([new, added], ignore_index=True)
+
+    def agg(df):
+        return (df.groupby("g", as_index=False)
+                .agg(n_rows=("v", "size"), sum_v=("v", "sum")))
+
+    old_ds = rd.from_pandas(old).repartition(4)
+    new_ds = rd.from_pandas(new).repartition(3)
+    base = (old_ds.groupby("g")
+            .aggregate(Count(alias_name="n_rows"),
+                       Sum("v", alias_name="sum_v")))
+    changes2 = changes_with_both_sides(
+        rd.from_pandas(old).repartition(4),
+        rd.from_pandas(new).repartition(3), "k", ["g", "v"])
+    got = (refresh_grouped_sum(base, changes2, "g", ["v"])
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    want = agg(new).sort_values("g").reset_index(drop=True)
+    assert list(got.g) == list(want.g)  # group 11 dropped, 99 born
+    assert list(got.n_rows) == list(want.n_rows)
+    np.testing.assert_allclose(got.sum_v, want.sum_v, atol=1e-8)
+
+
+def test_mv_refresh_no_changes_is_identity():
+    from raykg.ops.mv import changes_with_both_sides, refresh_grouped_sum
+    from ray.data.aggregate import Count, Sum
+
+    df = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                       "g": np.arange(50) % 4,
+                       "v": np.linspace(0, 1, 50)})
+    base = (rd.from_pandas(df).groupby("g")
+            .aggregate(Count(alias_name="n_rows"),
+                       Sum("v", alias_name="sum_v")))
+    changes2 = changes_with_both_sides(
+        rd.from_pandas(df), rd.from_pandas(df), "k", ["g", "v"])
+    got = (refresh_grouped_sum(base, changes2, "g", ["v"])
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    want = (df.groupby("g", as_index=False)
+            .agg(n_rows=("v", "size"), sum_v=("v", "sum")))
+    assert list(got.n_rows) == list(want.n_rows)
+    np.testing.assert_allclose(got.sum_v, want.sum_v, atol=1e-12)
+
+
+def test_referential_integrity_counts():
+    from raykg.ops.validate import referential_integrity
+
+    child = pd.DataFrame({"fk": pd.array(
+        [1, 2, 3, 99, None, 2], dtype="Int64")})
+    parent = pd.DataFrame({"pk": np.array([1, 2, 3], dtype=np.int64)})
+    n, orphans = referential_integrity(
+        rd.from_pandas(child).repartition(2), "fk",
+        rd.from_pandas(parent), "pk")
+    assert n == 6
+    assert orphans == 2  # the 99 and the null
