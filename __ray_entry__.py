@@ -4657,6 +4657,101 @@ SELECT 'lineitem->orders_refresh',
 """
 
 
+def _q_distinctive_terms(sf_dir: str):
+    """Per-source distinctive keywords by LIFT (raykg/ops/vocab.py
+    distinctive_terms): (in-group frequency) / (global frequency),
+    top-10 per source — the domain-characterization report of a corpus
+    curation run. Word-bucket exchange of Zipf-bounded pre-counts,
+    broadcast O(groups) totals, skew-safe per-group top-k. Products
+    stay exact int64 and the single float division matches the SQL
+    oracle bit-for-bit."""
+    from raykg.ops.vocab import distinctive_terms
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["source", "text"])
+    out = distinctive_terms(ds, "source", "text", k=10).to_pandas()
+    return (out.sort_values(["source", "rank"])
+            .reset_index(drop=True))
+
+
+_SQL_DISTINCTIVE_TERMS = """
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+), cnt AS (
+  SELECT source, word, count(*)::BIGINT AS n FROM w
+  WHERE word <> '' GROUP BY source, word
+), nw AS (
+  SELECT word, sum(n)::BIGINT AS n_w FROM cnt GROUP BY word
+), ng AS (
+  SELECT source, sum(n)::BIGINT AS n_g FROM cnt GROUP BY source
+), tot AS (
+  SELECT sum(n)::BIGINT AS n_total FROM cnt
+)
+SELECT source, word, n, lift, rank FROM (
+  SELECT c.source, c.word, c.n,
+         ((c.n * t.n_total)::DOUBLE) / ((g.n_g * w.n_w)::DOUBLE) AS lift,
+         row_number() OVER (PARTITION BY c.source
+                            ORDER BY ((c.n * t.n_total)::DOUBLE)
+                                     / ((g.n_g * w.n_w)::DOUBLE) DESC,
+                                     c.word) AS rank
+  FROM cnt c JOIN nw w USING (word) JOIN ng g USING (source)
+       CROSS JOIN tot t
+) WHERE rank <= 10 ORDER BY source, rank
+"""
+
+
+def _q_event_transitions(sf_dir: str):
+    """Markov transition matrix (raykg/ops/funnel.py
+    transition_counts): global counts of consecutive (prev, next)
+    event-type pairs per user stream ordered by (ts, event_id) — the
+    "what happens after X" product-analytics table. One key-bucket
+    exchange; per-bucket vectorized shift; O(buckets × types²)
+    partials to the driver. Oracle is the lead() window mirror."""
+    from raykg.ops.funnel import transition_counts
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return transition_counts(ds)
+
+
+_SQL_EVENT_TRANSITIONS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS prev_type, nxt AS next_type, count(*)::BIGINT AS n
+FROM o WHERE nxt IS NOT NULL
+GROUP BY prev_type, next_type ORDER BY prev_type, next_type
+"""
+
+
+def _q_compact_parquet(sf_dir: str):
+    """Small-file compaction audit (raykg/ops/layout.py
+    compact_parquet): a deliberately fragmented copy of orders (64
+    files) is rewritten to ~8 MB targets; the audit row reports
+    files/bytes before and after and that every row survived.
+    Rows-only (physical layout has no SQL mirror); the row- and
+    file-count invariants are asserted in tests/test_ops.py."""
+    import pandas as pd
+    import shutil
+
+    from raykg.ops.layout import compact_parquet
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    frag_dir = f"/tmp/raykg_frag_orders_{tag}"
+    out_dir = f"/tmp/raykg_compact_orders_{tag}"
+    shutil.rmtree(frag_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+    ds.repartition(64).write_parquet(frag_dir)
+    audit = compact_parquet(frag_dir, out_dir, target_mb=8)
+    return pd.DataFrame([audit])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -4752,6 +4847,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_apply_orders": _q_cdc_apply_orders,
         "mv_refresh_customer_orders": _q_mv_refresh,
         "validate_fk_relations": _q_validate_fk,
+        "keywords_per_source": _q_distinctive_terms,
+        "analytics_event_transitions": _q_event_transitions,
+        "compact_parquet_orders": _q_compact_parquet,
         "extract_props_k": _q_extract_props_k,
         "bin_quantity_equidepth": _q_bin_quantity_equidepth,
         "graph_triangle_count": _q_triangle_count,
@@ -4867,6 +4965,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_apply_orders": _SQL_CDC_APPLY_ORDERS,
         "mv_refresh_customer_orders": _SQL_MV_REFRESH,
         "validate_fk_relations": _SQL_VALIDATE_FK,
+        "keywords_per_source": _SQL_DISTINCTIVE_TERMS,
+        "analytics_event_transitions": _SQL_EVENT_TRANSITIONS,
         "extract_props_k": _SQL_EXTRACT_PROPS_K,
         "bin_quantity_equidepth": _SQL_BIN_QUANTITY,
         "graph_triangle_count": _SQL_TRIANGLES,

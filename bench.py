@@ -247,6 +247,9 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("sq8_knn", em._q_sq8_knn)
         timed("mv_refresh_customer_orders", em._q_mv_refresh)
         timed("validate_fk_relations", em._q_validate_fk)
+        timed("keywords_per_source", em._q_distinctive_terms)
+        timed("analytics_event_transitions", em._q_event_transitions)
+        timed("compact_parquet_orders", em._q_compact_parquet)
 
     result = {
         "metric": "kg_pipeline_wall",

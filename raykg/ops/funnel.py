@@ -162,3 +162,47 @@ def cohort_retention(ds, key: str = "user_id", ts_col: str = "ts",
     for c in ("cohort", "offset", "n_active"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["cohort", "offset"]).reset_index(drop=True)
+
+
+def transition_counts(ds, key: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      tiebreak: str = "event_id",
+                      coarse: int = FUNNEL_BUCKETS) -> pd.DataFrame:
+    """Markov transition matrix over per-key event streams: global
+    counts of consecutive (prev, next) event-type pairs when each
+    key's events are ordered by (ts, tiebreak) — the first-order
+    model behind "what do users do after X" product analytics and
+    next-event baselines.
+
+    Scale shape: one key-bucket exchange of the four needed columns;
+    each bucket sorts once, computes the within-key shift VECTORIZED
+    (a row pairs with its predecessor iff the key matches), and emits
+    per-bucket (prev, next, n) partials — the driver folds
+    O(buckets × |types|²) rows, never events. Partitioning assumption:
+    one key's events fit a task (same bound as ``funnel_counts``)."""
+    from raykg.ops.joins import _key_bucket
+
+    def pre(t: pa.Table) -> pa.Table:
+        cols = {key: t.column(key), ts_col: t.column(ts_col),
+                tiebreak: t.column(tiebreak), type_col: t.column(type_col)}
+        return pa.table(cols).append_column(
+            "_fk", _key_bucket(t.column(key), coarse))
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, tiebreak], kind="mergesort")
+        same = df[key].to_numpy()[1:] == df[key].to_numpy()[:-1]
+        prev = df[type_col].to_numpy()[:-1][same]
+        nxt = df[type_col].to_numpy()[1:][same]
+        out = pd.DataFrame({"prev_type": prev, "next_type": nxt})
+        return (out.groupby(["prev_type", "next_type"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    parts = (ds.map_batches(pre, batch_format="pyarrow")
+             .groupby("_fk")
+             .map_groups(bucket_pairs, batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby(["prev_type", "next_type"], as_index=False)
+           ["n"].sum())
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["prev_type", "next_type"])
+            .reset_index(drop=True))

@@ -113,3 +113,47 @@ def mean_normalized_span(extents: pd.DataFrame, col: str,
     ~block_fraction^(1/ncols) = ideal Z-order)."""
     g = extents[extents["column"] == col]
     return float(((g["mx"] - g["mn"]) / (hi - lo)).mean())
+
+
+def compact_parquet(in_dir: str, out_dir: str,
+                    target_mb: int = 128) -> dict:
+    """Small-file compaction — the lakehouse maintenance job that
+    rewrites a fragmented parquet directory (streaming sinks and
+    per-epoch deltas leave thousands of KB-sized files; every one
+    costs a scan task + a footer read) into ~``target_mb`` files.
+
+    The plan comes from METADATA only: total byte size from the
+    dataset's parquet footers (no data read), file count from the
+    filesystem. The rewrite is one streaming ``read_parquet →
+    repartition(n) → write_parquet`` — repartition here is the whole
+    point of the job (the rare case where an all-to-all exchange IS
+    the useful work), and the output is again one file per block, so
+    a failed run can be re-pointed at a fresh ``out_dir`` and retried
+    idempotently. Returns an audit dict (files/bytes before and
+    after, rows preserved) the caller should assert on before
+    swapping directories."""
+    import os
+
+    import ray.data as rd
+
+    def _scan(d: str):
+        names = [os.path.join(d, f) for f in os.listdir(d)
+                 if f.endswith(".parquet")]
+        return len(names), sum(os.path.getsize(f) for f in names)
+
+    n_files_in, bytes_in = _scan(in_dir)
+    ds = rd.read_parquet(in_dir)
+    n_rows = ds.count()
+    n_out = max(1, -(-bytes_in // (target_mb << 20)))  # ceil division
+    ds = rd.read_parquet(in_dir).repartition(n_out)
+    ds.write_parquet(out_dir)
+    n_files_out, bytes_out = _scan(out_dir)
+    rows_out = rd.read_parquet(out_dir).count()
+    return {
+        "n_files_before": n_files_in,
+        "n_files_after": n_files_out,
+        "bytes_before": int(bytes_in),
+        "bytes_after": int(bytes_out),
+        "n_rows": int(n_rows),
+        "n_rows_after": int(rows_out),
+    }

@@ -139,3 +139,92 @@ def top_ngrams(ds, n: int = 2, k: int = 100,
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def group_token_totals(ds, group_col: str, text_col: str = "text"):
+    """Tiny (group, total token count) table — per-block partials,
+    groups are few (source/domain cardinality), so the driver fold is
+    O(groups)."""
+
+    def part(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pandas()
+        toks = texts.str.split(" ").apply(
+            lambda ws: sum(1 for w in ws if w))
+        g = t.column(group_col).to_pandas()
+        out = pd.DataFrame({group_col: g, "n": toks.to_numpy()})
+        out = out.groupby(group_col, as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    return parts.groupby(group_col, as_index=False)["n"].sum()
+
+
+def distinctive_terms(ds, group_col: str = "source",
+                      text_col: str = "text", k: int = 10,
+                      coarse: int = 64):
+    """Per-group distinctive keywords by LIFT — the "what words
+    characterize this source/domain" report a corpus-curation run
+    produces per domain: lift(g, w) = (freq of w in g) / (freq of w
+    overall) = (n_gw × n_total) / (n_g × n_w). Lift > 1 marks words
+    over-represented in the group (plain TF-IDF degenerates when every
+    group shares the vocabulary — document-frequency is then constant —
+    while lift ranks by frequency skew).
+
+    Scale shape: per-block (group, word, n) pre-counts (the Zipf-head
+    bound of ``word_frequencies``) co-locate by WORD hash bucket; the
+    bucket task folds each word's per-group totals and global count and
+    scores lift with the broadcast (n_g, n_total) table (O(groups),
+    driver-safe); per-group top-k selection then runs the skew-safe
+    per-block-combiner + bucket-final pattern of ``ops.rank``. Both
+    products are exact int64 and the single float division matches the
+    SQL oracle bit-for-bit.
+    """
+    from raykg.ops.joins import _key_bucket
+
+    totals = group_token_totals(ds, group_col, text_col)
+    n_total = int(totals["n"].sum())
+    n_g_map = dict(zip(totals[group_col], totals["n"].astype(np.int64)))
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pandas()
+        groups = t.column(group_col).to_pandas()
+        tokens = texts.str.split(" ")
+        df = pd.DataFrame({group_col: groups.repeat(
+            tokens.str.len().to_numpy()),
+            "word": tokens.explode().to_numpy()})
+        df = df[df["word"].str.len() > 0]
+        out = (df.groupby([group_col, "word"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        tt = pa.Table.from_pandas(out, preserve_index=False)
+        return tt.append_column("_bk", _key_bucket(tt.column("word"),
+                                                   coarse))
+
+    def bucket_score(g: pd.DataFrame) -> pd.DataFrame:
+        gw = (g.groupby(["word", group_col], as_index=False)["n"].sum())
+        n_w = gw.groupby("word")["n"].transform("sum").to_numpy()
+        n_gw = gw["n"].to_numpy().astype(np.int64)
+        n_g = gw[group_col].map(n_g_map).to_numpy().astype(np.int64)
+        lift = (n_gw * np.int64(n_total)).astype(np.float64) / (
+            n_g * n_w.astype(np.int64)).astype(np.float64)
+        out = pd.DataFrame({group_col: gw[group_col], "word": gw["word"],
+                            "n": n_gw, "lift": lift})
+        # per-block combiner: k best per group is all the final needs
+        out = out.sort_values([group_col, "lift", "word"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        return out.groupby(group_col, sort=False).head(k)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lift", "word"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[[group_col, "word", "n", "lift", "rank"]]
+
+    scored = (
+        ds.map_batches(local_counts, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(bucket_score, batch_format="pandas")
+    )
+    return scored.groupby(group_col).map_groups(
+        final_topk, batch_format="pandas")

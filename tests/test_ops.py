@@ -1862,3 +1862,77 @@ def test_referential_integrity_counts():
         rd.from_pandas(parent), "pk")
     assert n == 6
     assert orphans == 2  # the 99 and the null
+
+
+def test_transition_counts_vs_pandas():
+    from raykg.ops.funnel import transition_counts
+
+    rng = np.random.default_rng(31)
+    n = 600
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, size=n),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 500, size=n), unit="m"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["a", "b", "c", "d"], size=n),
+    })
+    # force ts ties within a user so the tiebreak matters
+    df.loc[df.index[:10], "ts"] = df["ts"].iloc[0]
+    df.loc[df.index[:10], "user_id"] = 7
+    got = transition_counts(rd.from_pandas(df).repartition(5))
+    s = df.sort_values(["user_id", "ts", "event_id"])
+    same = s["user_id"].to_numpy()[1:] == s["user_id"].to_numpy()[:-1]
+    want = (pd.DataFrame({
+        "prev_type": s["event_type"].to_numpy()[:-1][same],
+        "next_type": s["event_type"].to_numpy()[1:][same]})
+        .groupby(["prev_type", "next_type"], as_index=False).size()
+        .rename(columns={"size": "n"})
+        .sort_values(["prev_type", "next_type"]).reset_index(drop=True))
+    want["n"] = want["n"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_distinctive_terms_lift_ranking():
+    from raykg.ops.vocab import distinctive_terms
+
+    docs = pd.DataFrame({
+        "source": ["x"] * 3 + ["y"] * 3,
+        "text": [
+            "apple apple apple common common",
+            "apple banana common common",
+            "apple common",
+            "zebra zebra common common",
+            "zebra common common",
+            "zebra banana common",
+        ],
+    })
+    out = (distinctive_terms(rd.from_pandas(docs).repartition(2),
+                             "source", "text", k=2)
+           .to_pandas().sort_values(["source", "rank"])
+           .reset_index(drop=True))
+    # apple only in x, zebra only in y -> top distinctive words
+    assert out[out.source == "x"].iloc[0]["word"] == "apple"
+    assert out[out.source == "y"].iloc[0]["word"] == "zebra"
+    # brute-force lift check for the top row of x
+    n_gw, n_g = 5, 11          # apple in x; tokens in x
+    n_w, n_total = 5, 21       # apple overall; all tokens
+    assert abs(out[out.source == "x"].iloc[0]["lift"]
+               - (n_gw * n_total) / (n_g * n_w)) < 1e-12
+    # ranks dense 1..k per group
+    assert list(out[out.source == "x"]["rank"]) == [1, 2]
+
+
+def test_compact_parquet_roundtrip(tmp_path):
+    from raykg.ops.layout import compact_parquet
+
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    df = pd.DataFrame({"a": np.arange(20000, dtype=np.int64),
+                       "b": np.arange(20000) % 17})
+    rd.from_pandas(df).repartition(32).write_parquet(frag)
+    audit = compact_parquet(frag, out, target_mb=64)
+    assert audit["n_files_before"] == 32
+    assert audit["n_files_after"] < audit["n_files_before"]
+    assert audit["n_rows"] == audit["n_rows_after"] == 20000
+    back = rd.read_parquet(out).to_pandas().sort_values("a")
+    assert (back["a"].to_numpy() == df["a"].to_numpy()).all()
