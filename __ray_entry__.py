@@ -4616,7 +4616,10 @@ def _q_validate_fk(sf_dir: str):
         return pa.table({"o_orderkey": np.concatenate(
             [k[(k % 97) != 0], k[(k % 103) == 0] + 10000000])})
 
-    new_orders = orders.map_batches(refresh_keys, batch_format="pyarrow")
+    # materialized so the parent has size metadata -> the audit takes
+    # the broadcast-keys single-pass plan (it is dimension-sized)
+    new_orders = orders.map_batches(
+        refresh_keys, batch_format="pyarrow").materialize()
     checks = [
         ("orders->customer", orders, "o_custkey", cust, "c_custkey"),
         ("events->customer", events, "user_id", cust, "c_custkey"),

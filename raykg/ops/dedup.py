@@ -457,16 +457,60 @@ def _dedup_pairs(pairs):
     )
 
 
-def _prefix_token_table(texts, ids, shingle_k, threshold, id_name):
+def _common_token_counts(ds, text_col, id_col, shingle_k,
+                         max_sample: int = 4096, cap: int = 1 << 16):
+    """Sampled global shingle-frequency table for RAREST-FIRST AllPairs
+    prefix ordering (Bayardo et al. WWW'07 order documents' tokens by
+    ascending document frequency so prefixes hold the rare tokens and
+    candidate groups stay tiny). Correctness needs only a CONSISTENT
+    total order shared by every document, so sampled counts keep the
+    exact-result guarantee while buying the performance: without this,
+    a corpus with a small shared vocabulary (shingles collide heavily)
+    explodes the token-group cross products — measured 107 M candidate
+    pairs -> ~10³ on the sf0.1 fixture. Hash-spread sample of
+    ``max_sample`` docs, driver-side count, top ``cap`` kept (unseen
+    tokens count 0 = rarest). Returns (tokens sorted asc, counts,
+    sampled distinct count) — the third value doubles as the density
+    signal that routes to the dense-vocabulary plan."""
+    from raykg.ops.sample import hash_spread_sample_rows
+
+    rows = hash_spread_sample_rows(
+        ds.select_columns([id_col, text_col]), id_col, max_sample)
+    if not rows:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64), 0
+    sh = [_shingles(r[text_col], shingle_k) for r in rows]
+    flat = np.concatenate(sh) if sh else np.zeros(0, dtype=np.uint64)
+    toks, counts = np.unique(flat, return_counts=True)
+    n_distinct = len(toks)
+    keep = counts >= 2  # singletons tie with unseen tokens at rank 0
+    toks, counts = toks[keep], counts[keep]
+    if len(toks) > cap:
+        top = np.argpartition(-counts, cap - 1)[:cap]
+        top.sort()
+        toks, counts = toks[top], counts[top]
+    return toks, counts.astype(np.int64), n_distinct
+
+
+def _prefix_token_table(texts, ids, shingle_k, threshold, id_name,
+                        freq=None):
     """AllPairs prefix emission shared by jaccard_near_dup_pairs and
-    jaccard_similarity_join: each doc's shingle-hash set sorted in the
-    global (hash) order, first |S| - ceil(t*|S|) + 1 tokens emitted.
-    The -1e-9 guards float products like 0.8*10 -> 8.000000000000002
-    -> ceil 9, which would SHRINK the prefix and miss pairs (erring
-    the other way only emits one extra token)."""
+    jaccard_similarity_join: each doc's shingle-hash set sorted in a
+    GLOBAL total order, first |S| - ceil(t*|S|) + 1 tokens emitted.
+    The order is (sampled document frequency asc, hash asc) when a
+    ``freq`` table from ``_common_token_counts`` is given — the
+    rarest-first ordering that keeps candidate groups small — else
+    plain hash order (uniform, no pass needed). The -1e-9 guards float
+    products like 0.8*10 -> 8.000000000000002 -> ceil 9, which would
+    SHRINK the prefix and miss pairs (erring the other way only emits
+    one extra token)."""
+    ftoks, fcounts = freq if freq is not None else (None, None)
     toks, docs = [], []
     for i, t in zip(ids.tolist(), texts):
         sh = np.sort(_shingles(t, shingle_k))
+        if ftoks is not None and len(ftoks):
+            pos = np.clip(np.searchsorted(ftoks, sh), 0, len(ftoks) - 1)
+            cnt = np.where(ftoks[pos] == sh, fcounts[pos], 0)
+            sh = sh[np.lexsort((sh, cnt))]
         alpha = int(np.ceil(threshold * len(sh) - 1e-9))
         p = len(sh) - alpha + 1
         toks.append(sh[:p])
@@ -502,11 +546,12 @@ def jaccard_near_dup_pairs(
     with jaccard >= t must share a prefix token (|A∩B| >= t*max(|A|,|B|)
     leaves too few tokens outside either prefix), so grouping the
     emitted (token, doc_id) rows finds every qualifying pair. The
-    global order here is the shingle HASH itself — uniform, known to
-    every task with zero coordination; a frequency-ascending order
-    (rarest first) would emit fewer candidates but costs a full
-    frequency shuffle first. Verification reuses the adaptive
-    broadcast-vs-shuffle join of ``minhash_lsh_pairs``.
+    global order is (SAMPLED document frequency asc, hash asc) —
+    Bayardo's rarest-first ordering, from a hash-spread sample folded
+    on the driver (``_common_token_counts``; any consistent total
+    order preserves exactness, so sampling costs nothing but
+    tightness). Verification reuses the adaptive broadcast-vs-shuffle
+    join of ``minhash_lsh_pairs``.
 
     The shuffle ships (coarse_bucket, token, doc_id) rows — about
     ``(1 - t) * n_shingles`` per doc, no text. Docs whose text is
@@ -516,12 +561,24 @@ def jaccard_near_dup_pairs(
 
     -> Dataset(id_a, id_b, jaccard).
     """
+    ftoks, fcounts, n_sampled = _common_token_counts(
+        ds, text_col, id_col, shingle_k)
+    if n_sampled <= DENSE_TOKEN_LIMIT:
+        # dense shared-vocabulary corpus: prefix groups degenerate, so
+        # switch to the exact bitmap-GEMM all-pairs plan (budget-gated)
+        vocab = _exact_token_dict(ds, text_col, shingle_k,
+                                  2 * DENSE_TOKEN_LIMIT)
+        if vocab is not None and (
+                ds.count() * len(vocab) * 4 <= DENSE_MATRIX_BYTES):
+            return _dense_jaccard_pairs(ds, text_col, id_col, shingle_k,
+                                        threshold, vocab)
+    freq_ref = ray.put((ftoks, fcounts))
 
     def prefix_tokens(batch: pa.Table) -> pa.Table:
         return _prefix_token_table(
             batch.column(text_col).to_pylist(),
             batch.column(id_col).to_numpy(zero_copy_only=False),
-            shingle_k, threshold, id_col)
+            shingle_k, threshold, id_col, freq=ray.get(freq_ref))
 
     def pairs_in_coarse_bucket(cg: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
@@ -599,11 +656,32 @@ def jaccard_similarity_join(
         tag(1, right_id, right_text), batch_format="pyarrow"
     ))
 
+    def decode(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "id_l": pa.array((a - a % 2) // 2),
+            "id_r": pa.array((b - b % 2) // 2),
+            "jaccard": t.column("jaccard"),
+        })
+
+    ftoks, fcounts, n_sampled = _common_token_counts(
+        union, "text", "gid", shingle_k)
+    if n_sampled <= DENSE_TOKEN_LIMIT:
+        vocab = _exact_token_dict(union, "text", shingle_k,
+                                  2 * DENSE_TOKEN_LIMIT)
+        if vocab is not None and (
+                union.count() * len(vocab) * 4 <= DENSE_MATRIX_BYTES):
+            dense = _dense_jaccard_pairs(union, "text", "gid", shingle_k,
+                                         threshold, vocab, cross=True)
+            return dense.map_batches(decode, batch_format="pyarrow")
+    freq_ref = ray.put((ftoks, fcounts))
+
     def prefix_tokens(batch: pa.Table) -> pa.Table:
         return _prefix_token_table(
             batch.column("text").to_pylist(),
             batch.column("gid").to_numpy(zero_copy_only=False),
-            shingle_k, threshold, "gid")
+            shingle_k, threshold, "gid", freq=ray.get(freq_ref))
 
     def cross_pairs_in_bucket(cg: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
@@ -631,16 +709,6 @@ def jaccard_similarity_join(
         union, candidates, "text", "gid", shingle_k, threshold,
         broadcast_pairs, broadcast_bytes,
     )
-
-    def decode(t: pa.Table) -> pa.Table:
-        a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({
-            "id_l": pa.array((a - a % 2) // 2),
-            "id_r": pa.array((b - b % 2) // 2),
-            "jaccard": t.column("jaccard"),
-        })
-
     return verified.map_batches(decode, batch_format="pyarrow")
 
 
@@ -936,3 +1004,139 @@ def semantic_dedup(
         .groupby("_cluster")
         .map_groups(dedup_cluster, batch_format="pandas")
     )
+
+
+DENSE_TOKEN_LIMIT = 1 << 14     # sampled distinct shingles under this -> try dense plan
+DENSE_MATRIX_BYTES = 256 << 20  # corpus float32 token matrix budget
+
+
+def _exact_token_dict(ds, text_col, shingle_k, limit):
+    """Exact distinct shingle vocabulary IF small (else None): one
+    streaming per-block unique pass; a block whose own distinct count
+    exceeds the limit short-circuits with an overflow sentinel, so the
+    driver fold is bounded by blocks × limit."""
+
+    def part(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        if texts:
+            u = np.unique(np.concatenate(
+                [_shingles(x, shingle_k) for x in texts]))
+        else:
+            u = np.zeros(0, dtype=np.uint64)
+        if len(u) > limit:
+            return pa.table({"tok": pa.array([0], pa.uint64()),
+                             "over": pa.array([True])})
+        return pa.table({"tok": pa.array(u, pa.uint64()),
+                         "over": pa.array(np.zeros(len(u), dtype=bool))})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if parts["over"].any():
+        return None
+    toks = np.unique(parts["tok"].to_numpy().astype(np.uint64))
+    return toks if len(toks) <= limit else None
+
+
+def _pack_token_rows(t: pa.Table, text_col, id_col, toks,
+                     shingle_k) -> pa.Table:
+    texts = t.column(text_col).to_pylist()
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    M = np.zeros((len(texts), len(toks)), dtype=np.uint8)
+    for r, x in enumerate(texts):
+        sh = _shingles(x, shingle_k)
+        M[r, np.searchsorted(toks, sh)] = 1
+    return pa.table({
+        id_col: pa.array(ids),
+        "_sz": pa.array(M.sum(axis=1).astype(np.int64)),
+        "_row": pa.array([m.tobytes() for m in M], pa.binary()),
+    })
+
+
+@ray.remote
+def _assemble_token_matrix(block_refs, id_col, d):
+    """Worker task: concatenate the packed per-block rows into ONE
+    (ids, sizes, float32 matrix) corpus payload in the object store —
+    the driver routes refs only (the auto_join broadcast pattern)."""
+    blocks = ray.get(block_refs)
+    t = pa.concat_tables(blocks)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    sizes = t.column("_sz").to_numpy(zero_copy_only=False).astype(np.int64)
+    rows = t.column("_row").to_pylist()
+    M = (np.frombuffer(b"".join(rows), dtype=np.uint8)
+         .reshape(len(rows), d).astype(np.float32))
+    return ids, sizes, M
+
+
+def _dense_jaccard_pairs(ds, text_col, id_col, shingle_k, threshold,
+                         toks, cross=False):
+    """Dense-vocabulary EXACT all-pairs jaccard: when the corpus'
+    distinct shingle set is small (a shared-vocabulary corpus — the
+    case where AllPairs prefix groups degenerate into near-quadratic
+    cross products; measured 107 M candidates on the sf0.1 fixture),
+    represent every document as a 0/1 row over the exact token
+    dictionary and compute ALL pairwise intersections as one
+    block × corpus float32 GEMM (counts < 2²⁴ are exact in float32;
+    jaccard divides in float64, identical to the set-based oracle).
+    No candidate generation, no verification stage — scores come out
+    exact in one streaming pass over the corpus against a
+    worker-assembled broadcast matrix.
+
+    ``cross=True`` runs the tagged-union variant (even gid = left,
+    odd gid = right; only cross-parity pairs emit). Budget-gated by
+    ``DENSE_MATRIX_BYTES`` on the corpus matrix — beyond it the
+    caller falls back to the prefix plan.
+    """
+    d = len(toks)
+    toks_ref = ray.put(toks)
+
+    def pack(t: pa.Table) -> pa.Table:
+        return _pack_token_rows(t, text_col, id_col, ray.get(toks_ref),
+                                shingle_k)
+
+    packed = ds.map_batches(pack, batch_format="pyarrow")
+    refs = packed.to_arrow_refs()
+    mat_ref = _assemble_token_matrix.remote(list(refs), id_col, d)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids_c, sz_c, M_c = ray.get(mat_ref)
+        texts = t.column(text_col).to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if cross:
+            left_mask = ids % 2 == 0
+            texts = [x for x, m in zip(texts, left_mask) if m]
+            ids = ids[left_mask]
+            c_sel = np.flatnonzero(ids_c % 2 == 1)
+        else:
+            c_sel = None
+        if not len(ids):
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        tk = ray.get(toks_ref)
+        A = np.zeros((len(ids), d), dtype=np.float32)
+        sz_a = np.empty(len(ids), dtype=np.int64)
+        for r, x in enumerate(texts):
+            sh = _shingles(x, shingle_k)
+            A[r, np.searchsorted(tk, sh)] = 1
+            sz_a[r] = len(sh)
+        Mc = M_c if c_sel is None else M_c[c_sel]
+        ic = ids_c if c_sel is None else ids_c[c_sel]
+        sc = sz_c if c_sel is None else sz_c[c_sel]
+        inter = (A @ Mc.T).astype(np.float64)
+        union = sz_a[:, None] + sc[None, :] - inter
+        jac = inter / union
+        # self-join: strict id order kills self-pairs and mirrors
+        ok = jac >= threshold
+        if cross:
+            pass
+        else:
+            ok &= ids[:, None] < ic[None, :]
+        ai, bi = np.nonzero(ok)
+        return pa.table({
+            "id_a": pa.array(ids[ai]),
+            "id_b": pa.array(ic[bi]),
+            "jaccard": pa.array(jac[ai, bi], pa.float64()),
+        })
+
+    return ds.map_batches(pairs, batch_format="pyarrow")

@@ -90,20 +90,58 @@ def k_anonymity(ds, quasi_cols: list[str], k: int = 5, coarse: int = 64):
 
 
 def referential_integrity(child_ds, child_key: str, parent_ds,
-                          parent_key: str) -> tuple[int, int]:
+                          parent_key: str,
+                          broadcast_limit_bytes: int = 64 << 20
+                          ) -> tuple[int, int]:
     """Foreign-key audit: (child row count, orphan count) where an
     orphan is a child row whose key has no parent — the dbt-style
-    relationship test run before accepting a refresh. The orphan scan
-    is the Bloom-pruned anti join (``ops.joins.bloom_semi_join``):
-    definite non-members short-circuit map-side; only maybe-members
-    enter the exact exchange. Null child keys count as orphans (they
-    reference nothing)."""
+    relationship test run before accepting a refresh. Null child keys
+    count as orphans (they reference nothing).
+
+    Plan is adaptive on the PARENT's measured size (the auto_join
+    rule): a dimension-sized parent (<= ``broadcast_limit_bytes``,
+    metadata-derived for parquet) assembles its unique keys ON A
+    WORKER and the whole audit is ONE streaming map over the child —
+    no exchange at all, O(blocks) count rows to the driver. A parent
+    too big to broadcast runs the Bloom-pruned anti join
+    (``ops.joins.bloom_semi_join``): definite non-members
+    short-circuit map-side; only maybe-members enter the exact
+    exchange."""
+    import ray
+
+    keyed = child_ds.select_columns([child_key])
+    try:
+        sz = parent_ds.size_bytes()
+    except Exception:
+        sz = None
+    if sz is not None and sz <= broadcast_limit_bytes:
+        from raykg.ops.joins import _assemble_broadcast_side
+
+        refs = parent_ds.select_columns([parent_key]).to_arrow_refs()
+        keys_ref = _assemble_broadcast_side.remote(
+            list(refs), parent_key, parent_key, True)
+
+        def part(t: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            col = t.column(child_key)
+            valid = col.is_valid().to_numpy(zero_copy_only=False)
+            vals = col.fill_null(0).to_numpy(zero_copy_only=False)
+            hit = np.isin(vals[valid], keys)
+            return pa.table({
+                "n": pa.array([t.num_rows], pa.int64()),
+                "orph": pa.array(
+                    [int((~hit).sum()) + int((~valid).sum())],
+                    pa.int64()),
+            })
+
+        parts = keyed.map_batches(part, batch_format="pyarrow").to_pandas()
+        return int(parts["n"].sum()), int(parts["orph"].sum())
+
     from raykg.ops.joins import bloom_semi_join
 
     def non_null(t: pa.Table) -> pa.Table:
         return t.filter(t.column(child_key).is_valid())
 
-    keyed = child_ds.select_columns([child_key])
     n_child = keyed.count()
     present = keyed.map_batches(non_null, batch_format="pyarrow")
     n_null = n_child - present.count()

@@ -1862,6 +1862,11 @@ def test_referential_integrity_counts():
         rd.from_pandas(parent), "pk")
     assert n == 6
     assert orphans == 2  # the 99 and the null
+    # forced Bloom-anti plan (parent "too big" to broadcast): same answer
+    n2, orphans2 = referential_integrity(
+        rd.from_pandas(child).repartition(2), "fk",
+        rd.from_pandas(parent), "pk", broadcast_limit_bytes=0)
+    assert (n2, orphans2) == (6, 2)
 
 
 def test_transition_counts_vs_pandas():
@@ -1936,3 +1941,86 @@ def test_compact_parquet_roundtrip(tmp_path):
     assert audit["n_rows"] == audit["n_rows_after"] == 20000
     back = rd.read_parquet(out).to_pandas().sort_values("a")
     assert (back["a"].to_numpy() == df["a"].to_numpy()).all()
+
+
+def test_jaccard_dense_plan_matches_sparse_plan():
+    import raykg.ops.dedup as dd
+
+    rng = np.random.default_rng(41)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsi", "zeta"]
+    base = [" ".join(rng.choice(vocab, size=30)) for _ in range(80)]
+    texts = base + [b + " alpha" for b in base[:10]]  # planted near-dups
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+
+    def run():
+        return (dd.jaccard_near_dup_pairs(
+            rd.from_pandas(df).repartition(3), threshold=0.8)
+            .to_pandas().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+
+    dense = run()  # tiny vocab -> dense bitmap-GEMM plan
+    old = dd.DENSE_TOKEN_LIMIT
+    try:
+        dd.DENSE_TOKEN_LIMIT = 0  # force the AllPairs prefix plan
+        sparse = run()
+    finally:
+        dd.DENSE_TOKEN_LIMIT = old
+    assert len(dense) > 0
+    pd.testing.assert_frame_equal(dense, sparse)
+
+    # cross-table variant parity too
+    def run_join():
+        left = rd.from_pandas(df[df.doc_id % 2 == 0])
+        right = rd.from_pandas(df[df.doc_id % 2 == 1])
+        return (dd.jaccard_similarity_join(left, right, threshold=0.7)
+                .to_pandas().sort_values(["id_l", "id_r"])
+                .reset_index(drop=True))
+
+    dense_j = run_join()
+    try:
+        dd.DENSE_TOKEN_LIMIT = 0
+        sparse_j = run_join()
+    finally:
+        dd.DENSE_TOKEN_LIMIT = old
+    pd.testing.assert_frame_equal(dense_j, sparse_j)
+
+
+def test_mv_refresh_shuffle_path_matches_small_path():
+    import raykg.ops.mv as mv
+    from ray.data.aggregate import Count, Sum
+
+    rng = np.random.default_rng(22)
+    old = pd.DataFrame({"k": np.arange(200, dtype=np.int64),
+                        "g": rng.integers(0, 8, size=200),
+                        "v": rng.normal(size=200).round(2)})
+    new = old[old.k % 5 != 0].copy()
+    new.loc[new.k % 3 == 0, "v"] += 2.0
+    new = pd.concat([new, pd.DataFrame(
+        {"k": [900, 901], "g": [50, 50], "v": [1.0, 2.0]})],
+        ignore_index=True)
+
+    def run():
+        base = (rd.from_pandas(old).groupby("g")
+                .aggregate(Count(alias_name="n_rows"),
+                           Sum("v", alias_name="sum_v")))
+        ch = mv.changes_with_both_sides(
+            rd.from_pandas(old).repartition(3),
+            rd.from_pandas(new).repartition(2), "k", ["g", "v"])
+        out = (mv.refresh_grouped_sum(base, ch, "g", ["v"])
+               .to_pandas().sort_values("g").reset_index(drop=True))
+        out["sum_v"] = out["sum_v"].round(9)
+        return out
+
+    small = run()
+    orig = mv.MV_BROADCAST_CHANGES
+    try:
+        mv.MV_BROADCAST_CHANGES = 0  # force Bloom-prune + hash-join plan
+        shuffled = run()
+    finally:
+        mv.MV_BROADCAST_CHANGES = orig
+    pd.testing.assert_frame_equal(small, shuffled)
+    want = (new.groupby("g", as_index=False)
+            .agg(n_rows=("v", "size"), sum_v=("v", "sum")))
+    assert list(small.g) == list(want.g)
+    assert list(small.n_rows) == list(want.n_rows)
