@@ -296,7 +296,7 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
     Four shuffles total, each O(edges) or O(wedges) = O(m^1.5).
     Returns the integer count (a global scalar, not a Dataset).
     """
-    from raykg.ops.joins import hash_join
+    from raykg.ops.joins import auto_join
 
     def norm(t: pa.Table) -> pa.Table:
         a = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -332,11 +332,22 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
                            batch_format="pandas"))
 
     i64 = pa.int64()
-    with_du = hash_join(edges, degrees, on="u", right_on="vertex",
+    # degrees is O(vertices): materialized so auto_join can measure it
+    # and take the broadcast map-side plan when it is dimension-sized
+    # (the shuffle plan remains the fallback at huge vertex counts)
+    degrees = degrees.materialize()
+    with_du = auto_join(edges, degrees, on="u", right_on="vertex",
                         left_cols=["v"], right_cols=["deg"],
                         left_types={"u": i64, "v": i64},
                         right_types={"deg": i64})
-    both = hash_join(with_du.rename_columns({"deg": "du"}), degrees,
+    # rename inside a map (not Dataset.rename_columns): the broadcast
+    # join plan emits pandas blocks, which Ray's Project op rejects
+    def _deg_to_du(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["du" if c == "deg" else c for c in t.column_names])
+
+    both = auto_join(with_du.map_batches(_deg_to_du,
+                                         batch_format="pyarrow"), degrees,
                      on="v", right_on="vertex",
                      left_cols=["u", "du"], right_cols=["deg"],
                      left_types={"v": i64, "u": i64, "du": i64},
@@ -381,8 +392,9 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
             np.ones(len(k), dtype=np.int8))})
 
     s = pa.string()
-    closed = hash_join(wedge_ds, edges.map_batches(edge_keys,
-                                                   batch_format="pyarrow"),
+    # the edge-key relation is O(m): measured, broadcast when small
+    ek = edges.map_batches(edge_keys, batch_format="pyarrow").materialize()
+    closed = auto_join(wedge_ds, ek,
                        on="key", left_cols=[], right_cols=["one"],
                        left_types={"key": s},
                        right_types={"one": pa.int8()})

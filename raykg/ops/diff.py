@@ -36,8 +36,39 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from raykg.ops.joins import hash_join
+import ray
+import ray.data as rd
+
+from raykg.ops.joins import auto_join, hash_join
 from raykg.util import hash_string_columns
+
+ENRICH_BROADCAST_CHANGES = 1 << 18
+
+
+@ray.remote
+def _merge_enrich(diff_refs, side_refs, key, cols, col_types):
+    """Worker task: left-merge the O(changes) diff with the filtered
+    side rows; value columns come back as Arrow with their ORIGINAL
+    types (nulls for removed keys), matching the hash_join plan."""
+    def cat(refs):
+        blocks = [b for b in ray.get(list(refs)) if b.num_rows]
+        return pa.concat_tables(blocks) if blocks else None
+
+    d_t = cat(diff_refs)
+    if d_t is None:
+        return pa.table({key: pa.array([], pa.int64()),
+                         "status": pa.array([], pa.string()),
+                         **{c: pa.array([], col_types[c]) for c in cols}})
+    d = d_t.to_pandas()
+    s_t = cat(side_refs)
+    s = (s_t.to_pandas() if s_t is not None
+         else pd.DataFrame({c: [] for c in [key] + cols}))
+    m = d.merge(s, on=key, how="left")
+    arrs = {key: pa.Array.from_pandas(m[key], type=d_t.schema.field(key).type),
+            "status": pa.Array.from_pandas(m["status"], type=pa.string())}
+    for c in cols:
+        arrs[c] = pa.Array.from_pandas(m[c], type=col_types[c])
+    return pa.table(arrs)
 
 _NULL_SENTINEL = "#NULL#"
 
@@ -106,6 +137,31 @@ def enrich_changes(diff_ds, new_ds, key: str, cols: list[str],
     ``apply_changes(old, enrich_changes(table_diff(old, new), new))``
     == new (the roundtrip law, pinned in tests/test_ops.py)."""
     kt = key_type or pa.int64()
+    # adaptive: a small diff (the common CDC case) broadcasts its keys,
+    # the new snapshot streams ONE map-side filter pass, and a worker
+    # task does the O(changes) merge — no exchange after the diff
+    diff_ds = diff_ds.materialize()
+    if diff_ds.count() <= ENRICH_BROADCAST_CHANGES:
+        from raykg.ops.joins import _assemble_broadcast_side
+
+        keys_ref = _assemble_broadcast_side.remote(
+            list(diff_ds.select_columns([key]).to_arrow_refs()),
+            key, key, True)
+
+        def filt(t: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            hit = np.isin(
+                t.column(key).to_numpy(zero_copy_only=False), keys)
+            return t.select([key] + cols).filter(pa.array(hit))
+
+        filtered = new_ds.map_batches(
+            filt, batch_format="pyarrow").materialize()
+        ctypes = {c: filtered.schema().base_schema.field(c).type
+                  for c in cols}
+        ref = _merge_enrich.remote(
+            list(diff_ds.to_arrow_refs()),
+            list(filtered.to_arrow_refs()), key, cols, ctypes)
+        return rd.from_arrow_refs([ref])
     # explicit types keep a lazy new_ds from executing for schema();
     # they must cover every requested right column, so only pass them
     # when col_types does (parquet reads infer from metadata for free)
@@ -148,7 +204,9 @@ def apply_changes(snapshot_ds, changes_ds, key: str, cols: list[str],
     lt = None
     if col_types is not None and all(c in col_types for c in cols):
         lt = {key: kt, **col_types}
-    survivors = hash_join(
+    # changes is materialized (size known): auto_join takes the
+    # broadcast map-side anti filter for the common small-CDC case
+    survivors = auto_join(
         snapshot_ds, changes_ds, on=key, left_cols=cols,
         right_cols=[], how="anti",
         left_types=lt, right_types={key: kt},

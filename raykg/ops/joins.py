@@ -642,11 +642,17 @@ def _assemble_broadcast_side(block_refs, right_on, on, keys_only):
     raykg/pipeline.py). Returns the sorted unique key array for
     semi/anti, else the renamed pandas frame for pd.merge."""
     blocks = ray.get(block_refs)
-    t = pa.concat_tables(blocks) if blocks else None
     if keys_only:
-        if t is None or t.num_rows == 0:
+        # extract the key column per block before combining: Ray Data
+        # can emit blocks whose schemas differ by extra columns (e.g.
+        # an empty block keeping the pre-select schema), which breaks
+        # a whole-table concat but not a single-column gather
+        parts = [b.column(right_on).to_numpy(zero_copy_only=False)
+                 for b in blocks if b.num_rows]
+        if not parts:
             return np.empty(0, dtype=np.int64)
-        return np.unique(t.column(right_on).to_numpy(zero_copy_only=False))
+        return np.unique(np.concatenate(parts))
+    t = pa.concat_tables(blocks) if blocks else None
     df = t.to_pandas() if t is not None else pd.DataFrame({right_on: []})
     return df.rename(columns={right_on: on})
 
