@@ -635,25 +635,30 @@ BROADCAST_JOIN_BYTES = 64 << 20  # small side under this -> map-side join
 
 
 @ray.remote
-def _assemble_broadcast_side(block_refs, right_on, on, keys_only):
+def _assemble_broadcast_side(block_refs, right_on, on, keys_only,
+                             cols=None):
     """Build the broadcast payload ON A WORKER from the right side's
     block refs: the driver passes refs only and never materializes the
     table (the same pattern as the sharded triples uri map,
     raykg/pipeline.py). Returns the sorted unique key array for
-    semi/anti, else the renamed pandas frame for pd.merge."""
+    semi/anti, else the renamed pandas frame for pd.merge.
+
+    Columns are selected PER BLOCK before combining: Ray Data can emit
+    blocks whose schemas differ by extra columns (an upstream-select
+    that left some blocks with the pre-select schema), which breaks a
+    whole-table concat but not a per-block projection."""
     blocks = ray.get(block_refs)
     if keys_only:
-        # extract the key column per block before combining: Ray Data
-        # can emit blocks whose schemas differ by extra columns (e.g.
-        # an empty block keeping the pre-select schema), which breaks
-        # a whole-table concat but not a single-column gather
         parts = [b.column(right_on).to_numpy(zero_copy_only=False)
                  for b in blocks if b.num_rows]
         if not parts:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(parts))
-    t = pa.concat_tables(blocks) if blocks else None
-    df = t.to_pandas() if t is not None else pd.DataFrame({right_on: []})
+    want = cols if cols is not None else [right_on]
+    kept = [b.select(want) for b in blocks if b.num_rows]
+    t = pa.concat_tables(kept) if kept else None
+    df = (t.to_pandas() if t is not None
+          else pd.DataFrame({c: [] for c in want}))
     return df.rename(columns={right_on: on})
 
 
@@ -707,7 +712,8 @@ def auto_join(
     # broadcast_limit_bytes costs the driver nothing.
     block_refs = right_ds.select_columns([right_on] + right_cols).to_arrow_refs()
     rdf_ref = _assemble_broadcast_side.remote(
-        list(block_refs), right_on, on, how in ("semi", "anti")
+        list(block_refs), right_on, on, how in ("semi", "anti"),
+        cols=[right_on] + right_cols,
     )
     if how in ("semi", "anti"):
         keys_ref = rdf_ref
