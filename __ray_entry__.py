@@ -1896,9 +1896,14 @@ def _q_interval_window_counts(sf_dir: str):
     j = interval_join(ev, iv, ts_col="ts", start_col="start",
                       end_col="end", left_cols=["event_id"],
                       interval_cols=["interval_id"])
-    return (
+    out = (
         j.groupby("interval_id").aggregate(Count(alias_name="n_events"))
+        .to_pandas()
     )
+    # interval_join emits the replicated interval id through a float-
+    # widening path; the semantic type is the int64 event_id
+    out["interval_id"] = out["interval_id"].astype("int64")
+    return out
 
 
 _SQL_INTERVAL_COUNTS = """
@@ -2327,8 +2332,8 @@ WITH e AS (
 SELECT event_id, user_id,
        row_number() OVER w AS rn,
        COALESCE(LAG(cents) OVER w, -1) AS prev_cents,
-       SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS cum_cents
+       CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
@@ -2361,7 +2366,7 @@ WITH e AS (
 )
 SELECT event_id, user_id,
        COUNT(*) OVER r AS n_1h,
-       SUM(cents) OVER r AS sum_1h
+       CAST(SUM(cents) OVER r AS BIGINT) AS sum_1h
 FROM e
 WINDOW r AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
@@ -2397,11 +2402,11 @@ SELECT user_id,
   COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
   COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
   COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
-  COALESCE(SUM(cents) FILTER (WHERE event_type = 'click'), 0)    AS cents_click,
-  COALESCE(SUM(cents) FILTER (WHERE event_type = 'error'), 0)    AS cents_error,
-  COALESCE(SUM(cents) FILTER (WHERE event_type = 'purchase'), 0) AS cents_purchase,
-  COALESCE(SUM(cents) FILTER (WHERE event_type = 'signup'), 0)   AS cents_signup,
-  COALESCE(SUM(cents) FILTER (WHERE event_type = 'view'), 0)     AS cents_view
+  CAST(COALESCE(SUM(cents) FILTER (WHERE event_type = 'click'), 0) AS BIGINT)    AS cents_click,
+  CAST(COALESCE(SUM(cents) FILTER (WHERE event_type = 'error'), 0) AS BIGINT)    AS cents_error,
+  CAST(COALESCE(SUM(cents) FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS cents_purchase,
+  CAST(COALESCE(SUM(cents) FILTER (WHERE event_type = 'signup'), 0) AS BIGINT)   AS cents_signup,
+  CAST(COALESCE(SUM(cents) FILTER (WHERE event_type = 'view'), 0) AS BIGINT)     AS cents_view
 FROM e GROUP BY user_id
 """
 
@@ -2704,7 +2709,12 @@ def _q_validate_events(sf_dir: str):
          lambda t: pc.and_(pc.equal(t.column("event_type"), "purchase"),
                            pc.less(t.column("value"), 10.0))),
     ]
-    return validate_rules(ds, rules, id_col="event_id")
+    out = validate_rules(ds, rules, id_col="event_id")
+    # the operator keeps first_bad_id nullable (float64 once any block
+    # lacks a violation); these three rules are non-vacuous at every
+    # SF, so the query pins the semantic int64 the oracle's min() has
+    out["first_bad_id"] = out["first_bad_id"].astype("int64")
+    return out
 
 
 _SQL_VALIDATE = """
@@ -2916,7 +2926,7 @@ WITH l AS (
 )
 SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
        COALESCE(l_linestatus, '(all)') AS l_linestatus,
-       SUM(cents) AS sum_cents, COUNT(*) AS n
+       CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS n
 FROM l GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 

@@ -1,0 +1,157 @@
+"""Distributed binary-classifier evaluation: exact tie-aware ROC-AUC
+plus threshold confusion metrics over a scored Dataset.
+
+A curation stack trains quality / toxicity / domain classifiers (see
+``raykg.ops.logreg``) and then needs their headline metrics over the
+FULL corpus, not a driver-held sample (the reference computes its NIL
+metrics after collecting everything into one frame,
+scripts/feature_ablation_study.py:376-426 — exactly what does not
+scale). Everything here is exact and partition-invariant:
+
+* confusion counts (tp/fp/tn/fn) are one streaming pass of per-block
+  int64 partials;
+* AUC uses the rank-sum identity over score GROUPS:
+
+      AUC = sum_g pos_g * (neg_below_g + neg_g / 2) / (P * N)
+
+  computed as the integer numerator ``sum_g pos_g * (2*neg_below_g +
+  neg_g)`` over ``2*P*N`` — ties are handled exactly (each tied group
+  contributes half its pos x neg cross pairs), no float accumulates
+  across tasks. The plan is the ``global_rank`` range-partition shape:
+  sampled closed-open score splits (ties never straddle a bucket), a
+  per-block (bucket, score) -> (pos, neg) pre-aggregation so the
+  exchange carries one row per distinct score per block, per-bucket
+  within-bucket prefix sums, and an O(n_ranges) driver fold of the
+  bucket partials. Per-bucket numerator partials travel as DECIMAL
+  STRINGS and the driver folds Python ints (the ``table_diff`` trick),
+  so nothing overflows at any corpus size.
+
+Derived ratios (accuracy/precision/recall/f1, and AUC itself) are each
+ONE float division of exact integers — bit-reproducible against a SQL
+oracle that mirrors the same expressions (window ``sum(neg) OVER
+(ORDER BY score ROWS .. 1 PRECEDING)`` for the prefix).
+
+Partitioning assumption (custom-operator contract): one score-range
+bucket's distinct (score, pos, neg) rows fit in a group task; raise
+``n_ranges`` to shrink buckets. Scores must be non-null.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _confusion_partials(label_col: str, score_col: str, threshold: float):
+    def conf(t: pa.Table) -> pa.Table:
+        y = t.column(label_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        s = t.column(score_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        pred = s >= threshold
+        pos = y == 1
+        return pa.table({
+            "tp": pa.array([int(np.count_nonzero(pred & pos))],
+                           pa.int64()),
+            "fp": pa.array([int(np.count_nonzero(pred & ~pos))],
+                           pa.int64()),
+            "fn": pa.array([int(np.count_nonzero(~pred & pos))],
+                           pa.int64()),
+            "tn": pa.array([int(np.count_nonzero(~pred & ~pos))],
+                           pa.int64()),
+        })
+
+    return conf
+
+
+def binary_classification_report(
+    ds,
+    label_col: str,
+    score_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n_ranges: int = 64,
+    sample_cap: int = 65536,
+) -> pd.DataFrame:
+    """One-row report: n, pos, neg, tp/fp/tn/fn at ``threshold``,
+    accuracy, precision, recall, f1, and exact tie-aware ROC-AUC.
+    ``label_col`` is 0/1 int; ``score_col`` float (non-null); ``id_col``
+    feeds the split sampler only."""
+    from raykg.ops.sample import hash_spread_sample_rows
+
+    # --- pass 1: confusion counts (per-block int partials) ---------
+    conf = (ds.map_batches(
+        _confusion_partials(label_col, score_col, threshold),
+        batch_format="pyarrow").to_pandas().sum())
+    tp, fp, fn, tn = (int(conf["tp"]), int(conf["fp"]),
+                      int(conf["fn"]), int(conf["tn"]))
+    P, N = tp + fn, fp + tn
+    n = P + N
+
+    # --- pass 2: AUC numerator over range-partitioned score groups -
+    rows = hash_spread_sample_rows(
+        ds.select_columns([score_col, id_col]), id_col, sample_cap)
+    sv = np.sort(np.array([r[score_col] for r in rows], dtype=np.float64))
+    if len(sv):
+        qs = np.linspace(0, 1, n_ranges + 1)[1:-1]
+        splits = np.unique(np.quantile(sv, qs))
+    else:
+        splits = np.array([], dtype=np.float64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        s = t.column(score_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = t.column(label_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        b = np.searchsorted(splits, s, side="right").astype(np.int32)
+        # per-block (bucket, score) pre-agg: the exchange ships one
+        # row per distinct score per block, not per input row
+        df = pd.DataFrame({"_rb": b, "s": s, "y": y})
+        g = df.groupby(["_rb", "s"], sort=False)["y"].agg(
+            pos="sum", cnt="size").reset_index()
+        g["neg"] = g["cnt"] - g["pos"]
+        return pa.Table.from_pandas(
+            g[["_rb", "s", "pos", "neg"]], preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def bucket_partial(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_rb"].iloc[0])
+        m = (g.groupby("s", sort=True)[["pos", "neg"]].sum()
+             .reset_index())
+        pos_l = m["pos"].to_numpy().tolist()   # Python ints: no overflow
+        neg_l = m["neg"].to_numpy().tolist()
+        nb = 0
+        num = 0
+        for p, q in zip(pos_l, neg_l):
+            num += p * (2 * nb + q)
+            nb += q
+        return pd.DataFrame({
+            "_rb": [b],
+            "pos_tot": [int(sum(pos_l))],
+            "neg_tot": [int(sum(neg_l))],
+            "num_str": [str(num)],
+        })
+
+    parts = (ds.map_batches(assign, batch_format="pyarrow")
+             .groupby("_rb")
+             .map_groups(bucket_partial, batch_format="pandas")
+             .to_pandas()
+             .sort_values("_rb"))
+    numerator = 0
+    neg_below = 0
+    for r in parts.itertuples():
+        numerator += int(r.num_str) + 2 * int(r.pos_tot) * neg_below
+        neg_below += int(r.neg_tot)
+
+    auc = float(numerator) / (2.0 * P * N) if P and N else float("nan")
+    return pd.DataFrame({
+        "n": [n], "pos": [P], "neg": [N],
+        "tp": [tp], "fp": [fp], "tn": [tn], "fn": [fn],
+        "accuracy": [(tp + tn) / n if n else float("nan")],
+        "precision": [tp / (tp + fp) if tp + fp else float("nan")],
+        "recall": [tp / P if P else float("nan")],
+        "f1": [2 * tp / (2 * tp + fp + fn)
+               if 2 * tp + fp + fn else float("nan")],
+        "auc": [auc],
+    })

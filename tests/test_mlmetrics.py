@@ -1,0 +1,71 @@
+"""Binary-classifier report (raykg/ops/mlmetrics.py): exact tie-aware
+AUC vs brute-force pair counting, confusion metrics, partition
+invariance."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from raykg.ops.mlmetrics import binary_classification_report
+
+
+def _brute_auc(y: np.ndarray, s: np.ndarray) -> float:
+    # pair counting: wins + half-ties over P*N
+    pos = s[y == 1]
+    neg = s[y == 0]
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    return (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+
+def _fixture(n=3000, seed=7):
+    rng = np.random.default_rng(seed)
+    y = (rng.random(n) < 0.3).astype(np.int64)
+    # quantized scores force heavy TIES, incl. cross-label ties
+    s = np.round((rng.random(n) + y) / 2.0, 2)
+    return pd.DataFrame({"id": np.arange(n), "y": y, "s": s})
+
+
+def test_report_matches_bruteforce():
+    df = _fixture()
+    rep = binary_classification_report(
+        rd.from_pandas(df, override_num_blocks=7), "y", "s", "id")
+    y, s = df["y"].to_numpy(), df["s"].to_numpy()
+    assert rep["auc"].iloc[0] == _brute_auc(y, s)
+    pred = s >= 0.5
+    tp = int(((y == 1) & pred).sum())
+    fp = int(((y == 0) & pred).sum())
+    assert int(rep["tp"].iloc[0]) == tp
+    assert int(rep["fp"].iloc[0]) == fp
+    assert rep["precision"].iloc[0] == tp / (tp + fp)
+    assert rep["recall"].iloc[0] == tp / int((y == 1).sum())
+    assert int(rep["n"].iloc[0]) == len(df)
+
+
+def test_partition_invariance_and_tiny_ranges():
+    df = _fixture(n=800, seed=11)
+    a = binary_classification_report(
+        rd.from_pandas(df, override_num_blocks=1), "y", "s", "id",
+        n_ranges=3)
+    b = binary_classification_report(
+        rd.from_pandas(df, override_num_blocks=13), "y", "s", "id",
+        n_ranges=64)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_degenerate_single_class():
+    df = pd.DataFrame({"id": [0, 1, 2], "y": [1, 1, 1],
+                       "s": [0.2, 0.9, 0.7]})
+    rep = binary_classification_report(rd.from_pandas(df), "y", "s", "id")
+    assert np.isnan(rep["auc"].iloc[0])
+    assert rep["recall"].iloc[0] == 2 / 3   # s>=0.5 keeps 0.9, 0.7
+    assert rep["precision"].iloc[0] == 1.0  # no negatives to mistake
+
+
+def test_all_scores_equal():
+    # one global tie group: AUC must be exactly 0.5
+    df = pd.DataFrame({"id": range(10), "y": [0, 1] * 5,
+                       "s": [0.5] * 10})
+    rep = binary_classification_report(
+        rd.from_pandas(df, override_num_blocks=3), "y", "s", "id")
+    assert rep["auc"].iloc[0] == 0.5
