@@ -4231,6 +4231,112 @@ FROM s ORDER BY l_returnflag
 """
 
 
+def _q_classifier_metrics(sf_dir: str):
+    """Exact distributed classifier evaluation (raykg/ops/mlmetrics.py):
+    tie-aware ROC-AUC via the integer rank-sum numerator over
+    range-partitioned score groups (no global sort, no driver
+    materialization) plus one-pass confusion metrics. The synthetic
+    score is a Knuth-hash uniform mixed with the label so both sides
+    compute bit-identical IEEE doubles; every ratio is one float
+    division of exact int64 counts, shared half-up 1e-6 rounding."""
+    from raykg.ops.mlmetrics import binary_classification_report
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_returnflag"])
+
+    def score(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = t.column("l_linenumber").to_numpy(zero_copy_only=False)
+        rid = ok.astype(np.int64) * 4 + ln.astype(np.int64)
+        h = (rid.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(4294967296)
+        y = (t.column("l_returnflag").to_numpy(zero_copy_only=False)
+             == "R").astype(np.int64)
+        u = h.astype(np.float64) / 4294967296.0
+        s = (u + 0.5 * y) / 1.5
+        return pa.table({"rid": pa.array(rid),
+                         "y": pa.array(y),
+                         "s": pa.array(s, pa.float64())})
+
+    rep = binary_classification_report(
+        ds.map_batches(score, batch_format="pyarrow"), "y", "s", "rid")
+    for c in ("accuracy", "precision", "recall", "f1", "auc"):
+        rep[c] = np.floor(rep[c] * 1e6 + 0.5) / 1e6
+    return rep
+
+
+_SQL_CLS_METRICS = """
+WITH scored AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         (((l_orderkey * 4 + l_linenumber) * 2654435761) % 4294967296)
+           / 4294967296.0 AS u
+  FROM lineitem
+), sc AS (
+  SELECT y, (u + 0.5 * y) / 1.5 AS s FROM scored
+), conf AS (
+  SELECT count(*)::BIGINT AS n,
+         (count(*) FILTER (WHERE y = 1))::BIGINT AS pos,
+         (count(*) FILTER (WHERE y = 0))::BIGINT AS neg,
+         (count(*) FILTER (WHERE y = 1 AND s >= 0.5))::BIGINT AS tp,
+         (count(*) FILTER (WHERE y = 0 AND s >= 0.5))::BIGINT AS fp,
+         (count(*) FILTER (WHERE y = 0 AND s < 0.5))::BIGINT AS tn,
+         (count(*) FILTER (WHERE y = 1 AND s < 0.5))::BIGINT AS fn
+  FROM sc
+), grp AS (
+  SELECT s, sum(y)::BIGINT AS pos_g,
+         (count(*) - sum(y))::BIGINT AS neg_g
+  FROM sc GROUP BY s
+), pre AS (
+  SELECT pos_g, neg_g,
+         COALESCE(CAST(sum(neg_g) OVER (
+             ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING) AS BIGINT), 0) AS nb
+  FROM grp
+), num AS (
+  SELECT CAST(sum(pos_g * (2 * nb + neg_g)) AS BIGINT) AS numerator
+  FROM pre
+)
+SELECT n, pos, neg, tp, fp, tn, fn,
+  floor((tp + tn) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS accuracy,
+  floor(tp / CAST(tp + fp AS DOUBLE) * 1e6 + 0.5) / 1e6 AS precision,
+  floor(tp / CAST(pos AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall,
+  floor(2 * tp / CAST(2 * tp + fp + fn AS DOUBLE) * 1e6 + 0.5) / 1e6
+    AS f1,
+  floor(numerator / (2.0 * pos * neg) * 1e6 + 0.5) / 1e6 AS auc
+FROM conf, num
+"""
+
+
+def _q_cooccur_parts(sf_dir: str):
+    """Market-basket co-occurrence (raykg/ops/cooccur.py): top part
+    pairs sharing an order. Pairs are emitted by a vectorized lag
+    sweep over basket-sorted rows — O(output) work, never a row-level
+    self-join — pre-counted per basket bucket, exchanged once on the
+    pair key, and top-k merged from per-bucket winners (each pair
+    lives wholly in one bucket). Total order (cnt desc, a, b) matches
+    the oracle's ORDER BY ... LIMIT, so boundary ties are exact."""
+    from raykg.ops.cooccur import cooccurrence_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_partkey"])
+    out = cooccurrence_pairs(ds, "l_orderkey", "l_partkey", k=50)
+    return out.astype({"item_a": "int64", "item_b": "int64",
+                       "cnt": "int64"})
+
+
+_SQL_COOCCUR = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+)
+SELECT x.it AS item_a, y.it AS item_b, count(*)::BIGINT AS cnt
+FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+GROUP BY 1, 2
+ORDER BY cnt DESC, item_a, item_b
+LIMIT 50
+"""
+
+
 _CLS_FEATURES = ["f_tok", "f_wlen", "f_the", "f_spark"]
 
 
@@ -4888,6 +4994,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_negative_pairs": _q_negative_samples,
         "winsorize_quantity": _q_winsorize_quantity,
         "regress_quantity_by_flag": _q_ols_lineitem,
+        "eval_classifier_metrics": _q_classifier_metrics,
+        "cooccur_part_pairs": _q_cooccur_parts,
         # rows-only (iterative model fit)
         "train_doc_classifier": _q_train_doc_classifier,
         # rows-only (iterative / eigen-based)
@@ -5021,4 +5129,6 @@ def oracle_sql() -> dict[str, str]:
         "sample_negative_pairs": _SQL_NEG_SAMPLES,
         "winsorize_quantity": _SQL_WINSORIZE,
         "regress_quantity_by_flag": _SQL_OLS,
+        "eval_classifier_metrics": _SQL_CLS_METRICS,
+        "cooccur_part_pairs": _SQL_COOCCUR,
     }

@@ -1,0 +1,131 @@
+"""Within-basket co-occurrence pair counting (market-basket /
+collocation analysis): which items appear together in the same basket
+(order, session, document) most often.
+
+The naive formulation is a self-join on the basket key — quadratic in
+basket size and an all-to-all exchange of raw rows. This plan bounds
+every stage by the PAIR volume instead:
+
+1. one hash exchange co-locates each basket's rows (bucket by
+   ``h(basket)``, the sessionize/funnel shape);
+2. per bucket, rows sort by (basket, item) and deduplicate; pairs are
+   emitted by a vectorized LAG SWEEP — for lag d, positions i and i+d
+   belong to the same basket iff the basket ids match, so each d
+   yields one vectorized mask + gather. The loop runs to the largest
+   basket size in the bucket, each iteration O(rows); total work is
+   O(rows x max_basket) = O(output pairs). Items within a basket are
+   sorted, so pairs arrive (a < b) canonically with no comparison
+   pass. Pair counts pre-aggregate per bucket before leaving;
+3. pairs exchange once on ``h(a, b)``; each pair lives entirely in
+   one bucket, so per-bucket (a, b) count sums are global, and the
+   global top-k is contained in the union of per-bucket top-ks —
+   the driver merges at most ``k x buckets`` rows.
+
+Partitioning assumption (custom-operator contract): one basket's rows
+co-locate (same bound as sessionize, raykg/ops/windows.py); a single
+basket of B items emits B(B-1)/2 pairs, so a degenerate basket
+(every item in one basket) is the hot-key case — ``max_basket`` skips
+baskets above the bound (an explicit, documented semantic change, the
+C4-filter style) instead of silently exploding a task.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raykg.ops.joins import _key_bucket
+
+COOCCUR_BUCKETS = 128
+
+
+def _emit_pairs(bk: np.ndarray, it: np.ndarray):
+    """Vectorized within-group pair emission; ``bk`` sorted, ``it``
+    sorted within each group, both deduplicated. Yields (a, b) with
+    a < b in basket-item order."""
+    if len(bk) == 0:
+        return np.empty(0, it.dtype), np.empty(0, it.dtype)
+    a_parts, b_parts = [], []
+    # largest run length = largest basket
+    change = np.flatnonzero(bk[1:] != bk[:-1])
+    starts = np.concatenate([[0], change + 1])
+    sizes = np.diff(np.concatenate([starts, [len(bk)]]))
+    for d in range(1, int(sizes.max())):
+        same = bk[d:] == bk[:-d]
+        if not same.any():
+            break
+        a_parts.append(it[:-d][same])
+        b_parts.append(it[d:][same])
+    if not a_parts:
+        return np.empty(0, it.dtype), np.empty(0, it.dtype)
+    return np.concatenate(a_parts), np.concatenate(b_parts)
+
+
+def cooccurrence_pairs(
+    ds,
+    basket_col: str,
+    item_col: str,
+    k: int = 50,
+    min_count: int = 1,
+    coarse: int = COOCCUR_BUCKETS,
+    max_basket: int | None = None,
+):
+    """Top-``k`` co-occurring (item_a, item_b) pairs across baskets,
+    ordered by (count desc, item_a asc, item_b asc) — the total order
+    a SQL ``ORDER BY cnt DESC, a, b LIMIT k`` computes. Duplicate
+    (basket, item) rows count once. Returns a pandas DataFrame
+    ``(item_a, item_b, cnt)``; ties at the k-th count resolve by the
+    item order, so output is deterministic."""
+
+    def bucket_rows(t: pa.Table) -> pa.Table:
+        t = t.select([basket_col, item_col])
+        return t.append_column(
+            "_bk", _key_bucket(t.column(basket_col), coarse))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([basket_col, item_col]).sort_values(
+            [basket_col, item_col], kind="mergesort")
+        if max_basket is not None:
+            sz = g.groupby(basket_col, sort=False)[item_col].transform(
+                "size")
+            g = g[sz <= max_basket]
+        a, b = _emit_pairs(g[basket_col].to_numpy(),
+                           g[item_col].to_numpy())
+        out = (pd.DataFrame({"item_a": a, "item_b": b})
+               .groupby(["item_a", "item_b"], sort=False)
+               .size().rename("cnt").reset_index())
+        return out
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("item_a").to_numpy(zero_copy_only=False)
+        b = t.column("item_b").to_numpy(zero_copy_only=False)
+        from raykg.ops.sample import _murmur64
+
+        h = _murmur64(a.astype(np.uint64) * np.uint64(1000003)
+                      ^ b.astype(np.uint64))
+        return t.append_column(
+            "_pb", pa.array((h % np.uint64(coarse)).astype(np.int32)))
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby(["item_a", "item_b"], sort=False)["cnt"].sum()
+             .reset_index())
+        m = m[m["cnt"] >= min_count]
+        m = m.sort_values(["cnt", "item_a", "item_b"],
+                          ascending=[False, True, True],
+                          kind="mergesort")
+        return m.head(k)
+
+    parts = (
+        ds.map_batches(bucket_rows, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    parts = parts.sort_values(["cnt", "item_a", "item_b"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(k)
+    return parts.reset_index(drop=True)
