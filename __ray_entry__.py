@@ -4337,6 +4337,46 @@ LIMIT 50
 """
 
 
+def _q_pmi_bigrams(sf_dir: str):
+    """PMI collocations (raykg/ops/vocab.py pmi_bigrams): bigram +
+    unigram Zipf-bounded pre-count tables, min_count floor BEFORE the
+    plan-adaptive count joins, pinned-operand-order DOUBLE PMI through
+    one libm ln (bit-equal to DuckDB), rounded half-up 1e-6; ordering
+    uses the rounded value so boundary ties are deterministic."""
+    from raykg.ops.vocab import pmi_bigrams
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    out = pmi_bigrams(ds, k=50, min_count=5)
+    return out.astype({"cxy": "int64"})
+
+
+_SQL_PMI = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT unnest(t) AS w FROM toks),
+ucnt AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY w),
+nu AS (SELECT count(*)::BIGINT AS n FROM uni),
+big AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(range(1, len(t))) AS u(i)),
+bcnt AS (SELECT w1, w2, count(*)::BIGINT AS c
+         FROM big GROUP BY 1, 2),
+nb AS (SELECT count(*)::BIGINT AS n FROM big),
+j AS (
+  SELECT bc.w1, bc.w2, bc.c AS cxy, u1.c AS cx, u2.c AS cy
+  FROM bcnt bc
+  JOIN ucnt u1 ON bc.w1 = u1.w
+  JOIN ucnt u2 ON bc.w2 = u2.w
+  WHERE bc.c >= 5
+)
+SELECT w1, w2, cxy,
+  floor(ln(((cxy::DOUBLE * nu.n) * nu.n) / ((nb.n::DOUBLE * cx) * cy))
+        * 1e6 + 0.5) / 1e6 AS pmi
+FROM j, nu, nb
+ORDER BY pmi DESC, w1, w2
+LIMIT 50
+"""
+
+
 _CLS_FEATURES = ["f_tok", "f_wlen", "f_the", "f_spark"]
 
 
@@ -4996,6 +5036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regress_quantity_by_flag": _q_ols_lineitem,
         "eval_classifier_metrics": _q_classifier_metrics,
         "cooccur_part_pairs": _q_cooccur_parts,
+        "vocab_pmi_bigrams": _q_pmi_bigrams,
         # rows-only (iterative model fit)
         "train_doc_classifier": _q_train_doc_classifier,
         # rows-only (iterative / eigen-based)
@@ -5131,4 +5172,5 @@ def oracle_sql() -> dict[str, str]:
         "regress_quantity_by_flag": _SQL_OLS,
         "eval_classifier_metrics": _SQL_CLS_METRICS,
         "cooccur_part_pairs": _SQL_COOCCUR,
+        "vocab_pmi_bigrams": _SQL_PMI,
     }

@@ -228,3 +228,80 @@ def distinctive_terms(ds, group_col: str = "source",
     )
     return scored.groupby(group_col).map_groups(
         final_topk, batch_format="pandas")
+
+
+def pmi_bigrams(ds, k: int = 50, min_count: int = 5,
+                text_col: str = "text") -> pd.DataFrame:
+    """Top-k word-bigram collocations by pointwise mutual information
+
+        pmi(x, y) = ln( p(x,y) / (p(x) p(y)) )
+                  = ln( c_xy * N_uni^2 / (N_bi * c_x * c_y) )
+
+    — the classic collocation statistic (Church & Hanks 1990): raw
+    bigram frequency surfaces stopword pairs, PMI surfaces pairs that
+    co-occur far above their unigram chance rate.
+
+    Scale shape: bigram and unigram tables come from the Zipf-bounded
+    per-block pre-counts above; the ``min_count`` floor is applied to
+    the bigram table BEFORE the count joins, so the joined relation is
+    collocation-sized, not bigram-sized. Count lookups go through the
+    plan-adaptive ``auto_join`` (broadcast under the byte budget, else
+    the tagged-union shuffle) — the unigram side outgrows broadcast at
+    web scale and the plan switches without a semantic change.
+
+    Exactness: counts are exact int64; the PMI expression is evaluated
+    in DOUBLE with a pinned operand order ``((cxy*nu)*nu) /
+    ((nb*cx)*cy)`` through one libm ``ln`` so a DuckDB oracle
+    reproduces it bit-for-bit; output rounds half-up to 1e-6 and the
+    (pmi desc, w1, w2) order uses the ROUNDED value, making boundary
+    ties deterministic on both sides."""
+    from raykg.ops.joins import auto_join
+
+    # materialize both count tables once: they are vocabulary-sized
+    # (the Zipf-head bound documented above), each feeds two consumers
+    # (a total and a join side), and re-deriving them would re-run the
+    # corpus pass
+    big = ngram_frequencies(ds, n=2, text_col=text_col).materialize()
+    uni = word_frequencies(ds, text_col=text_col).materialize()
+    n_uni = int(uni.sum("n") or 0)
+    n_bi = int(big.sum("n") or 0)
+
+    def split_gram(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = t.filter(pc.greater_equal(t.column("n"), min_count))
+        parts = pc.split_pattern(keep.column("gram"), " ")
+        return pa.table({
+            "w1": pc.list_element(parts, 0),
+            "w2": pc.list_element(parts, 1),
+            "cxy": keep.column("n"),
+        })
+
+    pairs = big.map_batches(split_gram, batch_format="pyarrow")
+    u1 = uni.map_batches(lambda t: t.rename_columns(["w1", "cx"]),
+                         batch_format="pyarrow")
+    u2 = uni.map_batches(lambda t: t.rename_columns(["w2", "cy"]),
+                         batch_format="pyarrow")
+    j = auto_join(pairs, u1, on="w1", left_cols=["w2", "cxy"],
+                  right_cols=["cx"])
+    j = auto_join(j, u2, on="w2", left_cols=["w1", "cxy", "cx"],
+                  right_cols=["cy"])
+
+    def block_pmi_topk(df: pd.DataFrame) -> pd.DataFrame:
+        cxy = df["cxy"].to_numpy(np.float64)
+        cx = df["cx"].to_numpy(np.float64)
+        cy = df["cy"].to_numpy(np.float64)
+        ratio = ((cxy * float(n_uni)) * float(n_uni)) / (
+            (float(n_bi) * cx) * cy)
+        df = df.assign(pmi=np.floor(np.log(ratio) * 1e6 + 0.5) / 1e6)
+        df = df.sort_values(["pmi", "w1", "w2"],
+                            ascending=[False, True, True],
+                            kind="mergesort")
+        return df[["w1", "w2", "cxy", "pmi"]].head(k)
+
+    out = (j.map_batches(block_pmi_topk, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["pmi", "w1", "w2"],
+                            ascending=[False, True, True],
+                            kind="mergesort")
+            .head(k).reset_index(drop=True))
