@@ -4377,6 +4377,32 @@ LIMIT 50
 """
 
 
+def _q_edit_pairs_customers(sf_dir: str):
+    """Typo-tolerant record linkage (raykg/ops/editjoin.py): all
+    customer-name pairs within Levenshtein distance 1 via symmetric
+    deletion blocking — exact recall by construction, banded-DP
+    verification, no all-pairs comparison anywhere. The oracle is a
+    brute-force levenshtein() cross join (feasible at sf0.01 only —
+    which is why the operator exists)."""
+    from raykg.ops.editjoin import edit_distance_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"])
+    out = edit_distance_pairs(ds, "c_name", "c_custkey",
+                              max_dist=1).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+_SQL_EDIT_PAIRS = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND abs(length(a.c_name) - length(b.c_name)) <= 1
+ AND levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY id_a, id_b
+"""
+
+
 _CLS_FEATURES = ["f_tok", "f_wlen", "f_the", "f_spark"]
 
 
@@ -5037,6 +5063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_classifier_metrics": _q_classifier_metrics,
         "cooccur_part_pairs": _q_cooccur_parts,
         "vocab_pmi_bigrams": _q_pmi_bigrams,
+        "join_edit_distance_customers": _q_edit_pairs_customers,
         # rows-only (iterative model fit)
         "train_doc_classifier": _q_train_doc_classifier,
         # rows-only (iterative / eigen-based)
@@ -5173,4 +5200,5 @@ def oracle_sql() -> dict[str, str]:
         "eval_classifier_metrics": _SQL_CLS_METRICS,
         "cooccur_part_pairs": _SQL_COOCCUR,
         "vocab_pmi_bigrams": _SQL_PMI,
+        "join_edit_distance_customers": _SQL_EDIT_PAIRS,
     }
