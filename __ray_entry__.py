@@ -4403,6 +4403,55 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_chi2_lang_source(sf_dir: str):
+    """Categorical association (raykg/ops/profile.py chi2_contingency):
+    chi-square independence of (lang, source) + Cramér's V from one
+    pass of per-block cell pre-counts; zero-observed grid cells
+    included, (a,b)-sorted double fold mirrored by the oracle's
+    list_sum(list(term ORDER BY a,b)) over the cross-joined grid."""
+    from raykg.ops.profile import chi2_contingency
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["lang", "source"])
+    return chi2_contingency(ds, "lang", "source")
+
+
+_SQL_CHI2 = """
+WITH cells AS (
+  SELECT lang AS a, source AS b, count(*)::BIGINT AS o
+  FROM documents GROUP BY 1, 2
+),
+ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY a),
+cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY b),
+nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+grid AS (
+  SELECT ra.a, cb.b, ra.r, cb.c, COALESCE(cells.o, 0)::BIGINT AS o
+  FROM ra CROSS JOIN cb
+  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b
+),
+terms AS (
+  SELECT a, b,
+    ((o::DOUBLE - (r::DOUBLE * c) / nn.n)
+     * (o::DOUBLE - (r::DOUBLE * c) / nn.n))
+    / ((r::DOUBLE * c) / nn.n) AS term
+  FROM grid, nn
+),
+chi AS (
+  SELECT list_sum(list(term ORDER BY a, b)) AS chi2 FROM terms
+),
+dims AS (
+  SELECT (SELECT count(*) FROM ra) AS ka,
+         (SELECT count(*) FROM cb) AS kb
+)
+SELECT nn.n AS n,
+       CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+       floor(chi2 * 1e6 + 0.5) / 1e6 AS chi2,
+       floor(sqrt(chi2 / (nn.n * least(ka - 1, kb - 1))) * 1e6 + 0.5)
+         / 1e6 AS cramers_v
+FROM chi, nn, dims
+"""
+
+
 _CLS_FEATURES = ["f_tok", "f_wlen", "f_the", "f_spark"]
 
 
@@ -5064,6 +5113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccur_part_pairs": _q_cooccur_parts,
         "vocab_pmi_bigrams": _q_pmi_bigrams,
         "join_edit_distance_customers": _q_edit_pairs_customers,
+        "profile_chi2_lang_source": _q_chi2_lang_source,
         # rows-only (iterative model fit)
         "train_doc_classifier": _q_train_doc_classifier,
         # rows-only (iterative / eigen-based)
@@ -5201,4 +5251,5 @@ def oracle_sql() -> dict[str, str]:
         "cooccur_part_pairs": _SQL_COOCCUR,
         "vocab_pmi_bigrams": _SQL_PMI,
         "join_edit_distance_customers": _SQL_EDIT_PAIRS,
+        "profile_chi2_lang_source": _SQL_CHI2,
     }

@@ -379,3 +379,61 @@ def storage_profile(paths) -> pd.DataFrame:
         n_files=("path", "nunique"),
     )
     return agg.sort_values("column").reset_index(drop=True)
+
+
+def chi2_contingency(ds, col_a: str, col_b: str) -> pd.DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V — the feature-selection / drift-detection
+    association measure.
+
+    Scale shape: one streaming pass of per-block (a, b, n) pre-counts
+    (the ``numeric_histogram`` bound — each block ships at most
+    |A| x |B| cell partials, never rows); the fold and the chi-square
+    sum run on the CELL GRID, which is category-cardinality-sized by
+    definition of "categorical" (drift columns, languages, sources —
+    not ids).
+
+    Exactness: observed counts and marginals are exact int64; expected
+    ``e = (r * c) / n`` and each term ``((o - e) * (o - e)) / e``
+    evaluate in DOUBLE with pinned operand order, INCLUDING
+    zero-observed grid cells (which contribute ``e``), and the sum
+    folds in (a, b)-sorted order — a DuckDB oracle reproduces the
+    double bit-for-bit via ``list_sum(list(term ORDER BY a, b))`` over
+    the cross-joined category grid. Output rounds half-up to 1e-6.
+    -> one row ``(n, dof, chi2, cramers_v)``."""
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "a": t.column(col_a).to_pandas(),
+            "b": t.column(col_b).to_pandas(),
+        })
+        g = df.groupby(["a", "b"], sort=False).size().rename("n")
+        return pa.Table.from_pandas(g.reset_index(),
+                                    preserve_index=False)
+
+    cells = (ds.map_batches(part, batch_format="pyarrow")
+             .to_pandas()
+             .groupby(["a", "b"], as_index=False)["n"].sum())
+    n = int(cells["n"].sum())
+    ra = cells.groupby("a")["n"].sum()          # row marginals
+    cb = cells.groupby("b")["n"].sum()          # col marginals
+    # full grid including zero-observed cells, (a, b)-sorted fold
+    grid = pd.MultiIndex.from_product(
+        [ra.index.sort_values(), cb.index.sort_values()],
+        names=["a", "b"])
+    obs = cells.set_index(["a", "b"])["n"].reindex(
+        grid, fill_value=0).reset_index()
+    chi2 = 0.0
+    for r in obs.itertuples():
+        e = (float(ra[r.a]) * float(cb[r.b])) / float(n)
+        o = float(r.n)
+        chi2 += ((o - e) * (o - e)) / e
+    ka, kb = len(ra), len(cb)
+    dof = (ka - 1) * (kb - 1)
+    v = float(np.sqrt(chi2 / (n * min(ka - 1, kb - 1)))) \
+        if dof > 0 and n > 0 else float("nan")
+    return pd.DataFrame({
+        "n": [n], "dof": [dof],
+        "chi2": [np.floor(chi2 * 1e6 + 0.5) / 1e6],
+        "cramers_v": [np.floor(v * 1e6 + 0.5) / 1e6],
+    })
