@@ -250,6 +250,11 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("keywords_per_source", em._q_distinctive_terms)
         timed("analytics_event_transitions", em._q_event_transitions)
         timed("compact_parquet_orders", em._q_compact_parquet)
+        timed("eval_classifier_metrics", em._q_classifier_metrics)
+        timed("cooccur_part_pairs", em._q_cooccur_parts)
+        timed("vocab_pmi_bigrams", em._q_pmi_bigrams)
+        timed("join_edit_distance_customers", em._q_edit_pairs_customers)
+        timed("profile_chi2_lang_source", em._q_chi2_lang_source)
 
     result = {
         "metric": "kg_pipeline_wall",

@@ -79,6 +79,59 @@ def _lev_leq(a: str, b: str, d: int) -> bool:
     return bool(prev[lb] <= d)
 
 
+def _code_matrix(strs: np.ndarray, lens: np.ndarray, width: int,
+                 right: bool, fill: int) -> np.ndarray:
+    """(n, width) codepoint matrix, left- or right-aligned, padded
+    with ``fill`` — one utf-32 encode of the joined batch, one ragged
+    scatter; no per-string Python work beyond the join."""
+    n = len(strs)
+    M = np.full((n, max(width, 1)), fill, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return M
+    flat = np.frombuffer("".join(strs).encode("utf-32-le"),
+                         dtype=np.uint32).astype(np.int64)
+    off = np.concatenate([[0], np.cumsum(lens)])
+    rows = np.repeat(np.arange(n), lens)
+    within = np.arange(total) - np.repeat(off[:-1], lens)
+    cols = within if not right else np.repeat(width - lens, lens) + within
+    M[rows, cols] = flat
+    return M
+
+
+def _verify_pairs(sa: np.ndarray, sb: np.ndarray, d: int) -> np.ndarray:
+    """Exact ``ed <= d`` per candidate pair. d=1 is fully vectorized
+    via the prefix+suffix characterization: for equal lengths L,
+    ed <= 1 iff lcp + lcs >= L - 1 (one substitution); for lengths
+    differing by 1, iff lcp + lcs >= min-length (one indel). d=2
+    falls back to the banded DP per pair (candidate sets are
+    output-sized, so the loop is bounded)."""
+    n = len(sa)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    if d != 1:
+        return np.fromiter((_lev_leq(a, b, d) for a, b in zip(sa, sb)),
+                           dtype=bool, count=n)
+    la = np.fromiter((len(s) for s in sa), np.int64, count=n)
+    lb = np.fromiter((len(s) for s in sb), np.int64, count=n)
+    width = int(max(la.max(), lb.max(), 1))
+    # distinct pad fills so padding never compares equal cross-side
+    X = _code_matrix(sa, la, width, right=False, fill=-1)
+    Y = _code_matrix(sb, lb, width, right=False, fill=-2)
+    neq = X != Y
+    has = neq.any(axis=1)
+    lcp = np.where(has, np.argmax(neq, axis=1), la)
+    XR = _code_matrix(sa, la, width, right=True, fill=-1)
+    YR = _code_matrix(sb, lb, width, right=True, fill=-2)
+    neqr = (XR != YR)[:, ::-1]
+    hasr = neqr.any(axis=1)
+    lcs = np.where(hasr, np.argmax(neqr, axis=1), la)
+    lmin = np.minimum(la, lb)
+    return np.where(
+        la == lb, lcp + lcs >= la - 1,
+        (np.abs(la - lb) == 1) & (lcp + lcs >= lmin))
+
+
 def edit_distance_pairs(
     ds,
     col: str,
@@ -118,32 +171,42 @@ def edit_distance_pairs(
         })
 
     def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        # candidate emission is the cooccur lag sweep: rows sorted by
+        # (variant hash, id); for lag L, positions i and i+L are a
+        # candidate iff their variant hashes match — one vectorized
+        # mask + gather per lag, O(candidates) total
         g = g.sort_values(["_vh", "_id"], kind="mergesort")
         vh = g["_vh"].to_numpy()
         ids = g["_id"].to_numpy()
         ss = g["_s"].to_numpy(dtype=object)
-        starts = np.flatnonzero(
-            np.concatenate([[True], vh[1:] != vh[:-1]]))
-        ends = np.concatenate([starts[1:], [len(vh)]])
-        out_a, out_b = [], []
-        seen = set()
-        for s0, e0 in zip(starts, ends):
-            if e0 - s0 < 2:
-                continue
-            for i in range(s0, e0):
-                for j in range(i + 1, e0):
-                    if ids[i] == ids[j]:
-                        continue
-                    a, b = (ids[i], ids[j]) if ids[i] < ids[j] \
-                        else (ids[j], ids[i])
-                    if (a, b) in seen:
-                        continue
-                    seen.add((a, b))
-                    if _lev_leq(ss[i], ss[j], max_dist):
-                        out_a.append(a)
-                        out_b.append(b)
-        return pd.DataFrame({"id_a": np.array(out_a, dtype=np.int64),
-                             "id_b": np.array(out_b, dtype=np.int64)})
+        n = len(vh)
+        empty = pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                              "id_b": np.array([], dtype=np.int64)})
+        if n < 2:
+            return empty
+        ii_parts, jj_parts = [], []
+        for lag in range(1, n):
+            same = vh[lag:] == vh[:-lag]
+            if not same.any():
+                break
+            base = np.flatnonzero(same)
+            ii_parts.append(base)
+            jj_parts.append(base + lag)
+        if not ii_parts:
+            return empty
+        ii = np.concatenate(ii_parts)
+        jj = np.concatenate(jj_parts)
+        a = np.minimum(ids[ii], ids[jj])
+        b = np.maximum(ids[ii], ids[jj])
+        keep = a != b
+        # in-bucket pair dedup (a pair may share several variants)
+        packed = pd.MultiIndex.from_arrays([a[keep], b[keep]])
+        first = ~packed.duplicated()
+        ii, jj = ii[keep][first], jj[keep][first]
+        ok = _verify_pairs(ss[ii], ss[jj], max_dist)
+        a, b = a[keep][first][ok], b[keep][first][ok]
+        return pd.DataFrame({"id_a": a.astype(np.int64),
+                             "id_b": b.astype(np.int64)})
 
     def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]

@@ -77,3 +77,16 @@ def test_unicode():
     strs = ["café", "cafe", "caffé", "日本語", "日本誤"]
     df = pd.DataFrame({"id": range(len(strs)), "s": strs})
     assert _got(df, 1) == _brute(strs, 1)
+
+
+def test_verify_pairs_randomized_direct():
+    from raykg.ops.editjoin import _verify_pairs
+
+    rng = np.random.default_rng(8)
+    sa, sb = [], []
+    for _ in range(500):
+        sa.append("".join(rng.choice(list("abcd"), size=rng.integers(0, 10))))
+        sb.append("".join(rng.choice(list("abcd"), size=rng.integers(0, 10))))
+    got = _verify_pairs(np.array(sa, object), np.array(sb, object), 1)
+    want = np.array([_ed(a, b) <= 1 for a, b in zip(sa, sb)])
+    assert (got == want).all()
