@@ -8,8 +8,9 @@ metrics after collecting everything into one frame,
 scripts/feature_ablation_study.py:376-426 — exactly what does not
 scale). Everything here is exact and partition-invariant:
 
-* confusion counts (tp/fp/tn/fn) are one streaming pass of per-block
-  int64 partials;
+* confusion counts (tp/fp/tn/fn) fall out of the same per-score
+  (pos, neg) relation the AUC pass builds — a threshold split of the
+  bucket partials, no separate pass;
 * AUC uses the rank-sum identity over score GROUPS:
 
       AUC = sum_g pos_g * (neg_below_g + neg_g / 2) / (P * N)
@@ -43,28 +44,6 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _confusion_partials(label_col: str, score_col: str, threshold: float):
-    def conf(t: pa.Table) -> pa.Table:
-        y = t.column(label_col).to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        s = t.column(score_col).to_numpy(zero_copy_only=False).astype(
-            np.float64)
-        pred = s >= threshold
-        pos = y == 1
-        return pa.table({
-            "tp": pa.array([int(np.count_nonzero(pred & pos))],
-                           pa.int64()),
-            "fp": pa.array([int(np.count_nonzero(pred & ~pos))],
-                           pa.int64()),
-            "fn": pa.array([int(np.count_nonzero(~pred & pos))],
-                           pa.int64()),
-            "tn": pa.array([int(np.count_nonzero(~pred & ~pos))],
-                           pa.int64()),
-        })
-
-    return conf
-
-
 def binary_classification_report(
     ds,
     label_col: str,
@@ -80,16 +59,9 @@ def binary_classification_report(
     feeds the split sampler only."""
     from raykg.ops.sample import hash_spread_sample_rows
 
-    # --- pass 1: confusion counts (per-block int partials) ---------
-    conf = (ds.map_batches(
-        _confusion_partials(label_col, score_col, threshold),
-        batch_format="pyarrow").to_pandas().sum())
-    tp, fp, fn, tn = (int(conf["tp"]), int(conf["fp"]),
-                      int(conf["fn"]), int(conf["tn"]))
-    P, N = tp + fn, fp + tn
-    n = P + N
-
-    # --- pass 2: AUC numerator over range-partitioned score groups -
+    # --- split sample, then ONE data pass: the per-score (pos, neg)
+    # relation determines BOTH the confusion counts (threshold split)
+    # and the AUC numerator, so no separate confusion pass runs -----
     rows = hash_spread_sample_rows(
         ds.select_columns([score_col, id_col]), id_col, sample_cap)
     sv = np.sort(np.array([r[score_col] for r in rows], dtype=np.float64))
@@ -126,10 +98,13 @@ def binary_classification_report(
         for p, q in zip(pos_l, neg_l):
             num += p * (2 * nb + q)
             nb += q
+        hit = m["s"].to_numpy() >= threshold
         return pd.DataFrame({
             "_rb": [b],
             "pos_tot": [int(sum(pos_l))],
             "neg_tot": [int(sum(neg_l))],
+            "tp": [int(m["pos"].to_numpy()[hit].sum())],
+            "fp": [int(m["neg"].to_numpy()[hit].sum())],
             "num_str": [str(num)],
         })
 
@@ -143,6 +118,10 @@ def binary_classification_report(
     for r in parts.itertuples():
         numerator += int(r.num_str) + 2 * int(r.pos_tot) * neg_below
         neg_below += int(r.neg_tot)
+    P, N = int(parts["pos_tot"].sum()), int(parts["neg_tot"].sum())
+    n = P + N
+    tp, fp = int(parts["tp"].sum()), int(parts["fp"].sum())
+    fn, tn = P - tp, N - fp
 
     auc = float(numerator) / (2.0 * P * N) if P and N else float("nan")
     return pd.DataFrame({
