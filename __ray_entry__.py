@@ -4452,6 +4452,91 @@ FROM chi, nn, dims
 """
 
 
+def _q_unique_lineitem_pk(sf_dir: str):
+    """Uniqueness-constraint audit (raykg/ops/validate.py
+    uniqueness_audit): (l_orderkey, l_partkey) tuples occurring more
+    than once — per-block exact combo pre-counts, coarse-bucket fold,
+    n > 1 filter; exact int64 == the SQL HAVING oracle."""
+    from raykg.ops.validate import uniqueness_audit
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_partkey"])
+    out = uniqueness_audit(ds, ["l_orderkey", "l_partkey"]).to_pandas()
+    return (out.astype("int64")
+            .sort_values(["l_orderkey", "l_partkey"])
+            .reset_index(drop=True))
+
+
+_SQL_UNIQUE_PK = """
+SELECT l_orderkey, l_partkey, count(*)::BIGINT AS n
+FROM lineitem
+GROUP BY l_orderkey, l_partkey
+HAVING count(*) > 1
+ORDER BY l_orderkey, l_partkey
+"""
+
+
+def _q_annotator_agreement(sf_dir: str):
+    """Cohen's kappa (raykg/ops/profile.py cohens_kappa) between
+    event_type and a deterministically corrupted second annotation
+    (Knuth-hash of event_id flips ~1/4 of labels one type over) —
+    chance-corrected agreement from one pass of cell pre-counts;
+    p_e's marginal products fold as exact integers on both sides."""
+    from raykg.ops.profile import cohens_kappa
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type"])
+    types = _EVENT_TYPES
+
+    def second(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)             .astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(4294967296)
+        a = t.column("event_type").to_pandas()
+        idx = a.map({v: i for i, v in enumerate(types)}).to_numpy()
+        flip = (h % np.uint64(4) == 0)
+        b_idx = np.where(flip, (idx + 1) % len(types), idx)
+        return pa.table({
+            "a": pa.array(a.to_numpy(dtype=object), pa.string()),
+            "b": pa.array(np.array(types, dtype=object)[b_idx],
+                          pa.string()),
+        })
+
+    return cohens_kappa(ds.map_batches(second, batch_format="pyarrow"),
+                        "a", "b")
+
+
+_SQL_KAPPA = """
+WITH lab AS (
+  SELECT event_type AS a,
+    CASE WHEN (event_id * 2654435761) % 4294967296 % 4 = 0 THEN
+      CASE event_type
+        WHEN 'click' THEN 'error' WHEN 'error' THEN 'purchase'
+        WHEN 'purchase' THEN 'signup' WHEN 'signup' THEN 'view'
+        ELSE 'click' END
+    ELSE event_type END AS b
+  FROM events
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM lab),
+ag AS (SELECT (count(*) FILTER (WHERE a = b))::BIGINT AS agree FROM lab),
+ra AS (SELECT a AS lab_v, count(*)::BIGINT AS r FROM lab GROUP BY a),
+cb AS (SELECT b AS lab_v, count(*)::BIGINT AS c FROM lab GROUP BY b),
+pe AS (
+  SELECT CAST(sum(COALESCE(ra.r, 0) * COALESCE(cb.c, 0)) AS BIGINT)
+    AS pe_num
+  FROM ra FULL JOIN cb USING (lab_v)
+)
+SELECT nn.n AS n, ag.agree AS agree,
+  floor(ag.agree / CAST(nn.n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p_o,
+  floor(pe.pe_num / CAST(nn.n * nn.n AS DOUBLE) * 1e6 + 0.5) / 1e6
+    AS p_e,
+  floor(((ag.agree / CAST(nn.n AS DOUBLE))
+         - (pe.pe_num / CAST(nn.n * nn.n AS DOUBLE)))
+        / (1.0 - (pe.pe_num / CAST(nn.n * nn.n AS DOUBLE)))
+        * 1e6 + 0.5) / 1e6 AS kappa
+FROM nn, ag, pe
+"""
+
+
 _CLS_FEATURES = ["f_tok", "f_wlen", "f_the", "f_spark"]
 
 
@@ -5114,6 +5199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_pmi_bigrams": _q_pmi_bigrams,
         "join_edit_distance_customers": _q_edit_pairs_customers,
         "profile_chi2_lang_source": _q_chi2_lang_source,
+        "validate_unique_lineitem_pk": _q_unique_lineitem_pk,
+        "eval_annotator_agreement": _q_annotator_agreement,
         # rows-only (iterative model fit)
         "train_doc_classifier": _q_train_doc_classifier,
         # rows-only (iterative / eigen-based)
@@ -5252,4 +5339,6 @@ def oracle_sql() -> dict[str, str]:
         "vocab_pmi_bigrams": _SQL_PMI,
         "join_edit_distance_customers": _SQL_EDIT_PAIRS,
         "profile_chi2_lang_source": _SQL_CHI2,
+        "validate_unique_lineitem_pk": _SQL_UNIQUE_PK,
+        "eval_annotator_agreement": _SQL_KAPPA,
     }

@@ -437,3 +437,53 @@ def chi2_contingency(ds, col_a: str, col_b: str) -> pd.DataFrame:
         "chi2": [np.floor(chi2 * 1e6 + 0.5) / 1e6],
         "cramers_v": [np.floor(v * 1e6 + 0.5) / 1e6],
     })
+
+
+def cohens_kappa(ds, col_a: str, col_b: str) -> pd.DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical label columns (two annotators, or model vs heuristic
+    labels in a curation loop):
+
+        kappa = (p_o - p_e) / (1 - p_e)
+
+    with ``p_o`` the observed agreement rate and ``p_e`` the
+    marginal-product chance rate. Reuses the ``chi2_contingency``
+    cell-partial shape: one streaming pass of per-block (a, b)
+    pre-counts, then a category-grid-sized fold.
+
+    Exactness: agreement and marginal counts are exact int64;
+    ``p_e``'s sum of marginal products folds in category-sorted order
+    as exact INTEGERS (sum of r_i * c_i) so both sides divide the same
+    two exact ints by ``n*n`` — p_o, p_e and kappa are three float
+    divisions with pinned operand order, rounded half-up 1e-6.
+    -> one row ``(n, agree, p_o, p_e, kappa)``."""
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "a": t.column(col_a).to_pandas(),
+            "b": t.column(col_b).to_pandas(),
+        })
+        g = df.groupby(["a", "b"], sort=False).size().rename("n")
+        return pa.Table.from_pandas(g.reset_index(),
+                                    preserve_index=False)
+
+    cells = (ds.map_batches(part, batch_format="pyarrow")
+             .to_pandas()
+             .groupby(["a", "b"], as_index=False)["n"].sum())
+    n = int(cells["n"].sum())
+    agree = int(cells.loc[cells["a"] == cells["b"], "n"].sum())
+    ra = cells.groupby("a")["n"].sum()
+    cb = cells.groupby("b")["n"].sum()
+    labels = sorted(set(ra.index) | set(cb.index))
+    pe_num = 0
+    for lab in labels:                       # exact integer fold
+        pe_num += int(ra.get(lab, 0)) * int(cb.get(lab, 0))
+    p_o = agree / n if n else float("nan")
+    p_e = pe_num / (n * n) if n else float("nan")
+    kappa = (p_o - p_e) / (1.0 - p_e) if n and p_e != 1.0 else float("nan")
+    return pd.DataFrame({
+        "n": [n], "agree": [agree],
+        "p_o": [np.floor(p_o * 1e6 + 0.5) / 1e6],
+        "p_e": [np.floor(p_e * 1e6 + 0.5) / 1e6],
+        "kappa": [np.floor(kappa * 1e6 + 0.5) / 1e6],
+    })

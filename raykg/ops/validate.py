@@ -150,3 +150,37 @@ def referential_integrity(child_ds, child_key: str, parent_ds,
         on=child_key, right_on=parent_key, how="anti",
     ).count()
     return n_child, orphans + n_null
+
+
+def uniqueness_audit(ds, key_cols: list[str], coarse: int = 64):
+    """Primary-key / uniqueness-constraint audit: which ``key_cols``
+    tuples occur more than once, and how often — the first check a
+    warehouse load runs (and the precondition half the joins in a
+    pipeline silently assume).
+
+    Same shape as ``k_anonymity``: one streaming pass of per-block
+    exact (combo, count) pre-counts, one coarse-bucket fold, then the
+    ``n > 1`` filter — the exchange is O(blocks x distinct combos),
+    never O(rows). -> Dataset(*key_cols, n) of duplicated key tuples
+    with their multiplicities (exact int64; SQL ``HAVING count(*) >
+    1`` matches bit-exactly).
+    """
+    from raykg.util import hash_string_columns
+
+    def part(t: pa.Table) -> pa.Table:
+        df = t.select(key_cols).to_pandas()
+        out = (df.groupby(key_cols, sort=False, dropna=False).size()
+               .rename("n").reset_index())
+        h = hash_string_columns(
+            *[out[c].astype(str).tolist() for c in key_cols])
+        out["_b"] = (h % coarse).astype(np.int32)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(key_cols, sort=False, dropna=False)["n"].sum()
+               .reset_index())
+        return agg[agg["n"] > 1]
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(fold, batch_format="pandas"))
