@@ -3612,6 +3612,79 @@ ORDER BY 1
 """
 
 
+def _q_scd2_orders(sf_dir: str):
+    """SCD2 dimension history (raykg/ops/scd.py scd2_history): fold
+    four deterministic orders snapshots into per-key version intervals
+    [valid_from, valid_to) — snapshot s drops keys (k+s)%89==0
+    (delete/re-add gaps) and bumps price by s for k%11<s (value
+    changes). One key-bucketed exchange; version boundaries found by
+    a vectorized (key, snap)-sorted pass over FNV row hashes. The
+    open-ended current sentinel valid_to=5 keeps the column pure
+    int64 (a NULL would widen to float64). Oracle = lag()-window
+    change detection + cumulative version ids over the identical
+    snapshot derivation; +s on a double is exact, so no rounding."""
+    from raykg.ops.scd import scd2_history
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    path = os.path.join(sf_dir, "orders.parquet")
+    n_snaps = 4
+
+    def derive(s: int):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+            cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            price = t.column("o_totalprice").to_numpy(
+                zero_copy_only=False)
+            keep = (k + s) % 89 != 0
+            p2 = np.where(k % 11 < s, price + float(s), price)
+            return pa.table({"o_orderkey": k[keep],
+                             "o_custkey": cust[keep],
+                             "o_totalprice": p2[keep]})
+        return fn
+
+    snaps = [rd.read_parquet(path, columns=cols).map_batches(
+        derive(s), batch_format="pyarrow")
+        for s in range(1, n_snaps + 1)]
+    out = scd2_history(snaps, "o_orderkey",
+                       ["o_custkey", "o_totalprice"]).to_pandas()
+    out["is_current"] = out["is_current"].astype("int64")
+    return (out.sort_values(["o_orderkey", "valid_from"])
+            .reset_index(drop=True))
+
+
+_SQL_SCD2_ORDERS = """
+WITH snaps AS (
+  SELECT t.s AS snap, o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 11 < t.s
+              THEN o_totalprice + CAST(t.s AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders, range(1, 5) t(s)
+  WHERE (o_orderkey + t.s) % 89 <> 0
+), m AS (
+  SELECT *, CASE WHEN lag(snap) OVER w IS NULL
+                 OR lag(snap) OVER w <> snap - 1
+                 OR lag(o_custkey) OVER w IS DISTINCT FROM o_custkey
+                 OR lag(o_totalprice) OVER w
+                    IS DISTINCT FROM o_totalprice
+            THEN 1 ELSE 0 END AS st
+  FROM snaps
+  WINDOW w AS (PARTITION BY o_orderkey ORDER BY snap)
+), v AS (
+  SELECT *, sum(st) OVER (PARTITION BY o_orderkey ORDER BY snap)
+            AS vid
+  FROM m
+)
+SELECT o_orderkey, min(o_custkey)::BIGINT AS o_custkey,
+       min(o_totalprice) AS o_totalprice,
+       min(snap)::BIGINT AS valid_from,
+       (max(snap) + 1)::BIGINT AS valid_to,
+       (CASE WHEN max(snap) = 4 THEN 1 ELSE 0 END)::BIGINT
+         AS is_current
+FROM v GROUP BY o_orderkey, vid
+ORDER BY o_orderkey, valid_from
+"""
+
+
 def _q_cdc_apply_orders(sf_dir: str):
     """CDC publish composition (raykg/ops/diff.py): table_diff finds
     the O(changes) keys, enrich_changes pulls the new side's values
@@ -5163,6 +5236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_user_event_entropy": _q_entropy_events,
         "join_similarity_documents": _q_similarity_join_docs,
         "diff_orders_snapshot": _q_diff_orders,
+        "scd2_orders_history": _q_scd2_orders,
         "cdc_apply_orders": _q_cdc_apply_orders,
         "mv_refresh_customer_orders": _q_mv_refresh,
         "validate_fk_relations": _q_validate_fk,
@@ -5288,6 +5362,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_user_event_entropy": _SQL_ENTROPY_EVENTS,
         "join_similarity_documents": _SQL_SIMILARITY_JOIN,
         "diff_orders_snapshot": _SQL_DIFF_ORDERS,
+        "scd2_orders_history": _SQL_SCD2_ORDERS,
         "cdc_apply_orders": _SQL_CDC_APPLY_ORDERS,
         "mv_refresh_customer_orders": _SQL_MV_REFRESH,
         "validate_fk_relations": _SQL_VALIDATE_FK,

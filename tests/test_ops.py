@@ -2024,3 +2024,72 @@ def test_mv_refresh_shuffle_path_matches_small_path():
             .agg(n_rows=("v", "size"), sum_v=("v", "sum")))
     assert list(small.g) == list(want.g)
     assert list(small.n_rows) == list(want.n_rows)
+
+
+def test_scd2_history_versions_and_asof_law():
+    from raykg.ops.scd import scd2_history, snapshot_as_of
+
+    # snapshot s (1..4): key k present unless (k+s)%7==0; value changes
+    # for k%3==0 from s>=2 (delete/re-add gaps AND value changes mix)
+    S = 4
+    snaps = []
+    for s in range(1, S + 1):
+        ks = [k for k in range(1, 21) if (k + s) % 7 != 0]
+        vals = [k * 10 + (s if (k % 3 == 0 and s >= 2) else 0)
+                for k in ks]
+        snaps.append(rd.from_pandas(
+            pd.DataFrame({"k": ks, "v": vals})).repartition(2))
+
+    hist = (scd2_history(snaps, "k", ["v"], coarse=8).to_pandas()
+            .sort_values(["k", "valid_from"]).reset_index(drop=True))
+
+    # spot-pin a delete+re-add key: k=4 absent at s=3 ((4+3)%7==0)
+    k4 = hist[hist.k == 4]
+    assert list(zip(k4.valid_from, k4.valid_to, k4.is_current)) == [
+        (1, 3, False), (4, 5, True)]
+    # spot-pin a changing key: k=3 absent at s=4, value bumps at 2,3
+    k3 = hist[hist.k == 3]
+    assert list(zip(k3.v, k3.valid_from, k3.valid_to)) == [
+        (30, 1, 2), (32, 2, 3), (33, 3, 4)]
+    assert not k3.is_current.any()
+    # intervals per key are disjoint and ordered
+    for _, g in hist.groupby("k"):
+        assert (g.valid_from < g.valid_to).all()
+        assert (g.valid_from.to_numpy()[1:]
+                >= g.valid_to.to_numpy()[:-1]).all()
+
+    # reconstruction law: as_of(s) == snapshot s, for every s
+    hist_ds = rd.from_pandas(hist)
+    for s in range(1, S + 1):
+        got = (snapshot_as_of(hist_ds, s).to_pandas()
+               .sort_values("k").reset_index(drop=True))
+        exp = (snaps[s - 1].to_pandas()
+               .sort_values("k").reset_index(drop=True))
+        assert got[["k", "v"]].equals(exp[["k", "v"]]), s
+
+
+def test_scd2_history_string_keys_partition_invariant():
+    from raykg.ops.scd import scd2_history
+
+    def mk(rows, parts):
+        return rd.from_pandas(pd.DataFrame(
+            rows, columns=["k", "a", "b"])).repartition(parts)
+
+    s1 = [("x", "u", 1.0), ("y", None, 2.0), ("z", "w", 3.0)]
+    s2 = [("x", "u", 1.0), ("y", "v", 2.0)]           # y changed (null->v), z deleted
+    s3 = [("x", "u", 9.0), ("y", "v", 2.0), ("z", "w", 3.0)]  # x changed, z re-added
+
+    outs = []
+    for parts in (1, 3):
+        h = (scd2_history([mk(s1, parts), mk(s2, parts), mk(s3, parts)],
+                          "k", ["a", "b"], coarse=4).to_pandas()
+             .sort_values(["k", "valid_from"]).reset_index(drop=True))
+        outs.append(h)
+    assert outs[0].equals(outs[1])
+    h = outs[0]
+    assert list(zip(h.k, h.valid_from, h.valid_to, h.is_current)) == [
+        ("x", 1, 3, False), ("x", 3, 4, True),
+        ("y", 1, 2, False), ("y", 2, 4, True),
+        ("z", 1, 2, False), ("z", 3, 4, True)]
+    # null value round-trips (pre-change y.a is null, not the sentinel)
+    assert h[(h.k == "y") & (h.valid_from == 1)].a.isna().all()
