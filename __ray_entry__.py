@@ -3685,6 +3685,108 @@ ORDER BY o_orderkey, valid_from
 """
 
 
+def _q_union_by_name(sf_dir: str):
+    """Schema-evolution union (raykg/ops/setops.py union_by_name):
+    three deterministically drifted shards of events — the original,
+    a legacy shard missing `value`/`user_id` but carrying an extra
+    `source` column, and a shard missing `event_type` with a
+    different column order — unioned over the unified schema with
+    typed null fill (pure streaming pad maps, no shuffle), then an
+    exact-integer per-type aggregate. Oracle = UNION ALL BY NAME over
+    the identical shard derivations; all outputs are integer counts
+    plus a sum of floor(value) BIGINTs, so no float order-dependence
+    anywhere."""
+    import pandas as pd
+
+    from raykg.ops.setops import union_by_name
+
+    path = os.path.join(sf_dir, "events.parquet")
+    v1 = rd.read_parquet(path, columns=["event_id", "user_id",
+                                        "event_type", "value"])
+
+    def mk_v2(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(uid % 3 == 0))
+        return pa.table({
+            "event_id": pc.add(t.column("event_id"), 1000000000),
+            "event_type": t.column("event_type"),
+            "source": pa.array(["legacy"] * t.num_rows),
+        })
+
+    def mk_v3(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(uid % 5 == 0))
+        return pa.table({
+            "value": t.column("value"),
+            "event_id": pc.add(t.column("event_id"), 2000000000),
+            "user_id": t.column("user_id"),
+        })
+
+    v2 = rd.read_parquet(path, columns=["event_id", "user_id",
+                                        "event_type"]).map_batches(
+        mk_v2, batch_format="pyarrow")
+    v3 = rd.read_parquet(path, columns=["event_id", "user_id",
+                                        "value"]).map_batches(
+        mk_v3, batch_format="pyarrow")
+    u = union_by_name([v1, v2, v3])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").fill_null("<none>").to_pandas()
+        uid = t.column("user_id")
+        src = t.column("source")
+        val = t.column("value")
+        vnum = val.to_numpy(zero_copy_only=False)
+        vfloor = np.where(np.isnan(vnum), 0.0, np.floor(vnum)) \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": et,
+            "n": np.ones(len(t), np.int64),
+            "n_user": pc.is_valid(uid).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "n_source": pc.is_valid(src).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "sum_vfloor": vfloor,
+        })
+        g = df.groupby("event_type", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    out = (u.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .sum(["n", "n_user", "n_source", "sum_vfloor"])
+           .to_pandas())
+    out.columns = ["event_type", "n", "n_user", "n_source",
+                   "sum_vfloor"]
+    return (out.astype({"n": "int64", "n_user": "int64",
+                        "n_source": "int64", "sum_vfloor": "int64"})
+            .sort_values("event_type").reset_index(drop=True))
+
+
+_SQL_UNION_BY_NAME = """
+WITH v1 AS (
+  SELECT event_id, user_id, event_type, value FROM events
+), v2 AS (
+  SELECT event_id + 1000000000 AS event_id, event_type,
+         'legacy' AS source
+  FROM events WHERE user_id % 3 = 0
+), v3 AS (
+  SELECT value, event_id + 2000000000 AS event_id, user_id
+  FROM events WHERE user_id % 5 = 0
+), u AS (
+  SELECT * FROM v1
+  UNION ALL BY NAME SELECT * FROM v2
+  UNION ALL BY NAME SELECT * FROM v3
+)
+SELECT COALESCE(event_type, '<none>') AS event_type,
+       count(*)::BIGINT AS n,
+       count(user_id)::BIGINT AS n_user,
+       count(source)::BIGINT AS n_source,
+       CAST(COALESCE(sum(CAST(floor(value) AS BIGINT)), 0) AS BIGINT)
+         AS sum_vfloor
+FROM u GROUP BY 1 ORDER BY 1
+"""
+
+
 def _q_cdc_apply_orders(sf_dir: str):
     """CDC publish composition (raykg/ops/diff.py): table_diff finds
     the O(changes) keys, enrich_changes pulls the new side's values
@@ -4378,6 +4480,66 @@ SELECT n, pos, neg, tp, fp, tn, fn,
     AS f1,
   floor(numerator / (2.0 * pos * neg) * 1e6 + 0.5) / 1e6 AS auc
 FROM conf, num
+"""
+
+
+def _q_calibration_bins(sf_dir: str):
+    """Calibration / reliability bins (raykg/ops/mlmetrics.py
+    calibration_bins): equal-width score bins over the same synthetic
+    scorer as eval_classifier_metrics. Counts are exact integers
+    (per-block <=bins partial rows — O(blocks x bins) exchange); the
+    per-bin mean score is reconstructed from the EXACT integer hash
+    sum (decimal-string fold, no overflow at any scale) through the
+    identical operand order as the SQL, so both sides produce
+    bit-equal doubles before the shared half-up 1e-6 rounding."""
+    from raykg.ops.mlmetrics import calibration_bins
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_returnflag"])
+
+    def score(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = t.column("l_linenumber").to_numpy(zero_copy_only=False)
+        rid = ok.astype(np.int64) * 4 + ln.astype(np.int64)
+        h = (rid.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(4294967296)
+        y = (t.column("l_returnflag").to_numpy(zero_copy_only=False)
+             == "R").astype(np.int64)
+        u = h.astype(np.float64) / 4294967296.0
+        s = (u + 0.5 * y) / 1.5
+        return pa.table({"y": pa.array(y),
+                         "s": pa.array(s, pa.float64()),
+                         "h": pa.array(h.astype(np.int64))})
+
+    out = calibration_bins(
+        ds.map_batches(score, batch_format="pyarrow"),
+        "y", "s", bins=10, int_sum_cols=["h"])
+    mean_s = np.array([
+        (float(int(sh)) / 4294967296.0 + 0.5 * p) / 1.5 / n
+        for sh, p, n in zip(out["sum_h"], out["pos"], out["n"])])
+    out["mean_score"] = np.floor(mean_s * 1e6 + 0.5) / 1e6
+    out["frac_pos"] = np.floor(out["frac_pos"] * 1e6 + 0.5) / 1e6
+    return out[["bin", "n", "pos", "frac_pos", "mean_score"]]
+
+
+_SQL_CALIBRATION = """
+WITH scored AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         ((l_orderkey * 4 + l_linenumber) * 2654435761) % 4294967296
+           AS h
+  FROM lineitem
+), sc AS (
+  SELECT y, h, (h / 4294967296.0 + 0.5 * y) / 1.5 AS s FROM scored
+), b AS (
+  SELECT LEAST(CAST(floor(s * 10) AS BIGINT), 9) AS bin, y, h FROM sc
+)
+SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos,
+  floor(sum(y) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+    AS frac_pos,
+  floor(((CAST(sum(h) AS DOUBLE) / 4294967296.0 + 0.5 * sum(y))
+         / 1.5) / count(*) * 1e6 + 0.5) / 1e6 AS mean_score
+FROM b GROUP BY bin ORDER BY bin
 """
 
 
@@ -5237,6 +5399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_similarity_documents": _q_similarity_join_docs,
         "diff_orders_snapshot": _q_diff_orders,
         "scd2_orders_history": _q_scd2_orders,
+        "union_by_name_events": _q_union_by_name,
         "cdc_apply_orders": _q_cdc_apply_orders,
         "mv_refresh_customer_orders": _q_mv_refresh,
         "validate_fk_relations": _q_validate_fk,
@@ -5269,6 +5432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_quantity": _q_winsorize_quantity,
         "regress_quantity_by_flag": _q_ols_lineitem,
         "eval_classifier_metrics": _q_classifier_metrics,
+        "eval_calibration_bins": _q_calibration_bins,
         "cooccur_part_pairs": _q_cooccur_parts,
         "vocab_pmi_bigrams": _q_pmi_bigrams,
         "join_edit_distance_customers": _q_edit_pairs_customers,
@@ -5363,6 +5527,7 @@ def oracle_sql() -> dict[str, str]:
         "join_similarity_documents": _SQL_SIMILARITY_JOIN,
         "diff_orders_snapshot": _SQL_DIFF_ORDERS,
         "scd2_orders_history": _SQL_SCD2_ORDERS,
+        "union_by_name_events": _SQL_UNION_BY_NAME,
         "cdc_apply_orders": _SQL_CDC_APPLY_ORDERS,
         "mv_refresh_customer_orders": _SQL_MV_REFRESH,
         "validate_fk_relations": _SQL_VALIDATE_FK,
@@ -5410,6 +5575,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorize_quantity": _SQL_WINSORIZE,
         "regress_quantity_by_flag": _SQL_OLS,
         "eval_classifier_metrics": _SQL_CLS_METRICS,
+        "eval_calibration_bins": _SQL_CALIBRATION,
         "cooccur_part_pairs": _SQL_COOCCUR,
         "vocab_pmi_bigrams": _SQL_PMI,
         "join_edit_distance_customers": _SQL_EDIT_PAIRS,

@@ -44,6 +44,72 @@ import pandas as pd
 import pyarrow as pa
 
 
+def calibration_bins(
+    ds,
+    label_col: str,
+    score_col: str,
+    bins: int = 10,
+    int_sum_cols: list[str] | None = None,
+) -> pd.DataFrame:
+    """Reliability-diagram data: equal-width score bins with exact
+    integer (n, pos) counts and ``frac_pos = pos / n`` — the
+    calibration readout run right after
+    ``binary_classification_report`` to see WHERE a classifier's
+    probabilities are wrong, not just how often.
+
+    Scale shape: each block pre-aggregates to at most ``bins`` partial
+    rows (bin, n, pos, ...), so the exchange is O(blocks x bins)
+    regardless of corpus size; the final fold is one tiny groupby.
+    ``int_sum_cols`` are extra int64 columns summed EXACTLY per bin as
+    Python ints travelling as decimal strings (the ``table_diff``
+    trick — no int64 overflow at any scale); callers use them to
+    reconstruct bit-exact mean scores from integer numerators (see
+    the eval_calibration_bins query) instead of trusting an
+    order-dependent float sum. Only non-empty bins are emitted, the
+    same relation a SQL ``GROUP BY`` produces. Scores in [0, 1];
+    values == 1.0 clamp into the last bin (SQL mirror: ``LEAST``).
+    -> pandas (bin, n, pos, frac_pos, sum_<c>...), bin-ascending.
+    """
+    extra = list(int_sum_cols or [])
+
+    def assign(t: pa.Table) -> pa.Table:
+        s = t.column(score_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = t.column(label_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        b = np.minimum((s * bins).astype(np.int64), bins - 1)
+        df = pd.DataFrame({"bin": b, "y": y})
+        for c in extra:
+            df[c] = t.column(c).to_numpy(zero_copy_only=False)
+        g = df.groupby("bin", sort=False)
+        out = g["y"].agg(n="size", pos="sum").reset_index()
+        for c in extra:
+            # Python-int exact sums as decimal strings
+            out["sum_" + c] = [
+                str(int(sum(int(v) for v in grp)))
+                for _, grp in g[c]
+            ]
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        row = {"bin": [int(g["bin"].iloc[0])],
+               "n": [int(g["n"].sum())],
+               "pos": [int(g["pos"].sum())]}
+        for c in extra:
+            row["sum_" + c] = [str(sum(int(v) for v in g["sum_" + c]))]
+        return pd.DataFrame(row)
+
+    out = (ds.map_batches(assign, batch_format="pyarrow")
+           .groupby("bin")
+           .map_groups(fold, batch_format="pandas")
+           .to_pandas()
+           .sort_values("bin").reset_index(drop=True))
+    out["frac_pos"] = out["pos"] / out["n"]
+    return out[["bin", "n", "pos", "frac_pos"]
+               + ["sum_" + c for c in extra]]
+
+
 def binary_classification_report(
     ds,
     label_col: str,

@@ -85,3 +85,70 @@ def set_op(
         return m[m["_merge"] == "left_only"][cols]
 
     return tagged.groupby("_b").map_groups(resolve, batch_format="pandas")
+
+
+def union_by_name(datasets, strict_types: bool = True):
+    """Schema-evolution union (``UNION ALL BY NAME``): concatenate
+    Datasets whose schemas drifted — new columns added, old ones
+    dropped, different column order — into one stream over the
+    UNIFIED schema, absent columns typed-null-filled.  This is the
+    ingest step every long-lived corpus needs when yesterday's shards
+    predate a schema change (Ray's own ``Dataset.union`` requires
+    identical schemas).
+
+    Pure streaming: the unified schema comes from the datasets'
+    metadata (one ``schema()`` call each, no data pass), then each
+    dataset gets ONE stateless per-block pad/reorder map — no
+    shuffle, no driver materialization.  Column order is first-seen
+    across inputs.  A name carried by several inputs must have the
+    same Arrow type when ``strict_types`` (the default) — silent
+    casts hide real drift; with ``strict_types=False`` later types
+    are cast to the first-seen type (errors surface per block).
+    """
+    if not datasets:
+        raise ValueError("union_by_name needs at least one dataset")
+
+    def _arrow_type(typ) -> pa.DataType:
+        # ray Schema.types yields numpy dtypes / Python classes for
+        # pandas-backed blocks; normalize everything to Arrow.
+        if isinstance(typ, pa.DataType):
+            return typ
+        try:
+            return pa.from_numpy_dtype(typ)
+        except (pa.ArrowNotImplementedError, TypeError):
+            if typ in (object, str):
+                return pa.string()
+            raise TypeError(f"cannot map {typ!r} to an Arrow type")
+
+    unified: dict[str, pa.DataType] = {}
+    for ds in datasets:
+        sch = ds.schema()
+        for name, typ in zip(sch.names, sch.types):
+            typ = _arrow_type(typ)
+            if name not in unified:
+                unified[name] = typ
+            elif strict_types and unified[name] != typ:
+                raise TypeError(
+                    f"column {name!r}: {unified[name]} vs {typ} — "
+                    "pass strict_types=False to cast to first-seen")
+    names = list(unified)
+
+    def pad(t: pa.Table) -> pa.Table:
+        cols = []
+        for name in names:
+            if name in t.column_names:
+                c = t.column(name)
+                if c.type != unified[name]:
+                    # only reachable under strict_types=False: the
+                    # caller opted into lossy drift (float->int
+                    # truncates, Arrow semantics)
+                    c = c.cast(unified[name], safe=False)
+            else:
+                c = pa.nulls(t.num_rows, unified[name])
+            cols.append(c)
+        return pa.table(dict(zip(names, cols)))
+
+    out = datasets[0].map_batches(pad, batch_format="pyarrow")
+    for ds in datasets[1:]:
+        out = out.union(ds.map_batches(pad, batch_format="pyarrow"))
+    return out

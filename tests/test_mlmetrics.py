@@ -69,3 +69,44 @@ def test_all_scores_equal():
     rep = binary_classification_report(
         rd.from_pandas(df, override_num_blocks=3), "y", "s", "id")
     assert rep["auc"].iloc[0] == 0.5
+
+
+def test_calibration_bins_matches_bruteforce():
+    from raykg.ops.mlmetrics import calibration_bins
+
+    df = _fixture(n=2500, seed=11)
+    df["s"] = df["s"].clip(0.0, 1.0)
+    df["h"] = (df["id"].to_numpy(np.int64) * 7919) % (1 << 32)
+    out = calibration_bins(
+        rd.from_pandas(df, override_num_blocks=6), "y", "s",
+        bins=10, int_sum_cols=["h"])
+    b = np.minimum((df["s"].to_numpy() * 10).astype(np.int64), 9)
+    ref = (pd.DataFrame({"bin": b, "y": df["y"], "h": df["h"]})
+           .groupby("bin")
+           .agg(n=("y", "size"), pos=("y", "sum"), sum_h=("h", "sum"))
+           .reset_index())
+    assert out["bin"].tolist() == ref["bin"].tolist()
+    assert out["n"].tolist() == ref["n"].tolist()
+    assert out["pos"].tolist() == ref["pos"].tolist()
+    # exact integer side sums travel as decimal strings
+    assert [int(v) for v in out["sum_h"]] == ref["sum_h"].tolist()
+    np.testing.assert_array_equal(
+        out["frac_pos"].to_numpy(),
+        (ref["pos"] / ref["n"]).to_numpy())
+
+
+def test_calibration_bins_partition_invariant_and_clamp():
+    from raykg.ops.mlmetrics import calibration_bins
+
+    # scores exactly 1.0 clamp into the last bin; empty bins absent
+    df = pd.DataFrame({
+        "y": [1, 0, 1, 0, 1],
+        "s": [1.0, 1.0, 0.05, 0.05, 0.55],
+    })
+    a = calibration_bins(rd.from_pandas(df, override_num_blocks=1),
+                         "y", "s", bins=10)
+    b = calibration_bins(rd.from_pandas(df, override_num_blocks=5),
+                         "y", "s", bins=10)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["bin"].tolist() == [0, 5, 9]
+    assert a.loc[a["bin"] == 9, "n"].iloc[0] == 2

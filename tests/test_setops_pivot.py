@@ -71,3 +71,53 @@ def test_pivot_agg_matches_pandas():
         assert np.array_equal(got[f"v_{cat}"].to_numpy(), ref_sc)
     # keys whose rows were all in the dropped category don't appear
     assert set(got["k"]) == set(kept["k"].unique())
+
+
+def test_union_by_name_pads_and_orders():
+    import pyarrow as pa
+    from raykg.ops.setops import union_by_name
+
+    a = pd.DataFrame({"x": [1, 2], "y": ["a", "b"]})
+    b = pd.DataFrame({"y": ["c"], "z": [1.5]})          # new col, no x
+    c = pd.DataFrame({"z": [2.5, 3.5], "x": [9, 10]})   # reordered
+    out = union_by_name([rd.from_pandas(a), rd.from_pandas(b),
+                         rd.from_pandas(c)])
+    sch = out.schema()
+    # first-seen column order across inputs
+    assert sch.names == ["x", "y", "z"]
+    df = out.to_pandas()
+    assert len(df) == 5
+    ref = pd.concat([a, b, c], ignore_index=True)[["x", "y", "z"]]
+    pd.testing.assert_frame_equal(
+        df.sort_values(["x", "y", "z"], na_position="last")
+          .reset_index(drop=True),
+        ref.sort_values(["x", "y", "z"], na_position="last")
+           .reset_index(drop=True),
+        check_dtype=False)
+    # absent columns are typed nulls, not empty strings / NaN objects
+    t = pa.Table.from_pandas(df)
+    assert df["x"].isna().sum() == 1   # b's row
+    assert df["z"].isna().sum() == 2   # a's rows
+
+
+def test_union_by_name_strict_types():
+    from raykg.ops.setops import union_by_name
+
+    a = rd.from_pandas(pd.DataFrame({"k": np.array([1, 2], np.int64)}))
+    b = rd.from_pandas(pd.DataFrame({"k": np.array([1.5], np.float64)}))
+    with pytest.raises(TypeError, match="strict_types"):
+        union_by_name([a, b])
+    # non-strict: cast to first-seen (int64) — 1.5 truncates per Arrow
+    out = union_by_name([a, b], strict_types=False).to_pandas()
+    assert out["k"].dtype.kind == "i"
+    assert len(out) == 3
+
+
+def test_union_by_name_single_and_empty():
+    from raykg.ops.setops import union_by_name
+
+    a = pd.DataFrame({"k": [1, 2, 3]})
+    out = union_by_name([rd.from_pandas(a)]).to_pandas()
+    assert out["k"].tolist() == [1, 2, 3]
+    with pytest.raises(ValueError):
+        union_by_name([])
