@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Mean, Min, Sum
 
 import raykg  # noqa: F401  (seeds the fsspec-http import-race shim)
 
@@ -4142,6 +4142,178 @@ ORDER BY rank
 """
 
 
+def _q_skyline_lineitem(sf_dir: str):
+    """2-D Pareto frontier (raykg/ops/skyline.py): lineitems no other
+    lineitem beats on BOTH price and quantity (minimize both). Local
+    per-block skyline (sort + strict running-min scan) prunes the
+    stream, survivors co-locate once — skyline(A∪B) ==
+    skyline(skyline(A)∪skyline(B)). Pure comparisons, no float
+    arithmetic, so values hash bit-equal. The oracle is the exact
+    window form: per-x group-min y, strictly below every smaller-x
+    group's running min."""
+    from raykg.ops.skyline import skyline
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_extendedprice", "l_quantity"])
+
+    def rid(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = t.column("l_linenumber").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "rid": pa.array(ok.astype(np.int64) * 4 + ln.astype(np.int64)),
+            "price": t.column("l_extendedprice"),
+            "qty": t.column("l_quantity"),
+        })
+
+    out = skyline(ds.map_batches(rid, batch_format="pyarrow"),
+                  "price", "qty", "rid").to_pandas()
+    return out.sort_values("rid").reset_index(drop=True)
+
+
+_SQL_SKYLINE = """
+WITH t AS (
+  SELECT l_orderkey * 4 + l_linenumber AS rid,
+         l_extendedprice AS price, l_quantity AS qty
+  FROM lineitem
+), m AS (
+  SELECT price, min(qty) AS qmin FROM t GROUP BY price
+), r AS (
+  SELECT price, qmin,
+         min(qmin) OVER (ORDER BY price
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin
+  FROM m
+)
+SELECT t.rid, t.price, t.qty
+FROM t JOIN r ON t.price = r.price
+WHERE t.qty = r.qmin AND (r.pmin IS NULL OR r.qmin < r.pmin)
+ORDER BY t.rid
+"""
+
+
+def _q_ntile_orders(sf_dir: str):
+    """Exact equal-frequency discretization (raykg/ops/rank.py
+    ntile): ntile(8) over (o_totalprice, o_orderkey) — global_rank's
+    two-pass exact rank plus a stateless integer tile map, first
+    n % k tiles one row heavier, exactly ANSI semantics. Per-tile
+    integer aggregates (count, key sum/min) make the compare exact
+    with no float anywhere."""
+    from raykg.ops.rank import ntile
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_totalprice"])
+    tiled = ntile(ds, "o_totalprice", "o_orderkey", 8)
+
+    def part(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "tile": t.column("tile").to_numpy(zero_copy_only=False),
+            "n": np.ones(t.num_rows, np.int64),
+            "sum_okey": t.column("o_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "min_okey": t.column("o_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+        })
+        g = df.groupby("tile", sort=False).agg(
+            n=("n", "sum"), sum_okey=("sum_okey", "sum"),
+            min_okey=("min_okey", "min")).reset_index()
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    out = (tiled.map_batches(part, batch_format="pyarrow")
+           .groupby("tile")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_okey", alias_name="sum_okey"),
+                      Min("min_okey", alias_name="min_okey"))
+           .to_pandas())
+    return (out.astype({"tile": "int64", "n": "int64",
+                        "sum_okey": "int64", "min_okey": "int64"})
+            .sort_values("tile").reset_index(drop=True))
+
+
+_SQL_NTILE_ORDERS = """
+WITH r AS (
+  SELECT o_orderkey,
+         ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+  FROM orders
+)
+SELECT tile::BIGINT AS tile, count(*)::BIGINT AS n,
+       sum(o_orderkey)::BIGINT AS sum_okey,
+       min(o_orderkey)::BIGINT AS min_okey
+FROM r GROUP BY tile ORDER BY tile
+"""
+
+
+def _q_impute_event_values(sf_dir: str):
+    """Grouped mean imputation (raykg/ops/impute.py): event values
+    nulled on a deterministic id pattern, refilled with the per-type
+    mean — a stats pass bounded by group cardinality (per-block
+    partials, exact int64 fold as decimal strings) + a broadcast
+    stateless fill; no row shuffle. Values are integer cents so the
+    fill is ONE double division of exact ints, mirrored by the SQL
+    CAST(sum AS DOUBLE)/count — bit-equal before the shared half-up
+    rounding."""
+    import pandas as pd
+
+    from raykg.ops.impute import impute_grouped
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        vc = np.floor(v * 100.0)
+        was_null = eid % 7 == 0
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "vc": pa.array(np.where(was_null, np.nan, vc),
+                           pa.float64(), mask=was_null),
+            "was_null": pa.array(was_null.astype(np.int64)),
+        })
+
+    filled = impute_grouped(ds.map_batches(derive, batch_format="pyarrow"),
+                            "event_type", "vc")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False)
+        out = g.agg(n=("was_null", "size"),
+                    n_filled=("was_null", "sum")).reset_index()
+        fills = df[df["was_null"] == 1].groupby(
+            "event_type", sort=False)["vc"].min()
+        out["fill"] = out["event_type"].map(fills)
+        return out
+
+    out = (filled.map_batches(part, batch_format="pandas")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_filled", alias_name="n_filled"),
+                      Min("fill", alias_name="fill"))
+           .to_pandas())
+    out["fill"] = np.floor(out["fill"] * 1e6 + 0.5) / 1e6
+    return (out.astype({"n": "int64", "n_filled": "int64"})
+            .sort_values("event_type").reset_index(drop=True))
+
+
+_SQL_IMPUTE_EVENTS = """
+WITH d AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(floor(value * 100) AS BIGINT) END AS vc,
+         CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS was_null
+  FROM events
+), m AS (
+  SELECT event_type, CAST(sum(vc) AS DOUBLE) / count(vc) AS fill
+  FROM d GROUP BY event_type
+)
+SELECT d.event_type, count(*)::BIGINT AS n,
+       sum(d.was_null)::BIGINT AS n_filled,
+       floor(min(m.fill) * 1e6 + 0.5) / 1e6 AS fill
+FROM d JOIN m USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
 def _q_negative_samples(sf_dir: str):
     """Deterministic k-negative sampling (raykg/ops/sample.py
     negative_sample_k) for (order, customer) training pairs: two
@@ -5428,6 +5600,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_user_journey": _q_funnel_events,
         "cohort_retention_weekly": _q_cohort_retention,
         "rank_global_purchases": _q_global_rank_purchases,
+        "skyline_lineitem_frontier": _q_skyline_lineitem,
+        "discretize_ntile_orders": _q_ntile_orders,
+        "impute_event_values": _q_impute_event_values,
         "sample_negative_pairs": _q_negative_samples,
         "winsorize_quantity": _q_winsorize_quantity,
         "regress_quantity_by_flag": _q_ols_lineitem,
@@ -5571,6 +5746,9 @@ def oracle_sql() -> dict[str, str]:
         "funnel_user_journey": _SQL_FUNNEL,
         "cohort_retention_weekly": _SQL_RETENTION,
         "rank_global_purchases": _SQL_GLOBAL_RANK,
+        "skyline_lineitem_frontier": _SQL_SKYLINE,
+        "discretize_ntile_orders": _SQL_NTILE_ORDERS,
+        "impute_event_values": _SQL_IMPUTE_EVENTS,
         "sample_negative_pairs": _SQL_NEG_SAMPLES,
         "winsorize_quantity": _SQL_WINSORIZE,
         "regress_quantity_by_flag": _SQL_OLS,

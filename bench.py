@@ -255,6 +255,11 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("vocab_pmi_bigrams", em._q_pmi_bigrams)
         timed("join_edit_distance_customers", em._q_edit_pairs_customers)
         timed("profile_chi2_lang_source", em._q_chi2_lang_source)
+        timed("union_by_name_events", em._q_union_by_name)
+        timed("eval_calibration_bins", em._q_calibration_bins)
+        timed("skyline_lineitem_frontier", em._q_skyline_lineitem)
+        timed("discretize_ntile_orders", em._q_ntile_orders)
+        timed("impute_event_values", em._q_impute_event_values)
 
     result = {
         "metric": "kg_pipeline_wall",

@@ -172,3 +172,40 @@ def global_rank(ds, val_col: str, id_col: str, out_col: str = "rank",
 
     return (ds.map_batches(assign, batch_format="pyarrow")
             .groupby("_rb").map_groups(bucket_rank, batch_format="pandas"))
+
+
+def ntile(ds, val_col: str, id_col: str, k: int, out_col: str = "tile",
+          n_ranges: int = 64):
+    """Exact equal-frequency discretization: SQL ``ntile(k) OVER
+    (ORDER BY val, id)`` — the first ``n % k`` tiles get one extra
+    row, exactly DuckDB/ANSI semantics, so the paired oracle is
+    bit-checkable with no float boundary anywhere.
+
+    Plan: one streaming row count (block metadata where available),
+    then :func:`global_rank`'s two-pass exact rank, then a STATELESS
+    map turns rank into the tile via integer arithmetic — no extra
+    shuffle beyond global_rank's single co-location pass.  Equal
+    values order by id (deterministic under retries / partitioning);
+    this is the quantile-binning step (``equi_depth_bins`` is the
+    approximate cousin: sampled bounds, value-closed buckets; ntile
+    is exact and ROW-balanced even when one value is hot, at the cost
+    of the rank exchange).
+    """
+    n = ds.count()
+    q, r = divmod(n, k)
+
+    def to_tile(t: pa.Table) -> pa.Table:
+        rank = t.column("rank").to_numpy(zero_copy_only=False)
+        # ranks 1..n; first r tiles hold q+1 rows
+        cut = r * (q + 1)
+        tile = np.where(
+            rank <= cut,
+            (rank - 1) // max(q + 1, 1),
+            r + (rank - cut - 1) // max(q, 1),
+        ).astype(np.int64) + 1
+        return t.drop_columns(["rank"]).append_column(
+            out_col, pa.array(tile))
+
+    ranked = global_rank(ds, val_col, id_col, out_col="rank",
+                         n_ranges=n_ranges)
+    return ranked.map_batches(to_tile, batch_format="pyarrow")
