@@ -4944,6 +4944,159 @@ FROM nn, ag, pe
 """
 
 
+def _q_grouped_auc_events(sf_dir: str):
+    """Per-segment ROC-AUC (raykg/ops/mlmetrics.py grouped_auc): the
+    sliced evaluation readout over event_type segments. Label is
+    value > 100; the score mixes a Knuth-hash uniform with the label
+    so both sides compute bit-identical IEEE doubles. Per-block
+    (group, score, pos, neg) pre-counts co-locate by group hash; the
+    doubled rank-sum numerator folds as exact int64 and AUC is ONE
+    float division, mirrored operand-for-operand by the SQL window
+    oracle (shared half-up 1e-6 rounding)."""
+    from raykg.ops.mlmetrics import grouped_auc
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "value"])
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(4294967296)
+        y = (t.column("value").to_numpy(zero_copy_only=False)
+             > 100).astype(np.int64)
+        u = h.astype(np.float64) / 4294967296.0
+        s = (u + 0.5 * y) / 1.5
+        return pa.table({"g": t.column("event_type"),
+                         "y": pa.array(y),
+                         "s": pa.array(s, pa.float64())})
+
+    out = grouped_auc(ds.map_batches(score, batch_format="pyarrow"),
+                      "g", "y", "s")
+    out["auc"] = np.floor(out["auc"] * 1e6 + 0.5) / 1e6
+    return out.astype({"pos": "int64", "neg": "int64"})
+
+
+_SQL_GROUPED_AUC = """
+WITH sc AS (
+  SELECT event_type AS g,
+         CASE WHEN value > 100 THEN 1 ELSE 0 END AS y,
+         (((event_id * 2654435761) % 4294967296) / 4294967296.0
+          + 0.5 * (CASE WHEN value > 100 THEN 1 ELSE 0 END)) / 1.5 AS s
+  FROM events
+), grp AS (
+  SELECT g, s, sum(y)::BIGINT AS pos_g,
+         (count(*) - sum(y))::BIGINT AS neg_g
+  FROM sc GROUP BY g, s
+), pre AS (
+  SELECT g, pos_g, neg_g,
+         COALESCE(CAST(sum(neg_g) OVER (PARTITION BY g
+             ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING) AS BIGINT), 0) AS nb
+  FROM grp
+), agg AS (
+  SELECT g, CAST(sum(pos_g) AS BIGINT) AS pos,
+         CAST(sum(neg_g) AS BIGINT) AS neg,
+         CAST(sum(pos_g * (2 * nb + neg_g)) AS BIGINT) AS num
+  FROM pre GROUP BY g
+)
+SELECT g, pos, neg,
+  floor(num / (2.0 * pos * neg) * 1e6 + 0.5) / 1e6 AS auc
+FROM agg WHERE pos > 0 AND neg > 0 ORDER BY g
+"""
+
+
+def _q_gapfill_user_hours(sf_dir: str):
+    """Dense per-user hourly grid with zero-filled gaps
+    (raykg/ops/resample.py gapfill_grid): the generate_series +
+    left-join pattern, distributed — per-block (key, bucket) partial
+    counts/sums enter the shuffle (never events), grids materialize
+    inside workers with np.arange. Timestamps fold as int64 epoch µs
+    end-to-end; sums are exact int64 over floor(value)."""
+    from raykg.ops.resample import gapfill_grid
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    return gapfill_grid(ev, "user_id", "ts", 3_600_000_000,
+                        val_col="value")
+
+
+_SQL_GAPFILL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS bk,
+         CAST(floor(value) AS BIGINT) AS fv
+  FROM events
+), span AS (
+  SELECT user_id, min(bk) AS lo, max(bk) AS hi FROM e GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(range(lo, hi + 1)) AS bk FROM span
+), agg AS (
+  SELECT user_id, bk, count(*)::BIGINT AS n,
+         CAST(sum(fv) AS BIGINT) AS s
+  FROM e GROUP BY user_id, bk
+)
+SELECT g.user_id, g.bk, COALESCE(a.n, 0)::BIGINT AS n,
+       COALESCE(a.s, 0)::BIGINT AS s
+FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.bk = a.bk
+ORDER BY g.user_id, g.bk
+"""
+
+
+def _q_golden_users(sf_dir: str):
+    """Golden-record survivorship (raykg/ops/survivor.py
+    golden_records): merge each user's event records into one row,
+    per column taking the latest NON-NULL value by (ts, event_id) —
+    nulls injected deterministically (Knuth hash of event_id: ~1/5 of
+    event_type, ~1/3 of value) so the null-never-overwrites rule is
+    actually exercised. Partial golden rows per block fold through a
+    coarse-bucket merge; the SQL mirror is last(col ORDER BY ts, rid)
+    FILTER (WHERE col IS NOT NULL)."""
+    from raykg.ops.survivor import golden_records
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(4294967296)
+        et = t.column("event_type")
+        v = t.column("value")
+        keep_et = pa.array(h % np.uint64(5) != 0)
+        keep_v = pa.array(h % np.uint64(3) != 0)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ets": t.column("ts").cast(pa.int64()),
+            "rid": t.column("event_id"),
+            "et": pc.if_else(keep_et, et, pa.nulls(len(et), pa.string())),
+            "v": pc.if_else(keep_v, v, pa.nulls(len(v), pa.float64())),
+        })
+
+    out = (golden_records(
+               ev.map_batches(corrupt, batch_format="pyarrow"),
+               "user_id", "ets", "rid", ["et", "v"])
+           .to_pandas())
+    out["n_records"] = out["n_records"].astype(np.int64)
+    return (out[["user_id", "n_records", "et", "v"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+_SQL_GOLDEN = """
+WITH lab AS (
+  SELECT user_id, epoch_us(ts) AS ets, event_id AS rid,
+         CASE WHEN (event_id * 2654435761) % 4294967296 % 5 <> 0
+              THEN event_type END AS et,
+         CASE WHEN (event_id * 2654435761) % 4294967296 % 3 <> 0
+              THEN value END AS v
+  FROM events
+)
+SELECT user_id, count(*)::BIGINT AS n_records,
+       last(et ORDER BY ets, rid) FILTER (WHERE et IS NOT NULL) AS et,
+       last(v ORDER BY ets, rid) FILTER (WHERE v IS NOT NULL) AS v
+FROM lab GROUP BY user_id ORDER BY user_id
+"""
+
+
 _CLS_FEATURES = ["f_tok", "f_wlen", "f_the", "f_spark"]
 
 
@@ -5614,6 +5767,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_chi2_lang_source": _q_chi2_lang_source,
         "validate_unique_lineitem_pk": _q_unique_lineitem_pk,
         "eval_annotator_agreement": _q_annotator_agreement,
+        "eval_grouped_auc": _q_grouped_auc_events,
+        "window_gapfill_user_hours": _q_gapfill_user_hours,
+        "survivor_golden_users": _q_golden_users,
         # rows-only (iterative model fit)
         "train_doc_classifier": _q_train_doc_classifier,
         # rows-only (iterative / eigen-based)
@@ -5760,4 +5916,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_chi2_lang_source": _SQL_CHI2,
         "validate_unique_lineitem_pk": _SQL_UNIQUE_PK,
         "eval_annotator_agreement": _SQL_KAPPA,
+        "eval_grouped_auc": _SQL_GROUPED_AUC,
+        "window_gapfill_user_hours": _SQL_GAPFILL,
+        "survivor_golden_users": _SQL_GOLDEN,
     }

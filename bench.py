@@ -260,6 +260,9 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("skyline_lineitem_frontier", em._q_skyline_lineitem)
         timed("discretize_ntile_orders", em._q_ntile_orders)
         timed("impute_event_values", em._q_impute_event_values)
+        timed("eval_grouped_auc", em._q_grouped_auc_events)
+        timed("window_gapfill_user_hours", em._q_gapfill_user_hours)
+        timed("survivor_golden_users", em._q_golden_users)
 
     result = {
         "metric": "kg_pipeline_wall",

@@ -200,3 +200,76 @@ def binary_classification_report(
                if 2 * tp + fp + fn else float("nan")],
         "auc": [auc],
     })
+
+
+def grouped_auc(ds, group_col: str, label_col: str, score_col: str,
+                coarse: int = 64) -> pd.DataFrame:
+    """Per-segment tie-aware ROC-AUC — the sliced evaluation readout
+    ("how does the classifier do per language / per source / per
+    cohort") run right after the global
+    ``binary_classification_report``.
+
+    Same exact-integer machinery as the global report, partitioned by
+    segment instead of score range: each block pre-aggregates to
+    (group, score, pos, neg) partial counts, groups co-locate by key
+    hash, and within each group the doubled rank-sum numerator
+    ``Σ_pos (2·rank + ties − 1) − P(P+1)`` is computed from exact
+    int64 counts — AUC is then ONE double division
+    ``num2 / (2·P·N)``, bit-equal to the SQL window mirror
+    (``rank()`` + ``count(*) OVER (PARTITION BY g, s)``).  Groups
+    with no positives or no negatives are dropped (AUC undefined),
+    matching the oracle's ``WHERE P > 0 AND N > 0``.
+
+    Shuffle volume: distinct (group, score) pairs per block — scores
+    from a real model are near-unique, so this is bounded by rows in
+    the worst case but typically far smaller after quantization; the
+    global report's range-partitioned plan is the fallback when ONE
+    segment outgrows a task (hot-segment caveat, documented).
+    -> pandas (group, pos, neg, auc), group-ascending.
+    """
+    from raykg.ops.joins import _key_bucket
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": t.column(group_col).to_pandas(),
+            "s": t.column(score_col).to_numpy(zero_copy_only=False)
+                 .astype(np.float64),
+            "y": t.column(label_col).to_numpy(zero_copy_only=False)
+                 .astype(np.int64),
+        })
+        df["pos"] = df["y"]
+        df["neg"] = 1 - df["y"]
+        g = df.groupby(["g", "s"], sort=False).agg(
+            pos=("pos", "sum"), neg=("neg", "sum")).reset_index()
+        g["_b"] = _key_bucket(pa.array(g["g"]), coarse).to_numpy()
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        f = df.groupby(["g", "s"], sort=False).agg(
+            pos=("pos", "sum"), neg=("neg", "sum")).reset_index()
+        f = f.sort_values(["g", "s"], kind="stable")
+        c = (f["pos"] + f["neg"]).to_numpy(dtype=np.int64)
+        # rank of the first row of each (g, s) run: 1 + prefix count
+        # within the group
+        csum = pd.Series(c).groupby(f["g"].to_numpy()).cumsum() \
+            .to_numpy() - c
+        rank = csum + 1
+        term = f["pos"].to_numpy(dtype=np.int64) * (2 * rank + c - 1)
+        out = pd.DataFrame({"g": f["g"], "pos": f["pos"],
+                            "neg": f["neg"], "t": term})
+        a = out.groupby("g", sort=False).agg(
+            pos=("pos", "sum"), neg=("neg", "sum"),
+            t=("t", "sum")).reset_index()
+        a = a[(a["pos"] > 0) & (a["neg"] > 0)]
+        P = a["pos"].to_numpy(dtype=np.int64)
+        N = a["neg"].to_numpy(dtype=np.int64)
+        num2 = a["t"].to_numpy(dtype=np.int64) - P * (P + 1)
+        a["auc"] = num2.astype(np.float64) / (2.0 * P * N)
+        return a[["g", "pos", "neg", "auc"]]
+
+    out = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby("_b")
+           .map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("g").reset_index(drop=True)

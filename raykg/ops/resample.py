@@ -1,0 +1,87 @@
+"""Time-grid gap fill (resample): per-key regular time buckets with
+explicit zero rows for empty buckets.
+
+Downstream rate / trend / anomaly math needs a DENSE series — "no
+events that hour" must be a row, not an absence (a rolling mean over
+a sparse series silently skips gaps).  This op buckets timestamps to
+a fixed period and emits EVERY bucket between each key's first and
+last event, zero-filled where nothing happened — SQL's
+``generate_series`` + left-join pattern, which is what the paired
+DuckDB oracle runs.
+
+Scale shape: one pre-aggregation pass folds the event stream to
+(key, bucket) partial counts/sums per block (the shuffle ships at
+most one row per (key, bucket) per block, never events); buckets
+co-locate by key hash and each group task materializes its keys'
+grids with ``np.arange`` — grid rows are GENERATED inside workers,
+proportional to time span × keys, never on the driver.
+
+Caveat (documented contract): a single key whose span is huge at a
+tiny period produces span/period rows in one task — pick the period
+to match the analysis window, or pre-filter the time range.
+Timestamps are handled as int64 epoch MICROSECONDS end-to-end (the
+µs-resolution lesson from cohort retention: no lossy Arrow casts).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raykg.ops.joins import _key_bucket
+
+
+def gapfill_grid(ds, key_col: str, ts_col: str, bucket_us: int,
+                 val_col: str | None = None, coarse: int = 64):
+    """Dense per-key time grid: one row per (key, bucket) for every
+    bucket in [min_bucket(key), max_bucket(key)], with ``n`` event
+    counts and (optionally) ``s`` = sum of ``floor(val_col)`` as
+    exact int64 — zeros where the bucket is empty.  Buckets are
+    ``epoch_us // bucket_us`` (int64).
+    -> Dataset(key, bk, n[, s]).
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        bk = ts // bucket_us
+        df = pd.DataFrame({
+            key_col: t.column(key_col).to_pandas(),
+            "bk": bk,
+            "n": np.ones(len(bk), np.int64),
+        })
+        if val_col is not None:
+            v = t.column(val_col).to_numpy(zero_copy_only=False)
+            df["s"] = np.floor(v).astype(np.int64)
+        g = df.groupby([key_col, "bk"], sort=False).sum().reset_index()
+        g["_b"] = _key_bucket(
+            pa.array(g[key_col]), coarse).to_numpy()
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        agg = {"n": "sum"}
+        if val_col is not None:
+            agg["s"] = "sum"
+        folded = df.groupby([key_col, "bk"], sort=False).agg(
+            agg).reset_index()
+        pieces = []
+        for k, grp in folded.groupby(key_col, sort=False):
+            lo, hi = int(grp["bk"].min()), int(grp["bk"].max())
+            grid = np.arange(lo, hi + 1, dtype=np.int64)
+            n = np.zeros(len(grid), np.int64)
+            idx = grp["bk"].to_numpy(dtype=np.int64) - lo
+            n[idx] = grp["n"].to_numpy(dtype=np.int64)
+            out = {key_col: np.full(len(grid), k, dtype=object)
+                   if isinstance(k, str) else
+                   np.full(len(grid), k),
+                   "bk": grid, "n": n}
+            if val_col is not None:
+                s = np.zeros(len(grid), np.int64)
+                s[idx] = grp["s"].to_numpy(dtype=np.int64)
+                out["s"] = s
+            pieces.append(pd.DataFrame(out))
+        return pd.concat(pieces, ignore_index=True)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(fill, batch_format="pandas"))

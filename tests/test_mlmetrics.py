@@ -95,6 +95,37 @@ def test_calibration_bins_matches_bruteforce():
         (ref["pos"] / ref["n"]).to_numpy())
 
 
+def test_grouped_auc_matches_bruteforce():
+    from raykg.ops.mlmetrics import grouped_auc
+
+    df = _fixture(n=2400, seed=13)
+    df["g"] = (df["id"].to_numpy(np.int64) % 5).astype(str)
+    out = grouped_auc(
+        rd.from_pandas(df, override_num_blocks=7), "g", "y", "s")
+    assert len(out) == 5
+    for _, row in out.iterrows():
+        sub = df[df["g"] == row["g"]]
+        ref = _brute_auc(sub["y"].to_numpy(), sub["s"].to_numpy())
+        assert row["auc"] == ref, row["g"]
+        assert int(row["pos"]) == int(sub["y"].sum())
+        assert int(row["neg"]) == int((1 - sub["y"]).sum())
+
+
+def test_grouped_auc_drops_degenerate_and_partition_invariant():
+    from raykg.ops.mlmetrics import grouped_auc
+
+    df = _fixture(n=900, seed=17)
+    df["g"] = (df["id"].to_numpy(np.int64) % 4).astype(str)
+    # group "3" becomes all-positive -> AUC undefined -> dropped
+    df.loc[df["g"] == "3", "y"] = 1
+    a = grouped_auc(rd.from_pandas(df, override_num_blocks=1),
+                    "g", "y", "s", coarse=2)
+    b = grouped_auc(rd.from_pandas(df, override_num_blocks=11),
+                    "g", "y", "s", coarse=64)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["g"].tolist() == ["0", "1", "2"]
+
+
 def test_calibration_bins_partition_invariant_and_clamp():
     from raykg.ops.mlmetrics import calibration_bins
 
