@@ -5097,6 +5097,144 @@ FROM lab GROUP BY user_id ORDER BY user_id
 """
 
 
+def _q_cube_pricing(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus) — all four grouping
+    sets from ONE finest-grain shuffle (raykg.ops.rollup.grouping_sets
+    with cube_sets); coarser levels re-aggregate the finest result,
+    '(all)' sentinel for absent columns, exact integer cents."""
+    from raykg.ops.rollup import cube_sets, grouping_sets
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return t.drop_columns(["l_extendedprice"]).append_column(
+            "cents", pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)))
+
+    return grouping_sets(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        sets=cube_sets(["l_returnflag", "l_linestatus"]),
+        aggs=[("sum", "cents", "sum_cents"), ("count", None, "n")],
+    ).to_pandas()
+
+
+_SQL_CUBE = """
+WITH l AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+)
+SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+       COALESCE(l_linestatus, '(all)') AS l_linestatus,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS n
+FROM l GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+def _q_ewma_user_values(sf_dir: str):
+    """Per-user exponential smoothing (raykg/ops/resample.py
+    grouped_ewma): the exact sequential fold s_t = 0.25·x_t +
+    0.75·s_(t-1) over (ts, event_id) order, run as a key-bucketed
+    step-synchronous scan vectorized across keys. Binary-fraction
+    alpha + mirrored operand order make the result BIT-EQUAL to
+    DuckDB's list_reduce fold — no rounding anywhere."""
+    from raykg.ops.resample import grouped_ewma
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_id", "value"])
+    out = (grouped_ewma(ev, "user_id", "value", ["ts", "event_id"],
+                        alpha=0.25)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    return out.astype({"n": "int64"})
+
+
+_SQL_EWMA = """
+WITH v AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id) AS xs
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(len(xs) AS BIGINT) AS n,
+       list_reduce(xs, (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
+FROM v ORDER BY user_id
+"""
+
+
+def _q_minmax_events(sf_dir: str):
+    """Per-user min-max scaling (raykg/ops/profile.py grouped_minmax):
+    two streaming passes — O(keys) (min, max) stats broadcast once,
+    then a stateless map; the event rows never shuffle. min/max fold
+    exactly and the single division mirrors the SQL window expression
+    operand-for-operand, so the doubles are bit-equal unrounded."""
+    from raykg.ops.profile import grouped_minmax
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "value"])
+    return grouped_minmax(ev, "user_id", "value")
+
+
+_SQL_MINMAX = """
+SELECT event_id, user_id, value,
+       (value - min(value) OVER w) /
+       (max(value) OVER w - min(value) OVER w) AS scaled
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+"""
+
+
+def _q_pareto_parts(sf_dir: str):
+    """Heavy-tail coverage cutoff (raykg/ops/rank.py pareto_coverage):
+    the smallest (revenue desc, part asc) prefix of parts reaching
+    half the total revenue. Exact int64 end-to-end: per-key totals
+    through the combiner shuffle, range-partitioned desc prefix sums
+    (driver folds only O(ranges) scalars), strict cum_before <
+    ceil(total/2) rule mirrored by the SQL window oracle."""
+    from raykg.ops.rank import pareto_coverage
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_extendedprice"])
+
+    def floor_rev(t: pa.Table) -> pa.Table:
+        v = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_partkey": t.column("l_partkey"),
+            "rev": pa.array(np.floor(v).astype(np.int64)),
+        })
+
+    out = (pareto_coverage(
+               ds.map_batches(floor_rev, batch_format="pyarrow"),
+               "l_partkey", "rev", 1, 2)
+           .to_pandas()
+           .sort_values(["s", "k"], ascending=[False, True])
+           .reset_index(drop=True))
+    out.columns = ["l_partkey", "rev", "cum_before"]
+    return out.astype("int64")
+
+
+_SQL_PARETO = """
+WITH kv AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM lineitem GROUP BY l_partkey
+), tot AS (SELECT CAST(sum(rev) AS BIGINT) AS t FROM kv),
+c AS (
+  SELECT l_partkey, rev,
+         COALESCE(CAST(sum(rev) OVER (
+             ORDER BY rev DESC, l_partkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS BIGINT), 0) AS cum_before
+  FROM kv
+)
+SELECT l_partkey, rev, cum_before
+FROM c, tot WHERE cum_before < (t + 1) // 2
+ORDER BY rev DESC, l_partkey
+"""
+
+
 _CLS_FEATURES = ["f_tok", "f_wlen", "f_the", "f_spark"]
 
 
@@ -5770,6 +5908,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_grouped_auc": _q_grouped_auc_events,
         "window_gapfill_user_hours": _q_gapfill_user_hours,
         "survivor_golden_users": _q_golden_users,
+        "cube_pricing_sets": _q_cube_pricing,
+        "window_ewma_user_values": _q_ewma_user_values,
+        "scale_minmax_events": _q_minmax_events,
+        "rank_pareto_parts_revenue": _q_pareto_parts,
         # rows-only (iterative model fit)
         "train_doc_classifier": _q_train_doc_classifier,
         # rows-only (iterative / eigen-based)
@@ -5919,4 +6061,8 @@ def oracle_sql() -> dict[str, str]:
         "eval_grouped_auc": _SQL_GROUPED_AUC,
         "window_gapfill_user_hours": _SQL_GAPFILL,
         "survivor_golden_users": _SQL_GOLDEN,
+        "cube_pricing_sets": _SQL_CUBE,
+        "window_ewma_user_values": _SQL_EWMA,
+        "scale_minmax_events": _SQL_MINMAX,
+        "rank_pareto_parts_revenue": _SQL_PARETO,
     }

@@ -263,6 +263,10 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("eval_grouped_auc", em._q_grouped_auc_events)
         timed("window_gapfill_user_hours", em._q_gapfill_user_hours)
         timed("survivor_golden_users", em._q_golden_users)
+        timed("cube_pricing_sets", em._q_cube_pricing)
+        timed("window_ewma_user_values", em._q_ewma_user_values)
+        timed("scale_minmax_events", em._q_minmax_events)
+        timed("rank_pareto_parts_revenue", em._q_pareto_parts)
 
     result = {
         "metric": "kg_pipeline_wall",

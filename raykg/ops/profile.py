@@ -160,6 +160,49 @@ def grouped_zscore(ds, key: str, col: str, out_col: str = "z",
     return ds.map_batches(apply, batch_format="pyarrow")
 
 
+def grouped_minmax(ds, key: str, col: str, out_col: str = "scaled"):
+    """Per-group min-max scaling: ``(x - min_g) / (max_g - min_g)``
+    — the feature-prep normalization next to :func:`grouped_zscore`,
+    and the same two-pass streaming shape: pass 1 folds per-block
+    grouped (min, max) partials into an O(keys) stats table, pass 2
+    broadcasts it once (``ray.put``) and maps every batch — the rows
+    themselves never shuffle.  min/max fold exactly (no float
+    accumulation error at any scale), and the single division
+    mirrors SQL's ``(x - min) OVER w / (max - min) OVER w`` operand
+    order bit-for-bit.  Constant groups (max == min) emit NaN.
+    For key cardinalities beyond broadcast reach use
+    ``ops.joins.hash_join`` against the stats table instead."""
+    import ray
+
+    def part(t: pa.Table) -> pa.Table:
+        df = t.select([key, col]).to_pandas()
+        g = df.groupby(key, sort=False)[col]
+        out = pd.DataFrame({"mn": g.min().astype(np.float64),
+                            "mx": g.max().astype(np.float64)}).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(key, as_index=False).agg(
+        mn=("mn", "min"), mx=("mx", "max"))
+    idx = pd.Index(agg[key])
+    mn = agg["mn"].to_numpy()
+    mx = agg["mx"].to_numpy()
+    stats_ref = ray.put((idx, mn, mx))
+
+    def apply(t: pa.Table) -> pa.Table:
+        kidx, mns, mxs = ray.get(stats_ref)
+        keys = t.column(key).to_pandas()
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = kidx.get_indexer(keys)
+        lo = np.where(pos >= 0, mns[pos], np.nan)
+        hi = np.where(pos >= 0, mxs[pos], np.nan)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scaled = (x - lo) / (hi - lo)
+        return t.append_column(out_col, pa.array(scaled, pa.float64()))
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
 def grouped_mad(ds, key: str, col: str, coarse: int = 64):
     """Per-group median and MAD (median absolute deviation,
     ``median(|x - median(x)|)``) — the robust location/scale pair an

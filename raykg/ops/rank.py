@@ -209,3 +209,111 @@ def ntile(ds, val_col: str, id_col: str, k: int, out_col: str = "tile",
     ranked = global_rank(ds, val_col, id_col, out_col="rank",
                          n_ranges=n_ranges)
     return ranked.map_batches(to_tile, batch_format="pyarrow")
+
+
+def pareto_coverage(ds, key_col: str, weight_col: str,
+                    frac_num: int = 1, frac_den: int = 2,
+                    coarse: int = 64, n_ranges: int = 64,
+                    sample_cap: int = 65536):
+    """Heavy-tail coverage cutoff: the smallest prefix of keys, taken
+    in (total weight desc, key asc) order, whose cumulative weight
+    reaches ``frac_num/frac_den`` of the grand total — "which parts
+    make up half the revenue", the skew diagnostic behind salting
+    decisions and mixture re-weighting.
+
+    Everything is EXACT int64: weights are pre-floored integers, the
+    threshold is ``ceil(frac · total) = (frac_num·total + frac_den-1)
+    // frac_den``, and a key is kept iff the cumulative weight
+    STRICTLY BEFORE it is below the threshold (the standard "rows
+    needed to reach X%" rule — SQL mirror: ``sum(s) OVER (ORDER BY
+    s DESC, k ROWS ... 1 PRECEDING) < ceil``).
+
+    Plan (no driver-side key materialization):
+      1. per-block partial sums fold to exact per-key totals through
+         one coarse-bucket exchange (the ``top_k_per_key`` combiner
+         shape);
+      2. a hash-spread sample of the totals picks ``n_ranges`` splits
+         on the weight; ONE O(blocks × ranges) count pass folds
+         per-range (row count, weight sum) partials into global
+         DESC-order prefix offsets on the driver (scalars only);
+      3. keyed totals co-locate by range; each range task sorts
+         (s desc, k), adds its exclusive prefix to the range offset,
+         and emits only rows under the threshold.
+
+    Ties on the weight stay inside one range (closed-open split on
+    the value, like ``global_rank``) so the (s desc, k) order is
+    exact across range boundaries.
+    -> Dataset(key, s, cum_before), the coverage set.
+    """
+    import ray
+
+    from raykg.ops.sample import hash_spread_sample_rows
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": t.column(key_col).to_pandas(),
+            "s": t.column(weight_col).to_numpy(zero_copy_only=False)
+                 .astype(np.int64),
+        })
+        g = df.groupby("k", sort=False, as_index=False)["s"].sum()
+        g["_b"] = _key_bucket(pa.array(g["k"]), coarse).to_numpy()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("k", sort=False, as_index=False)["s"].sum()
+
+    totals = (ds.map_batches(part, batch_format="pyarrow")
+              .groupby("_b").map_groups(fold, batch_format="pandas")
+              .materialize())
+
+    rows = hash_spread_sample_rows(totals, "k", sample_cap)
+    sv = np.sort(np.array([r["s"] for r in rows], dtype=np.int64)) \
+        if rows else np.array([], dtype=np.int64)
+    if len(sv):
+        qs = np.linspace(0, 1, n_ranges + 1)[1:-1]
+        splits = np.unique(np.quantile(sv, qs).astype(np.int64))
+    else:
+        splits = np.array([], dtype=np.int64)
+    nb = len(splits) + 1
+
+    def assign(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        b = np.searchsorted(splits, s, side="right").astype(np.int32)
+        return pa.table({"_rb": pa.array(b), "k": t.column("k"),
+                         "s": t.column("s")})
+
+    def range_partials(t: pa.Table) -> pa.Table:
+        rb = t.column("_rb").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        w = np.zeros(nb, dtype=np.int64)   # int64 adds stay exact
+        np.add.at(w, rb, s)
+        return pa.table({"b": pa.array(np.arange(nb, dtype=np.int32)),
+                         "w": pa.array(w)})
+
+    stats = (totals.map_batches(assign, batch_format="pyarrow")
+             .map_batches(range_partials, batch_format="pyarrow")
+             .to_pandas())
+    wsum = np.zeros(nb, dtype=np.int64)
+    for b, w in zip(stats["b"], stats["w"]):
+        wsum[b] += w
+    total = int(wsum.sum())
+    threshold = (frac_num * total + frac_den - 1) // frac_den
+    # DESC order: exclusive prefix of all HIGHER ranges
+    suffix = np.concatenate([np.cumsum(wsum[::-1])[::-1][1:], [0]])
+    off_ref = ray.put((suffix, threshold))
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        off, thr = ray.get(off_ref)
+        b = int(df["_rb"].iloc[0])
+        d = df.sort_values(["s", "k"], ascending=[False, True],
+                           kind="stable")
+        s = d["s"].to_numpy(dtype=np.int64)
+        cum_before = off[b] + np.concatenate(
+            [[0], np.cumsum(s)[:-1]]).astype(np.int64)
+        keep = cum_before < thr
+        return pd.DataFrame({"k": d["k"].to_numpy()[keep],
+                             "s": s[keep],
+                             "cum_before": cum_before[keep]})
+
+    return (totals.map_batches(assign, batch_format="pyarrow")
+            .groupby("_rb").map_groups(cut, batch_format="pandas"))

@@ -85,3 +85,67 @@ def gapfill_grid(ds, key_col: str, ts_col: str, bucket_us: int,
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("_b")
             .map_groups(fill, batch_format="pandas"))
+
+
+def grouped_ewma(ds, key_col: str, val_col: str, order_cols: list,
+                 alpha: float = 0.25, coarse: int = 64):
+    """Per-key exponentially-weighted moving average — the final
+    smoothed value of the exact sequential fold
+    ``s_1 = x_1;  s_t = alpha·x_t + (1-alpha)·s_(t-1)``
+    over rows ordered by ``order_cols``.  The trend/level readout a
+    monitoring pipeline keeps per entity.
+
+    The recurrence is inherently SEQUENTIAL per key (each step needs
+    the previous float), so rows co-locate by key hash (one exchange
+    of (key, order, x) rows — the sessionize shape; same hot-key
+    caveat) and the fold runs as a step-synchronous scan VECTORIZED
+    ACROSS KEYS: rows are ordered by within-key position, and step t
+    updates every key that has a t-th element in one numpy op — each
+    row is touched exactly once, O(rows + max_len) per task, never a
+    per-row Python loop.  The op order ``alpha·x + (1-alpha)·acc``
+    matches DuckDB's ``list_reduce(list(x ORDER BY ...), (acc, x) ->
+    a*x + (1-a)*acc)`` fold exactly: with a binary-fraction alpha both
+    sides produce bit-identical IEEE doubles (the oracle needs no
+    tolerance).  A closed-form Σ a(1-a)^j x version would vectorize
+    the time axis but loses that bit-exactness (pow rounding) and
+    underflows for long histories.
+    -> Dataset(key, n, ewma).
+    """
+    one_minus = 1.0 - alpha
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {key_col: t.column(key_col)}
+        for c in order_cols:
+            col = t.column(c)
+            if pa.types.is_timestamp(col.type):
+                col = col.cast(pa.int64())
+            cols[c] = col
+        cols["_x"] = t.column(val_col).cast(pa.float64())
+        out = pa.table(cols)
+        return out.append_column("_b", _key_bucket(t.column(key_col),
+                                                   coarse))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col] + list(order_cols), kind="stable")
+        codes, uniq = pd.factorize(df[key_col], sort=False)
+        pos = df.groupby(codes, sort=False).cumcount().to_numpy()
+        x = df["_x"].to_numpy(dtype=np.float64)
+        # rows re-ordered by step so each scan step is one slice
+        order2 = np.lexsort((codes, pos))
+        pos_s, codes_s, x_s = pos[order2], codes[order2], x[order2]
+        max_len = int(pos.max()) + 1 if len(pos) else 0
+        starts = np.searchsorted(pos_s, np.arange(max_len + 1))
+        acc = np.empty(len(uniq), dtype=np.float64)
+        for t in range(max_len):
+            s, e = starts[t], starts[t + 1]
+            k, xv = codes_s[s:e], x_s[s:e]
+            if t == 0:
+                acc[k] = xv
+            else:
+                acc[k] = alpha * xv + one_minus * acc[k]
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame({key_col: uniq, "n": n, "ewma": acc})
+
+    return (ds.map_batches(project, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(fold, batch_format="pandas"))
