@@ -5235,6 +5235,240 @@ ORDER BY rev DESC, l_partkey
 """
 
 
+def _q_psi_drift(sf_dir: str):
+    """PSI distribution drift (raykg/ops/drift.py psi_drift) between
+    the even-user and odd-user halves of the events table over
+    `value`, 10 fixed bins of width 50. Exact integer bin counts from
+    per-block bincount partials (O(blocks x bins) exchange), Laplace
+    +1 smoothing so no probability is zero, the per-bin term one
+    mirrored float expression and the total a bin-ascending libm-log
+    fold — bit-equal to the DuckDB list_sum oracle."""
+    from raykg.ops.drift import psi_drift
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "value"])
+
+    def half(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            uid = t.column("user_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(uid % 2 == parity))
+        return f
+
+    a = ev.map_batches(half(0), batch_format="pyarrow")
+    b = ev.map_batches(half(1), batch_format="pyarrow")
+    return psi_drift(a, b, "value", 0.0, 50.0, 10)
+
+
+_SQL_PSI = """
+WITH bins AS (SELECT range AS bin FROM range(10)),
+av AS (SELECT LEAST(GREATEST(CAST(floor((value - 0.0) / 50.0) AS BIGINT),
+                             0), 9) AS bin
+       FROM events WHERE user_id % 2 = 0),
+bv AS (SELECT LEAST(GREATEST(CAST(floor((value - 0.0) / 50.0) AS BIGINT),
+                             0), 9) AS bin
+       FROM events WHERE user_id % 2 = 1),
+ac AS (SELECT bin, count(*)::BIGINT AS c FROM av GROUP BY bin),
+bc AS (SELECT bin, count(*)::BIGINT AS c FROM bv GROUP BY bin),
+counts AS (
+  SELECT bins.bin, COALESCE(ac.c, 0)::BIGINT AS ca,
+         COALESCE(bc.c, 0)::BIGINT AS cb
+  FROM bins LEFT JOIN ac USING (bin) LEFT JOIN bc USING (bin)
+),
+tot AS (SELECT (sum(ca) + 10)::DOUBLE AS na,
+               (sum(cb) + 10)::DOUBLE AS nb FROM counts),
+t AS (
+  SELECT bin, ca, cb,
+         ((cb + 1)::DOUBLE / nb - (ca + 1)::DOUBLE / na)
+           * ln(((cb + 1)::DOUBLE / nb) / ((ca + 1)::DOUBLE / na)) AS term
+  FROM counts, tot
+),
+p AS (SELECT list_sum(list(term ORDER BY bin)) AS psi FROM t)
+SELECT bin, ca AS count_a, cb AS count_b, term, psi
+FROM t, p ORDER BY bin
+"""
+
+
+def _q_ab_ttest(sf_dir: str):
+    """Welch's t-test per event_type between even-user (arm a) and
+    odd-user (arm b) floored values (raykg/ops/profile.py
+    grouped_ttest). One O(blocks x keys x 2) moment-partial pass;
+    exact int64 (n, Σx, Σx²) folds, then every statistic is one
+    double expression mirrored operand-for-operand by the SQL
+    oracle — bit-exact, no rounding."""
+    from raykg.ops.profile import grouped_ttest
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "arm": pa.array(np.where(uid % 2 == 0, "a", "b")),
+            "x": pa.array(np.floor(v).astype(np.int64)),
+        })
+
+    return grouped_ttest(ev.map_batches(prep, batch_format="pyarrow"),
+                         "event_type", "arm", "x")
+
+
+_SQL_AB_TTEST = """
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+         CAST(floor(value) AS BIGINT) AS x
+  FROM events
+),
+s AS (
+  SELECT event_type, arm, count(*)::DOUBLE AS n,
+         sum(x)::DOUBLE AS s, sum(x * x)::DOUBLE AS ss
+  FROM e GROUP BY event_type, arm
+),
+w AS (
+  SELECT a.event_type,
+         a.n AS n1, b.n AS n2,
+         a.s / a.n AS m1, b.s / b.n AS m2,
+         (a.ss - a.s * a.s / a.n) / (a.n - 1.0) / a.n AS se1,
+         (b.ss - b.s * b.s / b.n) / (b.n - 1.0) / b.n AS se2
+  FROM s a JOIN s b USING (event_type)
+  WHERE a.arm = 'a' AND b.arm = 'b'
+)
+SELECT event_type, CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+       m1 AS mean_a, m2 AS mean_b,
+       (m1 - m2) / sqrt(se1 + se2) AS t_stat,
+       ((se1 + se2) * (se1 + se2))
+         / (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0)) AS df
+FROM w
+"""
+
+
+def _q_gini_customers(sf_dir: str):
+    """Per-customer Gini coefficient of order spend (raykg/ops/
+    profile.py grouped_gini): one key-hash co-location exchange, the
+    rank-weighted sum Σ(i·x) folded in exact int64 cents (tie-order
+    invariant), one mirrored float expression — bit-equal to the
+    DuckDB row_number window oracle."""
+    from raykg.ops.profile import grouped_gini
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "x": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+        })
+
+    return (grouped_gini(ds.map_batches(cents, batch_format="pyarrow"),
+                         "o_custkey", "x")
+            .to_pandas().sort_values("o_custkey").reset_index(drop=True))
+
+
+_SQL_GINI = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS x
+  FROM orders
+),
+r AS (
+  SELECT o_custkey, x,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY x) AS i
+  FROM o
+),
+a AS (
+  SELECT o_custkey, count(*)::BIGINT AS n, sum(x)::BIGINT AS total,
+         sum(i * x)::BIGINT AS num
+  FROM r GROUP BY o_custkey
+)
+SELECT o_custkey, n, total,
+       (2.0 * num::DOUBLE) / (n::DOUBLE * total::DOUBLE)
+         - (n::DOUBLE + 1.0) / n::DOUBLE AS gini
+FROM a ORDER BY o_custkey
+"""
+
+
+def _q_target_encode(sf_dir: str):
+    """Leave-one-out target encoding of event_type by floored value
+    (raykg/ops/profile.py target_encode_loo): O(categories) exact
+    int64 (n, Σy) stats broadcast once, rows never shuffle; the
+    single (Σ−y)/(n−1) division mirrors the SQL window expression
+    bit-for-bit."""
+    from raykg.ops.profile import target_encode_loo
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "y": pa.array(np.floor(v).astype(np.int64)),
+        })
+
+    return target_encode_loo(ev.map_batches(prep, batch_format="pyarrow"),
+                             "event_type", "y")
+
+
+_SQL_TARGET_ENCODE = """
+WITH e AS (
+  SELECT event_id, event_type, CAST(floor(value) AS BIGINT) AS y
+  FROM events
+)
+SELECT event_id, event_type, y,
+       (sum(y) OVER w - y)::DOUBLE / (count(*) OVER w - 1)::DOUBLE AS te
+FROM e WINDOW w AS (PARTITION BY event_type)
+"""
+
+
+def _q_twa_user_values(sf_dir: str):
+    """Per-user time-weighted average of floored event values
+    (raykg/ops/resample.py time_weighted_avg): each value weighted by
+    the exact int64-microsecond duration until the user's next event
+    in (ts, event_id) order; Σ v·dur and Σ dur fold exact, one
+    division — bit-equal to the DuckDB lead() window oracle. Keys
+    without a positive total duration are dropped on both sides."""
+    from raykg.ops.resample import time_weighted_avg
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "event_id": t.column("event_id"),
+            "x": pa.array(np.floor(v).astype(np.int64)),
+        })
+
+    return time_weighted_avg(ev.map_batches(prep, batch_format="pyarrow"),
+                             "user_id", "ts", "x", "event_id")
+
+
+_SQL_TWA = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts, event_id,
+         CAST(floor(value) AS BIGINT) AS x
+  FROM events
+),
+d AS (
+  SELECT user_id, x,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - ts AS dur
+  FROM e
+),
+a AS (
+  SELECT user_id, count(*)::BIGINT AS n,
+         sum(x * dur)::BIGINT AS num, sum(dur)::BIGINT AS den
+  FROM d GROUP BY user_id HAVING sum(dur) > 0
+)
+SELECT user_id, n, num::DOUBLE / den::DOUBLE AS twa FROM a
+"""
+
+
 _CLS_FEATURES = ["f_tok", "f_wlen", "f_the", "f_spark"]
 
 
@@ -5912,6 +6146,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_ewma_user_values": _q_ewma_user_values,
         "scale_minmax_events": _q_minmax_events,
         "rank_pareto_parts_revenue": _q_pareto_parts,
+        "drift_value_psi": _q_psi_drift,
+        "ab_ttest_event_values": _q_ab_ttest,
+        "agg_gini_customer_spend": _q_gini_customers,
+        "feature_target_encode_events": _q_target_encode,
+        "window_twa_user_values": _q_twa_user_values,
         # rows-only (iterative model fit)
         "train_doc_classifier": _q_train_doc_classifier,
         # rows-only (iterative / eigen-based)
@@ -6065,4 +6304,9 @@ def oracle_sql() -> dict[str, str]:
         "window_ewma_user_values": _SQL_EWMA,
         "scale_minmax_events": _SQL_MINMAX,
         "rank_pareto_parts_revenue": _SQL_PARETO,
+        "drift_value_psi": _SQL_PSI,
+        "ab_ttest_event_values": _SQL_AB_TTEST,
+        "agg_gini_customer_spend": _SQL_GINI,
+        "feature_target_encode_events": _SQL_TARGET_ENCODE,
+        "window_twa_user_values": _SQL_TWA,
     }

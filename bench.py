@@ -267,6 +267,11 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("window_ewma_user_values", em._q_ewma_user_values)
         timed("scale_minmax_events", em._q_minmax_events)
         timed("rank_pareto_parts_revenue", em._q_pareto_parts)
+        timed("drift_value_psi", em._q_psi_drift)
+        timed("ab_ttest_event_values", em._q_ab_ttest)
+        timed("agg_gini_customer_spend", em._q_gini_customers)
+        timed("feature_target_encode_events", em._q_target_encode)
+        timed("window_twa_user_values", em._q_twa_user_values)
 
     result = {
         "metric": "kg_pipeline_wall",

@@ -12,6 +12,8 @@ oracle can mirror the exact operand order (``sum(x*x)/n - m*m``).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -530,3 +532,152 @@ def cohens_kappa(ds, col_a: str, col_b: str) -> pd.DataFrame:
         "p_e": [np.floor(p_e * 1e6 + 0.5) / 1e6],
         "kappa": [np.floor(kappa * 1e6 + 0.5) / 1e6],
     })
+
+
+def grouped_ttest(ds, key: str, arm_col: str, val_col: str) -> pd.DataFrame:
+    """Welch's two-sample t-test per ``key`` between the two arms of
+    ``arm_col`` — the A/B experiment readout ("did the treatment move
+    the metric for this segment?").  ``arm_col`` must take exactly two
+    values per key; arms are ordered ascending (a = smaller label).
+
+    Scale shape: one streaming pass of per-block (key, arm) moment
+    partials (n, Σx, Σx²) — O(blocks × keys × 2) exchange, never
+    O(rows); with integer-valued ``val_col`` the partials fold as
+    EXACT int64 and every output is one float expression over exact
+    ints, mirrored operand-for-operand by a SQL oracle (sample
+    variance ``(Σx² − Σx·Σx/n)/(n−1)``, Welch se, t, and the
+    Welch–Satterthwaite df) — bit-exact, no rounding.
+    -> (key, n_a, n_b, mean_a, mean_b, t_stat, df).
+    """
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": t.column(key).to_pandas(),
+            "a": t.column(arm_col).to_pandas(),
+            "x": t.column(val_col).to_numpy(zero_copy_only=False)
+                 .astype(np.int64),
+        })
+        df["xx"] = df["x"] * df["x"]
+        g = df.groupby(["k", "a"], sort=False).agg(
+            n=("x", "size"), s=("x", "sum"), ss=("xx", "sum"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["k", "a"], as_index=False).sum()
+    agg = agg.sort_values(["k", "a"], kind="mergesort")
+    rows = []
+    for k, g in agg.groupby("k", sort=True):
+        if len(g) != 2:
+            raise ValueError(f"key {k!r} has {len(g)} arms, need 2")
+        (n1, s1, ss1), (n2, s2, ss2) = (
+            (float(r.n), float(r.s), float(r.ss)) for r in g.itertuples())
+        # every operand converted to double FIRST (exact for ints
+        # < 2^53), then pure IEEE ops in the order the SQL mirror uses
+        m1 = s1 / n1
+        m2 = s2 / n2
+        v1 = (ss1 - s1 * s1 / n1) / (n1 - 1.0)
+        v2 = (ss2 - s2 * s2 / n2) / (n2 - 1.0)
+        se1 = v1 / n1
+        se2 = v2 / n2
+        se = se1 + se2
+        t_stat = (m1 - m2) / math.sqrt(se)
+        df_w = (se * se) / (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0))
+        rows.append((k, int(n1), int(n2), m1, m2, t_stat, df_w))
+    out = pd.DataFrame(rows, columns=[key, "n_a", "n_b", "mean_a",
+                                      "mean_b", "t_stat", "df"])
+    return out.astype({"n_a": "int64", "n_b": "int64"})
+
+
+def grouped_gini(ds, key: str, val_col: str, coarse: int = 64):
+    """Gini coefficient of ``val_col``'s distribution per ``key`` —
+    the inequality/concentration statistic ("how skewed is spend
+    across this customer's orders", "how concentrated is traffic over
+    hosts"), the scalar companion to :func:`raykg.ops.rank
+    .pareto_coverage`'s cutoff set.
+
+    Definition (ascending sort, 1-based rank i):
+    ``G = 2·Σ(i·x) / (n·Σx) − (n+1)/n`` — invariant to tie order
+    (within a tied block Σi is fixed), so a SQL ``row_number()``
+    oracle matches regardless of its tie-break.
+
+    Scale shape: values co-locate by key hash (one exchange — the
+    sessionize shape); each bucket task sorts once and computes every
+    key's rank-weighted sum vectorized (factorize + segmented
+    cumcount), all in EXACT int64 for integer values, then one
+    mirrored float expression.  -> Dataset(key, n, total, gini).
+    """
+    from raykg.ops.joins import _key_bucket
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t.column(key),
+            "x": t.column(val_col).cast(pa.int64()),
+            "_b": _key_bucket(t.column(key), coarse),
+        })
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["k", "x"], kind="stable")
+        codes, uniq = pd.factorize(df["k"], sort=False)
+        i = df.groupby(codes, sort=False).cumcount().to_numpy() + 1
+        x = df["x"].to_numpy(dtype=np.int64)
+        # exact: i*x <= n*max(x), folded in int64 per key
+        num = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(num, codes, i * x)
+        tot = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tot, codes, x)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        nf = n.astype(np.float64)
+        gini = (2.0 * num.astype(np.float64)) / (nf * tot.astype(np.float64)) \
+            - (nf + 1.0) / nf
+        return pd.DataFrame({key: uniq, "n": n, "total": tot, "gini": gini})
+
+    return (ds.map_batches(project, batch_format="pyarrow")
+            .groupby("_b").map_groups(fold, batch_format="pandas"))
+
+
+def target_encode_loo(ds, cat_col: str, target_col: str,
+                      out_col: str = "te"):
+    """Leave-one-out target encoding: each row's category is replaced
+    by the mean target of the OTHER rows in that category,
+    ``(Σy_g − y_i) / (n_g − 1)`` — the leakage-safe categorical
+    feature every tabular training pipeline derives (plain mean
+    encoding leaks the row's own label).
+
+    Scale shape: the two-pass broadcast pattern (:func:`grouped_minmax`)
+    — pass 1 folds O(categories) exact int64 (n, Σy) stats, pass 2
+    broadcasts them once and maps every batch; rows never shuffle.
+    With integer targets the numerator/denominator are exact ints and
+    the single division mirrors SQL's
+    ``(sum(y) OVER w − y) / (count(*) OVER w − 1)`` bit-for-bit.
+    Singleton categories (n == 1) emit NaN — filter or smooth first.
+    """
+    import ray
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c": t.column(cat_col).to_pandas(),
+            "y": t.column(target_col).to_numpy(zero_copy_only=False)
+                 .astype(np.int64),
+        })
+        g = df.groupby("c", sort=False).agg(n=("y", "size"), s=("y", "sum"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("c", as_index=False).sum()
+    idx = pd.Index(agg["c"])
+    stats_ref = ray.put((idx, agg["n"].to_numpy(dtype=np.int64),
+                         agg["s"].to_numpy(dtype=np.int64)))
+
+    def apply(t: pa.Table) -> pa.Table:
+        kidx, ns, ss = ray.get(stats_ref)
+        pos = kidx.get_indexer(t.column(cat_col).to_pandas())
+        y = t.column(target_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = ns[pos]
+        num = (ss[pos] - y).astype(np.float64)
+        den = (n - 1).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            te = np.where(n > 1, num / den, np.nan)
+        return t.append_column(out_col, pa.array(te, pa.float64()))
+
+    return ds.map_batches(apply, batch_format="pyarrow")

@@ -149,3 +149,64 @@ def grouped_ewma(ds, key_col: str, val_col: str, order_cols: list,
     return (ds.map_batches(project, batch_format="pyarrow")
             .groupby("_b")
             .map_groups(fold, batch_format="pandas"))
+
+
+def time_weighted_avg(ds, key_col: str, ts_col: str, val_col: str,
+                      tiebreak_col: str, coarse: int = 64):
+    """Per-key time-weighted average: each value is weighted by how
+    long it was "current" — the duration until the key's NEXT event —
+    ``TWA = Σ v_i·dur_i / Σ dur_i`` over rows ordered by
+    ``(ts, tiebreak)``; the last event has no successor and carries
+    no weight.  The correct average for irregularly-sampled state
+    (price, gauge, session quality): a plain mean over-weights bursts.
+
+    Scale shape: rows co-locate by key hash (one exchange — the
+    sessionize shape, same hot-key caveat); each bucket task lexsorts
+    once and computes every key's weighted sums vectorized (segmented
+    diff over the sorted array).  Durations are exact int64
+    microseconds and with integer values ``Σ v·dur`` folds exact, so
+    the single output division mirrors a SQL
+    ``lead(ts) OVER (PARTITION BY key ORDER BY ts, tiebreak)`` oracle
+    bit-for-bit.  Keys with fewer than two events (no duration) are
+    dropped; a key whose durations sum to zero (all-identical
+    timestamps) would divide by zero — also dropped, mirrored by
+    ``HAVING sum(dur) > 0``.
+    -> Dataset(key, n, twa).
+    """
+    from raykg.ops.joins import _key_bucket
+
+    def project(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())   # microseconds since epoch
+        return pa.table({
+            "k": t.column(key_col),
+            "ts": ts,
+            "tb": t.column(tiebreak_col),
+            "x": t.column(val_col).cast(pa.int64()),
+            "_b": _key_bucket(t.column(key_col), coarse),
+        })
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["k", "ts", "tb"], kind="stable")
+        codes, uniq = pd.factorize(df["k"], sort=False)
+        ts = df["ts"].to_numpy(dtype=np.int64)
+        x = df["x"].to_numpy(dtype=np.int64)
+        n_rows = len(df)
+        # duration to next row, zero where the next row is a new key
+        dur = np.zeros(n_rows, dtype=np.int64)
+        if n_rows > 1:
+            same = codes[1:] == codes[:-1]
+            dur[:-1] = np.where(same, ts[1:] - ts[:-1], 0)
+        num = np.zeros(len(uniq), dtype=np.int64)
+        den = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(num, codes, x * dur)
+        np.add.at(den, codes, dur)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        keep = den > 0
+        twa = num[keep].astype(np.float64) / den[keep].astype(np.float64)
+        return pd.DataFrame({key_col: np.asarray(uniq)[keep],
+                             "n": n[keep], "twa": twa})
+
+    return (ds.map_batches(project, batch_format="pyarrow")
+            .groupby("_b").map_groups(fold, batch_format="pandas"))
