@@ -5469,6 +5469,163 @@ SELECT user_id, n, num::DOUBLE / den::DOUBLE AS twa FROM a
 """
 
 
+def _q_attribution_last_touch(sf_dir: str):
+    """Marketing last-touch attribution: each purchase event joins
+    the same user's most recent PRECEDING click within a 24-hour
+    lookback (raykg.ops.joins.asof_join with the new ``tolerance``
+    parameter — merge_asof parity). Single tagged-union shuffle,
+    hot-key time-range salting, the max-click_id tie rule; an
+    out-of-window latest click resolves to the fill (-1) exactly like
+    no click at all. Oracle mirrors with a ts-range LEFT JOIN +
+    row_number."""
+    from raykg.ops.joins import asof_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def side(etype: str, idname: str):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.equal(t.column("event_type"), etype)
+            t = t.filter(m)
+            return pa.table({"user_id": t.column("user_id"),
+                             "ts": t.column("ts"),
+                             idname: t.column("event_id")})
+        return f
+
+    purchases = ev.map_batches(side("purchase", "event_id"),
+                               batch_format="pyarrow")
+    clicks = ev.map_batches(side("click", "click_id"),
+                            batch_format="pyarrow")
+    out = asof_join(purchases, clicks, "user_id", "user_id", "ts", "ts",
+                    ["event_id"], ["click_id"], fill={"click_id": -1},
+                    tolerance=24 * 3600 * 1_000_000)
+
+    def fix(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("click_id")
+        return t.set_column(i, "click_id",
+                            t.column("click_id").cast(pa.int64()))
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+_SQL_ATTRIBUTION = """
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts AS cts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT p.user_id, p.ts, p.event_id, c.click_id,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY c.cts DESC, c.click_id DESC
+         ) AS rn
+  FROM p LEFT JOIN c
+    ON c.user_id = p.user_id
+   AND c.cts <= p.ts
+   AND c.cts >= p.ts - INTERVAL 24 HOURS
+)
+SELECT user_id, ts, event_id, COALESCE(click_id, -1) AS click_id
+FROM r WHERE rn = 1
+"""
+
+
+def _q_star_revenue_nation(sf_dir: str):
+    """Star-schema denormalization: lineitem ⋈ orders ⋈ customer ⋈
+    nation chained through raykg.ops.joins.auto_join (each dimension
+    measured via parquet metadata → broadcast map-side, zero shuffle
+    for all three hops at bench scale), then one grouped exact-cents
+    aggregate per nation. The bread-and-butter warehouse query shape,
+    exercising join composability on joined (non-parquet) left
+    inputs."""
+    from ray.data.aggregate import Count, Sum
+
+    from raykg.ops.joins import auto_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+        })
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"])
+    nation = rd.read_parquet(os.path.join(sf_dir, "nation.parquet"),
+                             columns=["n_nationkey", "n_name"])
+
+    j1 = auto_join(li.map_batches(cents, batch_format="pyarrow"), orders,
+                   on="l_orderkey", right_on="o_orderkey",
+                   left_cols=["cents"], right_cols=["o_custkey"])
+    j2 = auto_join(j1, cust, on="o_custkey", right_on="c_custkey",
+                   left_cols=["cents"], right_cols=["c_nationkey"])
+    j3 = auto_join(j2, nation, on="c_nationkey", right_on="n_nationkey",
+                   left_cols=["cents"], right_cols=["n_name"])
+    out = (j3.groupby("n_name")
+           .aggregate(Sum("cents", alias_name="sum_cents"),
+                      Count(alias_name="n"))
+           .to_pandas().sort_values("n_name").reset_index(drop=True))
+    return out.astype({"sum_cents": "int64", "n": "int64"})
+
+
+_SQL_STAR_NATION = """
+SELECT n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents,
+       count(*)::BIGINT AS n
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+
+def _q_dedup_events_windowed(sf_dir: str):
+    """Windowed dedup (raykg.ops.dedup.windowed_first): keep the
+    first event — min (ts, event_id) — per (user_id, event_type,
+    tumbling hour). Exact-dedup combiner shape: per-block local
+    firsts, one composite-hash exchange, vectorized many-groups-per-
+    task final pick. µs integer window arithmetic mirrored by the
+    SQL row_number oracle."""
+    from raykg.ops.dedup import windowed_first
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts",
+                                  "event_id"])
+    out = (windowed_first(ev, ["user_id", "event_type"], "ts",
+                          "event_id", 3_600_000_000)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    return out.astype({"win_start": "int64", "ts": "int64"})
+
+
+_SQL_DEDUP_WINDOWED = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts, event_id,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS win_start
+  FROM events
+),
+r AS (
+  SELECT user_id, event_type, win_start, ts, event_id,
+         row_number() OVER (
+           PARTITION BY user_id, event_type, win_start
+           ORDER BY ts, event_id
+         ) AS rn
+  FROM e
+)
+SELECT user_id, event_type, win_start, ts, event_id
+FROM r WHERE rn = 1 ORDER BY event_id
+"""
+
+
 _CLS_FEATURES = ["f_tok", "f_wlen", "f_the", "f_spark"]
 
 
@@ -6151,6 +6308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_gini_customer_spend": _q_gini_customers,
         "feature_target_encode_events": _q_target_encode,
         "window_twa_user_values": _q_twa_user_values,
+        "attribution_last_touch": _q_attribution_last_touch,
+        "star_revenue_by_nation": _q_star_revenue_nation,
+        "dedup_events_windowed": _q_dedup_events_windowed,
         # rows-only (iterative model fit)
         "train_doc_classifier": _q_train_doc_classifier,
         # rows-only (iterative / eigen-based)
@@ -6309,4 +6469,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_gini_customer_spend": _SQL_GINI,
         "feature_target_encode_events": _SQL_TARGET_ENCODE,
         "window_twa_user_values": _SQL_TWA,
+        "attribution_last_touch": _SQL_ATTRIBUTION,
+        "star_revenue_by_nation": _SQL_STAR_NATION,
+        "dedup_events_windowed": _SQL_DEDUP_WINDOWED,
     }

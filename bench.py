@@ -272,6 +272,9 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("agg_gini_customer_spend", em._q_gini_customers)
         timed("feature_target_encode_events", em._q_target_encode)
         timed("window_twa_user_values", em._q_twa_user_values)
+        timed("attribution_last_touch", em._q_attribution_last_touch)
+        timed("star_revenue_by_nation", em._q_star_revenue_nation)
+        timed("dedup_events_windowed", em._q_dedup_events_windowed)
 
     result = {
         "metric": "kg_pipeline_wall",

@@ -1140,3 +1140,54 @@ def _dense_jaccard_pairs(ds, text_col, id_col, shingle_k, threshold,
         })
 
     return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def windowed_first(ds, key_cols: list, ts_col: str, id_col: str,
+                   window_us: int, coarse: int = 256,
+                   win_col: str = "win_start"):
+    """Windowed deduplication: keep the FIRST row — min ``(ts, id)`` —
+    per ``(key_cols..., tumbling window)``; the streaming-dedup-with-
+    TTL approximation every event/log pipeline runs ("one signup
+    event per user per hour"), and the batch form of keyed
+    rate-limiting.
+
+    Scale shape: the exact-dedup combiner — each block pre-picks its
+    own local first per group (the shuffle ships at most one row per
+    distinct (keys, window) per block, never all events), groups
+    co-locate by hash of (keys, window), and one vectorized
+    sort + head(1) per bucket answers many groups per task.  Entirely
+    deterministic: the (ts asc, id asc) rule is what the paired SQL
+    ``row_number()`` oracle computes.
+    -> Dataset(key_cols..., win_start µs, ts, id) — the kept rows.
+    """
+    group = list(key_cols) + [win_col]
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(group + [ts_col, id_col], kind="mergesort")
+        return df.groupby(group, sort=False, as_index=False).head(1)
+
+    def part(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())   # µs since epoch
+        tsv = ts.to_numpy(zero_copy_only=False)
+        win = (tsv // np.int64(window_us)) * np.int64(window_us)
+        df = pd.DataFrame({c: t.column(c).to_pandas() for c in key_cols})
+        df[win_col] = win
+        df[ts_col] = tsv
+        df[id_col] = t.column(id_col).to_numpy(zero_copy_only=False)
+        local = pick(df)
+        # bucket by hash of the composite group (mix columns)
+        h = np.zeros(len(local), dtype=np.uint64)
+        for c in group:
+            col = pa.array(local[c])
+            from raykg.ops.joins import _key_bucket
+            h = h * np.uint64(0x9E3779B97F4A7C15) + _key_bucket(
+                col, 1 << 30).to_numpy(zero_copy_only=False).astype(np.uint64)
+        local = local.assign(_b=(h % np.uint64(coarse)).astype(np.int64))
+        return pa.Table.from_pandas(local, preserve_index=False)
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(lambda g: pick(g).drop(columns=["_b"]),
+                        batch_format="pandas"))

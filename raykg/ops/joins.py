@@ -291,6 +291,7 @@ def asof_join(
     n_salts: int = ASOF_SALTS,
     census: bool = True,
     direction: str = "backward",
+    tolerance: int | None = None,
 ):
     """For each left row: the right row of the same key with the
     greatest ``right_ts`` <= left ``ts`` (``direction='backward'``,
@@ -327,7 +328,21 @@ def asof_join(
     both sides) — a metadata hint for callers who KNOW no key's
     combined row count exceeds ``max_group``; such a key then lands in
     one group task anyway.
+
+    ``tolerance`` (pandas ``merge_asof`` parity — the attribution /
+    staleness window): a match further than this from the left ``ts``
+    is rejected and the row takes ``fill`` instead.  MICROSECONDS for
+    timestamp axes, axis units for integer axes.  Implemented as a
+    composition: the right side carries a copy of its own timestamp
+    through the join, and one stateless post-map clamps out-of-window
+    matches — the shuffle plan, salting, and tie rules are untouched.
     """
+    if tolerance is not None:
+        return _asof_with_tolerance(
+            left_ds, right_ds, key, right_key, ts, right_ts,
+            left_cols, right_cols, fill=fill, coarse=coarse,
+            max_group=max_group, n_salts=n_salts, census=census,
+            direction=direction, tolerance=tolerance)
     if direction == "forward":
         return _asof_forward(
             left_ds, right_ds, key, right_key, ts, right_ts,
@@ -597,6 +612,49 @@ def asof_join(
         return t
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def _asof_with_tolerance(left_ds, right_ds, key, right_key, ts, right_ts,
+                         left_cols, right_cols, fill, tolerance, **kwargs):
+    """asof_join with a max match distance: the right side carries a
+    copy of its timestamp (``_asof_match_ts``) through the ordinary
+    join; a stateless post-map rejects matches with
+    ``|left ts − matched right ts| > tolerance`` (µs for timestamp
+    axes), resetting the right columns to ``fill``.  Unmatched rows
+    (null match ts) pass through already filled."""
+    MATCH = "_asof_match_ts"
+    fills = fill or {}
+
+    def copyts(t: pa.Table) -> pa.Table:
+        return t.append_column(MATCH, t.column(right_ts))
+
+    inner = asof_join(
+        left_ds, right_ds.map_batches(copyts, batch_format="pyarrow"),
+        key, right_key, ts, right_ts, left_cols,
+        list(right_cols) + [MATCH],
+        fill={**fills, MATCH: None}, tolerance=None, **kwargs)
+
+    def clamp(df: pd.DataFrame) -> pd.DataFrame:
+        lt, mt = df[ts], df[MATCH]
+        ok = mt.notna().to_numpy()
+        if np.issubdtype(lt.dtype, np.datetime64):
+            lv = lt.to_numpy().astype("datetime64[ns]").astype("int64")
+            mv = np.where(
+                ok,
+                mt.to_numpy().astype("datetime64[ns]").astype("int64"),
+                np.int64(0))
+            tol = np.int64(tolerance) * 1000  # µs -> ns
+        else:
+            lv = lt.to_numpy().astype(np.int64)
+            mv = np.where(ok, mt.fillna(0).to_numpy().astype(np.int64),
+                          np.int64(0))
+            tol = np.int64(tolerance)
+        within = ok & (np.abs(lv - mv) <= tol)
+        for c in right_cols:
+            df[c] = df[c].where(within, fills.get(c))
+        return df.drop(columns=[MATCH])
+
+    return inner.map_batches(clamp, batch_format="pandas")
 
 
 def _asof_forward(left_ds, right_ds, key, right_key, ts, right_ts,
