@@ -1169,8 +1169,13 @@ def windowed_first(ds, key_cols: list, ts_col: str, id_col: str,
     def part(t: pa.Table) -> pa.Table:
         ts = t.column(ts_col)
         if pa.types.is_timestamp(ts.type):
-            ts = ts.cast(pa.int64())   # µs since epoch
-        tsv = ts.to_numpy(zero_copy_only=False)
+            # normalize to µs: raw cast(int64) yields the column's
+            # NATIVE unit (ns inputs would make hour windows 3.6 ms)
+            from raykg.util import ts_to_us
+
+            tsv = ts_to_us(ts)
+        else:
+            tsv = ts.to_numpy(zero_copy_only=False)
         win = (tsv // np.int64(window_us)) * np.int64(window_us)
         df = pd.DataFrame({c: t.column(c).to_pandas() for c in key_cols})
         df[win_col] = win

@@ -38,7 +38,11 @@ def _bin_counts(ds, col: str, lo: float, width: float, nbins: int) -> np.ndarray
 
     def part(t: pa.Table) -> pa.Table:
         v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
-        b = np.clip(np.floor((v - lo) / width).astype(np.int64), 0, nbins - 1)
+        # the numeric_histogram convention exactly: NaNs dropped (SQL
+        # NULL semantics), clip the FLOAT before the int cast so ±inf
+        # clamp to the edge bins instead of wrapping through INT64_MIN
+        v = v[~np.isnan(v)]
+        b = np.clip(np.floor((v - lo) / width), 0, nbins - 1).astype(np.int64)
         c = np.bincount(b, minlength=nbins).astype(np.int64)
         return pa.table({"bin": pa.array(np.arange(nbins, dtype=np.int64)),
                          "c": pa.array(c)})

@@ -575,11 +575,19 @@ def grouped_ttest(ds, key: str, arm_col: str, val_col: str) -> pd.DataFrame:
         # < 2^53), then pure IEEE ops in the order the SQL mirror uses
         m1 = s1 / n1
         m2 = s2 / n2
+        if n1 < 2.0 or n2 < 2.0:   # no sample variance -> undefined
+            rows.append((k, int(n1), int(n2), m1, m2,
+                         float("nan"), float("nan")))
+            continue
         v1 = (ss1 - s1 * s1 / n1) / (n1 - 1.0)
         v2 = (ss2 - s2 * s2 / n2) / (n2 - 1.0)
         se1 = v1 / n1
         se2 = v2 / n2
         se = se1 + se2
+        if se == 0.0:              # both arms constant -> undefined
+            rows.append((k, int(n1), int(n2), m1, m2,
+                         float("nan"), float("nan")))
+            continue
         t_stat = (m1 - m2) / math.sqrt(se)
         df_w = (se * se) / (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0))
         rows.append((k, int(n1), int(n2), m1, m2, t_stat, df_w))
@@ -609,6 +617,11 @@ def grouped_gini(ds, key: str, val_col: str, coarse: int = 64):
     from raykg.ops.joins import _key_bucket
 
     def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_valid(t.column(key)))  # null keys drop,
+        # matching the pandas-groupby siblings (they'd wrap factorize's
+        # -1 codes into the last real key otherwise)
         return pa.table({
             "k": t.column(key),
             "x": t.column(val_col).cast(pa.int64()),
@@ -673,11 +686,12 @@ def target_encode_loo(ds, cat_col: str, target_col: str,
         pos = kidx.get_indexer(t.column(cat_col).to_pandas())
         y = t.column(target_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        n = ns[pos]
-        num = (ss[pos] - y).astype(np.float64)
+        known = pos >= 0        # null / unseen categories -> NaN
+        n = np.where(known, ns[pos], 0)
+        num = (np.where(known, ss[pos], 0) - y).astype(np.float64)
         den = (n - 1).astype(np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
-            te = np.where(n > 1, num / den, np.nan)
+            te = np.where(known & (n > 1), num / den, np.nan)
         return t.append_column(out_col, pa.array(te, pa.float64()))
 
     return ds.map_batches(apply, batch_format="pyarrow")

@@ -290,8 +290,9 @@ def pareto_coverage(ds, key_col: str, weight_col: str,
         return pa.table({"b": pa.array(np.arange(nb, dtype=np.int32)),
                          "w": pa.array(w)})
 
-    stats = (totals.map_batches(assign, batch_format="pyarrow")
-             .map_batches(range_partials, batch_format="pyarrow")
+    assigned = (totals.map_batches(assign, batch_format="pyarrow")
+                .materialize())   # reused by the cut pass below
+    stats = (assigned.map_batches(range_partials, batch_format="pyarrow")
              .to_pandas())
     wsum = np.zeros(nb, dtype=np.int64)
     for b, w in zip(stats["b"], stats["w"]):
@@ -315,5 +316,4 @@ def pareto_coverage(ds, key_col: str, weight_col: str,
                              "s": s[keep],
                              "cum_before": cum_before[keep]})
 
-    return (totals.map_batches(assign, batch_format="pyarrow")
-            .groupby("_rb").map_groups(cut, batch_format="pandas"))
+    return assigned.groupby("_rb").map_groups(cut, batch_format="pandas")

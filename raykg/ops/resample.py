@@ -114,6 +114,9 @@ def grouped_ewma(ds, key_col: str, val_col: str, order_cols: list,
     one_minus = 1.0 - alpha
 
     def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_valid(t.column(key_col)))  # null keys drop
         cols = {key_col: t.column(key_col)}
         for c in order_cols:
             col = t.column(c)
@@ -176,9 +179,17 @@ def time_weighted_avg(ds, key_col: str, ts_col: str, val_col: str,
     from raykg.ops.joins import _key_bucket
 
     def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_valid(t.column(key_col)))  # null keys drop
         ts = t.column(ts_col)
         if pa.types.is_timestamp(ts.type):
-            ts = ts.cast(pa.int64())   # microseconds since epoch
+            # normalize to µs: raw cast(int64) yields the column's
+            # NATIVE unit (ns inputs would be 1000x off vs the µs
+            # tolerance contract)
+            from raykg.util import ts_to_us
+
+            ts = pa.array(ts_to_us(ts), pa.int64())
         return pa.table({
             "k": t.column(key_col),
             "ts": ts,

@@ -254,8 +254,13 @@ def hash_spread_sample_rows(ds, id_col: str, max_sample: int):
     thr = np.uint64(int(rate * (1 << 32)))
 
     def spread(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
-            np.uint64)
+        col = t.column(id_col)
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            from raykg.util import hash_strings
+
+            ids = np.asarray(hash_strings(col.to_pylist())).astype(np.uint64)
+        else:
+            ids = col.to_numpy(zero_copy_only=False).astype(np.uint64)
         return t.filter(pa.array((ids * _KNUTH) % _M32 < thr))
 
     return (ds.map_batches(spread, batch_format="pyarrow")

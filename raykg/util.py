@@ -46,3 +46,22 @@ def hash_string_columns(*cols: list[str]) -> np.ndarray:
         for col in cols[1:]:
             h = (h * _FNV_PRIME) ^ hash_strings(list(col))
     return h
+
+
+def ts_to_us(col):
+    """Timestamp column -> int64 MICROSECONDS since epoch, any input
+    unit. Arrow refuses a lossy ns->us cast outright, so sub-µs
+    precision is floored explicitly (numpy // — floor, not
+    truncate-toward-zero, for pre-epoch values)."""
+    import numpy as np
+    import pyarrow as pa
+
+    unit = col.type.unit
+    iv = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if unit == "ns":
+        return iv // np.int64(1000)
+    if unit == "us":
+        return iv
+    if unit == "ms":
+        return iv * np.int64(1000)
+    return iv * np.int64(1_000_000)  # 's'

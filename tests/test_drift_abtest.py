@@ -171,3 +171,51 @@ def test_time_weighted_avg_drops_degenerate_keys():
         .to_pandas()
     assert got["k"].tolist() == [3]
     assert got["twa"].iloc[0] == 4.0  # only the first value carries weight
+
+
+def test_ttest_degenerate_keys_nan_not_crash():
+    df = pd.DataFrame({
+        "k": ["solo", "solo", "const", "const", "const", "const"],
+        "arm": ["a", "b", "a", "a", "b", "b"],
+        "x": [5, 9, 3, 3, 3, 3],  # solo: n=1 per arm; const: zero var
+    })
+    got = (grouped_ttest(rd.from_pandas(df), "k", "arm", "x")
+           .sort_values("k").reset_index(drop=True))
+    assert got["t_stat"].isna().all() and got["df"].isna().all()
+    assert got.loc[got["k"] == "const", "mean_a"].iloc[0] == 3.0
+
+
+def test_target_encode_unseen_and_null_category_nan():
+    df = pd.DataFrame({"c": ["a", "a", None, "a"],
+                       "y": np.array([1, 3, 7, 5], dtype=np.int64)})
+    got = target_encode_loo(rd.from_pandas(df), "c", "y").to_pandas()
+    assert got.loc[got["c"].isna(), "te"].isna().all()
+    assert not got.loc[got["c"] == "a", "te"].isna().any()
+
+
+def test_psi_nan_and_inf_values_match_histogram_convention():
+    a = pd.DataFrame({"v": [np.nan, 1.0, np.inf, 55.0]})
+    b = pd.DataFrame({"v": [2.0, 3.0]})
+    got = psi_drift(rd.from_pandas(a), rd.from_pandas(b),
+                    "v", 0.0, 10.0, 4)
+    # NaN dropped (SQL NULL), +inf clamps to the TOP bin, not bin 0
+    assert got["count_a"].tolist() == [1, 0, 0, 2]  # 1.0 | - | - | inf+55
+    assert got["count_b"].tolist() == [2, 0, 0, 0]
+
+
+def test_gini_null_keys_dropped():
+    df = pd.DataFrame({"k": pd.array([1, 1, None, 2], dtype="Int64"),
+                       "x": np.array([4, 6, 9, 5], dtype=np.int64)})
+    got = grouped_gini(rd.from_pandas(df), "k", "x").to_pandas()
+    assert sorted(got["k"].tolist()) == [1, 2]
+
+
+def test_twa_ns_timestamps_and_null_keys():
+    # datetime64[ns] input: µs normalization must not be 1000x off
+    ts = pd.to_datetime([0, 10_000_000], unit="us")  # 10 s apart
+    df = pd.DataFrame({"k": pd.array([1, 1], dtype="Int64"),
+                       "ts": ts, "id": [0, 1],
+                       "x": np.array([4, 100], dtype=np.int64)})
+    got = time_weighted_avg(rd.from_pandas(df), "k", "ts", "x", "id") \
+        .to_pandas()
+    assert got["twa"].iloc[0] == 4.0  # weight = exactly 10^7 µs on x=4

@@ -114,3 +114,13 @@ def test_pareto_coverage_full_fraction_keeps_all_positive():
     got = (pareto_coverage(rd.from_pandas(df), "k", "s", 1, 1)
            .to_pandas().sort_values("k"))
     assert got["k"].tolist() == [1, 2, 3]
+
+
+def test_pareto_coverage_string_keys():
+    df = pd.DataFrame({"k": [f"host{i % 7}" for i in range(200)],
+                       "s": np.arange(1, 201, dtype=np.int64)})
+    got = (pareto_coverage(rd.from_pandas(df, override_num_blocks=5),
+                           "k", "s", 1, 2, coarse=4, n_ranges=4)
+           .to_pandas())
+    ref = _ref_coverage(df, 1, 2)
+    assert sorted(got["k"]) == sorted(ref["k"])

@@ -102,3 +102,14 @@ def test_windowed_first_pinned_and_partition_invariant():
         assert got["id"].tolist() == ref["id"].tolist()
         assert got["win_start"].tolist() == ref["win_start"].tolist()
     assert 0 < len(ref) < n  # dedup really dropped rows
+
+
+def test_windowed_first_ns_timestamps():
+    # two events 30 min apart inside one hour window: ns input must
+    # not shrink the window 1000x (which would keep both)
+    ts = pd.to_datetime([0, 1800], unit="s")  # datetime64[ns]
+    df = pd.DataFrame({"u": [1, 1], "t": ["a", "a"], "ts": ts,
+                       "id": np.array([0, 1], dtype=np.int64)})
+    got = windowed_first(rd.from_pandas(df), ["u", "t"], "ts", "id",
+                         3_600_000_000).to_pandas()
+    assert got["id"].tolist() == [0]
