@@ -691,6 +691,24 @@ def _asof_forward(left_ds, right_ds, key, right_key, ts, right_ts,
 
 BROADCAST_JOIN_BYTES = 64 << 20  # small side under this -> map-side join
 
+# Worker-local deserialization cache for broadcast join sides: a
+# pandas frame in the object store is PICKLED, so every ray.get in
+# every map task re-deserializes it (unlike numpy/Arrow zero-copy
+# reads). One frame per worker process is the right cost; bounded so
+# a long session over many joins can't hoard frames.
+_BCAST_CACHE: "dict[str, object]" = {}
+_BCAST_CACHE_MAX = 4
+
+
+def _get_broadcast(ref):
+    key = ref.hex()
+    hit = _BCAST_CACHE.get(key)
+    if hit is None:
+        if len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+        hit = _BCAST_CACHE[key] = ray.get(ref)
+    return hit
+
 
 @ray.remote
 def _assemble_broadcast_side(block_refs, right_on, on, keys_only,
@@ -777,7 +795,7 @@ def auto_join(
         keys_ref = rdf_ref
 
         def filter_block(t: pa.Table) -> pa.Table:
-            keys = ray.get(keys_ref)
+            keys = _get_broadcast(keys_ref)
             hit = np.isin(t.column(on).to_numpy(zero_copy_only=False), keys)
             return t.select([on] + left_cols).filter(
                 pa.array(hit if how == "semi" else ~hit)
@@ -786,7 +804,7 @@ def auto_join(
         return left_ds.map_batches(filter_block, batch_format="pyarrow")
 
     def join_block(df: pd.DataFrame) -> pd.DataFrame:
-        r = ray.get(rdf_ref)
+        r = _get_broadcast(rdf_ref)
         out = df[[on] + left_cols].merge(r, on=on, how=how)
         return out[[on] + left_cols + right_cols]
 
@@ -950,7 +968,7 @@ def cross_join(
     rdf_ref = _assemble_cross_side.remote(list(refs))
 
     def expand(df: pd.DataFrame) -> pd.DataFrame:
-        r = ray.get(rdf_ref)
+        r = _get_broadcast(rdf_ref)
         if len(r) == 0 or len(df) == 0:
             return pd.DataFrame(columns=left_cols + right_cols)
         left = df[left_cols].loc[df.index.repeat(len(r))].reset_index(drop=True)
