@@ -6172,6 +6172,328 @@ def _q_compact_parquet(sf_dir: str):
     return pd.DataFrame([audit])
 
 
+def _q_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distances (raykg/ops/bfs.py) over the
+    UNDIRECTED order<->part bipartite graph from lineitem (both edge
+    directions emitted), seeded at the minimum order key — "how many
+    link hops from the seed is every entity", the reachability
+    primitive of link-graph curation. Iterative co-partitioned
+    raw-task plan (the pagerank shape): edges bucketed once by
+    h(src), per-level frontier expansion with only per-bucket update
+    counts on the driver. Oracle = recursive CTE closed under
+    min(dist) GROUP BY node; hop cap 3 bounds both sides."""
+    from raykg.ops.bfs import bfs_distances
+
+    line = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                           columns=["l_orderkey", "l_partkey"])
+    seed = int(line.min("l_orderkey"))
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").cast(pa.int64())
+        p = pc.add(t.column("l_partkey").cast(pa.int64()),
+                   pa.scalar(1_000_000_000, type=pa.int64()))
+        return pa.table({
+            "src": pa.chunked_array([o, p]),
+            "dst": pa.chunked_array([p, o]),
+        })
+
+    out = bfs_distances(
+        line.map_batches(both_dirs, batch_format="pyarrow"),
+        [seed], max_hops=3).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+_SQL_BFS_HOPS = """
+WITH RECURSIVE e AS (
+  SELECT l_orderkey::BIGINT AS src,
+         (l_partkey + 1000000000)::BIGINT AS dst FROM lineitem
+  UNION
+  SELECT (l_partkey + 1000000000)::BIGINT, l_orderkey::BIGINT
+  FROM lineitem
+), r(node, dist) AS (
+  SELECT (SELECT min(l_orderkey)::BIGINT FROM lineitem), 0
+  UNION
+  SELECT e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.node
+  WHERE r.dist < 3
+)
+SELECT node, min(dist)::BIGINT AS dist FROM r GROUP BY node
+ORDER BY node
+"""
+
+
+def _q_acf_user_values(sf_dir: str):
+    """Per-user autocorrelation of event values at lags 1 and 2
+    (raykg/ops/resample.py grouped_acf) — burstiness / seasonality of
+    per-entity series. One key-hash exchange, per-bucket vectorized
+    lagged products over the (ts, event_id)-sorted stream; every
+    accumulated quantity is exact int64 (values floored to BIGINT on
+    both sides) and the ratio is ONE pinned float expression, so the
+    lead()-window oracle matches bit-for-bit with no rounding."""
+    from raykg.ops.resample import grouped_acf
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+
+    def flo(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("value"), "value",
+            pc.floor(t.column("value")).cast(pa.int64()))
+
+    out = grouped_acf(ds.map_batches(flo, batch_format="pyarrow"),
+                      "user_id", "ts", "value", "event_id",
+                      lags=(1, 2)).to_pandas()
+    return (out.sort_values(["user_id", "lag"])
+            .reset_index(drop=True))
+
+
+_SQL_ACF_USER_VALUES = """
+WITH o AS (
+  SELECT user_id, CAST(floor(value) AS BIGINT) AS x,
+         lead(CAST(floor(value) AS BIGINT), 1)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x1,
+         lead(CAST(floor(value) AS BIGINT), 2)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x2
+  FROM events
+), s AS (
+  SELECT user_id, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(x * x)::BIGINT AS sxx,
+         sum(CASE WHEN x1 IS NOT NULL THEN x * x1 END)::BIGINT AS s1_1,
+         sum(CASE WHEN x1 IS NOT NULL THEN x END)::BIGINT AS sh_1,
+         sum(x1)::BIGINT AS st_1, count(x1)::BIGINT AS nl_1,
+         sum(CASE WHEN x2 IS NOT NULL THEN x * x2 END)::BIGINT AS s1_2,
+         sum(CASE WHEN x2 IS NOT NULL THEN x END)::BIGINT AS sh_2,
+         sum(x2)::BIGINT AS st_2, count(x2)::BIGINT AS nl_2
+  FROM o GROUP BY user_id
+), m AS (
+  SELECT *, sx::DOUBLE / n::DOUBLE AS mu,
+         sxx::DOUBLE - (sx::DOUBLE / n::DOUBLE) * sx::DOUBLE AS den
+  FROM s
+)
+SELECT user_id, lag, n, acf FROM (
+  SELECT user_id, 1::BIGINT AS lag, n, nl_1 AS nl,
+         (s1_1::DOUBLE - mu * sh_1::DOUBLE - mu * st_1::DOUBLE
+          + nl_1::DOUBLE * mu * mu) / den AS acf, den
+  FROM m
+  UNION ALL
+  SELECT user_id, 2::BIGINT, n, nl_2,
+         (s1_2::DOUBLE - mu * sh_2::DOUBLE - mu * st_2::DOUBLE
+          + nl_2::DOUBLE * mu * mu) / den, den
+  FROM m
+) WHERE nl > 0 AND den <> 0.0
+ORDER BY user_id, lag
+"""
+
+
+def _q_mi_lang_source(sf_dir: str):
+    """Mutual information between document lang and source
+    (raykg/ops/profile.py mutual_information) — the feature-relevance
+    companion to profile_chi2_lang_source. Per-block (a, b)
+    pre-counts (category-bounded exchange); every term is one float
+    expression of exact BIGINT products through libm ln, folded left
+    in (a, b) order == DuckDB list_sum(list(term ORDER BY a, b)) —
+    bit-exact, no rounding."""
+    from raykg.ops.profile import mutual_information
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["lang", "source"])
+    return mutual_information(ds, "lang", "source")
+
+
+_SQL_MI_LANG_SOURCE = """
+WITH cnt AS (
+  SELECT lang AS a, source AS b, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2
+), ra AS (SELECT a, sum(c)::BIGINT AS ra FROM cnt GROUP BY a),
+rb AS (SELECT b, sum(c)::BIGINT AS rb FROM cnt GROUP BY b),
+tot AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS n_cells
+        FROM cnt),
+terms AS (
+  SELECT cnt.a, cnt.b,
+         (c::DOUBLE / t.n::DOUBLE)
+         * ln((c * t.n)::DOUBLE / (ra.ra * rb.rb)::DOUBLE) AS term
+  FROM cnt JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot t
+)
+SELECT t.n, t.n_cells,
+       (SELECT list_sum(list(term ORDER BY a, b)) FROM terms) AS mi
+FROM tot t
+"""
+
+
+def _q_assoc_rules_parts(sf_dir: str):
+    """Association rules over part pairs sharing an order
+    (raykg/ops/cooccur.py association_rules): top-20 pairs by support
+    with confidence = n_ab/n_a and lift = n_ab·N/(n_a·n_b), both rule
+    directions. ONE basket-hash exchange emits pair counts, per-item
+    distinct-basket partials, and basket counts as a tagged union;
+    item supports are consumed filtered to the <= 2k items the
+    surviving pairs mention. All stats exact int64; confidence/lift
+    each one float division of exact BIGINT products — oracle
+    bit-exact."""
+    from raykg.ops.cooccur import association_rules
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_partkey"])
+    out = association_rules(ds, "l_orderkey", "l_partkey",
+                            k=20, min_count=2)
+    return out.astype({"antecedent": "int64", "consequent": "int64",
+                       "pair_n": "int64", "ante_n": "int64",
+                       "cons_n": "int64", "n_baskets": "int64"})
+
+
+_SQL_ASSOC_RULES = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+), pairs AS (
+  SELECT x.it AS a, y.it AS bb, count(*)::BIGINT AS c
+  FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), top AS (
+  SELECT * FROM pairs ORDER BY c DESC, a, bb LIMIT 20
+), itn AS (
+  SELECT it, count(DISTINCT bk)::BIGINT AS n FROM b GROUP BY it
+), nb AS (SELECT count(DISTINCT bk)::BIGINT AS nb FROM b)
+SELECT antecedent, consequent, pair_n, ante_n, cons_n, n_baskets,
+       confidence, lift
+FROM (
+  SELECT a::BIGINT AS antecedent, bb::BIGINT AS consequent,
+         c AS pair_n, ia.n AS ante_n, ib.n AS cons_n,
+         nb.nb AS n_baskets,
+         c::DOUBLE / ia.n::DOUBLE AS confidence,
+         (c * nb.nb)::DOUBLE / (ia.n * ib.n)::DOUBLE AS lift
+  FROM top JOIN itn ia ON ia.it = a JOIN itn ib ON ib.it = bb
+       CROSS JOIN nb
+  UNION ALL
+  SELECT bb::BIGINT, a::BIGINT, c, ib.n, ia.n, nb.nb,
+         c::DOUBLE / ib.n::DOUBLE,
+         (c * nb.nb)::DOUBLE / (ib.n * ia.n)::DOUBLE
+  FROM top JOIN itn ia ON ia.it = a JOIN itn ib ON ib.it = bb
+       CROSS JOIN nb
+)
+ORDER BY pair_n DESC, antecedent, consequent
+"""
+
+
+def _q_pointintime_lineitem(sf_dir: str):
+    """Point-in-time (temporal) join: each lineitem "fact" row is
+    stamped with a query snapshot s = (l_orderkey·7 + l_linenumber)
+    % 4 + 1 and joins the orders SCD2 history version valid AT s —
+    the event-to-slowly-changing-dimension join every warehouse runs.
+    Composition: scd2_history (raykg/ops/scd.py, same 4-snapshot
+    derivation as scd2_orders_history) -> backward asof_join on the
+    INTEGER snapshot axis keyed by order (raykg/ops/joins.py) -> one
+    stateless validity clamp (valid_to > s rejects delete-gap
+    matches, exactly the range-join semantics since versions are
+    disjoint). Exact-int aggregate per snapshot; oracle = range join
+    over the identical history CTE."""
+    from raykg.ops.joins import asof_join
+    from raykg.ops.scd import scd2_history
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    path = os.path.join(sf_dir, "orders.parquet")
+
+    def derive(s: int):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+            cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            price = t.column("o_totalprice").to_numpy(
+                zero_copy_only=False)
+            keep = (k + s) % 89 != 0
+            p2 = np.where(k % 11 < s, price + float(s), price)
+            return pa.table({"o_orderkey": k[keep],
+                             "o_custkey": cust[keep],
+                             "o_totalprice": p2[keep]})
+        return fn
+
+    snaps = [rd.read_parquet(path, columns=cols).map_batches(
+        derive(s), batch_format="pyarrow") for s in range(1, 5)]
+    hist = scd2_history(snaps, "o_orderkey",
+                        ["o_custkey", "o_totalprice"])
+
+    def facts(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ln = t.column("l_linenumber").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"l_orderkey": pa.array(k),
+                         "s": pa.array((k * 7 + ln) % 4 + 1)})
+
+    fact_ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber"],
+    ).map_batches(facts, batch_format="pyarrow")
+
+    joined = asof_join(
+        fact_ds, hist, key="l_orderkey", right_key="o_orderkey",
+        ts="s", right_ts="valid_from", left_cols=[],
+        right_cols=["valid_to", "o_totalprice"],
+        fill={"valid_to": -1, "o_totalprice": 0.0}, census=False)
+
+    def per_snap(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        # validity clamp: backward asof picked the latest version
+        # STARTING at or before s; keep it only if still valid at s
+        ok = pc.greater(t.column("valid_to"), t.column("s"))
+        t = t.filter(ok)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        fl = np.floor(p).astype(np.int64)
+        out = (pd.DataFrame({"s": s, "fp": fl})
+               .groupby("s", as_index=False)
+               .agg(n=("fp", "size"), sum_price=("fp", "sum")))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = joined.map_batches(per_snap,
+                               batch_format="pyarrow").to_pandas()
+    out = (parts.groupby("s", as_index=False)
+           .agg(n=("n", "sum"), sum_price=("sum_price", "sum"))
+           .astype({"s": "int64", "n": "int64", "sum_price": "int64"})
+           .sort_values("s").reset_index(drop=True))
+    return out
+
+
+_SQL_POINTINTIME = """
+WITH snaps AS (
+  SELECT t.s AS snap, o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 11 < t.s
+              THEN o_totalprice + CAST(t.s AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders, range(1, 5) t(s)
+  WHERE (o_orderkey + t.s) % 89 <> 0
+), m AS (
+  SELECT *, CASE WHEN lag(snap) OVER w IS NULL
+                 OR lag(snap) OVER w <> snap - 1
+                 OR lag(o_custkey) OVER w IS DISTINCT FROM o_custkey
+                 OR lag(o_totalprice) OVER w
+                    IS DISTINCT FROM o_totalprice
+            THEN 1 ELSE 0 END AS st
+  FROM snaps
+  WINDOW w AS (PARTITION BY o_orderkey ORDER BY snap)
+), v AS (
+  SELECT *, sum(st) OVER (PARTITION BY o_orderkey ORDER BY snap)
+            AS vid
+  FROM m
+), hist AS (
+  SELECT o_orderkey, min(o_totalprice) AS o_totalprice,
+         min(snap)::BIGINT AS valid_from,
+         (max(snap) + 1)::BIGINT AS valid_to
+  FROM v GROUP BY o_orderkey, vid
+), facts AS (
+  SELECT l_orderkey, (l_orderkey * 7 + l_linenumber) % 4 + 1 AS s
+  FROM lineitem
+)
+SELECT f.s::BIGINT AS s, count(*)::BIGINT AS n,
+       sum(CAST(floor(h.o_totalprice) AS BIGINT))::BIGINT AS sum_price
+FROM facts f JOIN hist h
+  ON h.o_orderkey = f.l_orderkey
+ AND h.valid_from <= f.s AND f.s < h.valid_to
+GROUP BY f.s ORDER BY s
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -6323,6 +6645,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_last_touch": _q_attribution_last_touch,
         "star_revenue_by_nation": _q_star_revenue_nation,
         "dedup_events_windowed": _q_dedup_events_windowed,
+        "graph_bfs_hops": _q_bfs_hops,
+        "ts_autocorrelation_users": _q_acf_user_values,
+        "profile_mutual_information": _q_mi_lang_source,
+        "assoc_rules_part_pairs": _q_assoc_rules_parts,
+        "join_pointintime_lineitem": _q_pointintime_lineitem,
         # rows-only (iterative model fit)
         "train_doc_classifier": _q_train_doc_classifier,
         # rows-only (iterative / eigen-based)
@@ -6417,6 +6744,11 @@ def oracle_sql() -> dict[str, str]:
         "validate_fk_relations": _SQL_VALIDATE_FK,
         "keywords_per_source": _SQL_DISTINCTIVE_TERMS,
         "analytics_event_transitions": _SQL_EVENT_TRANSITIONS,
+        "graph_bfs_hops": _SQL_BFS_HOPS,
+        "ts_autocorrelation_users": _SQL_ACF_USER_VALUES,
+        "profile_mutual_information": _SQL_MI_LANG_SOURCE,
+        "assoc_rules_part_pairs": _SQL_ASSOC_RULES,
+        "join_pointintime_lineitem": _SQL_POINTINTIME,
         "extract_props_k": _SQL_EXTRACT_PROPS_K,
         "bin_quantity_equidepth": _SQL_BIN_QUANTITY,
         "graph_triangle_count": _SQL_TRIANGLES,

@@ -129,3 +129,161 @@ def cooccurrence_pairs(
                               ascending=[False, True, True],
                               kind="mergesort").head(k)
     return parts.reset_index(drop=True)
+
+
+def association_rules(
+    ds,
+    basket_col: str,
+    item_col: str,
+    k: int = 50,
+    min_count: int = 2,
+    coarse: int = COOCCUR_BUCKETS,
+    max_basket: int | None = None,
+):
+    """Market-basket association rules over the top-``k``
+    co-occurring pairs (by support): for each frequent pair both
+    directed rules ``a -> b`` and ``b -> a`` with
+    ``confidence = n_ab / n_a`` and
+    ``lift = n_ab·N / (n_a·n_b)`` (N = distinct baskets) — the
+    classic apriori 2-itemset output ranked exactly as a SQL oracle
+    ranks it.
+
+    Scale shape: ONE h(basket) exchange emits a tagged union from
+    each basket bucket — pre-aggregated pair counts (kind 0, the
+    ``cooccurrence_pairs`` lag-sweep plan), per-item distinct-basket
+    partials (kind 1, the ops/vocab Zipf-head bound: one row per
+    distinct item per bucket), and the bucket's basket count
+    (kind 2).  The union materializes once; pairs route through the
+    pair-key exchange + per-bucket top-k (driver merges <= k·buckets
+    rows), and the item/basket sides are consumed FILTERED to the
+    <= 2k items the surviving pairs mention (broadcast isin), so the
+    driver never holds the vocabulary.  Every statistic is exact
+    int64; confidence and lift are each ONE float division of exact
+    BIGINT products — a DuckDB oracle mirrors them bit-for-bit.
+    -> pandas ``(antecedent, consequent, pair_n, ante_n, cons_n,
+    n_baskets, confidence, lift)``, 2 rows per top-k pair, ordered by
+    (pair_n desc, antecedent, consequent).
+    """
+    import pyarrow.compute as pc
+
+    def bucket_rows(t: pa.Table) -> pa.Table:
+        t = t.select([basket_col, item_col])
+        return t.append_column(
+            "_bk", _key_bucket(t.column(basket_col), coarse))
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([basket_col, item_col]).sort_values(
+            [basket_col, item_col], kind="mergesort")
+        if max_basket is not None:
+            sz = g.groupby(basket_col, sort=False)[item_col].transform(
+                "size")
+            g = g[sz <= max_basket]
+        a, b = _emit_pairs(g[basket_col].to_numpy(),
+                           g[item_col].to_numpy())
+        pairs = (pd.DataFrame({"item_a": a, "item_b": b})
+                 .groupby(["item_a", "item_b"], sort=False)
+                 .size().rename("cnt").reset_index())
+        pairs["kind"] = np.int32(0)
+        items = (g.groupby(item_col, sort=False)[basket_col]
+                 .size().rename("cnt").reset_index()
+                 .rename(columns={item_col: "item_a"}))
+        items["item_b"] = items["item_a"]
+        items["kind"] = np.int32(1)
+        nb = pd.DataFrame({
+            "item_a": g[item_col].iloc[:1],
+            "item_b": g[item_col].iloc[:1],
+            "cnt": [g[basket_col].nunique()],
+            "kind": [np.int32(2)],
+        })
+        cols = ["item_a", "item_b", "cnt", "kind"]
+        return pd.concat([pairs[cols], items[cols], nb[cols]],
+                         ignore_index=True)
+
+    tagged = (ds.map_batches(bucket_rows, batch_format="pyarrow")
+              .groupby("_bk")
+              .map_groups(bucket_stats, batch_format="pandas")
+              ).materialize()
+
+    # pairs: the cooccurrence_pairs tail (pair-key exchange, top-k);
+    # string items hash through hash_strings, ints directly
+    def _u64(col: pa.ChunkedArray) -> np.ndarray:
+        if pa.types.is_string(col.type) or pa.types.is_large_string(
+                col.type):
+            from raykg.util import hash_strings
+
+            return np.asarray(hash_strings(col.to_pylist()),
+                              dtype=np.uint64)
+        return col.to_numpy(zero_copy_only=False).astype(np.uint64)
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), 0))
+        from raykg.ops.sample import _murmur64
+
+        h = _murmur64(_u64(t.column("item_a")) * np.uint64(1000003)
+                      ^ _u64(t.column("item_b")))
+        return t.append_column(
+            "_pb", pa.array((h % np.uint64(coarse)).astype(np.int32)))
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby(["item_a", "item_b"], sort=False)["cnt"].sum()
+             .reset_index())
+        m = m[m["cnt"] >= min_count]
+        m = m.sort_values(["cnt", "item_a", "item_b"],
+                          ascending=[False, True, True],
+                          kind="mergesort")
+        return m.head(k)
+
+    pairs = (tagged.map_batches(pair_bucket, batch_format="pyarrow")
+             .groupby("_pb")
+             .map_groups(bucket_topk, batch_format="pandas")
+             .to_pandas())
+    out_cols = ["antecedent", "consequent", "pair_n", "ante_n",
+                "cons_n", "n_baskets", "confidence", "lift"]
+    if len(pairs) == 0:  # every bucket filtered out below min_count
+        return pd.DataFrame(columns=out_cols)
+    pairs = (pairs.sort_values(["cnt", "item_a", "item_b"],
+                               ascending=[False, True, True],
+                               kind="mergesort").head(k)
+             .drop(columns=["kind"], errors="ignore")
+             .reset_index(drop=True))
+
+    if len(pairs) == 0:
+        return pd.DataFrame(columns=out_cols)
+
+    # item supports, filtered map-side to the items the pairs mention
+    import ray
+
+    relevant = np.unique(np.concatenate([
+        pairs["item_a"].to_numpy(), pairs["item_b"].to_numpy()]))
+    rel_ref = ray.put(pa.array(relevant))
+
+    def item_rows(t: pa.Table) -> pa.Table:
+        rel = ray.get(rel_ref)
+        t = t.filter(pc.equal(t.column("kind"), 1))
+        return (t.filter(pc.is_in(t.column("item_a"), value_set=rel))
+                .select(["item_a", "cnt"]))
+
+    item_n = (tagged.map_batches(item_rows, batch_format="pyarrow")
+              .to_pandas()
+              .groupby("item_a")["cnt"].sum().astype(np.int64))
+
+    def basket_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("kind"), 2)).select(["cnt"])
+
+    n_baskets = int(tagged.map_batches(
+        basket_rows, batch_format="pyarrow").to_pandas()["cnt"].sum())
+
+    rows = []
+    for r in pairs.itertuples():
+        na = int(item_n[r.item_a])
+        nb_ = int(item_n[r.item_b])
+        c = int(r.cnt)
+        for ante, cons, n1, n2 in ((r.item_a, r.item_b, na, nb_),
+                                   (r.item_b, r.item_a, nb_, na)):
+            rows.append((ante, cons, c, n1, n2, n_baskets,
+                         float(c) / float(n1),
+                         float(c * n_baskets) / float(n1 * n2)))
+    out = pd.DataFrame(rows, columns=out_cols)
+    return (out.sort_values(["pair_n", "antecedent", "consequent"],
+                            ascending=[False, True, True],
+                            kind="mergesort").reset_index(drop=True))

@@ -695,3 +695,49 @@ def target_encode_loo(ds, cat_col: str, target_col: str,
         return t.append_column(out_col, pa.array(te, pa.float64()))
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def mutual_information(ds, col_a: str, col_b: str) -> pd.DataFrame:
+    """Mutual information (nats) between two categorical columns —
+    the feature-relevance / redundancy measure beside
+    ``chi2_contingency`` (chi2 answers "dependent at all?"; MI
+    answers "how many bits does one column carry about the other?" —
+    the quantity feature selection and leakage audits rank by).
+
+    ``MI = Σ_{observed (a,b)} (c/n)·ln( c·n / (r_a·r_b) )`` over the
+    exact int64 cell grid (zero-observed cells contribute exactly 0
+    and are excluded on both sides).  Scale shape: the
+    ``chi2_contingency`` plan — per-block (a, b) pre-counts, so the
+    exchange is O(blocks × |A|·|B|), category-cardinality-bounded by
+    the "categorical" contract, never O(rows).  Every term is ONE
+    float expression of exact ints (``c·n`` and ``r_a·r_b`` are exact
+    BIGINT products) through libm ``log``, folded LEFT in
+    (a, b)-ascending order — bit-identical to a DuckDB
+    ``list_sum(list(term ORDER BY a, b))`` oracle, no rounding.
+    -> one row ``(n, n_cells, mi)``.
+    """
+    import math
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "a": t.column(col_a).to_pandas(),
+            "b": t.column(col_b).to_pandas(),
+        })
+        g = df.groupby(["a", "b"], sort=False).size().rename("c")
+        return pa.Table.from_pandas(g.reset_index(),
+                                    preserve_index=False)
+
+    cells = (ds.map_batches(part, batch_format="pyarrow")
+             .to_pandas()
+             .groupby(["a", "b"], as_index=False)["c"].sum())
+    n = int(cells["c"].sum())
+    ra = cells.groupby("a")["c"].sum()
+    rb = cells.groupby("b")["c"].sum()
+    cells = cells.sort_values(["a", "b"], kind="mergesort")
+    mi = 0.0
+    for r in cells.itertuples():  # (a, b)-ascending left fold
+        c = int(r.c)
+        mi += (float(c) / float(n)) * math.log(
+            float(c * n) / float(int(ra[r.a]) * int(rb[r.b])))
+    return pd.DataFrame({"n": [n], "n_cells": [int(len(cells))],
+                         "mi": [mi]})

@@ -221,3 +221,88 @@ def time_weighted_avg(ds, key_col: str, ts_col: str, val_col: str,
 
     return (ds.map_batches(project, batch_format="pyarrow")
             .groupby("_b").map_groups(fold, batch_format="pandas"))
+
+
+def grouped_acf(ds, key_col: str, ts_col: str, val_col: str,
+                tiebreak_col: str, lags: tuple[int, ...] = (1, 2),
+                coarse: int = 64):
+    """Per-key sample autocorrelation at the requested ``lags`` over
+    rows ordered by ``(ts, tiebreak)`` — the seasonality / burstiness
+    signal of per-entity event series (is a user's activity value
+    correlated with their previous one?).
+
+    Estimator (the standard plug-in form, shared-mean variant):
+    ``r_L = Σ_{i<=n-L}(x_i - x̄)(x_{i+L} - x̄) / Σ(x_i - x̄)²``,
+    expanded so every accumulated quantity is an EXACT int64 —
+    ``S1 = Σ x_i·x_{i+L}``, head/tail sums, ``Sx``, ``Sxx`` — and the
+    ratio is ONE pinned float expression
+    ``(S1 - m·Sh - m·St + nL·m·m) / (Sxx - m·Sx)`` with ``m = Sx/n``,
+    mirrored operand-for-operand by a DuckDB ``lead()`` window oracle
+    (bit-exact, no rounding).  Values must be integral (callers floor
+    floats explicitly so the contract is visible in the SQL too).
+
+    Scale shape: rows co-locate by key hash (ONE exchange — the
+    ``time_weighted_avg`` shape and hot-key caveat); each bucket task
+    lexsorts once and computes every key's lagged products for all
+    lags vectorized (the shifted-slice trick over the key-contiguous
+    sorted array).  Keys with ``n <= L`` (no lagged pair) or zero
+    variance are dropped, mirrored by the oracle's HAVING.
+    -> Dataset(key, lag, n, acf).
+    """
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_valid(t.column(key_col)))
+        return pa.table({
+            "k": t.column(key_col),
+            "ts": t.column(ts_col),
+            "tb": t.column(tiebreak_col),
+            "x": t.column(val_col).cast(pa.int64()),
+            "_b": _key_bucket(t.column(key_col), coarse),
+        })
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["k", "ts", "tb"], kind="stable")
+        codes, uniq = pd.factorize(df["k"], sort=False)
+        x = df["x"].to_numpy(dtype=np.int64)
+        g = len(uniq)
+        n = np.bincount(codes, minlength=g).astype(np.int64)
+        sx = np.zeros(g, np.int64)
+        sxx = np.zeros(g, np.int64)
+        np.add.at(sx, codes, x)
+        np.add.at(sxx, codes, x * x)
+        out_key, out_lag, out_n, out_acf = [], [], [], []
+        for lag in lags:
+            if len(x) > lag:
+                same = codes[lag:] == codes[:-lag]
+                ch, ct = codes[:-lag][same], x[:-lag][same]
+                xt = x[lag:][same]
+                s1 = np.zeros(g, np.int64)
+                sh = np.zeros(g, np.int64)
+                st = np.zeros(g, np.int64)
+                nl = np.bincount(ch, minlength=g).astype(np.int64)
+                np.add.at(s1, ch, ct * xt)
+                np.add.at(sh, ch, ct)
+                np.add.at(st, ch, xt)
+            else:
+                s1 = sh = st = np.zeros(g, np.int64)
+                nl = np.zeros(g, np.int64)
+            m = sx.astype(np.float64) / n.astype(np.float64)
+            den = sxx.astype(np.float64) - m * sx.astype(np.float64)
+            keep = (nl > 0) & (den != 0.0)
+            num = (s1.astype(np.float64) - m * sh.astype(np.float64)
+                   - m * st.astype(np.float64)
+                   + nl.astype(np.float64) * m * m)
+            out_key.append(np.asarray(uniq)[keep])
+            out_lag.append(np.full(int(keep.sum()), lag, np.int64))
+            out_n.append(n[keep])
+            out_acf.append(num[keep] / den[keep])
+        return pd.DataFrame({
+            key_col: np.concatenate(out_key),
+            "lag": np.concatenate(out_lag),
+            "n": np.concatenate(out_n),
+            "acf": np.concatenate(out_acf),
+        })
+
+    return (ds.map_batches(project, batch_format="pyarrow")
+            .groupby("_b").map_groups(fold, batch_format="pandas"))
