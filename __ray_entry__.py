@@ -6494,6 +6494,120 @@ GROUP BY f.s ORDER BY s
 """
 
 
+def _q_containment_quotes(sf_dir: str):
+    """Asymmetric containment join (raykg/ops/dedup.py
+    containment_join): snippet rows (35-char substrings of every
+    13th document, ids offset by 1e6) joined against documents where
+    |S_snip ∩ S_doc| / |S_snip| >= 0.8 over 5-gram sets — the quote /
+    excerpt detector (jaccard would punish the snippet's tiny union
+    ratio). One-sided prefix filtering: snippets emit AllPairs
+    prefixes, documents emit full posting lists; exact verification
+    via the adaptive broadcast-vs-shuffle stage with the containment
+    metric. Oracle = brute-force substring-shingle cross join; shared
+    half-up rounding at 1e-4 (the jaccard_dup_pairs convention)."""
+    from raykg.ops.dedup import containment_join
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def mk_snips(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % 13 == 0
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": pc.add(t.column("doc_id"),
+                             pa.scalar(1_000_000, type=pa.int64())),
+            "text": pc.utf8_slice_codeunits(t.column("text"), 10, 45),
+        })
+
+    snips = docs.map_batches(mk_snips, batch_format="pyarrow")
+    out = containment_join(snips, docs, threshold=0.8,
+                           shingle_k=5).to_pandas()
+    out["containment"] = np.floor(
+        out["containment"] * 10000 + 0.5) / 10000
+    return out.sort_values(["id_l", "id_r"]).reset_index(drop=True)
+
+
+_SQL_CONTAINMENT = """
+WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+snips AS (
+  SELECT doc_id + 1000000 AS sid, lower(substr(text, 11, 35)) AS t
+  FROM documents WHERE doc_id % 13 = 0
+),
+shd AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest([substr(t, i, 5) FOR i IN range(1, length(t) - 3)]) AS g
+    FROM docs WHERE length(t) >= 5
+    UNION ALL
+    SELECT doc_id, t AS g FROM docs WHERE length(t) < 5
+  )
+),
+shs AS (
+  SELECT DISTINCT sid, g FROM (
+    SELECT sid,
+           unnest([substr(t, i, 5) FOR i IN range(1, length(t) - 3)]) AS g
+    FROM snips WHERE length(t) >= 5
+    UNION ALL
+    SELECT sid, t AS g FROM snips WHERE length(t) < 5
+  )
+),
+sz AS (SELECT sid, count(*) AS n FROM shs GROUP BY 1),
+pairs AS (
+  SELECT s.sid, d.doc_id, count(*) AS inter
+  FROM shs s JOIN shd d ON s.g = d.g GROUP BY 1, 2
+)
+SELECT sid AS id_l, doc_id AS id_r,
+       floor(inter::DOUBLE / sz.n * 10000 + 0.5) / 10000 AS containment
+FROM pairs JOIN sz USING (sid)
+WHERE inter::DOUBLE / sz.n >= 0.8
+ORDER BY id_l, id_r
+"""
+
+
+def _q_match_user_journeys(sf_dir: str):
+    """MATCH_RECOGNIZE-lite (raykg/ops/funnel.py
+    sequence_pattern_match): per user, count non-overlapping matches
+    of the journey regex ``vc*p`` (view, any clicks, purchase) over
+    the (ts, event_id)-ordered event-type sequence; other event types
+    become gaps. One key-hash exchange; char mapping vectorized, only
+    the regex scan per-key. Oracle = string_agg(ch ORDER BY ts,
+    event_id) + RE2 regexp_extract_all — identical non-overlapping
+    left-to-right scan for backreference-free patterns."""
+    from raykg.ops.funnel import sequence_pattern_match
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    sym = {"view": "v", "click": "c", "purchase": "p", "signup": "s"}
+    out = sequence_pattern_match(
+        ds, "user_id", "ts", "event_id", "event_type",
+        sym, "vc*p").to_pandas()
+    return (out.astype({"user_id": "int64"})
+            .sort_values("user_id").reset_index(drop=True))
+
+
+_SQL_MATCH_JOURNEYS = """
+WITH o AS (
+  SELECT user_id,
+         CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+              ELSE '-' END AS ch,
+         ts, event_id
+  FROM events
+), s AS (
+  SELECT user_id, string_agg(ch, '' ORDER BY ts, event_id) AS seq,
+         count(*)::BIGINT AS n_events
+  FROM o GROUP BY user_id
+)
+SELECT user_id, n_events,
+       len(regexp_extract_all(seq, 'vc*p'))::BIGINT AS n_matches
+FROM s WHERE len(regexp_extract_all(seq, 'vc*p')) > 0
+ORDER BY user_id
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -6650,6 +6764,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_mutual_information": _q_mi_lang_source,
         "assoc_rules_part_pairs": _q_assoc_rules_parts,
         "join_pointintime_lineitem": _q_pointintime_lineitem,
+        "contain_quotes_documents": _q_containment_quotes,
+        "match_user_journeys": _q_match_user_journeys,
         # rows-only (iterative model fit)
         "train_doc_classifier": _q_train_doc_classifier,
         # rows-only (iterative / eigen-based)
@@ -6749,6 +6865,8 @@ def oracle_sql() -> dict[str, str]:
         "profile_mutual_information": _SQL_MI_LANG_SOURCE,
         "assoc_rules_part_pairs": _SQL_ASSOC_RULES,
         "join_pointintime_lineitem": _SQL_POINTINTIME,
+        "contain_quotes_documents": _SQL_CONTAINMENT,
+        "match_user_journeys": _SQL_MATCH_JOURNEYS,
         "extract_props_k": _SQL_EXTRACT_PROPS_K,
         "bin_quantity_equidepth": _SQL_BIN_QUANTITY,
         "graph_triangle_count": _SQL_TRIANGLES,

@@ -275,6 +275,13 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("attribution_last_touch", em._q_attribution_last_touch)
         timed("star_revenue_by_nation", em._q_star_revenue_nation)
         timed("dedup_events_windowed", em._q_dedup_events_windowed)
+        timed("graph_bfs_hops", em._q_bfs_hops)
+        timed("ts_autocorrelation_users", em._q_acf_user_values)
+        timed("profile_mutual_information", em._q_mi_lang_source)
+        timed("assoc_rules_part_pairs", em._q_assoc_rules_parts)
+        timed("join_pointintime_lineitem", em._q_pointintime_lineitem)
+        timed("contain_quotes_documents", em._q_containment_quotes)
+        timed("match_user_journeys", em._q_match_user_journeys)
 
     result = {
         "metric": "kg_pipeline_wall",

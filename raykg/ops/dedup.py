@@ -221,18 +221,23 @@ def minhash_lsh_pairs(
 
 
 def _verify_candidate_pairs(ds, candidates, text_col, id_col, shingle_k,
-                            threshold, broadcast_pairs, broadcast_bytes):
-    """Exact-jaccard verification of an (id_a, id_b) candidate-pair
-    Dataset against the corpus ``ds`` — the adaptive
-    broadcast-vs-shuffle join stage shared by ``minhash_lsh_pairs``
-    and ``jaccard_near_dup_pairs``. See minhash_lsh_pairs' docstring
-    for the strategy rules. -> Dataset(id_a, id_b, jaccard)."""
+                            threshold, broadcast_pairs, broadcast_bytes,
+                            metric: str = "jaccard",
+                            score_col: str = "jaccard"):
+    """Exact set-similarity verification of an (id_a, id_b)
+    candidate-pair Dataset against the corpus ``ds`` — the adaptive
+    broadcast-vs-shuffle join stage shared by ``minhash_lsh_pairs``,
+    ``jaccard_near_dup_pairs`` and ``containment_join``. See
+    minhash_lsh_pairs' docstring for the strategy rules. ``metric``:
+    'jaccard' (|A∩B|/|A∪B|) or 'containment_a' (|A∩B|/|A|, the
+    asymmetric quote-detection score — id_a is the contained side).
+    -> Dataset(id_a, id_b, <score_col>)."""
     candidates = _dedup_pairs(candidates).materialize()
     n_cand = candidates.count()
     if n_cand == 0:
         return ray.data.from_pandas(
-            pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+            pd.DataFrame({"id_a": [], "id_b": [], score_col: []}).astype(
+                {"id_a": "int64", "id_b": "int64", score_col: "float64"}
             )
         )
 
@@ -253,13 +258,18 @@ def _verify_candidate_pairs(ds, candidates, text_col, id_col, shingle_k,
 
         return sh
 
+    contain = metric == "containment_a"
+
     def jaccard_rows(a, b, ta, tb, lookup_get=lambda i: ""):
         sh = make_sh(lookup_get)
         out_a, out_b, out_j = [], [], []
         for i, j, x, y in zip(a.tolist(), b.tolist(), ta, tb):
             sa, sb = sh(int(i), x), sh(int(j), y)
-            union = len(sa | sb)
-            jac = (len(sa & sb) / union) if union else 1.0
+            if contain:
+                den = len(sa)
+            else:
+                den = len(sa | sb)
+            jac = (len(sa & sb) / den) if den else 1.0
             if jac >= threshold:
                 out_a.append(i)
                 out_b.append(j)
@@ -268,7 +278,7 @@ def _verify_candidate_pairs(ds, candidates, text_col, id_col, shingle_k,
             {
                 "id_a": pa.array(out_a, type=pa.int64()),
                 "id_b": pa.array(out_b, type=pa.int64()),
-                "jaccard": pa.array(out_j, type=pa.float64()),
+                score_col: pa.array(out_j, type=pa.float64()),
             }
         )
 
@@ -709,6 +719,136 @@ def jaccard_similarity_join(
         union, candidates, "text", "gid", shingle_k, threshold,
         broadcast_pairs, broadcast_bytes,
     )
+    return verified.map_batches(decode, batch_format="pyarrow")
+
+
+def containment_join(
+    left_ds,
+    right_ds,
+    left_text: str = "text",
+    right_text: str = "text",
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    broadcast_pairs: int = 1 << 18,
+    broadcast_bytes: int = 256 << 20,
+):
+    """EXACT asymmetric containment join: every (left, right) pair
+    where ``|S_L ∩ S_R| / |S_L| >= threshold`` over char-``shingle_k``
+    gram sets — "the left text is mostly contained in the right one".
+    The quote / excerpt / boilerplate-inclusion detector (Lee et al.
+    2022 find verbatim inclusions this way): jaccard punishes a short
+    snippet inside a long document (tiny union ratio), containment is
+    the right score for subset-shaped duplication.
+
+    Candidate generation is one-sided prefix filtering: a qualifying
+    pair misses at most ``|S_L| - ceil(t·|S_L|)`` left tokens from
+    S_R, so at least one of the left set's first
+    ``|S_L| - ceil(t·|S_L|) + 1`` tokens (in the global rarest-first
+    order, ``_prefix_token_table``) appears in S_R — the RIGHT side
+    therefore emits ALL its distinct shingles (it cannot be
+    prefix-pruned; asymmetry is paid in right-side token volume, the
+    standard inverted-index exchange). Cross-side candidates only;
+    verification reuses the adaptive broadcast-vs-shuffle exact stage
+    with the containment metric. Skew caveat: a left prefix holding a
+    corpus-common shingle crosses with that token's whole right
+    posting list — the rarest-first order makes this rare, but a
+    pathological corpus (every doc sharing one rare-in-sample token)
+    degrades to the posting-list product; raise ``shingle_k`` or
+    pre-dedup boilerplate first.
+
+    -> Dataset(id_l, id_r, containment).
+    """
+
+    def tag(side: int, id_c: str, txt_c: str):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column(id_c).to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            return pa.table({
+                "gid": pa.array(ids * 2 + side),
+                "text": t.column(txt_c).cast(pa.string()),
+            })
+        return fn
+
+    union = left_ds.map_batches(
+        tag(0, left_id, left_text), batch_format="pyarrow"
+    ).union(right_ds.map_batches(
+        tag(1, right_id, right_text), batch_format="pyarrow"
+    ))
+
+    ftoks, fcounts, _ = _common_token_counts(
+        union, "text", "gid", shingle_k)
+    freq_ref = ray.put((ftoks, fcounts))
+
+    def emit_tokens(batch: pa.Table) -> pa.Table:
+        gids = batch.column("gid").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        left_m = gids % 2 == 0
+        # left rows: prefix only (the one-sided AllPairs bound)
+        lt = _prefix_token_table(
+            [t for t, m in zip(texts, left_m) if m],
+            gids[left_m], shingle_k, threshold, "gid",
+            freq=ray.get(freq_ref))
+        # right rows: every distinct shingle (full posting lists)
+        toks, docs = [], []
+        for i, t in zip(gids[~left_m].tolist(),
+                        (t for t, m in zip(texts, left_m) if not m)):
+            sh = _shingles(t, shingle_k)
+            toks.append(sh)
+            docs.append(np.full(len(sh), i, dtype=np.int64))
+        tok = (np.concatenate(toks) if toks
+               else np.zeros(0, dtype=np.uint64))
+        with np.errstate(over="ignore"):
+            coarse = ((tok * np.uint64(0x9E3779B97F4A7C15))
+                      >> np.uint64(52)).astype(np.int32)
+        rt = pa.table({
+            "bucket": pa.array(coarse),
+            "token": pa.array(tok.astype(np.int64)),
+            "gid": pa.array(np.concatenate(docs) if docs
+                            else np.zeros(0, dtype=np.int64)),
+        })
+        return pa.concat_tables([lt, rt])
+
+    def cross_pairs_in_bucket(cg: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in cg.groupby("token", sort=False):
+            ids = np.unique(g["gid"].to_numpy())
+            L = ids[ids % 2 == 0]
+            R = ids[ids % 2 == 1]
+            if len(L) and len(R):
+                out_a.append(np.repeat(L, len(R)))
+                out_b.append(np.tile(R, len(L)))
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(
+                {"id_a": "int64", "id_b": "int64"}
+            )
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    candidates = (
+        union.map_batches(emit_tokens, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cross_pairs_in_bucket, batch_format="pandas")
+    )
+    verified = _verify_candidate_pairs(
+        union, candidates, "text", "gid", shingle_k, threshold,
+        broadcast_pairs, broadcast_bytes,
+        metric="containment_a", score_col="containment",
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        b = t.column("id_b").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({
+            "id_l": pa.array((a - a % 2) // 2),
+            "id_r": pa.array((b - b % 2) // 2),
+            "containment": t.column("containment"),
+        })
+
     return verified.map_batches(decode, batch_format="pyarrow")
 
 

@@ -206,3 +206,78 @@ def transition_counts(ds, key: str = "user_id", ts_col: str = "ts",
     out["n"] = out["n"].astype("int64")
     return (out.sort_values(["prev_type", "next_type"])
             .reset_index(drop=True))
+
+
+def sequence_pattern_match(ds, key_col: str, ts_col: str,
+                           tiebreak_col: str, event_col: str,
+                           symbols: dict[str, str], pattern: str,
+                           coarse: int = 64):
+    """MATCH_RECOGNIZE-lite: count non-overlapping regex matches of
+    ``pattern`` over each key's event-type SEQUENCE (ordered by
+    ``(ts, tiebreak)``) — "users who did view -> any clicks ->
+    purchase", the behavioural-pattern query SQL:2016 row pattern
+    matching answers, expressed as one regex over a per-key symbol
+    string.
+
+    ``symbols`` maps event values to single chars; unmapped events
+    become ``'-'`` (a gap that breaks adjacency, the MATCH_RECOGNIZE
+    default-skip analogue — patterns can hop gaps explicitly with
+    ``[-]*``). Matching is the standard non-overlapping left-to-right
+    scan (Python ``re.findall`` == RE2 ``regexp_extract_all`` for
+    backreference-free patterns, so a DuckDB
+    ``string_agg(ch ORDER BY ts, tiebreak)`` oracle mirrors counts
+    exactly).
+
+    Scale shape: rows co-locate by key hash (ONE exchange, the
+    sessionize/funnel shape and hot-key caveat — a key's whole
+    sequence must fit a task); chars are mapped VECTORIZED via
+    factorize + a lookup table, and only the regex scan itself is
+    per-key (inherently per-string, the LangId rationale).  Keys with
+    zero matches are dropped (bounds output by match support).
+    -> Dataset(key, n_events, n_matches).
+    """
+    import re
+
+    from raykg.ops.joins import _key_bucket
+
+    rx = re.compile(pattern)
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_valid(t.column(key_col)))
+        return pa.table({
+            "k": t.column(key_col),
+            "ts": t.column(ts_col),
+            "tb": t.column(tiebreak_col),
+            "ev": t.column(event_col),
+            "_b": _key_bucket(t.column(key_col), coarse),
+        })
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["k", "ts", "tb"], kind="stable")
+        ev_codes, ev_uniq = pd.factorize(df["ev"], sort=False)
+        lut = np.array([symbols.get(v, "-") for v in ev_uniq],
+                       dtype="<U1")
+        # factorize gives -1 for nulls, which would wrap to the LAST
+        # unique's char — nulls are gaps like unmapped events
+        chars = np.where(ev_codes >= 0, lut[ev_codes], "-")
+        codes, uniq = pd.factorize(df["k"], sort=False)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], len(codes)]
+        out_k, out_n, out_m = [], [], []
+        for s, e in zip(starts, ends):
+            seq = "".join(chars[s:e])
+            m = len(rx.findall(seq))
+            if m > 0:
+                out_k.append(uniq[codes[s]])
+                out_n.append(e - s)
+                out_m.append(m)
+        return pd.DataFrame({
+            key_col: out_k,
+            "n_events": np.asarray(out_n, dtype=np.int64),
+            "n_matches": np.asarray(out_m, dtype=np.int64),
+        })
+
+    return (ds.map_batches(project, batch_format="pyarrow")
+            .groupby("_b").map_groups(scan, batch_format="pandas"))
