@@ -6608,6 +6608,34 @@ ORDER BY user_id
 """
 
 
+def _q_key_skew_events(sf_dir: str):
+    """Key-skew diagnostic (raykg/ops/profile.py key_skew) over the
+    events user_id key: rows, distinct keys, heaviest key, top-1
+    share and HHI concentration — exact int64 partials through one
+    key-bucket exchange, two float divisions mirrored bit-exact."""
+    from raykg.ops.profile import key_skew
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    return key_skew(ds, "user_id")
+
+
+_SQL_KEY_SKEW = """
+WITH c AS (
+  SELECT user_id, count(*)::BIGINT AS c FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id
+), s AS (
+  SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+         max(c)::BIGINT AS max_count, sum(c * c)::BIGINT AS ssq
+  FROM c
+)
+SELECT n_rows, n_keys, max_count,
+       max_count::DOUBLE / n_rows::DOUBLE AS top1_share,
+       ssq::DOUBLE / (n_rows * n_rows)::DOUBLE AS hhi
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -6766,6 +6794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_pointintime_lineitem": _q_pointintime_lineitem,
         "contain_quotes_documents": _q_containment_quotes,
         "match_user_journeys": _q_match_user_journeys,
+        "profile_key_skew_events": _q_key_skew_events,
         # rows-only (iterative model fit)
         "train_doc_classifier": _q_train_doc_classifier,
         # rows-only (iterative / eigen-based)
@@ -6867,6 +6896,7 @@ def oracle_sql() -> dict[str, str]:
         "join_pointintime_lineitem": _SQL_POINTINTIME,
         "contain_quotes_documents": _SQL_CONTAINMENT,
         "match_user_journeys": _SQL_MATCH_JOURNEYS,
+        "profile_key_skew_events": _SQL_KEY_SKEW,
         "extract_props_k": _SQL_EXTRACT_PROPS_K,
         "bin_quantity_equidepth": _SQL_BIN_QUANTITY,
         "graph_triangle_count": _SQL_TRIANGLES,

@@ -741,3 +741,56 @@ def mutual_information(ds, col_a: str, col_b: str) -> pd.DataFrame:
             float(c * n) / float(int(ra[r.a]) * int(rb[r.b])))
     return pd.DataFrame({"n": [n], "n_cells": [int(len(cells))],
                          "mi": [mi]})
+
+
+def key_skew(ds, key: str, coarse: int = 64) -> pd.DataFrame:
+    """Key-distribution skew report — the operational "does this key
+    need salting?" diagnostic run before choosing a partitioning key:
+    row count, distinct keys, the heaviest key's count and share, and
+    the Herfindahl–Hirschman concentration index
+    ``HHI = Σ (c_k/N)²`` (1/HHI is the effective number of uniformly
+    loaded partitions a shuffle on this key would achieve).
+
+    Scale shape: per-block (key, count) pre-counts, one key-bucket
+    exchange (each key's partials co-locate, the exact-dedup combiner
+    shape), per-bucket fold to FOUR integers (keys, rows, max, Σc²) —
+    the driver merges O(buckets) rows. Null keys are excluded (they
+    are not a shuffle key). Everything is exact int64 (Σc² needs
+    c ≤ ~3e9 rows on one key before overflow — beyond that the key is
+    the answer already); ``top1_share`` and ``hhi`` are each ONE
+    float division of exact ints, so a SQL oracle mirrors bit-exact.
+    -> one row ``(n_rows, n_keys, max_count, top1_share, hhi)``.
+    """
+    from raykg.ops.joins import _key_bucket
+
+    def pre(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_valid(t.column(key)))
+        df = pd.DataFrame({"k": t.column(key).to_pandas()})
+        g = df.groupby("k", sort=False).size().rename("c").reset_index()
+        tb = pa.Table.from_pandas(g, preserve_index=False)
+        return tb.append_column("_b", _key_bucket(tb.column("k"), coarse))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("k", sort=False)["c"].sum()
+        c = m.to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "n_keys": [np.int64(len(c))],
+            "n_rows": [c.sum()],
+            "max_count": [c.max() if len(c) else np.int64(0)],
+            "sum_sq": [(c * c).sum()],
+        })
+
+    parts = (ds.map_batches(pre, batch_format="pyarrow")
+             .groupby("_b").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    n = int(parts["n_rows"].sum())
+    mx = int(parts["max_count"].max()) if len(parts) else 0
+    ssq = int(parts["sum_sq"].sum())
+    return pd.DataFrame({
+        "n_rows": [n], "n_keys": [int(parts["n_keys"].sum())],
+        "max_count": [mx],
+        "top1_share": [float(mx) / float(n) if n else 0.0],
+        "hhi": [float(ssq) / float(n * n) if n else 0.0],
+    })

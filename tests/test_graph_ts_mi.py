@@ -218,3 +218,25 @@ def test_association_rules_string_items_and_empty():
     none = association_rules(rd.from_pandas(df), "basket", "item",
                              k=5, min_count=99)
     assert len(none) == 0 and list(none.columns) == list(got.columns)
+
+
+# ------------------------------------------------------- key skew
+def test_key_skew_exact_and_partition_invariant():
+    from raykg.ops.profile import key_skew
+
+    rng = np.random.default_rng(6)
+    keys = np.r_[rng.integers(0, 50, 2000), np.full(500, 7)]
+    df = pd.DataFrame({"k": pd.array(keys, dtype="Int64")})
+    df.loc[:9, "k"] = None  # null keys excluded
+    got = key_skew(rd.from_pandas(df).repartition(7), "k")
+    v = df["k"].dropna().value_counts()
+    n = int(v.sum())
+    assert got["n_rows"][0] == n
+    assert got["n_keys"][0] == len(v)
+    assert got["max_count"][0] == int(v.max())
+    assert float(got["top1_share"][0]) == float(int(v.max())) / float(n)
+    ssq = int((v.to_numpy(dtype=np.int64) ** 2).sum())
+    assert float(got["hhi"][0]) == float(ssq) / float(n * n)
+    # partition invariance (bit-equal: exact-int partials)
+    g2 = key_skew(rd.from_pandas(df).repartition(2), "k")
+    assert g2.values.tolist() == got.values.tolist()
