@@ -6221,6 +6221,190 @@ ORDER BY node
 """
 
 
+def _q_sssp_weighted(sf_dir: str):
+    """Weighted hop-capped shortest paths (raykg/ops/bfs.py
+    sssp_distances) over the undirected order<->part graph, edge
+    weight = floor(l_quantity) with parallel edges min-reduced —
+    "cheapest link path from the seed", the weighted generalization
+    of graph_bfs_hops on the same co-partitioned raw-task plan
+    (Bellman-Ford rounds; per-round messages min-reduced per dst
+    before leaving the expand task). Oracle = recursive CTE over the
+    same min-weight edge set closed under min(d) GROUP BY node; the
+    hop cap (3) bounds both sides."""
+    from raykg.ops.bfs import sssp_distances
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_quantity"])
+    seed = int(line.min("l_orderkey"))
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").cast(pa.int64())
+        p = pc.add(t.column("l_partkey").cast(pa.int64()),
+                   pa.scalar(1_000_000_000, type=pa.int64()))
+        w = pc.floor(t.column("l_quantity")).cast(pa.int64())
+        return pa.table({
+            "src": pa.chunked_array([o, p]),
+            "dst": pa.chunked_array([p, o]),
+            "w": pa.chunked_array([w, w]),
+        })
+
+    out = sssp_distances(
+        line.map_batches(both_dirs, batch_format="pyarrow"),
+        [seed], max_hops=3).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+_SQL_SSSP = """
+WITH RECURSIVE e AS (
+  SELECT src, dst, min(w) AS w FROM (
+    SELECT l_orderkey::BIGINT AS src,
+           (l_partkey + 1000000000)::BIGINT AS dst,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS w FROM lineitem
+    UNION ALL
+    SELECT (l_partkey + 1000000000)::BIGINT, l_orderkey::BIGINT,
+           CAST(FLOOR(l_quantity) AS BIGINT) FROM lineitem
+  ) GROUP BY src, dst
+), r(node, d, hops) AS (
+  SELECT (SELECT min(l_orderkey)::BIGINT FROM lineitem), 0::BIGINT, 0
+  UNION
+  SELECT e.dst, r.d + e.w, r.hops + 1 FROM r JOIN e ON e.src = r.node
+  WHERE r.hops < 3
+)
+SELECT node, min(d)::BIGINT AS dist FROM r GROUP BY node ORDER BY node
+"""
+
+
+_GAZETTEER_K = 40
+
+
+def _q_gazetteer_mentions(sf_dir: str):
+    """Dictionary entity spotting (raykg/ops/extract.py
+    gazetteer_counts): the catalogue is the corpus's top-40 word
+    bigrams (count desc, gram — the vocab_top_bigrams derivation, so
+    the oracle rebuilds the identical list in SQL); count
+    word-boundary non-overlapping occurrences of every surface in
+    every document. Catalogue broadcast once via ray.put, compiled
+    once per worker; counting is Arrow RE2 — the same engine as DuckDB, so
+    counts match bit-for-bit. Fixture surfaces are [a-z ]+ so the
+    operator's escaping is the identity, matching the oracle's
+    unescaped pattern."""
+    from raykg.ops.extract import gazetteer_counts
+    from raykg.ops.vocab import top_ngrams
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    cat = top_ngrams(ds, n=2, k=_GAZETTEER_K)["gram"].tolist()
+    out = gazetteer_counts(ds, cat).to_pandas()
+    return out.sort_values(["doc_id", "surface"]).reset_index(drop=True)
+
+
+_SQL_GAZETTEER = f"""
+WITH g AS (
+  SELECT gram FROM (
+    SELECT gram, count(*)::BIGINT AS n FROM (
+      SELECT unnest(list_transform(range(1, len(t)),
+                                   i -> array_to_string(t[i:i+1], ' ')))
+             AS gram
+      FROM (SELECT string_split(text, ' ') AS t FROM documents)
+    ) GROUP BY gram ORDER BY n DESC, gram LIMIT {_GAZETTEER_K}
+  )
+), c AS (
+  SELECT d.doc_id, g.gram AS surface,
+         len(regexp_extract_all(d.text, '\\b' || g.gram || '\\b'))::BIGINT
+           AS n_matches
+  FROM documents d CROSS JOIN g
+)
+SELECT doc_id, surface, n_matches FROM c WHERE n_matches > 0
+ORDER BY doc_id, surface
+"""
+
+# subject/predicate/object word classes drawn from the fixture
+# vocabulary; no alternative is a prefix of another, so leftmost
+# non-overlapping matching is engine-order independent (Python re ==
+# RE2, the sequence_pattern_match proof obligation).
+_TRIPLE_PATTERN = (r"\b(customer|part|table|query|row)"
+                   r" (scan|sort|join|merge|filter|group)"
+                   r" (table|value|key|row|line|column)\b")
+
+
+def _q_pattern_triples(sf_dir: str):
+    """OpenIE-lite pattern relation extraction (raykg/ops/extract.py
+    pattern_triples): one 3-capture-group regex applied
+    non-overlapping over documents.text, one (doc_id, subj, pred,
+    obj) row per match — the pattern-based triple source that seeds a
+    KG before any model runs (schema-compatible with the flagship's
+    SPO store, raykg/triples.py). Oracle = regexp_extract_all per
+    group, unnested in lockstep."""
+    from raykg.ops.extract import pattern_triples
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = pattern_triples(ds, _TRIPLE_PATTERN).to_pandas()
+    return out.sort_values(["doc_id", "subj", "pred", "obj"]).reset_index(
+        drop=True)
+
+
+_SQL_PATTERN_TRIPLES = f"""
+WITH m AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{_TRIPLE_PATTERN}', 1) AS s,
+         regexp_extract_all(text, '{_TRIPLE_PATTERN}', 2) AS p,
+         regexp_extract_all(text, '{_TRIPLE_PATTERN}', 3) AS o
+  FROM documents
+)
+SELECT doc_id, unnest(s) AS subj, unnest(p) AS pred, unnest(o) AS obj
+FROM m ORDER BY doc_id, subj, pred, obj
+"""
+
+
+def _q_cusum_changepoint(sf_dir: str):
+    """Per-user CUSUM changepoint (raykg/ops/resample.py
+    cusum_changepoint): the position k* maximizing the mean-centered
+    cumulative-sum deviation of the user's (ts, event_id)-ordered
+    cent values — level-shift detection for metric monitoring. The
+    deviation is kept integral (|n·cum_k − k·total|, exact int64),
+    the argmax an integer comparison (ties -> smallest k), and the
+    statistic ONE float division, mirrored bit-for-bit by the SQL
+    window oracle."""
+    from raykg.ops.resample import cusum_changepoint
+
+    out = cusum_changepoint(
+        _events_with_cents(sf_dir),
+        key_col="user_id", ts_col="ts", val_col="cents",
+        tiebreak_col="event_id",
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+_SQL_CUSUM = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+), s AS (
+  SELECT user_id,
+         sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS k,
+         sum(cents) OVER (PARTITION BY user_id) AS tot,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM e
+), d AS (
+  SELECT user_id, k, n, abs(n * cum - k * tot) AS dev FROM s
+), r AS (
+  SELECT user_id, n, k, dev,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY dev DESC, k) AS rn
+  FROM d
+)
+SELECT user_id, n::BIGINT AS n, k::BIGINT AS k_star, dev::BIGINT AS dev,
+       dev::DOUBLE / n::DOUBLE AS stat
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
 def _q_acf_user_values(sf_dir: str):
     """Per-user autocorrelation of event values at lags 1 and 2
     (raykg/ops/resample.py grouped_acf) — burstiness / seasonality of
@@ -6788,6 +6972,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "star_revenue_by_nation": _q_star_revenue_nation,
         "dedup_events_windowed": _q_dedup_events_windowed,
         "graph_bfs_hops": _q_bfs_hops,
+        "graph_sssp_weighted": _q_sssp_weighted,
+        "extract_gazetteer_mentions": _q_gazetteer_mentions,
+        "extract_pattern_triples": _q_pattern_triples,
+        "ts_changepoint_users": _q_cusum_changepoint,
         "ts_autocorrelation_users": _q_acf_user_values,
         "profile_mutual_information": _q_mi_lang_source,
         "assoc_rules_part_pairs": _q_assoc_rules_parts,
@@ -6890,6 +7078,10 @@ def oracle_sql() -> dict[str, str]:
         "keywords_per_source": _SQL_DISTINCTIVE_TERMS,
         "analytics_event_transitions": _SQL_EVENT_TRANSITIONS,
         "graph_bfs_hops": _SQL_BFS_HOPS,
+        "graph_sssp_weighted": _SQL_SSSP,
+        "extract_gazetteer_mentions": _SQL_GAZETTEER,
+        "extract_pattern_triples": _SQL_PATTERN_TRIPLES,
+        "ts_changepoint_users": _SQL_CUSUM,
         "ts_autocorrelation_users": _SQL_ACF_USER_VALUES,
         "profile_mutual_information": _SQL_MI_LANG_SOURCE,
         "assoc_rules_part_pairs": _SQL_ASSOC_RULES,

@@ -282,6 +282,10 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("join_pointintime_lineitem", em._q_pointintime_lineitem)
         timed("contain_quotes_documents", em._q_containment_quotes)
         timed("match_user_journeys", em._q_match_user_journeys)
+        timed("graph_sssp_weighted", em._q_sssp_weighted)
+        timed("extract_gazetteer_mentions", em._q_gazetteer_mentions)
+        timed("extract_pattern_triples", em._q_pattern_triples)
+        timed("ts_changepoint_users", em._q_cusum_changepoint)
 
     result = {
         "metric": "kg_pipeline_wall",

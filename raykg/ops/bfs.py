@@ -188,6 +188,216 @@ def bfs_distances(
         [_bfs_table.remote(state_refs[j]) for j in range(coarse)])
 
 
+def sssp_distances(
+    edges_ds,
+    sources: list[int],
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    max_hops: int = 32,
+    coarse: int = 32,
+):
+    """Weighted single-source (multi-seed) shortest paths, hop-capped:
+    dist(v) = min over directed paths of <= ``max_hops`` edges from any
+    seed of the path's integer weight sum (non-negative weights;
+    parallel edges reduce to their min weight). Bellman-Ford by rounds
+    with frontier pruning — after round r every shortest path using
+    <= r edges is settled, so ``max_hops`` rounds realize exactly the
+    hop-capped semantics the recursive-CTE oracle computes.
+
+    Same co-partitioned raw-task plan as ``bfs_distances`` (edge blobs
+    bucketed once by h(src), per-bucket (nodes, dist, changed) state,
+    only per-bucket update counts on the driver); the per-round message
+    volume is min-reduced per dst BEFORE leaving the expand task.
+    -> Dataset(node, dist) for reached nodes (seeds at 0).
+    """
+    coarse = max(2, coarse)
+    seed_arr = np.unique(np.asarray(sorted(set(int(s) for s in sources)),
+                                    dtype=np.int64))
+    INF = np.int64(2**62)
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        d = t.column(dst_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if len(s):
+            # reduce parallel edges to min weight per (src, dst)
+            order = np.lexsort((w, d, s))
+            s, d, w = s[order], d[order], w[order]
+            first = np.ones(len(s), bool)
+            first[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+            s, d, w = s[first], d[first], w[first]
+        return pa.table({"src": pa.array(s), "dst": pa.array(d),
+                         "w": pa.array(w)})
+
+    block_refs = list(
+        edges_ds.map_batches(prep, batch_format="pyarrow").to_arrow_refs()
+    )
+
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())})
+    if not block_refs and len(seed_arr) == 0:
+        return ray.data.from_arrow(empty)
+
+    @ray.remote
+    def _sp_split(tbl: pa.Table, c: int):
+        if tbl.num_rows == 0 or "src" not in tbl.column_names:
+            z = np.zeros(0, np.int64)
+            return [(z, z, z) for _ in range(c)] + [z for _ in range(c)]
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        w = tbl.column("w").to_numpy(zero_copy_only=False)
+        sb = _bucket(s, c)
+        out = []
+        for j in range(c):
+            m = sb == j
+            out.append((s[m], d[m], w[m]))
+        ids = np.unique(np.concatenate([s, d]))
+        ib = _bucket(ids, c)
+        for j in range(c):
+            out.append(ids[ib == j])
+        return out
+
+    splits = [
+        _sp_split.options(num_returns=2 * coarse).remote(b, coarse)
+        for b in block_refs
+    ]
+
+    @ray.remote(num_returns=2)
+    def _sp_assemble(c: int, seeds: np.ndarray, j: int, *parts):
+        k = len(parts) // 2
+        if k:
+            s = np.concatenate([p[0] for p in parts[:k]])
+            d = np.concatenate([p[1] for p in parts[:k]])
+            w = np.concatenate([p[2] for p in parts[:k]])
+        else:
+            s = d = w = np.zeros(0, np.int64)
+        if len(s):
+            # blocks may carry duplicate (src, dst): keep min weight
+            order = np.lexsort((w, d, s))
+            s, d, w = s[order], d[order], w[order]
+            first = np.ones(len(s), bool)
+            first[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+            s, d, w = s[first], d[first], w[first]
+        node_parts = list(parts[k:])
+        sj = seeds[_bucket(seeds, c) == j]
+        node_parts.append(sj)
+        nodes = np.unique(np.concatenate(node_parts)) if node_parts \
+            else np.zeros(0, np.int64)
+        sp = np.searchsorted(nodes, s)
+        db = _bucket(d, c)
+        order = np.lexsort((d, db))
+        d, sp, w, db = d[order], sp[order], w[order], db[order]
+        db_off = np.searchsorted(db, np.arange(c + 1))
+        dist = np.full(len(nodes), INF, dtype=np.int64)
+        changed = np.zeros(len(nodes), bool)
+        spos = np.searchsorted(nodes, sj)
+        dist[spos] = 0
+        changed[spos] = True
+        return (db_off, d, sp, w), (nodes, dist, changed)
+
+    asm = [
+        _sp_assemble.remote(
+            coarse, seed_arr, j,
+            *[splits[i][j] for i in range(len(splits))],
+            *[splits[i][coarse + j] for i in range(len(splits))],
+        )
+        for j in range(coarse)
+    ]
+    blob_refs = [a[0] for a in asm]
+    state_refs = [a[1] for a in asm]
+
+    @ray.remote
+    def _sp_expand(blob, state, c: int):
+        db_off, d, sp, w = blob
+        nodes, dist, changed = state
+        out = []
+        for j in range(c):
+            lo, hi = int(db_off[j]), int(db_off[j + 1])
+            m = changed[sp[lo:hi]] if hi > lo else np.zeros(0, bool)
+            dj, nd = d[lo:hi][m], dist[sp[lo:hi]][m] + w[lo:hi][m]
+            if len(dj):
+                # slice is d-sorted; min-reduce per dst before shipping
+                starts = np.concatenate(
+                    [[0], np.flatnonzero(dj[1:] != dj[:-1]) + 1])
+                out.append((dj[starts], np.minimum.reduceat(nd, starts)))
+            else:
+                z = np.zeros(0, np.int64)
+                out.append((z, z))
+        return out
+
+    @ray.remote(num_returns=2)
+    def _sp_apply(state, *cand_parts):
+        nodes, dist, changed = state
+        ids = np.concatenate([p[0] for p in cand_parts]) if cand_parts \
+            else np.zeros(0, np.int64)
+        nds = np.concatenate([p[1] for p in cand_parts]) if cand_parts \
+            else np.zeros(0, np.int64)
+        changed = np.zeros(len(nodes), bool)
+        if len(ids):
+            uniq, inv = np.unique(ids, return_inverse=True)
+            best = np.full(len(uniq), INF, np.int64)
+            np.minimum.at(best, inv, nds)
+            pos = np.searchsorted(nodes, uniq)
+            better = best < dist[pos]
+            if better.any():
+                dist = dist.copy()
+                dist[pos[better]] = best[better]
+                changed[pos[better]] = True
+        return (nodes, dist, changed), int(changed.sum())
+
+    for _ in range(max_hops):
+        res = [
+            _sp_expand.options(num_returns=coarse).remote(
+                blob_refs[j], state_refs[j], coarse)
+            for j in range(coarse)
+        ]
+        applied = [
+            _sp_apply.remote(state_refs[j],
+                             *[res[i][j] for i in range(coarse)])
+            for j in range(coarse)
+        ]
+        state_refs = [a[0] for a in applied]
+        if sum(ray.get([a[1] for a in applied])) == 0:
+            break
+
+    @ray.remote
+    def _sp_table(state) -> pa.Table:
+        nodes, dist, _changed = state
+        keep = dist < INF
+        return pa.table({"node": pa.array(nodes[keep], pa.int64()),
+                         "dist": pa.array(dist[keep], pa.int64())})
+
+    return ray.data.from_arrow_refs(
+        [_sp_table.remote(state_refs[j]) for j in range(coarse)])
+
+
+def sssp_numpy(edges: np.ndarray, sources: list[int],
+               max_hops: int = 32) -> dict[int, int]:
+    """Single-process reference: hop-capped Bellman-Ford over
+    (src, dst, w) rows with identical semantics."""
+    best: dict[int, int] = {int(s): 0 for s in set(sources)}
+    ew: dict[tuple[int, int], int] = {}
+    for s, d, w in edges:
+        k = (int(s), int(d))
+        if k not in ew or w < ew[k]:
+            ew[k] = int(w)
+    for _ in range(max_hops):
+        upd = {}
+        for (s, d), w in ew.items():
+            if s in best:
+                nd = best[s] + w
+                if nd < best.get(d, 2**62) and nd < upd.get(d, 2**62):
+                    upd[d] = nd
+        if not upd:
+            break
+        best.update(upd)
+    return best
+
+
 def bfs_numpy(edges: np.ndarray, sources: list[int],
               max_hops: int = 32) -> dict[int, int]:
     """Single-process reference with identical semantics."""

@@ -306,3 +306,74 @@ def grouped_acf(ds, key_col: str, ts_col: str, val_col: str,
 
     return (ds.map_batches(project, batch_format="pyarrow")
             .groupby("_b").map_groups(fold, batch_format="pandas"))
+
+
+def cusum_changepoint(ds, key_col: str, ts_col: str, val_col: str,
+                      tiebreak_col: str, coarse: int = 64):
+    """Per-key CUSUM changepoint detection: over each key's series
+    ordered by ``(ts, tiebreak)``, find the split point k* maximizing
+    the mean-centered cumulative-sum deviation
+    ``|S_k| = |Σ_{i<=k} x_i - k·x̄|`` (Page 1954 / Taylor's CUSUM
+    changepoint estimator) — the level-shift detector of metric
+    monitoring ("when did this user's spend change?").
+
+    Exactness: with integer-valued ``val_col`` (callers floor floats
+    explicitly), the deviation is scaled by n to stay integral —
+    ``dev_k = |n·cum_k − k·total|`` is exact int64, the argmax
+    (ties -> smallest k) is an integer comparison, and the reported
+    statistic is ONE float division ``dev/n`` — so the SQL
+    window-function oracle matches bit-for-bit with no rounding.
+
+    Scale shape: rows co-locate by key hash (ONE exchange, the
+    grouped_acf plan and hot-key caveat); each bucket task lexsorts
+    once and computes every key's prefix sums, deviations and argmax
+    vectorized over the key-contiguous array (reduceat group maxima;
+    first-position tie-break via first-occurrence unique). Keys emit
+    exactly one row. -> Dataset(key, n, k_star, dev, stat).
+    """
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_valid(t.column(key_col)))
+        return pa.table({
+            "k": t.column(key_col),
+            "ts": t.column(ts_col),
+            "tb": t.column(tiebreak_col),
+            "x": t.column(val_col).cast(pa.int64()),
+            "_b": _key_bucket(t.column(key_col), coarse),
+        })
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["k", "ts", "tb"], kind="stable")
+        codes, uniq = pd.factorize(df["k"], sort=False)
+        x = df["x"].to_numpy(dtype=np.int64)
+        g = len(uniq)
+        n_per = np.bincount(codes, minlength=g).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(n_per)[:-1]])
+        cum_all = np.cumsum(x, dtype=np.int64)
+        base = np.repeat(cum_all[starts] - x[starts], n_per)
+        cum = cum_all - base                       # within-key prefix sum
+        kpos = np.arange(len(x), dtype=np.int64) - np.repeat(
+            starts, n_per) + 1                     # 1-based position
+        tot = np.zeros(g, np.int64)
+        np.add.at(tot, codes, x)
+        n_rep = np.repeat(n_per, n_per)
+        dev = np.abs(n_rep * cum - kpos * np.repeat(tot, n_per))
+        max_dev = np.maximum.reduceat(dev, starts) if len(x) else \
+            np.zeros(0, np.int64)
+        # first position attaining the max (ties -> smallest k)
+        hit = dev == np.repeat(max_dev, n_per)
+        rows = np.flatnonzero(hit)
+        first_code, first_idx = np.unique(codes[rows], return_index=True)
+        k_star = np.zeros(g, np.int64)
+        k_star[first_code] = kpos[rows[first_idx]]
+        return pd.DataFrame({
+            key_col: np.asarray(uniq),
+            "n": n_per,
+            "k_star": k_star,
+            "dev": max_dev,
+            "stat": max_dev.astype(np.float64) / n_per.astype(np.float64),
+        })
+
+    return (ds.map_batches(project, batch_format="pyarrow")
+            .groupby("_b").map_groups(fold, batch_format="pandas"))

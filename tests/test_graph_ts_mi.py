@@ -240,3 +240,113 @@ def test_key_skew_exact_and_partition_invariant():
     # partition invariance (bit-equal: exact-int partials)
     g2 = key_skew(rd.from_pandas(df).repartition(2), "k")
     assert g2.values.tolist() == got.values.tolist()
+
+
+# --------------------------------------------------------------- sssp
+def _wedges_ds(edges, parts=5):
+    return rd.from_pandas(pd.DataFrame(
+        {"src": edges[:, 0], "dst": edges[:, 1],
+         "w": edges[:, 2]})).repartition(parts)
+
+
+def test_sssp_matches_reference_random_graph():
+    from raykg.ops.bfs import sssp_distances, sssp_numpy
+
+    rng = np.random.default_rng(19)
+    edges = np.column_stack([
+        rng.integers(0, 150, size=2000),
+        rng.integers(0, 150, size=2000),
+        rng.integers(0, 20, size=2000),
+    ]).astype(np.int64)
+    got = (sssp_distances(_wedges_ds(edges), [3, 88], coarse=4)
+           .to_pandas().set_index("node")["dist"].to_dict())
+    assert got == sssp_numpy(edges, [3, 88])
+
+
+def test_sssp_hop_cap_and_partition_invariance():
+    from raykg.ops.bfs import sssp_distances, sssp_numpy
+
+    # chain 0 -w=5-> 1 -w=1-> 2 -w=1-> 3, plus an expensive shortcut
+    # 0 -w=100-> 3: at max_hops=2 the chain can't reach 3, so the
+    # shortcut wins; unbounded it loses.
+    edges = np.array([[0, 1, 5], [1, 2, 1], [2, 3, 1], [0, 3, 100]],
+                     dtype=np.int64)
+    capped = (sssp_distances(_wedges_ds(edges, 2), [0], max_hops=2,
+                             coarse=2).to_pandas()
+              .set_index("node")["dist"].to_dict())
+    assert capped == {0: 0, 1: 5, 2: 6, 3: 100}
+    full = (sssp_distances(_wedges_ds(edges, 3), [0], coarse=5)
+            .to_pandas().set_index("node")["dist"].to_dict())
+    assert full == {0: 0, 1: 5, 2: 6, 3: 7} == sssp_numpy(edges, [0])
+
+
+def test_sssp_parallel_edges_min_and_isolated_seed():
+    from raykg.ops.bfs import sssp_distances
+
+    edges = np.array([[0, 1, 9], [0, 1, 2], [0, 1, 7]], dtype=np.int64)
+    got = (sssp_distances(_wedges_ds(edges, 2), [0, 42], coarse=2)
+           .to_pandas().set_index("node")["dist"].to_dict())
+    assert got == {0: 0, 1: 2, 42: 0}
+
+
+# -------------------------------------------------------------- cusum
+def _cusum_reference(df):
+    rows = []
+    for k, g in df.sort_values(["k", "ts", "tb"]).groupby("k"):
+        x = g["x"].to_numpy(np.int64)
+        n = len(x)
+        cum = np.cumsum(x)
+        tot = int(cum[-1])
+        dev = np.abs(n * cum - np.arange(1, n + 1) * tot)
+        ks = int(np.argmax(dev)) + 1  # np.argmax -> first max
+        rows.append((k, n, ks, int(dev[ks - 1]), dev[ks - 1] / n))
+    return pd.DataFrame(rows, columns=["k", "n", "k_star", "dev", "stat"])
+
+
+def test_cusum_matches_reference_and_partitioning():
+    from raykg.ops.resample import cusum_changepoint
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n),
+        "ts": rng.integers(0, 10**9, n),
+        "tb": np.arange(n),
+        "x": rng.integers(-50, 400, n),
+    })
+    want = _cusum_reference(df).sort_values("k").reset_index(drop=True)
+    for parts in (2, 11):
+        got = (cusum_changepoint(
+                   rd.from_pandas(df).repartition(parts),
+                   key_col="k", ts_col="ts", val_col="x",
+                   tiebreak_col="tb", coarse=8)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_cusum_finds_planted_level_shift():
+    from raykg.ops.resample import cusum_changepoint
+
+    # 200 values at 10 then 200 at 60: k* must be the boundary (200)
+    x = np.concatenate([np.full(200, 10), np.full(200, 60)])
+    df = pd.DataFrame({"k": 1, "ts": np.arange(400), "tb": 0, "x": x})
+    got = cusum_changepoint(rd.from_pandas(df), "k", "ts", "x",
+                            "tb").to_pandas()
+    assert got.loc[0, "k_star"] == 200 and got.loc[0, "n"] == 400
+
+
+def test_cusum_ties_and_degenerate_keys():
+    from raykg.ops.resample import cusum_changepoint
+
+    # constant series: every dev is 0 -> tie -> smallest k (1);
+    # single-row key: k*=1, dev=0
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2],
+        "ts": [1, 2, 3, 1],
+        "tb": [0, 0, 0, 0],
+        "x": [7, 7, 7, 5],
+    })
+    got = (cusum_changepoint(rd.from_pandas(df), "k", "ts", "x", "tb")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got["k_star"].tolist() == [1, 1]
+    assert got["dev"].tolist() == [0, 0]
