@@ -6358,6 +6358,90 @@ FROM m ORDER BY doc_id, subj, pred, obj
 """
 
 
+def _q_spatial_radius(sf_dir: str):
+    """Spatial radius self-join (raykg/ops/spatial.py radius_join):
+    all customer pairs within planar distance 200 on deterministic
+    integer coordinates derived from c_custkey (the Knuth-hash
+    derivation, mirrored exactly in SQL). Grid-partitioned — one
+    cell-hash exchange, 9x ghost replication of (cell, id, x, y)
+    only, vectorized per-cell pair expansion; each pair found exactly
+    once (smaller id's home cell). Predicate is all-integer squared
+    distance, so the O(n²) SQL cross-join oracle matches
+    bit-for-bit."""
+    from raykg.ops.spatial import radius_join
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "id": pa.array(k),
+            "x": pa.array((k * 2654435761) % 10000),
+            "y": pa.array((k * 1597334677) % 10000),
+        })
+
+    out = radius_join(ds.map_batches(coords, batch_format="pyarrow"),
+                      r=200).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+_SQL_SPATIAL_RADIUS = """
+WITH p AS (
+  SELECT c_custkey::BIGINT AS id,
+         (c_custkey * 2654435761) % 10000 AS x,
+         (c_custkey * 1597334677) % 10000 AS y
+  FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       ((a.x - b.x) * (a.x - b.x)
+        + (a.y - b.y) * (a.y - b.y))::BIGINT AS dist2
+FROM p a JOIN p b ON b.id > a.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 40000
+ORDER BY id_a, id_b
+"""
+
+
+def _q_ancestor_closure(sf_dir: str):
+    """Hierarchy flattening (raykg/ops/closure.py ancestor_closure):
+    the part catalogue as a 4-ary category forest (parent =
+    p_partkey // 4, derivation mirrored in SQL) flattened to its full
+    (node, ancestor, depth) closure table by min-plus pointer
+    doubling — ceil(log2(depth)) rounds of two closure-bounded
+    exchanges instead of depth rounds. Oracle = recursive CTE closed
+    under min(depth) GROUP BY."""
+    from raykg.ops.closure import ancestor_closure
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("p_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        c = k[k >= 1]
+        return pa.table({"child": pa.array(c),
+                         "parent": pa.array(c // 4)})
+
+    out = ancestor_closure(
+        ds.map_batches(edges, batch_format="pyarrow")).to_pandas()
+    return out.sort_values(["node", "anc"]).reset_index(drop=True)
+
+
+_SQL_ANCESTOR_CLOSURE = """
+WITH RECURSIVE e AS (
+  SELECT p_partkey::BIGINT AS child, (p_partkey // 4)::BIGINT AS parent
+  FROM part WHERE p_partkey >= 1
+), r(node, anc, depth) AS (
+  SELECT child, parent, 1::BIGINT FROM e
+  UNION
+  SELECT r.node, e.parent, r.depth + 1 FROM r JOIN e ON e.child = r.anc
+)
+SELECT node, anc, min(depth)::BIGINT AS depth FROM r
+GROUP BY node, anc ORDER BY node, anc
+"""
+
+
 def _q_cusum_changepoint(sf_dir: str):
     """Per-user CUSUM changepoint (raykg/ops/resample.py
     cusum_changepoint): the position k* maximizing the mean-centered
@@ -6976,6 +7060,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_gazetteer_mentions": _q_gazetteer_mentions,
         "extract_pattern_triples": _q_pattern_triples,
         "ts_changepoint_users": _q_cusum_changepoint,
+        "spatial_radius_customers": _q_spatial_radius,
+        "hierarchy_ancestors_parts": _q_ancestor_closure,
         "ts_autocorrelation_users": _q_acf_user_values,
         "profile_mutual_information": _q_mi_lang_source,
         "assoc_rules_part_pairs": _q_assoc_rules_parts,
@@ -7082,6 +7168,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_gazetteer_mentions": _SQL_GAZETTEER,
         "extract_pattern_triples": _SQL_PATTERN_TRIPLES,
         "ts_changepoint_users": _SQL_CUSUM,
+        "spatial_radius_customers": _SQL_SPATIAL_RADIUS,
+        "hierarchy_ancestors_parts": _SQL_ANCESTOR_CLOSURE,
         "ts_autocorrelation_users": _SQL_ACF_USER_VALUES,
         "profile_mutual_information": _SQL_MI_LANG_SOURCE,
         "assoc_rules_part_pairs": _SQL_ASSOC_RULES,

@@ -286,6 +286,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("extract_gazetteer_mentions", em._q_gazetteer_mentions)
         timed("extract_pattern_triples", em._q_pattern_triples)
         timed("ts_changepoint_users", em._q_cusum_changepoint)
+        timed("spatial_radius_customers", em._q_spatial_radius)
+        timed("hierarchy_ancestors_parts", em._q_ancestor_closure)
 
     result = {
         "metric": "kg_pipeline_wall",
