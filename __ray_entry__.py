@@ -6442,6 +6442,82 @@ GROUP BY node, anc ORDER BY node, anc
 """
 
 
+_FS_M = (0.9, 0.8, 0.7)
+
+
+def _q_fs_link_scores(sf_dir: str):
+    """Fellegi–Sunter probabilistic record-linkage scores
+    (raykg/ops/linkage.py fs_link_scores) over customers blocked by
+    nation: fields = market segment, thousand-dollar balance bucket
+    (cents offset positive — DuckDB // truncates, numpy floors),
+    custkey last digit. u-probabilities are EXACT integer
+    agreeing-pair counts from the data; every weight is one mirrored
+    libm-ln expression, summed in field order, so the SQL oracle
+    matches bit-for-bit."""
+    from raykg.ops.linkage import fs_link_scores
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"))
+
+    def project(t: pa.Table) -> pa.Table:
+        bal = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        cents = np.floor(bal * 100.0 + 0.5).astype(np.int64)
+        key = t.column("c_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "id": pa.array(key),
+            "blk": t.column("c_nationkey").cast(pa.int64()),
+            "seg": t.column("c_mktsegment"),
+            "bal_bucket": pa.array((cents + 100000) // 100000),
+            "key_digit": pa.array(key % 10),
+        })
+
+    out = fs_link_scores(
+        ds.map_batches(project, batch_format="pyarrow"),
+        block_col="blk", fields=["seg", "bal_bucket", "key_digit"],
+        m_probs=list(_FS_M), id_col="id",
+    ).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+_SQL_FS_LINK = """
+WITH b AS (
+  SELECT c_custkey::BIGINT AS id, c_nationkey::BIGINT AS blk,
+         c_mktsegment AS f0,
+         (CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) + 100000)
+           // 100000 AS f1,
+         c_custkey::BIGINT % 10 AS f2
+  FROM customer
+), nn AS (SELECT count(*)::BIGINT AS n FROM b),
+u0 AS (SELECT sum(c * c)::BIGINT - (SELECT n FROM nn) AS num
+       FROM (SELECT count(*)::BIGINT AS c FROM b GROUP BY f0)),
+u1 AS (SELECT sum(c * c)::BIGINT - (SELECT n FROM nn) AS num
+       FROM (SELECT count(*)::BIGINT AS c FROM b GROUP BY f1)),
+u2 AS (SELECT sum(c * c)::BIGINT - (SELECT n FROM nn) AS num
+       FROM (SELECT count(*)::BIGINT AS c FROM b GROUP BY f2)),
+d AS (SELECT ((SELECT n FROM nn) * (SELECT n FROM nn)
+              - (SELECT n FROM nn))::BIGINT AS den)
+SELECT a.id AS id_a, x.id AS id_b,
+  (CASE WHEN a.f0 = x.f0
+        THEN ln(0.9::DOUBLE / ((SELECT num FROM u0)::DOUBLE
+                       / (SELECT den FROM d)::DOUBLE))
+        ELSE ln((1::DOUBLE - 0.9::DOUBLE) / (1 - (SELECT num FROM u0)::DOUBLE
+                                 / (SELECT den FROM d)::DOUBLE)) END
+   + CASE WHEN a.f1 = x.f1
+        THEN ln(0.8::DOUBLE / ((SELECT num FROM u1)::DOUBLE
+                       / (SELECT den FROM d)::DOUBLE))
+        ELSE ln((1::DOUBLE - 0.8::DOUBLE) / (1 - (SELECT num FROM u1)::DOUBLE
+                                 / (SELECT den FROM d)::DOUBLE)) END
+   + CASE WHEN a.f2 = x.f2
+        THEN ln(0.7::DOUBLE / ((SELECT num FROM u2)::DOUBLE
+                       / (SELECT den FROM d)::DOUBLE))
+        ELSE ln((1::DOUBLE - 0.7::DOUBLE) / (1 - (SELECT num FROM u2)::DOUBLE
+                                 / (SELECT den FROM d)::DOUBLE)) END
+  ) AS score
+FROM b a JOIN b x ON a.blk = x.blk AND x.id > a.id
+ORDER BY id_a, id_b
+"""
+
+
 def _q_cusum_changepoint(sf_dir: str):
     """Per-user CUSUM changepoint (raykg/ops/resample.py
     cusum_changepoint): the position k* maximizing the mean-centered
@@ -7062,6 +7138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_changepoint_users": _q_cusum_changepoint,
         "spatial_radius_customers": _q_spatial_radius,
         "hierarchy_ancestors_parts": _q_ancestor_closure,
+        "er_fs_scores_customers": _q_fs_link_scores,
         "ts_autocorrelation_users": _q_acf_user_values,
         "profile_mutual_information": _q_mi_lang_source,
         "assoc_rules_part_pairs": _q_assoc_rules_parts,
@@ -7170,6 +7247,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_changepoint_users": _SQL_CUSUM,
         "spatial_radius_customers": _SQL_SPATIAL_RADIUS,
         "hierarchy_ancestors_parts": _SQL_ANCESTOR_CLOSURE,
+        "er_fs_scores_customers": _SQL_FS_LINK,
         "ts_autocorrelation_users": _SQL_ACF_USER_VALUES,
         "profile_mutual_information": _SQL_MI_LANG_SOURCE,
         "assoc_rules_part_pairs": _SQL_ASSOC_RULES,

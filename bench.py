@@ -288,6 +288,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("ts_changepoint_users", em._q_cusum_changepoint)
         timed("spatial_radius_customers", em._q_spatial_radius)
         timed("hierarchy_ancestors_parts", em._q_ancestor_closure)
+        timed("er_fs_scores_customers", em._q_fs_link_scores)
 
     result = {
         "metric": "kg_pipeline_wall",

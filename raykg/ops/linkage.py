@@ -1,0 +1,149 @@
+"""Fellegi–Sunter probabilistic record-linkage scoring (Fellegi &
+Sunter 1969) — the classical entity-resolution decision model that
+the flagship's learned NIL/cluster chain replaces with embeddings:
+for every candidate pair, score = Σ_f log-likelihood weight of field
+f's agreement, with per-field u-probabilities (chance agreement among
+non-matches) estimated EXACTLY from the data and m-probabilities
+(agreement among true matches) supplied by the caller.
+
+Exactness: u_f is all-integer — ``u_num_f = Σ_v c_v² − n`` ordered
+agreeing pairs over the field's value counts, ``u_den = n² − n`` —
+and each weight is ONE mirrored float expression
+(``ln(m_f / u_f)`` / ``ln((1−m_f) / (1−u_f))`` with
+``u_f = u_num::DOUBLE / u_den::DOUBLE``); the score sums the F terms
+in field order. The SQL oracle mirrors every operand, so scores match
+bit-for-bit (the PSI/PMI libm-ln convention).
+
+Plan (two passes, nothing corpus-sized on the driver):
+1. u-statistics: per-block (field, value) pre-counts -> one small
+   value-key exchange -> per-field Σc² partials fold to F scalars;
+2. candidate generation + scoring: rows co-locate by h(block key)
+   (the sessionize exchange); per bucket, each block's pairs are
+   emitted by the vectorized lag sweep over block-sorted rows (the
+   cooccur trick — O(pairs) work, id_a < id_b canonical), agreement
+   bits compared vectorized, and the score is computed from the F
+   broadcast scalars.
+
+Partitioning assumption: one blocking key's rows co-locate; a block
+of B rows emits B(B−1)/2 pairs — ``max_block`` skips oversize blocks
+explicitly (the cooccur ``max_basket`` convention). u requires
+0 < u_num_f < u_den (a field that never or always agrees carries no
+information and makes a weight infinite) — raised, not NaN'd.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raykg.ops.joins import _key_bucket
+
+LINKAGE_BUCKETS = 64
+
+
+def _field_u(ds, fields: list[str]):
+    """Exact ordered-agreeing-pair counts per field:
+    (u_num_f = Σ_v c_v² − n, u_den = n² − n). Driver holds F+1 ints."""
+    def pre(t: pa.Table) -> pa.Table:
+        outs = []
+        for fi, f in enumerate(fields):
+            vc = (t.select([f]).to_pandas()[f].astype(str)
+                  .value_counts())
+            outs.append(pd.DataFrame({
+                "fi": np.int64(fi), "val": vc.index.to_numpy(object),
+                "c": vc.to_numpy(np.int64),
+            }))
+        out = pd.concat(outs, ignore_index=True)
+        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        key = pa.array(pd.util.hash_array(
+            (out["fi"].astype(str) + "\x1f" + out["val"].astype(str))
+            .to_numpy(object)).astype(np.int64))
+        return tbl.append_column("_b", _key_bucket(key, 16))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["fi", "val"], sort=False)["c"].sum()
+             .reset_index())
+        sq = g.groupby("fi", sort=False)["c"].apply(
+            lambda s: int((s.to_numpy(np.int64) ** 2).sum()))
+        n = g.groupby("fi", sort=False)["c"].sum()
+        return pd.DataFrame({"fi": sq.index.to_numpy(np.int64),
+                             "sq": sq.to_numpy(np.int64),
+                             "n": n.to_numpy(np.int64)})
+
+    parts = (ds.map_batches(pre, batch_format="pyarrow")
+             .groupby("_b").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby("fi").sum()
+    n = int(agg["n"].iloc[0])
+    u_num = [int(agg.loc[fi, "sq"]) - n for fi in range(len(fields))]
+    u_den = n * n - n
+    return u_num, u_den
+
+
+def fs_link_scores(ds, block_col: str, fields: list[str],
+                   m_probs: list[float], id_col: str = "id",
+                   coarse: int = LINKAGE_BUCKETS,
+                   max_block: int = 10_000):
+    """-> Dataset(id_a, id_b, score): Fellegi–Sunter log-likelihood
+    score for every within-block candidate pair (id_a < id_b)."""
+    assert len(fields) == len(m_probs)
+    u_num, u_den = _field_u(ds, fields)
+    for f, num in zip(fields, u_num):
+        if not 0 < num < u_den:
+            raise ValueError(
+                f"field {f!r} never or always agrees (u_num={num}, "
+                f"u_den={u_den}); it carries no linkage information")
+    # math.log, not np.log: numpy's scalar log is its own SIMD
+    # implementation and differs from libm (== DuckDB ln) by 1 ulp on
+    # some inputs; math.log is the C library call the oracle mirrors
+    u = [num / float(u_den) for num in u_num]
+    w_agree = [math.log(m / uf) for m, uf in zip(m_probs, u)]
+    w_disagree = [math.log((1.0 - m) / (1.0 - uf))
+                  for m, uf in zip(m_probs, u)]
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {"blk": t.column(block_col), "pid": t.column(id_col)}
+        for fi, f in enumerate(fields):
+            cols[f"f{fi}"] = t.column(f)
+        out = pa.table(cols)
+        return out.append_column("_b", _key_bucket(t.column(block_col),
+                                                   coarse))
+
+    nf = len(fields)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["blk", "pid"], kind="stable")
+        bk = df["blk"].to_numpy()
+        pid = df["pid"].to_numpy(np.int64)
+        fvals = [df[f"f{fi}"].to_numpy() for fi in range(nf)]
+        sizes = df.groupby("blk", sort=False).size().to_numpy()
+        a_parts, b_parts, s_parts = [], [], []
+        dmax = int(min(sizes.max(initial=0), max_block))
+        for d in range(1, dmax):
+            same = bk[d:] == bk[:-d]
+            if not same.any():
+                break
+            ia = np.flatnonzero(same)
+            score = np.zeros(len(ia), np.float64)
+            for fi in range(nf):
+                agree = fvals[fi][ia] == fvals[fi][ia + d]
+                score = score + np.where(agree, w_agree[fi],
+                                         w_disagree[fi])
+            a_parts.append(pid[ia])
+            b_parts.append(pid[ia + d])
+            s_parts.append(score)
+        if not a_parts:
+            return pd.DataFrame({"id_a": pd.array([], "int64"),
+                                 "id_b": pd.array([], "int64"),
+                                 "score": pd.array([], "float64")})
+        return pd.DataFrame({
+            "id_a": np.concatenate(a_parts),
+            "id_b": np.concatenate(b_parts),
+            "score": np.concatenate(s_parts),
+        })
+
+    return (ds.map_batches(project, batch_format="pyarrow")
+            .groupby("_b").map_groups(pairs, batch_format="pandas"))
