@@ -6384,6 +6384,13 @@ def _q_spatial_radius(sf_dir: str):
 
     out = radius_join(ds.map_batches(coords, batch_format="pyarrow"),
                       r=200).to_pandas()
+    if out.empty:
+        # all-empty map_groups blocks lose the column schema (sf0.001
+        # has no pair within r) — rebuild the typed empty frame
+        import pandas as pd
+        out = pd.DataFrame({"id_a": pd.array([], "int64"),
+                            "id_b": pd.array([], "int64"),
+                            "dist2": pd.array([], "int64")})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
