@@ -6987,6 +6987,208 @@ FROM s
 """
 
 
+def _q_dict_encode_sources(sf_dir: str):
+    """Global dictionary encoding (raykg/ops/dictenc.py dict_encode)
+    of documents.source: every distinct source gets a dense code
+    0..n-1 in value sort order (the entity→id mapping step before any
+    embedding table build). Per-block unique pre-pass, range-partition
+    by sampled value splits, O(buckets) offset fold, plan-adaptive
+    map-back join. Oracle = dense_rank() - 1."""
+    from raykg.ops.dictenc import dict_encode
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source"])
+    out = dict_encode(ds, "source", out_col="source_code",
+                      keep_cols=["doc_id"]).to_pandas()
+    out["source_code"] = out["source_code"].astype("int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_DICT_ENCODE = """
+SELECT source, doc_id::BIGINT AS doc_id,
+       (dense_rank() OVER (ORDER BY source) - 1)::BIGINT AS source_code
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def _q_local_clustering(sf_dir: str):
+    """Per-vertex triangle counts + local clustering coefficient
+    (raykg/ops/cc.py local_clustering) of the orders-derived graph
+    (same derivation as graph_triangle_count): degree-oriented
+    wedge-close plan; each closed wedge credits its three corners
+    through one bucketed count exchange. deg/tri exact int64; coeff
+    ONE float division mirrored in SQL bit-for-bit."""
+    from raykg.ops.cc import local_clustering
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(c % 2000),
+                         "dst": pa.array((c + k) % 2000)})
+
+    edges = orders.map_batches(derive, batch_format="pyarrow")
+    out = local_clustering(edges).to_pandas()
+    return out.sort_values("vertex").reset_index(drop=True)
+
+
+_SQL_LOCAL_CLUSTERING = """
+WITH raw AS (
+  SELECT o_custkey % 2000 AS a, (o_custkey + o_orderkey) % 2000 AS b
+  FROM orders
+), e AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM raw WHERE a <> b
+), sym AS (
+  SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e
+), deg AS (
+  SELECT x AS vertex, count(*)::BIGINT AS deg FROM sym GROUP BY x
+), tri3 AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), cr AS (
+  SELECT x AS vertex FROM tri3
+  UNION ALL SELECT y FROM tri3
+  UNION ALL SELECT z FROM tri3
+), t AS (
+  SELECT vertex, count(*)::BIGINT AS tri FROM cr GROUP BY vertex
+)
+SELECT d.vertex::BIGINT AS vertex, d.deg,
+       COALESCE(t.tri, 0)::BIGINT AS tri,
+       CASE WHEN d.deg >= 2
+            THEN (2.0 * COALESCE(t.tri, 0)) / (d.deg * (d.deg - 1))
+            ELSE 0.0 END AS coeff
+FROM deg d LEFT JOIN t ON t.vertex = d.vertex
+ORDER BY vertex
+"""
+
+
+def _q_split_segments(sf_dir: str):
+    """Regex segmentation explode (raykg/ops/chunk.py split_segments):
+    one row per segment with its split-slot ordinal. The fixture
+    corpus has no sentence punctuation, so the query segments on the
+    frequent token ``\\btable\\b`` (real corpora pass the sentence
+    boundary pattern); RE2 on both sides, empty segments dropped on
+    both sides AFTER ordinal assignment."""
+    from raykg.ops.chunk import split_segments
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = split_segments(ds, r"\btable\b").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["seg_idx"] = out["seg_idx"].astype("int64")
+    return out.sort_values(["doc_id", "seg_idx"]).reset_index(drop=True)
+
+
+_SQL_SPLIT_SEGMENTS = r"""
+WITH s AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         regexp_split_to_array(text, '\btable\b') AS parts
+  FROM documents
+), u AS (
+  SELECT doc_id,
+         UNNEST(generate_series(1, len(parts))) AS i,
+         UNNEST(parts) AS segment
+  FROM s
+)
+SELECT doc_id, (i - 1)::BIGINT AS seg_idx, segment
+FROM u WHERE segment <> ''
+ORDER BY doc_id, seg_idx
+"""
+
+
+def _q_suppress_small_groups(sf_dir: str):
+    """k-anonymity REPAIR (raykg/ops/validate.py
+    suppress_small_groups): drop every customer whose
+    (c_nationkey, c_mktsegment, bal_band) combo has fewer than 5
+    members — the enforcement counterpart of validate_k_anonymity
+    (same quasi set). Violating combos found by the audit's
+    Zipf-bounded pre-count plan, then an anti-join on the packed
+    combo key (broadcast while dimension-sized)."""
+    from raykg.ops.validate import suppress_small_groups
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def band(t: pa.Table) -> pa.Table:
+        bal = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        b = np.floor(bal / 1000.0).astype(np.int64)
+        return pa.table({
+            "c_custkey": t.column("c_custkey").cast(pa.int64()),
+            "c_nationkey": t.column("c_nationkey").cast(pa.int64()),
+            "c_mktsegment": t.column("c_mktsegment"),
+            "bal_band": pa.array(b),
+        })
+
+    out = suppress_small_groups(
+        ds.map_batches(band, batch_format="pyarrow"),
+        ["c_nationkey", "c_mktsegment", "bal_band"], k=5).to_pandas()
+    if out.empty:
+        # fine combos at tiny SF can suppress every row; an all-empty
+        # result loses its schema through to_pandas
+        import pandas as pd
+        out = pd.DataFrame({"c_custkey": pd.array([], "int64"),
+                            "c_nationkey": pd.array([], "int64"),
+                            "c_mktsegment": pd.array([], "str"),
+                            "bal_band": pd.array([], "int64")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+_SQL_SUPPRESS = """
+SELECT c_custkey::BIGINT AS c_custkey,
+       c_nationkey::BIGINT AS c_nationkey,
+       c_mktsegment,
+       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+FROM customer
+QUALIFY count(*) OVER (
+  PARTITION BY c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 5
+ORDER BY c_custkey
+"""
+
+
+def _q_parse_timestamps(sf_dir: str):
+    """String→timestamp ingestion parse (raykg/ops/resample.py
+    parse_timestamps): events.ts is formatted to a second-resolution
+    string (the CSV-file shape) and parsed back with one vectorized
+    strptime kernel per batch. Equals date_trunc('second', ts) — the
+    oracle formats and reparses through the same chain."""
+    from raykg.ops.resample import parse_timestamps
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts"])
+
+    def to_str(t: pa.Table) -> pa.Table:
+        # Arrow's %S includes subseconds on sub-second types (unlike
+        # DuckDB's) — truncate to seconds first
+        secs = t.column("ts").cast(pa.timestamp("s"), safe=False)
+        s = pc.strftime(secs, format="%Y-%m-%d %H:%M:%S")
+        return pa.table({"event_id": t.column("event_id").cast(pa.int64()),
+                         "ts_raw": s})
+
+    out = parse_timestamps(
+        ds.map_batches(to_str, batch_format="pyarrow"),
+        "ts_raw").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_PARSE_TS = """
+SELECT event_id::BIGINT AS event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_raw,
+       strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                '%Y-%m-%d %H:%M:%S') AS ts_parsed
+FROM events
+ORDER BY event_id
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -7146,6 +7348,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_radius_customers": _q_spatial_radius,
         "hierarchy_ancestors_parts": _q_ancestor_closure,
         "er_fs_scores_customers": _q_fs_link_scores,
+        "dict_encode_sources": _q_dict_encode_sources,
+        "graph_local_clustering": _q_local_clustering,
+        "split_doc_segments": _q_split_segments,
+        "anonymize_customers_suppress": _q_suppress_small_groups,
+        "parse_event_timestamps": _q_parse_timestamps,
         "ts_autocorrelation_users": _q_acf_user_values,
         "profile_mutual_information": _q_mi_lang_source,
         "assoc_rules_part_pairs": _q_assoc_rules_parts,
@@ -7255,6 +7462,11 @@ def oracle_sql() -> dict[str, str]:
         "spatial_radius_customers": _SQL_SPATIAL_RADIUS,
         "hierarchy_ancestors_parts": _SQL_ANCESTOR_CLOSURE,
         "er_fs_scores_customers": _SQL_FS_LINK,
+        "dict_encode_sources": _SQL_DICT_ENCODE,
+        "graph_local_clustering": _SQL_LOCAL_CLUSTERING,
+        "split_doc_segments": _SQL_SPLIT_SEGMENTS,
+        "anonymize_customers_suppress": _SQL_SUPPRESS,
+        "parse_event_timestamps": _SQL_PARSE_TS,
         "ts_autocorrelation_users": _SQL_ACF_USER_VALUES,
         "profile_mutual_information": _SQL_MI_LANG_SOURCE,
         "assoc_rules_part_pairs": _SQL_ASSOC_RULES,

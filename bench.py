@@ -289,6 +289,11 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("spatial_radius_customers", em._q_spatial_radius)
         timed("hierarchy_ancestors_parts", em._q_ancestor_closure)
         timed("er_fs_scores_customers", em._q_fs_link_scores)
+        timed("dict_encode_sources", em._q_dict_encode_sources)
+        timed("graph_local_clustering", em._q_local_clustering)
+        timed("split_doc_segments", em._q_split_segments)
+        timed("anonymize_customers_suppress", em._q_suppress_small_groups)
+        timed("parse_event_timestamps", em._q_parse_timestamps)
 
     result = {
         "metric": "kg_pipeline_wall",

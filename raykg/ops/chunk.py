@@ -68,3 +68,47 @@ def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def split_segments(ds, pattern: str, text_col: str = "text",
+                   id_col: str = "doc_id", out_col: str = "segment",
+                   drop_empty: bool = True):
+    """Regex segmentation explode: split every document at ``pattern``
+    (RE2 — sentence/paragraph/record boundaries) into one row per
+    segment with its ordinal — the sentence-segmentation step ahead of
+    chunking / per-sentence scoring.
+
+    -> Dataset(id_col, seg_idx, out_col). ``seg_idx`` is the segment's
+    position in the raw split (empty segments keep their slot, so
+    ordinals match SQL's zipped-unnest positions even when
+    ``drop_empty`` removes the empty rows afterwards on both sides).
+
+    Scale shape: a pure streaming explode — one
+    ``pc.split_pattern_regex`` kernel call per batch, flatten via
+    ``list_parent_indices`` (no Python per-row work), no shuffle.
+    DuckDB's ``regexp_split_to_array`` is RE2 too, so the oracle is
+    bit-exact on the same pattern.
+    """
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).combine_chunks()
+        ids = t.column(id_col).combine_chunks()
+        parts = pc.split_pattern_regex(texts, pattern)
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts)
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        ordinal = np.arange(int(lens.sum()), dtype=np.int64) - starts
+        out = pa.table({
+            id_col: ids.take(parent),
+            "seg_idx": pa.array(ordinal),
+            out_col: flat.cast(pa.string()),
+        })
+        if drop_empty:
+            keep = pc.greater(pc.utf8_length(out.column(out_col)), 0)
+            out = out.filter(keep)
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -722,16 +722,28 @@ def _assemble_broadcast_side(block_refs, right_on, on, keys_only,
     Columns are selected PER BLOCK before combining: Ray Data can emit
     blocks whose schemas differ by extra columns (an upstream-select
     that left some blocks with the pre-select schema), which breaks a
-    whole-table concat but not a per-block projection."""
-    blocks = ray.get(block_refs)
+    whole-table concat but not a per-block projection.
+
+    Blocks may arrive as PANDAS frames despite ``to_arrow_refs``: Ray
+    skips the UDF on empty blocks, so an empty pandas block from an
+    upstream ``map_groups`` flows through any later Arrow-format map
+    (and ``to_arrow_refs``) unconverted — normalize per block."""
+    raw = ray.get(block_refs)
+    blocks = []
+    for b in raw:
+        if isinstance(b, pa.Table):
+            if b.num_rows:
+                blocks.append(b)
+        elif len(b):
+            blocks.append(pa.Table.from_pandas(b, preserve_index=False))
     if keys_only:
         parts = [b.column(right_on).to_numpy(zero_copy_only=False)
-                 for b in blocks if b.num_rows]
+                 for b in blocks]
         if not parts:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(parts))
     want = cols if cols is not None else [right_on]
-    kept = [b.select(want) for b in blocks if b.num_rows]
+    kept = [b.select(want) for b in blocks]
     t = pa.concat_tables(kept) if kept else None
     df = (t.to_pandas() if t is not None
           else pd.DataFrame({c: [] for c in want}))

@@ -377,3 +377,21 @@ def cusum_changepoint(ds, key_col: str, ts_col: str, val_col: str,
 
     return (ds.map_batches(project, batch_format="pyarrow")
             .groupby("_b").map_groups(fold, batch_format="pandas"))
+
+
+def parse_timestamps(ds, col: str, fmt: str = "%Y-%m-%d %H:%M:%S",
+                     out_col: str = "ts_parsed", unit: str = "us"):
+    """String→timestamp parsing at the read boundary (CSV/JSONL
+    ingestion): one vectorized ``pc.strptime`` kernel per batch, no
+    Python per-row datetime work, no shuffle. Unparseable strings
+    raise (fail-fast contract: a silent-null variant is one
+    ``error_is_null=True`` flag away — kept strict so ingest bugs
+    surface at the gate, mirroring SQL ``strptime``'s error
+    behavior)."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        parsed = pc.strptime(t.column(col), format=fmt, unit=unit)
+        return t.append_column(out_col, parsed)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

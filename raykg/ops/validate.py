@@ -184,3 +184,54 @@ def uniqueness_audit(ds, key_cols: list[str], coarse: int = 64):
     return (ds.map_batches(part, batch_format="pyarrow")
             .groupby("_b")
             .map_groups(fold, batch_format="pandas"))
+
+
+def suppress_small_groups(ds, quasi_cols: list[str], k: int = 5,
+                          id_col: str | None = None, coarse: int = 64):
+    """k-anonymity REPAIR by suppression: drop every row whose
+    quasi-identifier combination is carried by fewer than ``k`` rows —
+    the enforcement counterpart of :func:`k_anonymity` (audit). The
+    surviving dataset is k-anonymous over ``quasi_cols`` by
+    construction.
+
+    Plan: the violating-combo relation from :func:`k_anonymity`
+    (Zipf-bounded pre-counts, one coarse-bucket fold) is joined back
+    as an ANTI-join on a packed combo key. The combo relation is
+    measured and broadcast while dimension-sized (``auto_join``),
+    shuffled beyond — rows stream through one map otherwise.
+
+    Null quasi values participate as their own combo value (pandas
+    ``dropna=False`` grouping == SQL ``PARTITION BY`` null equality).
+    -> the input Dataset filtered to surviving rows (same columns).
+    """
+    from raykg.ops.joins import auto_join
+    from raykg.util import hash_string_columns
+
+    bad = k_anonymity(ds, quasi_cols, k=k, coarse=coarse)
+
+    def pack_bad(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        h = hash_string_columns(
+            *[df[c].astype(str).tolist() for c in quasi_cols])
+        return pa.table({"_combo": pa.array(h.astype(np.int64))})
+
+    bad_keys = bad.map_batches(pack_bad,
+                               batch_format="pyarrow").materialize()
+
+    def pack_rows(t: pa.Table) -> pa.Table:
+        df = t.select(quasi_cols).to_pandas()
+        h = hash_string_columns(
+            *[df[c].astype(str).tolist() for c in quasi_cols])
+        return t.append_column("_combo", pa.array(h.astype(np.int64)))
+
+    keep_cols = [c for c in ds.schema().names]
+    out = auto_join(
+        ds.map_batches(pack_rows, batch_format="pyarrow"), bad_keys,
+        on="_combo", how="anti", left_cols=keep_cols,
+        left_types={"_combo": pa.int64()},
+        right_types={"_combo": pa.int64()})
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.select(keep_cols)
+
+    return out.map_batches(strip, batch_format="pyarrow")
