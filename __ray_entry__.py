@@ -7189,6 +7189,258 @@ ORDER BY event_id
 """
 
 
+def _q_kcore_members(sf_dir: str):
+    """k-core (raykg/ops/cc.py k_core) of the mod-300 orders graph:
+    the maximal subgraph where every vertex keeps degree >= 6 —
+    iterative distributed peeling (degree fold + two plan-adaptive
+    semi joins per round, edge count monotone). Iterative fixpoint —
+    no SQL oracle; pinned against the brute-force peel in
+    tests/test_block15.py."""
+    from raykg.ops.cc import k_core
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(c % 300),
+                         "dst": pa.array((c + k) % 300)})
+
+    out = k_core(orders.map_batches(derive, batch_format="pyarrow"),
+                 k=6).to_pandas()
+    if out.empty:
+        import pandas as pd
+        out = pd.DataFrame({"vertex": pd.array([], "int64"),
+                            "deg": pd.array([], "int64")})
+    return out.sort_values("vertex").reset_index(drop=True)
+
+
+def _q_cuped_event_values(sf_dir: str):
+    """CUPED variance-reduced A/B means (raykg/ops/profile.py
+    cuped_adjust): units = users, covariate x = cents of even
+    event_ids, metric y = cents of odd event_ids, arm = user_id % 2.
+    Per-unit rows from one user-bucketed fold; pooled theta/mean from
+    exact Python-int moments (HUGEINT in the oracle); every output
+    statistic one mirrored float expression."""
+    from raykg.ops.joins import _key_bucket
+    from raykg.ops.profile import cuped_adjust
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uid = t.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(val * 100.0 + 0.5).astype(np.int64)
+        import pandas as pd
+        df = pd.DataFrame({
+            "user_id": uid,
+            "x": np.where(eid % 2 == 0, cents, 0),
+            "y": np.where(eid % 2 == 1, cents, 0),
+        }).groupby("user_id", as_index=False).sum()
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        return tbl.append_column(
+            "_b", _key_bucket(tbl.column("user_id"), 64))
+
+    def fold(g):
+        u = g.groupby("user_id", as_index=False)[["x", "y"]].sum()
+        u["arm"] = (u["user_id"].to_numpy(np.int64) % 2)
+        return u
+
+    units = (ev.map_batches(part, batch_format="pyarrow")
+             .groupby("_b").map_groups(fold, batch_format="pandas"))
+    out = cuped_adjust(units, "arm", "x", "y")
+    out["arm"] = out["arm"].astype("int64")
+    return out
+
+
+def _q_cooccur_cosine_parts(sf_dir: str):
+    """Item-item cosine similarity (raykg/ops/cooccur.py
+    cooccur_cosine): top part pairs by cosine of their order-basket
+    incidence vectors (cnt / sqrt(n_a·n_b)) — collaborative
+    filtering's core statistic. Pair counts via the cooccurrence
+    exchange; item counts broadcast into the bucket top-k; exact-int
+    products through one correctly-rounded sqrt + division, mirrored
+    in SQL."""
+    from raykg.ops.cooccur import cooccur_cosine
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_partkey"])
+    return cooccur_cosine(ds, "l_orderkey", "l_partkey", k=40,
+                          min_count=2)
+
+
+def _q_hierarchy_subtotal(sf_dir: str):
+    """Hierarchical subtotal rollup — a pure COMPOSITION query:
+    ancestor_closure (raykg/ops/closure.py) over the 4-ary part
+    category forest, unioned with the identity rows, joined to
+    per-part lineitem revenue (exact cents) and grouped by ancestor:
+    every category node's subtotal includes all its descendants.
+    Oracle = the recursive-CTE closure + the same join/group chain."""
+    from raykg.ops.closure import ancestor_closure
+    from raykg.ops.joins import auto_join
+
+    parts = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                            columns=["p_partkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("p_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        c = k[k >= 1]
+        return pa.table({"child": pa.array(c),
+                         "parent": pa.array(c // 4)})
+
+    closure = ancestor_closure(
+        parts.map_batches(edges, batch_format="pyarrow"))
+
+    def drop_depth(t: pa.Table) -> pa.Table:
+        return t.select(["node", "anc"])
+
+    def identity(t: pa.Table) -> pa.Table:
+        k = t.column("p_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        c = k[k >= 1]
+        return pa.table({"node": pa.array(c), "anc": pa.array(c)})
+
+    allp = (closure.map_batches(drop_depth, batch_format="pyarrow")
+            .union(parts.map_batches(identity, batch_format="pyarrow")))
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_extendedprice"])
+
+    def li_part(t: pa.Table) -> pa.Table:
+        k = t.column("l_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        import pandas as pd
+        df = pd.DataFrame({"node": k, "cents": cents}).groupby(
+            "node", as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from raykg.ops.joins import _key_bucket
+
+    def bucket_node(t: pa.Table) -> pa.Table:
+        return t.append_column("_b", _key_bucket(t.column("node"), 64))
+
+    rev = (li.map_batches(li_part, batch_format="pyarrow")
+           .map_batches(bucket_node, batch_format="pyarrow")
+           .groupby("_b")
+           .map_groups(lambda g: g.groupby("node", as_index=False)
+                       [["cents"]].sum(),
+                       batch_format="pandas")).materialize()
+
+    i64 = pa.int64()
+    joined = auto_join(allp, rev, on="node",
+                       left_cols=["anc"], right_cols=["cents"],
+                       left_types={"node": i64, "anc": i64},
+                       right_types={"cents": i64})
+
+    def pre_agg(df):
+        g = df.groupby("anc", as_index=False).agg(
+            total_cents=("cents", "sum"), n_parts=("cents", "size"))
+        return g
+
+    def bucket_anc(t: pa.Table) -> pa.Table:
+        return t.append_column("_b", _key_bucket(t.column("anc"), 64))
+
+    out = (joined.map_batches(pre_agg, batch_format="pandas")
+           .map_batches(bucket_anc, batch_format="pyarrow")
+           .groupby("_b")
+           .map_groups(lambda g: g.groupby("anc", as_index=False)
+                       [["total_cents", "n_parts"]].sum(),
+                       batch_format="pandas")).to_pandas()
+    out = out.astype({"anc": "int64", "total_cents": "int64",
+                      "n_parts": "int64"})
+    return out.sort_values("anc").reset_index(drop=True)
+
+
+_SQL_CUPED = """
+WITH c AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+), u AS (
+  SELECT user_id,
+         sum(CASE WHEN event_id % 2 = 0 THEN cents ELSE 0 END)::BIGINT
+           AS x,
+         sum(CASE WHEN event_id % 2 = 1 THEN cents ELSE 0 END)::BIGINT
+           AS y,
+         (user_id % 2)::BIGINT AS arm
+  FROM c GROUP BY user_id
+), g AS (
+  SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+         sum(y)::HUGEINT AS sy, sum(x * y)::HUGEINT AS sxy,
+         sum(x * x)::HUGEINT AS sxx
+  FROM u
+), th AS (
+  SELECT CASE WHEN (n * sxx - sx * sx) = 0 THEN 0.0
+              ELSE (n * sxy - sx * sy)::DOUBLE
+                   / (n * sxx - sx * sx)::DOUBLE END AS theta,
+         sx::DOUBLE / n::DOUBLE AS mean_x
+  FROM g
+), a AS (
+  SELECT arm, count(*)::BIGINT AS n, sum(x)::BIGINT AS sxa,
+         sum(y)::BIGINT AS sya
+  FROM u GROUP BY arm
+)
+SELECT a.arm, a.n,
+       sya::DOUBLE / a.n::DOUBLE AS mean_y,
+       (sya::DOUBLE / a.n::DOUBLE)
+         - th.theta * ((sxa::DOUBLE / a.n::DOUBLE) - th.mean_x)
+         AS adj_mean_y
+FROM a, th ORDER BY a.arm
+"""
+
+
+_SQL_COOCCUR_COSINE = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+), ic AS (
+  SELECT it, count(*)::BIGINT AS n FROM b GROUP BY it
+), p AS (
+  SELECT x.it AS item_a, y.it AS item_b, count(*)::BIGINT AS cnt
+  FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT p.item_a, p.item_b, p.cnt, a.n AS n_a, c.n AS n_b,
+       p.cnt::DOUBLE / sqrt((a.n * c.n)::DOUBLE) AS cosine
+FROM p JOIN ic a ON a.it = p.item_a JOIN ic c ON c.it = p.item_b
+ORDER BY cosine DESC, item_a, item_b
+LIMIT 40
+"""
+
+
+_SQL_HIERARCHY_SUBTOTAL = """
+WITH RECURSIVE e AS (
+  SELECT p_partkey::BIGINT AS child, (p_partkey // 4)::BIGINT AS parent
+  FROM part WHERE p_partkey >= 1
+), r(node, anc) AS (
+  SELECT child, parent FROM e
+  UNION
+  SELECT r.node, e.parent FROM r JOIN e ON e.child = r.anc
+), allp AS (
+  SELECT node, anc FROM r
+  UNION ALL
+  SELECT p_partkey::BIGINT, p_partkey::BIGINT FROM part
+  WHERE p_partkey >= 1
+), rev AS (
+  SELECT l_partkey::BIGINT AS node,
+         sum(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+             )::BIGINT AS cents
+  FROM lineitem GROUP BY 1
+)
+SELECT anc, sum(cents)::BIGINT AS total_cents,
+       count(*)::BIGINT AS n_parts
+FROM allp JOIN rev ON rev.node = allp.node
+GROUP BY anc ORDER BY anc
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -7353,6 +7605,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_doc_segments": _q_split_segments,
         "anonymize_customers_suppress": _q_suppress_small_groups,
         "parse_event_timestamps": _q_parse_timestamps,
+        "graph_kcore_members": _q_kcore_members,
+        "ab_cuped_event_values": _q_cuped_event_values,
+        "cooccur_cosine_parts": _q_cooccur_cosine_parts,
+        "hierarchy_subtotal_revenue": _q_hierarchy_subtotal,
         "ts_autocorrelation_users": _q_acf_user_values,
         "profile_mutual_information": _q_mi_lang_source,
         "assoc_rules_part_pairs": _q_assoc_rules_parts,
@@ -7467,6 +7723,9 @@ def oracle_sql() -> dict[str, str]:
         "split_doc_segments": _SQL_SPLIT_SEGMENTS,
         "anonymize_customers_suppress": _SQL_SUPPRESS,
         "parse_event_timestamps": _SQL_PARSE_TS,
+        "ab_cuped_event_values": _SQL_CUPED,
+        "cooccur_cosine_parts": _SQL_COOCCUR_COSINE,
+        "hierarchy_subtotal_revenue": _SQL_HIERARCHY_SUBTOTAL,
         "ts_autocorrelation_users": _SQL_ACF_USER_VALUES,
         "profile_mutual_information": _SQL_MI_LANG_SOURCE,
         "assoc_rules_part_pairs": _SQL_ASSOC_RULES,

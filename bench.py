@@ -294,6 +294,10 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("split_doc_segments", em._q_split_segments)
         timed("anonymize_customers_suppress", em._q_suppress_small_groups)
         timed("parse_event_timestamps", em._q_parse_timestamps)
+        timed("graph_kcore_members", em._q_kcore_members)
+        timed("ab_cuped_event_values", em._q_cuped_event_values)
+        timed("cooccur_cosine_parts", em._q_cooccur_cosine_parts)
+        timed("hierarchy_subtotal_revenue", em._q_hierarchy_subtotal)
 
     result = {
         "metric": "kg_pipeline_wall",

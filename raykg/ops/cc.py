@@ -557,3 +557,121 @@ def local_clustering(edges_ds, src: str = "src", dst: str = "dst",
                              "deg": d, "tri": tri, "coeff": c})
 
     return joined.map_batches(coeff, batch_format="pandas")
+
+
+def k_core(edges_ds, k: int, src: str = "src", dst: str = "dst",
+           max_rounds: int = 64, coarse: int = CC_BUCKETS):
+    """k-core of an undirected graph: the maximal subgraph in which
+    every vertex has degree >= k — the classic peel for separating a
+    graph's dense core from its fringe (spam-farm detection, KG hub
+    extraction, community seeding).
+
+    Iterative peeling, each round three bounded exchanges:
+      1. vertex degrees of the surviving edge set (per-block
+         ``np.unique`` pre-counts, one coarse-bucket fold);
+      2. survivors (deg >= k) — an O(vertices) relation, measured and
+         BROADCAST while dimension-sized (``auto_join`` semi), shuffle
+         beyond;
+      3. edges filtered to both-endpoints-surviving (two semi joins).
+    Edge count is MONOTONE NON-INCREASING, so an unchanged count is a
+    fixed point. Round count is the peel depth (<= max degree; tiny in
+    practice — each round removes every vertex below k simultaneously,
+    not one vertex at a time). ``max_rounds`` guards pathological
+    inputs by raising rather than returning a partial core.
+
+    -> Dataset(vertex, deg): the k-core members with their in-core
+    degrees (empty when no k-core exists).
+    """
+    from raykg.ops.joins import auto_join
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        keep = u != v
+        df = pd.DataFrame({"u": u[keep], "v": v[keep]}).drop_duplicates()
+        df["_b"] = _bucket(df["u"].to_numpy() * 31 + df["v"].to_numpy(),
+                           coarse)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    edges = (edges_ds.map_batches(norm, batch_format="pyarrow")
+             .groupby("_b")
+             .map_groups(lambda g: g.drop_duplicates(["u", "v"])
+                         .drop(columns=["_b"]),
+                         batch_format="pandas")).materialize()
+    n_edges = edges.count()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        ids = np.concatenate([u, v])
+        vert, cnt = np.unique(ids, return_counts=True)
+        return pa.table({"vertex": pa.array(vert.astype(np.int64)),
+                         "deg": pa.array(cnt.astype(np.int64)),
+                         "_b": pa.array(_bucket(vert, coarse))})
+
+    def fold_deg(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("vertex", as_index=False)
+                .agg(deg=("deg", "sum")))
+
+    i64 = pa.int64()
+    degrees = None
+    for _ in range(max_rounds):
+        degrees = (edges.map_batches(endpoints, batch_format="pyarrow")
+                   .groupby("_b")
+                   .map_groups(fold_deg, batch_format="pandas")
+                   ).materialize()
+        if n_edges == 0:
+            break
+
+        def survives(t: pa.Table) -> pa.Table:
+            d = t.column("deg").to_numpy(zero_copy_only=False)
+            return t.select(["vertex"]).filter(pa.array(d >= k))
+
+        alive = degrees.map_batches(
+            survives, batch_format="pyarrow").materialize()
+        pruned = auto_join(
+            auto_join(edges, alive, on="u", right_on="vertex",
+                      how="semi", left_cols=["v"],
+                      left_types={"u": i64, "v": i64}),
+            alive, on="v", right_on="vertex", how="semi",
+            left_cols=["u"],
+            left_types={"u": i64, "v": i64}).materialize()
+        n_new = pruned.count()
+        if n_new == n_edges:
+            break
+        edges, n_edges = pruned, n_new
+    else:
+        raise RuntimeError(f"k_core did not converge in {max_rounds} "
+                           "rounds")
+
+    def final(t: pa.Table) -> pa.Table:
+        d = t.column("deg").to_numpy(zero_copy_only=False)
+        return t.select(["vertex", "deg"]).filter(pa.array(d >= k))
+
+    return degrees.map_batches(final, batch_format="pyarrow")
+
+
+def k_core_bruteforce(edges: "pd.DataFrame", k: int,
+                      src: str = "src", dst: str = "dst") -> pd.DataFrame:
+    """Single-process iterative peel with identical semantics."""
+    a = edges[src].to_numpy(np.int64)
+    b = edges[dst].to_numpy(np.int64)
+    u, v = np.minimum(a, b), np.maximum(a, b)
+    keep = u != v
+    e = pd.DataFrame({"u": u[keep], "v": v[keep]}).drop_duplicates()
+    while True:
+        if not len(e):
+            return pd.DataFrame({"vertex": pd.array([], "int64"),
+                                 "deg": pd.array([], "int64")})
+        cnt = pd.concat([e["u"], e["v"]]).value_counts()
+        alive = set(cnt[cnt >= k].index)
+        e2 = e[e["u"].isin(alive) & e["v"].isin(alive)]
+        if len(e2) == len(e):
+            break
+        e = e2
+    cnt = pd.concat([e["u"], e["v"]]).value_counts().sort_index()
+    out = pd.DataFrame({"vertex": cnt.index.to_numpy(np.int64),
+                        "deg": cnt.to_numpy(np.int64)})
+    return out[out["deg"] >= k].reset_index(drop=True)

@@ -287,3 +287,116 @@ def association_rules(
     return (out.sort_values(["pair_n", "antecedent", "consequent"],
                             ascending=[False, True, True],
                             kind="mergesort").reset_index(drop=True))
+
+
+def cooccur_cosine(
+    ds,
+    basket_col: str,
+    item_col: str,
+    k: int = 50,
+    min_count: int = 2,
+    coarse: int = COOCCUR_BUCKETS,
+    max_basket: int | None = None,
+):
+    """Top-``k`` item pairs by COSINE similarity of their basket
+    incidence vectors — item-item collaborative filtering's core
+    statistic:  cos(a,b) = n_ab / sqrt(n_a · n_b)  over binary
+    basket membership (duplicate (basket, item) rows count once).
+
+    Plan: the :func:`cooccurrence_pairs` exchange produces exact pair
+    counts per pair-hash bucket; the per-item distinct-basket counts
+    are an O(items) relation (per-block dedup pre-counts, one fold)
+    BROADCAST into the bucket top-k step, so ranking by cosine happens
+    bucket-locally (each pair lives wholly in one bucket) and the
+    driver merges <= k rows per bucket. n_a·n_b is exact int64 and
+    IEEE sqrt is correctly rounded, so the one-division cosine is
+    bit-mirrorable in SQL. Ties resolve by (item_a, item_b) — total
+    order matches ``ORDER BY cosine DESC, item_a, item_b LIMIT k``.
+
+    -> DataFrame(item_a, item_b, cnt, n_a, n_b, cosine).
+    """
+    import ray
+
+    # per-item distinct-basket counts: per-block (basket,item) dedup
+    # then per-item partial counts — duplicate (basket,item) rows may
+    # straddle blocks, so count distinct through one basket-bucketed
+    # exchange (the same bucketing the pair pass uses)
+    def item_parts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([basket_col, item_col])
+        return (g.groupby(item_col, sort=False).size()
+                .rename("n").reset_index())
+
+    def bucket_rows(t: pa.Table) -> pa.Table:
+        t = t.select([basket_col, item_col])
+        return t.append_column(
+            "_bk", _key_bucket(t.column(basket_col), coarse))
+
+    item_counts = (
+        ds.map_batches(bucket_rows, batch_format="pyarrow")
+        .groupby("_bk").map_groups(item_parts, batch_format="pandas")
+        .to_pandas()
+        .groupby(item_col, as_index=False)["n"].sum())
+    counts_ref = ray.put(dict(zip(item_counts[item_col],
+                                  item_counts["n"].astype(np.int64))))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([basket_col, item_col]).sort_values(
+            [basket_col, item_col], kind="mergesort")
+        if max_basket is not None:
+            sz = g.groupby(basket_col, sort=False)[item_col].transform(
+                "size")
+            g = g[sz <= max_basket]
+        a, b = _emit_pairs(g[basket_col].to_numpy(),
+                           g[item_col].to_numpy())
+        return (pd.DataFrame({"item_a": a, "item_b": b})
+                .groupby(["item_a", "item_b"], sort=False)
+                .size().rename("cnt").reset_index())
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("item_a").to_numpy(zero_copy_only=False)
+        b = t.column("item_b").to_numpy(zero_copy_only=False)
+        from raykg.ops.sample import _murmur64
+
+        h = _murmur64(a.astype(np.uint64) * np.uint64(1000003)
+                      ^ b.astype(np.uint64))
+        return t.append_column(
+            "_pb", pa.array((h % np.uint64(coarse)).astype(np.int32)))
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _r
+        nmap = _r.get(counts_ref)
+        m = (g.groupby(["item_a", "item_b"], sort=False)["cnt"].sum()
+             .reset_index())
+        m = m[m["cnt"] >= min_count]
+        if not len(m):
+            return pd.DataFrame({"item_a": pd.array([], "int64"),
+                                 "item_b": pd.array([], "int64"),
+                                 "cnt": pd.array([], "int64"),
+                                 "n_a": pd.array([], "int64"),
+                                 "n_b": pd.array([], "int64"),
+                                 "cosine": pd.array([], "float64")})
+        na = m["item_a"].map(nmap).to_numpy(np.int64)
+        nb = m["item_b"].map(nmap).to_numpy(np.int64)
+        m["n_a"], m["n_b"] = na, nb
+        m["cosine"] = m["cnt"].to_numpy(np.int64) / np.sqrt(
+            (na * nb).astype(np.float64))
+        m = m.sort_values(["cosine", "item_a", "item_b"],
+                          ascending=[False, True, True],
+                          kind="mergesort")
+        return m.head(k)
+
+    parts = (
+        ds.map_batches(bucket_rows, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    parts = parts.sort_values(["cosine", "item_a", "item_b"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(k)
+    for c in ("item_a", "item_b", "cnt", "n_a", "n_b"):
+        parts[c] = parts[c].astype("int64")
+    return parts.reset_index(drop=True)

@@ -794,3 +794,71 @@ def key_skew(ds, key: str, coarse: int = 64) -> pd.DataFrame:
         "top1_share": [float(mx) / float(n) if n else 0.0],
         "hhi": [float(ssq) / float(n * n) if n else 0.0],
     })
+
+
+def cuped_adjust(ds, arm_col: str, x_col: str, y_col: str) -> pd.DataFrame:
+    """CUPED variance-reduced A/B means (Deng et al., WSDM 2013
+    "Improving the sensitivity of online controlled experiments"):
+    per-arm means of the adjusted metric
+
+        y' = y - theta * (x - mean(x)),   theta = cov(x, y) / var(x)
+
+    where ``x`` is a PRE-experiment covariate and theta/mean(x) are
+    pooled over all units. Input = one row per experiment unit with
+    INTEGER x/y (cents convention).
+
+    Scale shape: one streaming pass of per-block exact int64 partials
+    (n, Σx, Σy, Σxy, Σx², and per-arm n/Σx/Σy) — the exchange is
+    O(blocks × (arms + 1)), never O(units). Partials fold on the
+    driver in PYTHON ints (arbitrary precision: n·Σxy etc. overflow
+    int64 at corpus scale); every emitted statistic is ONE float
+    expression over those exact integers, mirrored operand-for-operand
+    by a HUGEINT-arithmetic SQL oracle. Constant x (var 0) -> theta 0
+    (adjusted == raw, the standard degenerate-covariate convention).
+
+    -> DataFrame(arm, n, mean_y, adj_mean_y) sorted by arm.
+    """
+    def part(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        arm = t.column(arm_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"arm": arm, "x": x, "y": y})
+        g = df.groupby("arm", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"))
+        return pa.table({
+            "arm": pa.array(g["arm"]),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "sx": pa.array(g["sx"].to_numpy(np.int64)),
+            "sy": pa.array(g["sy"].to_numpy(np.int64)),
+            "sxy": pa.array(np.concatenate(
+                [[int((x * y).sum())], np.zeros(len(g) - 1, np.int64)])
+                if len(g) else np.array([], np.int64)),
+            "sxx": pa.array(np.concatenate(
+                [[int((x * x).sum())], np.zeros(len(g) - 1, np.int64)])
+                if len(g) else np.array([], np.int64)),
+        })
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"arm": [], "n": [], "mean_y": [],
+                             "adj_mean_y": []})
+    # pooled moments in Python ints (exact at any scale)
+    n = int(parts["n"].sum())
+    sx = int(parts["sx"].sum())
+    sy = int(parts["sy"].sum())
+    sxy = int(parts["sxy"].sum())
+    sxx = int(parts["sxx"].sum())
+    cov_num = n * sxy - sx * sy          # n² · cov
+    var_num = n * sxx - sx * sx          # n² · var
+    theta = float(cov_num) / float(var_num) if var_num != 0 else 0.0
+    mean_x = float(sx) / float(n)
+
+    arms = parts.groupby("arm", as_index=False).agg(
+        n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"))
+    na = arms["n"].to_numpy(np.int64)
+    mean_y = arms["sy"].to_numpy(np.int64).astype(np.float64) / na
+    mean_xa = arms["sx"].to_numpy(np.int64).astype(np.float64) / na
+    adj = mean_y - theta * (mean_xa - mean_x)
+    out = pd.DataFrame({"arm": arms["arm"], "n": na,
+                        "mean_y": mean_y, "adj_mean_y": adj})
+    return out.sort_values("arm").reset_index(drop=True)
