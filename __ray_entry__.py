@@ -7441,6 +7441,98 @@ GROUP BY anc ORDER BY anc
 """
 
 
+def _q_mst_parts(sf_dir: str):
+    """Minimum spanning forest (raykg/ops/mst.py, distributed Borůvka
+    contraction) of the mod-300 orders graph with deterministic
+    weights (u·7 + v·13) % 97 + 1: per-round each component picks its
+    (w, u, v)-minimum cross edge (plan-adaptive label joins +
+    component-bucket min fold), contracts through the raw-task CC.
+    Iterative fixpoint — no SQL oracle; pinned vs Kruskal in
+    tests/test_block16.py."""
+    from raykg.ops.mst import minimum_spanning_forest
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        a = (c % 300).astype(np.int64)
+        b = ((c + k) % 300).astype(np.int64)
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        return pa.table({"src": pa.array(u), "dst": pa.array(v),
+                         "w": pa.array((u * 7 + v * 13) % 97 + 1)})
+
+    out = minimum_spanning_forest(
+        orders.map_batches(derive, batch_format="pyarrow")).to_pandas()
+    if out.empty:
+        import pandas as pd
+        out = pd.DataFrame({"u": pd.array([], "int64"),
+                            "v": pd.array([], "int64"),
+                            "w": pd.array([], "int64")})
+    out = out.astype({"u": "int64", "v": "int64", "w": "int64"})
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+def _q_kmeans_silhouette(sf_dir: str):
+    """Clustering quality: simplified (centroid-based) silhouette
+    (raykg/ops/kmeans.py simplified_silhouette) of the k=8 exact
+    Lloyd fit over the embeddings table — one (rows × k) GEMM per
+    batch against broadcast centers, O(blocks × k) partial exchange.
+    Iterative + float means — rows-only; pinned against a direct
+    reference in tests/test_block16.py."""
+    from raykg.ops.kmeans import kmeans_fit, simplified_silhouette
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    centers, _, _ = kmeans_fit(ds, k=8, n_iter=5)
+    out = simplified_silhouette(ds, centers)
+    out["cluster"] = out["cluster"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def _q_linear_attribution(sf_dir: str):
+    """Linear multi-touch attribution (raykg/ops/funnel.py
+    window_touch_counts): every purchase counts the same user's
+    clicks in its 24 h lookback window through one key-bucket
+    tagged-union exchange + two composite-key searchsorted probes per
+    bucket (no pair expansion); credit = 1.0/n, one mirrored float
+    division."""
+    from raykg.ops.funnel import window_touch_counts
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    conv = ev.filter(expr="event_type == 'purchase'")
+    touch = ev.filter(expr="event_type == 'click'")
+    out = window_touch_counts(
+        conv, touch, key="user_id", conv_ts="ts", touch_ts="ts",
+        conv_id="event_id", lookback_us=86_400_000_000).to_pandas()
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+_SQL_LINEAR_ATTRIBUTION = """
+WITH p AS (
+  SELECT event_id::BIGINT AS cid, user_id::BIGINT AS k,
+         epoch_us(ts) AS ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id::BIGINT AS k, epoch_us(ts) AS ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.cid AS conv_id, p.k AS key,
+       count(c.ts)::BIGINT AS n_touches,
+       CASE WHEN count(c.ts) > 0 THEN 1.0 / count(c.ts)
+            ELSE 0.0 END AS credit
+FROM p LEFT JOIN c
+  ON c.k = p.k AND c.ts >= p.ts - 86400000000 AND c.ts < p.ts
+GROUP BY p.cid, p.k
+ORDER BY conv_id
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -7609,6 +7701,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_cuped_event_values": _q_cuped_event_values,
         "cooccur_cosine_parts": _q_cooccur_cosine_parts,
         "hierarchy_subtotal_revenue": _q_hierarchy_subtotal,
+        "graph_mst_parts": _q_mst_parts,
+        "eval_kmeans_silhouette": _q_kmeans_silhouette,
+        "attribution_linear_touch": _q_linear_attribution,
         "ts_autocorrelation_users": _q_acf_user_values,
         "profile_mutual_information": _q_mi_lang_source,
         "assoc_rules_part_pairs": _q_assoc_rules_parts,
@@ -7726,6 +7821,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_cuped_event_values": _SQL_CUPED,
         "cooccur_cosine_parts": _SQL_COOCCUR_COSINE,
         "hierarchy_subtotal_revenue": _SQL_HIERARCHY_SUBTOTAL,
+        "attribution_linear_touch": _SQL_LINEAR_ATTRIBUTION,
         "ts_autocorrelation_users": _SQL_ACF_USER_VALUES,
         "profile_mutual_information": _SQL_MI_LANG_SOURCE,
         "assoc_rules_part_pairs": _SQL_ASSOC_RULES,

@@ -298,6 +298,9 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("ab_cuped_event_values", em._q_cuped_event_values)
         timed("cooccur_cosine_parts", em._q_cooccur_cosine_parts)
         timed("hierarchy_subtotal_revenue", em._q_hierarchy_subtotal)
+        timed("graph_mst_parts", em._q_mst_parts)
+        timed("eval_kmeans_silhouette", em._q_kmeans_silhouette)
+        timed("attribution_linear_touch", em._q_linear_attribution)
 
     result = {
         "metric": "kg_pipeline_wall",

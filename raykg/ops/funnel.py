@@ -281,3 +281,96 @@ def sequence_pattern_match(ds, key_col: str, ts_col: str,
 
     return (ds.map_batches(project, batch_format="pyarrow")
             .groupby("_b").map_groups(scan, batch_format="pandas"))
+
+
+def window_touch_counts(conv_ds, touch_ds, key: str, conv_ts: str,
+                        touch_ts: str, conv_id: str,
+                        lookback_us: int, coarse: int = 64):
+    """Linear multi-touch attribution support counts: for every
+    conversion, the number of SAME-KEY touches in the half-open
+    lookback window ``[conv_ts - lookback_us, conv_ts)`` — each touch
+    then earns credit 1/n (the linear model; last-touch is the k=1
+    sibling, ops/joins.asof_join + attribution_last_touch).
+
+    One tagged-union key-bucket exchange (the asof_join plan); per
+    bucket, touches sort once by (ts, id) and every conversion's count
+    is TWO vectorized searchsorted probes (upper(conv_ts) −
+    lower(conv_ts − lookback)) — O((T + C) log T) per bucket, no pair
+    expansion. Timestamps normalized to µs int64 on entry
+    (util.ts_to_us — ns inputs and µs windows must not mix).
+
+    -> Dataset(conv_id, key, n_touches, credit): ``credit`` = 1.0/n
+    (one float division of exact ints; 0-touch conversions keep
+    n_touches 0, credit 0.0 — SQL mirrors with a CASE).
+    """
+    from raykg.ops.joins import _key_bucket
+    from raykg.util import ts_to_us
+
+    def tag_conv(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": t.column(key).cast(pa.int64()),
+            "ts": pa.array(ts_to_us(t.column(conv_ts))),
+            "cid": t.column(conv_id).cast(pa.int64()),
+            "is_conv": pa.array(np.ones(t.num_rows, np.bool_)),
+        })
+        return out.append_column("_b", _key_bucket(out.column("k"),
+                                                   coarse))
+
+    def tag_touch(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": t.column(key).cast(pa.int64()),
+            "ts": pa.array(ts_to_us(t.column(touch_ts))),
+            "cid": pa.array(np.zeros(t.num_rows, np.int64)),
+            "is_conv": pa.array(np.zeros(t.num_rows, np.bool_)),
+        })
+        return out.append_column("_b", _key_bucket(out.column("k"),
+                                                   coarse))
+
+    both = (conv_ds.map_batches(tag_conv, batch_format="pyarrow")
+            .union(touch_ds.map_batches(tag_touch,
+                                        batch_format="pyarrow")))
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"conv_id": pd.array([], "int64"),
+                              "key": pd.array([], "int64"),
+                              "n_touches": pd.array([], "int64"),
+                              "credit": pd.array([], "float64")})
+        conv = df[df["is_conv"]]
+        if not len(conv):
+            return empty
+        touch = df[~df["is_conv"]]
+        ck = conv["k"].to_numpy(np.int64)
+        cts = conv["ts"].to_numpy(np.int64)
+        tk = touch["k"].to_numpy(np.int64)
+        tts = touch["ts"].to_numpy(np.int64)
+        # vectorized per-key window count: fold (key, ts) into ONE
+        # sortable int64 — dense key ids × the bucket's clamped time
+        # span (probe floors at tmin, so the lookback edge never
+        # underflows into the previous key's range)
+        keys = np.unique(np.concatenate([ck, tk]))
+        dk_c = np.searchsorted(keys, ck)
+        if len(tts):
+            tmin = int(tts.min())
+            span = int(tts.max()) - tmin + 2
+        else:
+            tmin, span = 0, 2
+        if len(keys) * span >= (1 << 62):  # composite would overflow:
+            raise ValueError("window_touch_counts: key x time-span "
+                             "domain exceeds int64 — shrink the bucket "
+                             "time range or raise coarse")
+        comp_t = np.sort(np.searchsorted(keys, tk) * span + (tts - tmin))
+        hi = np.searchsorted(
+            comp_t, dk_c * span + np.clip(cts - tmin, 0, span - 1))
+        lo = np.searchsorted(
+            comp_t, dk_c * span + np.clip(cts - lookback_us - tmin,
+                                          0, span - 1))
+        n = (hi - lo).astype(np.int64)
+        out = pd.DataFrame({
+            "conv_id": conv["cid"].to_numpy(np.int64),
+            "key": ck, "n_touches": n,
+        })
+        out["credit"] = np.where(n > 0, 1.0 / np.where(n > 0, n, 1), 0.0)
+        return out
+
+    return (both.groupby("_b")
+            .map_groups(count_bucket, batch_format="pandas"))

@@ -130,3 +130,61 @@ def kmeans_assign(ds, centers: np.ndarray, vec_col: str = "embedding",
             out_col, pa.array(d2.argmin(axis=1).astype(np.int32)))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def simplified_silhouette(ds, centers: np.ndarray,
+                          vec_col: str = "embedding"):
+    """Simplified (centroid-based) silhouette score per cluster — the
+    clustering-quality metric that scales: for each point,
+    a = euclidean distance to its OWN centroid, b = distance to the
+    nearest OTHER centroid, s = (b - a) / max(a, b) (0 when both are
+    0). The pairwise-distance silhouette is O(n²); the centroid form
+    is the standard streaming proxy (one (rows × k) GEMM per batch
+    against the broadcast centers, nothing shuffles — the exchange is
+    O(blocks × k) partial rows).
+
+    Float partials fold in CLUSTER-then-block-sum order via pandas
+    groupby (sum order over blocks is arrival-dependent — means are
+    reproducible to ~1e-12, asserted with tolerance, not bit-pinned).
+
+    -> DataFrame(cluster, n, mean_s) sorted by cluster, plus an
+    ``overall`` row with cluster = -1.
+    """
+    C = np.asarray(centers, dtype=np.float64)
+    cref = ray.put(C)
+
+    def part(t: pa.Table) -> pa.Table:
+        Cw = ray.get(cref)
+        V = column_to_vectors(t.column(vec_col)).astype(np.float64)
+        d2 = ((V * V).sum(axis=1)[:, None]
+              - 2.0 * (V @ Cw.T)
+              + (Cw * Cw).sum(axis=1)[None, :])
+        np.maximum(d2, 0.0, out=d2)
+        d = np.sqrt(d2)
+        own = d.argmin(axis=1)
+        a = d[np.arange(len(d)), own]
+        d[np.arange(len(d)), own] = np.inf
+        b = d.min(axis=1)
+        denom = np.maximum(a, b)
+        s = np.where(denom > 0, (b - a) / np.where(denom > 0, denom, 1.0),
+                     0.0)
+        g = (pd.DataFrame({"cluster": own.astype(np.int64), "s": s})
+             .groupby("cluster", as_index=False)
+             .agg(n=("s", "size"), sum_s=("s", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("cluster", as_index=False)
+           .agg(n=("n", "sum"), sum_s=("sum_s", "sum"))
+           .sort_values("cluster"))
+    out = pd.DataFrame({
+        "cluster": agg["cluster"].to_numpy(np.int64),
+        "n": agg["n"].to_numpy(np.int64),
+        "mean_s": agg["sum_s"].to_numpy() / agg["n"].to_numpy(),
+    })
+    total_n = int(agg["n"].sum())
+    overall = (float(agg["sum_s"].sum()) / total_n) if total_n else 0.0
+    out = pd.concat([out, pd.DataFrame(
+        {"cluster": [-1], "n": [total_n], "mean_s": [overall]})],
+        ignore_index=True)
+    return out.sort_values("cluster").reset_index(drop=True)

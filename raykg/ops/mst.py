@@ -1,0 +1,292 @@
+"""Minimum spanning forest by distributed Borůvka contraction — the
+classic O(log V)-round MST plan (Borůvka 1926; the MapReduce variant
+in Lattanzi et al. 2011 "Filtering: a method for solving graph
+problems in MapReduce"): every round, each component picks its
+globally-minimum incident cross-edge (total order ``(w, u, v)`` — a
+strict tiebreak makes the chosen set cycle-free by the standard
+cut-property argument even with duplicate weights), the chosen edges
+join the forest, and components contract by POINTER DOUBLING over the
+per-component winner relation (component count at least HALVES per
+round, so <= log2 V outer rounds; the contraction itself is
+ceil(log2 depth) joins — hash-min CC would need diameter rounds and
+equal-weight graphs legitimately chain).
+
+Uses: network/similarity-graph backbone extraction, single-linkage
+clustering at scale (an MST cut at threshold t IS single-linkage),
+entity-graph dedup cost minimization.
+
+Scale shape per round: two plan-adaptive ``auto_join``s to attach
+component labels (labels are an O(V) relation — broadcast while
+dimension-sized, shuffled beyond), a per-block pre-min + one
+component-bucket fold to pick winners (exchange O(blocks × live
+components)), and the pointer-doubling self-joins over the
+O(components) winner relation. Only per-round counts cross the
+driver; forest edges accumulate as materialized Datasets, unioned at
+the end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MST_BUCKETS = 64
+
+
+def _forest_roots(winners, coarse: int, max_rounds: int):
+    """Root pointers of the winner pseudo-forest: winners holds ONE
+    row per live component ``c`` with its chosen edge's other
+    component ``oc``. Break each merged tree's unique mutual 2-cycle
+    (the two endpoints of its minimum edge point at each other —
+    smaller id becomes the self-rooted representative), then pointer-
+    double until every parent is a root. Each round is one
+    plan-adaptive self-join of an O(live components) relation; round
+    count is ceil(log2 max tree depth) <= log2 V.
+
+    -> materialized Dataset(c, root)."""
+    from raykg.ops.joins import auto_join
+
+    i64 = pa.int64()
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"c": t.column("c").cast(pa.int64()),
+                         "p": t.column("oc").cast(pa.int64())})
+
+    P = winners.map_batches(proj, batch_format="pyarrow").materialize()
+
+    def ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["rc" if c == "c" else "pp" if c == "p" else c
+             for c in t.column_names])
+
+    for rnd in range(max_rounds):
+        R = P.map_batches(ren, batch_format="pyarrow").materialize()
+        J = auto_join(P, R, on="p", right_on="rc",
+                      left_cols=["c"], right_cols=["pp"],
+                      left_types={"p": i64, "c": i64},
+                      right_types={"pp": i64})
+
+        if rnd == 0:
+            def step(t: pa.Table) -> pa.Table:
+                c = t.column("c").to_numpy(zero_copy_only=False)
+                p = t.column("p").to_numpy(zero_copy_only=False)
+                pp = t.column("pp").to_numpy(zero_copy_only=False)
+                # mutual 2-cycle: smaller id self-roots
+                newp = np.where((pp == c) & (c < p), c, p)
+                return pa.table({"c": pa.array(c), "p": pa.array(newp)})
+
+            P = J.map_batches(step, batch_format="pyarrow").materialize()
+            continue
+
+        def jump(t: pa.Table) -> pa.Table:
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            p = t.column("p").to_numpy(zero_copy_only=False)
+            pp = t.column("pp").to_numpy(zero_copy_only=False)
+            return pa.table({"c": pa.array(c), "p": pa.array(pp),
+                             "_chg": pa.array((pp != p).astype(np.int8))})
+
+        nxt = J.map_batches(jump, batch_format="pyarrow").materialize()
+        changed = int(nxt.sum("_chg") or 0)
+        P = nxt.drop_columns(["_chg"]).materialize()
+        if changed == 0:
+            def final(t: pa.Table) -> pa.Table:
+                return pa.table({"c": t.column("c"),
+                                 "root": t.column("p")})
+
+            return P.map_batches(final,
+                                 batch_format="pyarrow").materialize()
+    raise RuntimeError(f"_forest_roots did not converge in {max_rounds} "
+                       "rounds")
+
+
+def minimum_spanning_forest(edges_ds, src: str = "src", dst: str = "dst",
+                            weight: str = "w", max_rounds: int = 40,
+                            coarse: int = MST_BUCKETS):
+    """-> Dataset(u, v, w): the minimum spanning forest edge set
+    (one tree per connected component), u < v. Weights int64 (cents
+    convention — float weights work but lose the exact-compare
+    guarantee); duplicate edges collapse to their minimum weight;
+    self-loops dropped."""
+    from raykg.ops.cc import _bucket
+    from raykg.ops.joins import auto_join
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t.column(weight).to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        keep = u != v
+        df = (pd.DataFrame({"u": u[keep], "v": v[keep], "w": w[keep]})
+              .groupby(["u", "v"], as_index=False)["w"].min())
+        df["_b"] = _bucket(df["u"].to_numpy() * 31 + df["v"].to_numpy(),
+                           coarse)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    edges = (edges_ds.map_batches(norm, batch_format="pyarrow")
+             .groupby("_b")
+             .map_groups(lambda g: g.groupby(["u", "v"], as_index=False)
+                         ["w"].min(),
+                         batch_format="pandas")).materialize()
+
+    def verts(t: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            t.column("u").to_numpy(zero_copy_only=False),
+            t.column("v").to_numpy(zero_copy_only=False)]))
+        return pa.table({"vertex": pa.array(ids.astype(np.int64)),
+                         "comp": pa.array(ids.astype(np.int64)),
+                         "_b": pa.array(_bucket(ids, coarse))})
+
+    labels = (edges.map_batches(verts, batch_format="pyarrow")
+              .groupby("_b")
+              .map_groups(lambda g: g.drop_duplicates("vertex")
+                          .drop(columns="_b"),
+                          batch_format="pandas")).materialize()
+
+    i64 = pa.int64()
+    forest_parts = []
+    for _ in range(max_rounds):
+        # attach both endpoints' component labels (plan-adaptive)
+        with_cu = auto_join(edges, labels, on="u", right_on="vertex",
+                            left_cols=["v", "w"], right_cols=["comp"],
+                            left_types={"u": i64, "v": i64, "w": i64},
+                            right_types={"comp": i64})
+
+        def _cu(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                ["cu" if c == "comp" else c for c in t.column_names])
+
+        both = auto_join(with_cu.map_batches(_cu, batch_format="pyarrow"),
+                         labels, on="v", right_on="vertex",
+                         left_cols=["u", "w", "cu"], right_cols=["comp"],
+                         left_types={"v": i64, "u": i64, "w": i64,
+                                     "cu": i64},
+                         right_types={"comp": i64})
+
+        def cross_only(t: pa.Table) -> pa.Table:
+            cu = t.column("cu").to_numpy(zero_copy_only=False)
+            cv = t.column("comp").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(cu != cv))
+
+        cross = both.map_batches(cross_only,
+                                 batch_format="pyarrow").materialize()
+        if cross.count() == 0:
+            break
+
+        # each component's minimum incident cross-edge by (w, u, v):
+        # per-block pre-min per component, then one component-bucket
+        # fold — the exchange carries O(blocks x live components) rows
+        def cand(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            rows = pd.concat([
+                df[["cu", "w", "u", "v", "comp"]].rename(
+                    columns={"cu": "c", "comp": "oc"}),
+                df[["comp", "w", "u", "v", "cu"]].rename(
+                    columns={"comp": "c", "cu": "oc"}),
+            ], ignore_index=True)
+            rows = (rows.sort_values(["c", "w", "u", "v"],
+                                     kind="mergesort")
+                    .drop_duplicates("c"))
+            rows["_b"] = _bucket(rows["c"].to_numpy(np.int64), coarse)
+            return pa.Table.from_pandas(rows, preserve_index=False)
+
+        def fold_min(g: pd.DataFrame) -> pd.DataFrame:
+            return (g.sort_values(["c", "w", "u", "v"], kind="mergesort")
+                    .drop_duplicates("c").drop(columns="_b"))
+
+        winners = (cross.map_batches(cand, batch_format="pyarrow")
+                   .groupby("_b")
+                   .map_groups(fold_min, batch_format="pandas")
+                   ).materialize()
+
+        # an edge chosen by both endpoints appears twice — dedup, then
+        # record it in the forest and contract across it
+        def chosen_edges(g: pd.DataFrame) -> pd.DataFrame:
+            return g.drop_duplicates(["u", "v"])
+
+        def edge_key(t: pa.Table) -> pa.Table:
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            return t.append_column("_e", pa.array(
+                _bucket(u * 1_000_003 + v, coarse)))
+
+        chosen = (winners.map_batches(edge_key, batch_format="pyarrow")
+                  .groupby("_e")
+                  .map_groups(chosen_edges, batch_format="pandas")
+                  ).materialize()
+        forest_parts.append(chosen)
+
+        # contract via POINTER DOUBLING over the per-component winner
+        # relation (one parent per live component: parent[c] = oc) —
+        # NOT hash-min CC, whose round count is the component-chain
+        # DIAMETER (equal-weight graphs legitimately chain; a path
+        # would need O(V) rounds). The winner relation is a functional
+        # pseudo-forest whose only cycles are the mutual 2-cycles at
+        # each merged tree's minimum edge; break those (smaller id
+        # self-roots), then parent <- parent[parent] converges to root
+        # pointers in ceil(log2 depth) plan-adaptive joins.
+        roots = _forest_roots(winners, coarse, max_rounds)
+
+        relab = auto_join(labels, roots, on="comp",
+                          right_on="c", how="left",
+                          left_cols=["vertex"], right_cols=["root"],
+                          left_types={"comp": i64, "vertex": i64},
+                          right_types={"root": i64})
+
+        def apply_label(df: pd.DataFrame) -> pd.DataFrame:
+            comp = df["root"].fillna(df["comp"]).astype(np.int64)
+            return pd.DataFrame({"vertex": df["vertex"].to_numpy(np.int64),
+                                 "comp": comp.to_numpy()})
+
+        labels = relab.map_batches(
+            apply_label, batch_format="pandas").materialize()
+    else:
+        raise RuntimeError(f"minimum_spanning_forest did not converge "
+                           f"in {max_rounds} rounds")
+
+    import ray.data as rd
+
+    if not forest_parts:
+        return rd.from_arrow(pa.table({
+            "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+            "w": pa.array([], pa.int64())}))
+
+    out = forest_parts[0]
+    for p in forest_parts[1:]:
+        out = out.union(p)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["u", "v", "w"])
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def mst_bruteforce(edges: pd.DataFrame, src: str = "src",
+                   dst: str = "dst", weight: str = "w") -> pd.DataFrame:
+    """Kruskal with union-find and the identical (w, u, v) total
+    order — the single-process reference."""
+    a = edges[src].to_numpy(np.int64)
+    b = edges[dst].to_numpy(np.int64)
+    w = edges[weight].to_numpy(np.int64)
+    u, v = np.minimum(a, b), np.maximum(a, b)
+    keep = u != v
+    df = (pd.DataFrame({"u": u[keep], "v": v[keep], "w": w[keep]})
+          .groupby(["u", "v"], as_index=False)["w"].min()
+          .sort_values(["w", "u", "v"], kind="mergesort"))
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    rows = []
+    for r in df.itertuples(index=False):
+        ru, rv = find(r.u), find(r.v)
+        if ru != rv:
+            parent[ru] = rv
+            rows.append((r.u, r.v, r.w))
+    out = pd.DataFrame(rows, columns=["u", "v", "w"])
+    return out.sort_values(["u", "v"]).reset_index(drop=True)

@@ -56,6 +56,9 @@ def ts_to_us(col):
     import numpy as np
     import pyarrow as pa
 
+    if not pa.types.is_timestamp(col.type):
+        # integer columns are taken as already-µs (the int-axis case)
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
     unit = col.type.unit
     iv = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
     if unit == "ns":
