@@ -7533,6 +7533,119 @@ ORDER BY conv_id
 """
 
 
+def _q_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood ER blocking (raykg/ops/linkage.py
+    sorted_neighborhood_pairs): customer pairs within rank window 4
+    on the exact-cents balance sort order (Hernández–Stolfo
+    merge/purge) — dense global ranks from the distributed
+    row_number, rank-range buckets with window-1 boundary
+    replication, offset-aligned pair emission. Oracle = row_number
+    window self-join."""
+    from raykg.ops.linkage import sorted_neighborhood_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_acctbal"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        bal = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id": t.column("c_custkey").cast(pa.int64()),
+            "cents": pa.array(np.floor(bal * 100.0 + 0.5).astype(
+                np.int64)),
+        })
+
+    out = sorted_neighborhood_pairs(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        val_col="cents", id_col="id", window=4).to_pandas()
+    out = out.astype({"id_a": "int64", "id_b": "int64", "dist": "int64"})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+_SQL_SORTED_NEIGHBORHOOD = """
+WITH c AS (
+  SELECT c_custkey::BIGINT AS id,
+         CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM customer
+), r AS (
+  SELECT id, row_number() OVER (ORDER BY cents, id) AS rn FROM c
+)
+SELECT a.id AS id_a, b.id AS id_b, (b.rn - a.rn)::BIGINT AS dist
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+ORDER BY id_a, id_b
+"""
+
+
+def _q_spatial_nearest(sf_dir: str):
+    """Bounded-radius nearest-neighbor spatial join (raykg/ops/
+    spatial.py nearest_within): each customer point's nearest part
+    point within distance 600 on deterministic integer coordinates
+    (ties -> smallest part id). Left points go home, right points
+    ghost 9x; per-cell vectorized candidate expansion + lexsort
+    argmin; all-integer predicate == the SQL cross-join row_number
+    oracle."""
+    from raykg.ops.spatial import nearest_within
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey"])
+    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey"])
+
+    def coords(col, mult1, mult2):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t.column(col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "id": pa.array(k),
+                "x": pa.array((k * mult1) % 10000),
+                "y": pa.array((k * mult2) % 10000),
+            })
+        return fn
+
+    out = nearest_within(
+        cust.map_batches(coords("c_custkey", 2654435761, 1597334677),
+                         batch_format="pyarrow"),
+        part.map_batches(coords("p_partkey", 2246822519, 3266489917),
+                         batch_format="pyarrow"),
+        r=600).to_pandas()
+    if out.empty:
+        import pandas as pd
+        out = pd.DataFrame({"id_l": pd.array([], "int64"),
+                            "id_r": pd.array([], "int64"),
+                            "dist2": pd.array([], "int64")})
+    out = out.astype({"id_l": "int64", "id_r": "int64",
+                      "dist2": "int64"})
+    return out.sort_values("id_l").reset_index(drop=True)
+
+
+_SQL_SPATIAL_NEAREST = """
+WITH l AS (
+  SELECT c_custkey::BIGINT AS id,
+         (c_custkey * 2654435761) % 10000 AS x,
+         (c_custkey * 1597334677) % 10000 AS y
+  FROM customer
+), rt AS (
+  SELECT p_partkey::BIGINT AS id,
+         (p_partkey * 2246822519) % 10000 AS x,
+         (p_partkey * 3266489917) % 10000 AS y
+  FROM part
+), cand AS (
+  SELECT l.id AS id_l, rt.id AS id_r,
+         ((l.x - rt.x) * (l.x - rt.x)
+          + (l.y - rt.y) * (l.y - rt.y))::BIGINT AS dist2
+  FROM l JOIN rt
+    ON (l.x - rt.x) * (l.x - rt.x)
+       + (l.y - rt.y) * (l.y - rt.y) <= 360000
+)
+SELECT id_l, id_r, dist2 FROM (
+  SELECT id_l, id_r, dist2,
+         row_number() OVER (PARTITION BY id_l
+                            ORDER BY dist2, id_r) AS rn
+  FROM cand
+) WHERE rn = 1
+ORDER BY id_l
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -7704,6 +7817,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_mst_parts": _q_mst_parts,
         "eval_kmeans_silhouette": _q_kmeans_silhouette,
         "attribution_linear_touch": _q_linear_attribution,
+        "er_sorted_neighborhood_pairs": _q_sorted_neighborhood,
+        "spatial_nearest_part": _q_spatial_nearest,
         "ts_autocorrelation_users": _q_acf_user_values,
         "profile_mutual_information": _q_mi_lang_source,
         "assoc_rules_part_pairs": _q_assoc_rules_parts,
@@ -7822,6 +7937,8 @@ def oracle_sql() -> dict[str, str]:
         "cooccur_cosine_parts": _SQL_COOCCUR_COSINE,
         "hierarchy_subtotal_revenue": _SQL_HIERARCHY_SUBTOTAL,
         "attribution_linear_touch": _SQL_LINEAR_ATTRIBUTION,
+        "er_sorted_neighborhood_pairs": _SQL_SORTED_NEIGHBORHOOD,
+        "spatial_nearest_part": _SQL_SPATIAL_NEAREST,
         "ts_autocorrelation_users": _SQL_ACF_USER_VALUES,
         "profile_mutual_information": _SQL_MI_LANG_SOURCE,
         "assoc_rules_part_pairs": _SQL_ASSOC_RULES,

@@ -301,6 +301,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("graph_mst_parts", em._q_mst_parts)
         timed("eval_kmeans_silhouette", em._q_kmeans_silhouette)
         timed("attribution_linear_touch", em._q_linear_attribution)
+        timed("er_sorted_neighborhood_pairs", em._q_sorted_neighborhood)
+        timed("spatial_nearest_part", em._q_spatial_nearest)
 
     result = {
         "metric": "kg_pipeline_wall",

@@ -147,3 +147,80 @@ def fs_link_scores(ds, block_col: str, fields: list[str],
 
     return (ds.map_batches(project, batch_format="pyarrow")
             .groupby("_b").map_groups(pairs, batch_format="pandas"))
+
+
+def sorted_neighborhood_pairs(ds, val_col: str, id_col: str,
+                              window: int, bucket_rows: int = 8192):
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995, the
+    merge/purge method): rank every record by ``(val_col, id_col)``
+    and emit each pair of records whose ranks differ by less than
+    ``window`` — the classic alternative to key-equality blocking
+    when near-duplicates share a SORT neighborhood rather than an
+    exact key (names, prices, timestamps).
+
+    Plan: exact dense global ranks from ops/rank.global_rank (sampled
+    range partition, no driver sort), then a rank-range bucket
+    exchange where each bucket's trailing ``window - 1`` rows are
+    REPLICATED into the next bucket (pair emission stays bucket-local
+    and each pair is emitted exactly once, in the bucket that OWNS its
+    lower rank). Per bucket the ranks are dense, so distance-d
+    partners align by pure array offset — one vectorized slice per
+    d in 1..window-1, no search.
+
+    -> Dataset(id_a, id_b, dist): id_a = the lower-ranked record,
+    dist = rank distance (1..window-1).
+    """
+    import ray
+
+    from raykg.ops.rank import global_rank
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    B = max(bucket_rows, window * 4)
+
+    ranked = global_rank(ds, val_col, id_col, out_col="rank")
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["rank"].to_numpy(np.int64)
+        own = (r - 1) // B
+        out = pd.DataFrame({"id": df[id_col].to_numpy(np.int64),
+                            "rank": r, "_b": own, "_own": True})
+        carry = ((r - 1) % B) < (window - 1)
+        prev = out[carry & (own > 0)].copy()
+        prev["_b"] = prev["_b"] - 1
+        prev["_own"] = False
+        return pd.concat([out, prev], ignore_index=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rank", kind="mergesort")
+        r = g["rank"].to_numpy(np.int64)
+        ids = g["id"].to_numpy(np.int64)
+        own = g["_own"].to_numpy(bool)
+        lo = int(r.min())
+        # dense ranks -> position == rank - lo (replication guarantees
+        # every partner of an OWNED lower rank is present)
+        pos = r - lo
+        arr = np.full(int(pos.max()) + 1 if len(pos) else 0, -1,
+                      dtype=np.int64)
+        arr[pos] = ids
+        out_a, out_b, out_d = [], [], []
+        own_pos = pos[own]
+        for d in range(1, window):
+            j = own_pos + d
+            ok = j < len(arr)
+            a_ids = arr[own_pos[ok]]
+            b_ids = arr[j[ok]]
+            hit = b_ids >= 0
+            out_a.append(a_ids[hit])
+            out_b.append(b_ids[hit])
+            out_d.append(np.full(int(hit.sum()), d, np.int64))
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.array([], "int64"),
+                                 "id_b": pd.array([], "int64"),
+                                 "dist": pd.array([], "int64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "dist": np.concatenate(out_d)})
+
+    return (ranked.map_batches(emit, batch_format="pandas")
+            .groupby("_b").map_groups(pairs, batch_format="pandas"))

@@ -1,0 +1,115 @@
+"""Seventeenth-block operators: sorted-neighborhood ER blocking
+(raykg/ops/linkage.py sorted_neighborhood_pairs) and bounded-radius
+nearest-neighbor spatial join (spatial.nearest_within) — pinned
+against brute-force references and partition invariance."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from raykg.ops.linkage import sorted_neighborhood_pairs
+from raykg.ops.spatial import nearest_within
+
+
+def _sorted(df):
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+# ------------------------------------------------- sorted neighborhood
+
+def _snm_reference(df, window):
+    r = df.sort_values(["v", "id"], kind="mergesort").reset_index(
+        drop=True)
+    rows = []
+    for i in range(len(r)):
+        for d in range(1, window):
+            if i + d < len(r):
+                rows.append((r["id"][i], r["id"][i + d], d))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "dist"])
+
+
+def test_sorted_neighborhood_matches_reference():
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame({"id": np.arange(500, dtype=np.int64),
+                       "v": rng.integers(0, 80, 500)})  # heavy ties
+    want = _sorted(_snm_reference(df, 4))
+    for parts in (1, 6):
+        got = sorted_neighborhood_pairs(
+            rd.from_pandas(df).repartition(parts),
+            val_col="v", id_col="id", window=4,
+            bucket_rows=64).to_pandas()
+        pd.testing.assert_frame_equal(_sorted(got), want,
+                                      check_dtype=False)
+
+
+def test_sorted_neighborhood_window_two_is_adjacent_pairs():
+    df = pd.DataFrame({"id": [10, 20, 30], "v": [3, 1, 2]})
+    got = _sorted(sorted_neighborhood_pairs(
+        rd.from_pandas(df), val_col="v", id_col="id",
+        window=2).to_pandas())
+    # sort order by v: 20, 30, 10 -> adjacent pairs (20,30), (30,10)
+    want = pd.DataFrame({"id_a": [20, 30], "id_b": [30, 10],
+                         "dist": [1, 1]})
+    pd.testing.assert_frame_equal(got, _sorted(want), check_dtype=False)
+
+
+def test_sorted_neighborhood_bucket_boundary_replication():
+    # tiny bucket size forces many boundary replications
+    df = pd.DataFrame({"id": np.arange(40, dtype=np.int64),
+                       "v": np.arange(40, dtype=np.int64)})
+    got = sorted_neighborhood_pairs(
+        rd.from_pandas(df).repartition(3), val_col="v", id_col="id",
+        window=3, bucket_rows=12).to_pandas()
+    want = _snm_reference(df, 3)
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want),
+                                  check_dtype=False)
+
+
+# ------------------------------------------------------ nearest within
+
+def _nn_reference(left, right, r):
+    rows = []
+    for lr in left.itertuples(index=False):
+        d2 = ((right["x"] - lr.x) ** 2 + (right["y"] - lr.y) ** 2)
+        ok = d2 <= r * r
+        if ok.any():
+            cand = right[ok].assign(d2=d2[ok]).sort_values(
+                ["d2", "id"], kind="mergesort")
+            rows.append((lr.id, cand["id"].iloc[0],
+                         int(cand["d2"].iloc[0])))
+    return pd.DataFrame(rows, columns=["id_l", "id_r", "dist2"])
+
+
+def test_nearest_within_matches_bruteforce():
+    rng = np.random.default_rng(43)
+    left = pd.DataFrame({"id": np.arange(150, dtype=np.int64),
+                         "x": rng.integers(0, 2000, 150),
+                         "y": rng.integers(0, 2000, 150)})
+    right = pd.DataFrame({"id": np.arange(60, dtype=np.int64),
+                          "x": rng.integers(0, 2000, 60),
+                          "y": rng.integers(0, 2000, 60)})
+    want = _sorted(_nn_reference(left, right, 300))
+    for parts in (1, 4):
+        got = nearest_within(
+            rd.from_pandas(left).repartition(parts),
+            rd.from_pandas(right).repartition(parts),
+            r=300, coarse=8).to_pandas()
+        pd.testing.assert_frame_equal(_sorted(got), want,
+                                      check_dtype=False)
+
+
+def test_nearest_within_boundary_and_ties():
+    # right points at exactly distance r (included) and a tie broken
+    # by smaller right id
+    left = pd.DataFrame({"id": [1], "x": [100], "y": [100]})
+    right = pd.DataFrame({"id": [7, 5, 9],
+                          "x": [110, 90, 100],
+                          "y": [100, 100, 200]})  # d=10, 10, 100
+    got = nearest_within(rd.from_pandas(left), rd.from_pandas(right),
+                         r=100, coarse=2).to_pandas()
+    assert got[["id_l", "id_r", "dist2"]].values.tolist() == [[1, 5, 100]]
+    # left point with nothing inside r is absent
+    far = pd.DataFrame({"id": [2], "x": [5000], "y": [5000]})
+    got2 = nearest_within(rd.from_pandas(far), rd.from_pandas(right),
+                          r=100, coarse=2).to_pandas()
+    assert len(got2) == 0
