@@ -7646,6 +7646,68 @@ ORDER BY id_l
 """
 
 
+def _q_geomean_users(sf_dir: str):
+    """Grouped geometric + harmonic means (raykg/ops/profile.py
+    grouped_geomean) of per-user positive cent values — the
+    multiplicative-scale averages, from Zipf-bounded exact integer
+    pre-counts with value-ascending libm folds mirrored by
+    list_sum(list(term ORDER BY v)) — bit-exact, no rounding."""
+    from raykg.ops.profile import grouped_geomean
+
+    out = grouped_geomean(_events_with_cents(sf_dir),
+                          key="user_id", col="cents")
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+_SQL_GEOMEAN = """
+WITH c AS (
+  SELECT user_id, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+  FROM events
+), pos AS (
+  SELECT user_id, v FROM c WHERE v > 0
+), cnt AS (
+  SELECT user_id, v, count(*)::BIGINT AS c FROM pos GROUP BY user_id, v
+), f AS (
+  SELECT user_id, sum(c)::BIGINT AS n,
+         list_sum(list(c::DOUBLE * ln(v::DOUBLE) ORDER BY v)) AS s_ln,
+         list_sum(list(c::DOUBLE / v::DOUBLE ORDER BY v)) AS s_inv
+  FROM cnt GROUP BY user_id
+)
+SELECT user_id::BIGINT AS user_id, n,
+       exp(s_ln / n::DOUBLE) AS geomean,
+       n::DOUBLE / s_inv AS harmmean
+FROM f ORDER BY user_id
+"""
+
+
+def _q_time_features(sf_dir: str):
+    """Calendar feature extraction (raykg/ops/resample.py
+    time_features): hour / day-of-week (Monday=0) / month /
+    is_weekend from vectorized Arrow temporal kernels — one kernel
+    call per feature per batch. Mirrored by hour()/isodow()-1/
+    month()/isodow()>=6."""
+    from raykg.ops.resample import time_features
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts"])
+    out = time_features(ds, ts_col="ts",
+                        keep=["event_id"]).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_TIME_FEATURES = """
+SELECT event_id::BIGINT AS event_id,
+       hour(ts)::BIGINT AS hour,
+       (isodow(ts) - 1)::BIGINT AS dow,
+       month(ts)::BIGINT AS month,
+       isodow(ts) >= 6 AS is_weekend
+FROM events ORDER BY event_id
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -7819,6 +7881,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_linear_touch": _q_linear_attribution,
         "er_sorted_neighborhood_pairs": _q_sorted_neighborhood,
         "spatial_nearest_part": _q_spatial_nearest,
+        "agg_user_value_geomean": _q_geomean_users,
+        "feature_time_events": _q_time_features,
         "ts_autocorrelation_users": _q_acf_user_values,
         "profile_mutual_information": _q_mi_lang_source,
         "assoc_rules_part_pairs": _q_assoc_rules_parts,
@@ -7939,6 +8003,8 @@ def oracle_sql() -> dict[str, str]:
         "attribution_linear_touch": _SQL_LINEAR_ATTRIBUTION,
         "er_sorted_neighborhood_pairs": _SQL_SORTED_NEIGHBORHOOD,
         "spatial_nearest_part": _SQL_SPATIAL_NEAREST,
+        "agg_user_value_geomean": _SQL_GEOMEAN,
+        "feature_time_events": _SQL_TIME_FEATURES,
         "ts_autocorrelation_users": _SQL_ACF_USER_VALUES,
         "profile_mutual_information": _SQL_MI_LANG_SOURCE,
         "assoc_rules_part_pairs": _SQL_ASSOC_RULES,

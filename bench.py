@@ -303,6 +303,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("attribution_linear_touch", em._q_linear_attribution)
         timed("er_sorted_neighborhood_pairs", em._q_sorted_neighborhood)
         timed("spatial_nearest_part", em._q_spatial_nearest)
+        timed("agg_user_value_geomean", em._q_geomean_users)
+        timed("feature_time_events", em._q_time_features)
 
     result = {
         "metric": "kg_pipeline_wall",

@@ -862,3 +862,47 @@ def cuped_adjust(ds, arm_col: str, x_col: str, y_col: str) -> pd.DataFrame:
     out = pd.DataFrame({"arm": arms["arm"], "n": na,
                         "mean_y": mean_y, "adj_mean_y": adj})
     return out.sort_values("arm").reset_index(drop=True)
+
+
+def grouped_geomean(ds, key: str, col: str) -> pd.DataFrame:
+    """Geometric (and harmonic) mean of a POSITIVE integer column per
+    key — the multiplicative-scale averages (growth rates, latency
+    ratios, relevance scores) the arithmetic mean misrepresents.
+
+    The grouped_entropy plan: per-block exact integer (key, value)
+    pre-counts (Zipf-bounded exchange), then per key
+
+        geomean  = exp( (Σ c·ln v) / n )      — value-ascending fold
+        harmmean = n / (Σ c/v)                — same fold
+
+    Both Σ are explicit LEFT folds in value-ascending order through
+    libm ``math.log`` / plain division: equal terms are contiguous, so
+    the fold is deterministic and bit-identical to a DuckDB oracle
+    folding ``list(term ORDER BY value)`` through ``list_sum`` — no
+    rounding anywhere. Non-positive values are DROPPED on both sides
+    (the domain restriction of both means).
+    -> (key, n, geomean, harmmean).
+    """
+    import math
+
+    def part(t: pa.Table) -> pa.Table:
+        df = t.select([key, col]).to_pandas()
+        df = df[df[col] > 0]
+        out = (df.groupby([key, col], sort=False).size()
+               .rename("c").reset_index())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby([key, col], as_index=False)["c"].sum()
+    counts = counts.sort_values([key, col], kind="mergesort")
+    rows = []
+    for k, g in counts.groupby(key, sort=True):
+        n = int(g["c"].sum())
+        acc_ln = 0.0
+        acc_inv = 0.0
+        for v, c in zip(g[col], g["c"]):
+            acc_ln += float(c) * math.log(float(v))
+            acc_inv += float(c) / float(v)
+        rows.append((k, n, math.exp(acc_ln / float(n)),
+                     float(n) / acc_inv))
+    return pd.DataFrame(rows, columns=[key, "n", "geomean", "harmmean"])

@@ -395,3 +395,28 @@ def parse_timestamps(ds, col: str, fmt: str = "%Y-%m-%d %H:%M:%S",
         return t.append_column(out_col, parsed)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def time_features(ds, ts_col: str = "ts", keep: list[str] | None = None):
+    """Calendar feature extraction — the feature-engineering step
+    before any time-aware model: hour-of-day, day-of-week (Monday=0,
+    the ISO convention minus one), month, is_weekend, all from
+    vectorized Arrow temporal kernels (one kernel call per feature per
+    batch, no Python datetime objects, no shuffle).
+
+    DuckDB mirror: hour(ts), isodow(ts) - 1, month(ts),
+    isodow(ts) >= 6."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col)
+        dow = pc.day_of_week(ts)  # Arrow default: Monday=0
+        out = t.select(list(keep or []))
+        out = out.append_column("hour", pc.cast(pc.hour(ts), pa.int64()))
+        out = out.append_column("dow", pc.cast(dow, pa.int64()))
+        out = out.append_column("month",
+                                pc.cast(pc.month(ts), pa.int64()))
+        out = out.append_column("is_weekend", pc.greater_equal(dow, 5))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
