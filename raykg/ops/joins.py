@@ -527,9 +527,90 @@ def asof_join(
         right_ds.map_batches(tag_right, batch_format="pyarrow")
     )
 
+    def _merge_fast(g: pd.DataFrame):
+        """Vectorized backward-asof across MANY keys at once (the
+        point-in-time / fact-to-dimension regime: 10⁵ keys × a few
+        rows each, where the per-key pandas loop pays 10⁵ × group
+        overhead — measured 300 s CPU at sf0.1 vs ~1 s vectorized).
+        Folds (key, salt, ts) into ONE sortable int64 (dense (key,
+        salt) rank × the bucket's clamped time span) so every left
+        row's match is a single searchsorted probe over the
+        (dense, ts, tiebreak)-sorted rights. Returns None when the
+        encoding can't hold the domain (string keys, float axis,
+        |key| ≥ 2⁵⁵, span overflow) — caller falls back to the loop.
+        Backward-only; injected boundary rows and 'nearest' use the
+        loop."""
+        out_cols = [key, ts] + left_cols + right_cols
+        left = g[g["_side"] == 0]
+        if not len(left):
+            return pd.DataFrame({c: [] for c in out_cols})
+        right = g[g["_side"] == 1]
+
+        def as_int(a):
+            if np.issubdtype(a.dtype, np.datetime64):
+                return a.astype("datetime64[ns]").astype(np.int64)
+            if np.issubdtype(a.dtype, np.integer):
+                return a.astype(np.int64)
+            return None
+
+        lk_raw = left[key].to_numpy()
+        rk_raw = right[key].to_numpy()
+        if not (np.issubdtype(lk_raw.dtype, np.integer)
+                and (len(right) == 0
+                     or np.issubdtype(rk_raw.dtype, np.integer))):
+            return None
+        lts = as_int(left[ts].to_numpy())
+        rts = as_int(right[ts].to_numpy()) if len(right) else \
+            np.zeros(0, np.int64)
+        if lts is None or rts is None:
+            return None
+        res = left[[key, ts] + left_cols].reset_index(drop=True)
+        if not len(right):
+            for c in right_cols:
+                res[c] = pd.Series([fill.get(c)] * len(left)).to_numpy()
+            return res[out_cols]
+        lk = lk_raw.astype(np.int64)
+        rk = rk_raw.astype(np.int64)
+        if max(np.abs(lk).max(initial=0),
+               np.abs(rk).max(initial=0)) >= (1 << 55):
+            return None
+        lsalt = left["_salt"].to_numpy(np.int64)
+        rsalt = right["_salt"].to_numpy(np.int64)
+        comb_l = lk.astype(np.uint64) * np.uint64(256) \
+            + lsalt.astype(np.uint64)
+        comb_r = rk.astype(np.uint64) * np.uint64(256) \
+            + rsalt.astype(np.uint64)
+        uniq = np.unique(np.concatenate([comb_l, comb_r]))
+        dl = np.searchsorted(uniq, comb_l).astype(np.int64)
+        dr = np.searchsorted(uniq, comb_r).astype(np.int64)
+        tsmin = int(rts.min())
+        span = int(rts.max()) - tsmin + 2
+        if len(uniq) * span >= (1 << 62):
+            return None
+        col0 = "_r_" + right_cols[0]
+        rdf = right.assign(_dk=dr, _tsi=rts).sort_values(
+            ["_dk", ts, col0], kind="mergesort")
+        rcomp = (rdf["_dk"].to_numpy(np.int64) * span
+                 + (rdf["_tsi"].to_numpy(np.int64) - tsmin))
+        probe = dl * span + np.clip(lts - tsmin, 0, span - 1)
+        idx = np.searchsorted(rcomp, probe, side="right") - 1
+        safe = np.clip(idx, 0, None)
+        valid = ((idx >= 0)
+                 & (rdf["_dk"].to_numpy(np.int64)[safe] == dl)
+                 & (rdf["_tsi"].to_numpy(np.int64)[safe] <= lts))
+        for c in right_cols:
+            vals = pd.Series(rdf["_r_" + c].to_numpy()[safe]).where(
+                valid, fill.get(c))
+            res[c] = vals.to_numpy()
+        return res[out_cols]
+
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         pfx = ray.get(prefix_ref) if prefix_ref is not None else {}
         sfx = ray.get(suffix_ref) if suffix_ref is not None else {}
+        if not pfx and not sfx and not nearest:
+            fast = _merge_fast(g)
+            if fast is not None:
+                return fast
         parts = []
         for (k, s), kg in g.groupby([key, "_salt"], sort=False):
             left = kg[kg["_side"] == 0]
