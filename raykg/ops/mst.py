@@ -174,6 +174,15 @@ def minimum_spanning_forest(edges_ds, src: str = "src", dst: str = "dst",
         if cross.count() == 0:
             break
 
+        # intra-component edges never become cross edges again
+        # (components only merge) — the live edge set SHRINKS to the
+        # cross set, so later rounds re-join only surviving edges
+        def live(t: pa.Table) -> pa.Table:
+            return t.select(["u", "v", "w"])
+
+        edges = cross.map_batches(live,
+                                  batch_format="pyarrow").materialize()
+
         # each component's minimum incident cross-edge by (w, u, v):
         # per-block pre-min per component, then one component-bucket
         # fold — the exchange carries O(blocks x live components) rows
@@ -200,22 +209,11 @@ def minimum_spanning_forest(edges_ds, src: str = "src", dst: str = "dst",
                    .map_groups(fold_min, batch_format="pandas")
                    ).materialize()
 
-        # an edge chosen by both endpoints appears twice — dedup, then
-        # record it in the forest and contract across it
-        def chosen_edges(g: pd.DataFrame) -> pd.DataFrame:
-            return g.drop_duplicates(["u", "v"])
-
-        def edge_key(t: pa.Table) -> pa.Table:
-            u = t.column("u").to_numpy(zero_copy_only=False)
-            v = t.column("v").to_numpy(zero_copy_only=False)
-            return t.append_column("_e", pa.array(
-                _bucket(u * 1_000_003 + v, coarse)))
-
-        chosen = (winners.map_batches(edge_key, batch_format="pyarrow")
-                  .groupby("_e")
-                  .map_groups(chosen_edges, batch_format="pandas")
-                  ).materialize()
-        forest_parts.append(chosen)
+        # an edge chosen by both endpoints appears twice in winners —
+        # contraction (pointer doubling) doesn't care, and the forest
+        # output is deduped ONCE at the end instead of paying a
+        # groupby shuffle per round
+        forest_parts.append(winners)
 
         # contract via POINTER DOUBLING over the per-component winner
         # relation (one parent per live component: parent[c] = oc) —
@@ -256,10 +254,20 @@ def minimum_spanning_forest(edges_ds, src: str = "src", dst: str = "dst",
     for p in forest_parts[1:]:
         out = out.union(p)
 
-    def project(t: pa.Table) -> pa.Table:
-        return t.select(["u", "v", "w"])
+    # ONE edge-key dedup for the whole forest (each edge may appear
+    # twice in its round's winners — chosen by both endpoints)
+    def edge_key(t: pa.Table) -> pa.Table:
+        t = t.select(["u", "v", "w"])
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        return t.append_column("_e", pa.array(
+            _bucket(u * 1_000_003 + v, coarse)))
 
-    return out.map_batches(project, batch_format="pyarrow")
+    return (out.map_batches(edge_key, batch_format="pyarrow")
+            .groupby("_e")
+            .map_groups(lambda g: g.drop_duplicates(["u", "v"])
+                        .drop(columns="_e"),
+                        batch_format="pandas"))
 
 
 def mst_bruteforce(edges: pd.DataFrame, src: str = "src",
