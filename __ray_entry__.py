@@ -7708,6 +7708,161 @@ FROM events ORDER BY event_id
 """
 
 
+def _q_phrase_count(sf_dir: str):
+    """Exact two-word phrase counts (raykg/ops/invindex.py
+    phrase_count): occurrences of the consecutive-token phrase
+    "table hash" per document — one streaming flatten + vectorized
+    adjacency compare per batch, no shuffle. Oracle = string_split
+    token-array adjacency."""
+    from raykg.ops.invindex import phrase_count
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = phrase_count(ds, "table", "hash").to_pandas()
+    if out.empty:
+        import pandas as pd
+        out = pd.DataFrame({"doc_id": pd.array([], "int64"),
+                            "n_occurrences": pd.array([], "int64")})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_PHRASE_COUNT = """
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         string_split(lower(text), ' ') AS w
+  FROM documents
+), adj AS (
+  SELECT doc_id, UNNEST(generate_series(1, len(w) - 1)) AS i, w
+  FROM t WHERE len(w) >= 2
+)
+SELECT doc_id, count(*)::BIGINT AS n_occurrences
+FROM adj WHERE w[i] = 'table' AND w[i + 1] = 'hash'
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _q_hybrid_rrf(sf_dir: str):
+    """Hybrid search with Reciprocal Rank Fusion (Cormack et al.
+    2009): the BM25 keyword ranking (raykg/ops/bm25.py, rank-stable
+    vs its full SQL oracle) fused with a dense cosine ranking against
+    the vec_id-0 query embedding — rrf = Σ 1/(60 + rank), absent leg
+    contributes 0, top 10 by (rrf desc, doc_id). Cosine is bit-exact
+    cross-side: dim 64 < numpy's pairwise-summation threshold, so
+    np.sum's row fold == the oracle's list_sum(list(term ORDER BY
+    dim)) sequential fold."""
+    import pandas as pd
+
+    from raykg.ops.bm25 import bm25_topk
+    from raykg.ops.similarity import column_to_vectors
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    b = bm25_topk(docs, [_BM25_QUERIES[0]], k=20).to_pandas()
+    b = b[["doc_id", "rank"]].rename(columns={"rank": "r_bm25"})
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    qrow = emb.filter(expr="vec_id == 0").take(1)
+    qv = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+    qss = float(np.sum(qv * qv))
+
+    def block_top(t: pa.Table) -> pa.Table:
+        E = column_to_vectors(t.column("embedding")).astype(np.float64)
+        dot = np.sum(E * qv, axis=1)
+        ss = np.sum(E * E, axis=1)
+        cos = dot / (np.sqrt(ss) * np.sqrt(qss))
+        df = pd.DataFrame({
+            "doc_id": t.column("vec_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "cos": cos,
+        }).sort_values(["cos", "doc_id"], ascending=[False, True],
+                       kind="mergesort").head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ctop = (emb.map_batches(block_top, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(["cos", "doc_id"], ascending=[False, True],
+                         kind="mergesort").head(20).reset_index(drop=True))
+    ctop["r_cos"] = np.arange(1, len(ctop) + 1, dtype=np.int64)
+
+    u = b.merge(ctop[["doc_id", "r_cos"]], on="doc_id", how="outer")
+    r1 = u["r_bm25"].to_numpy(dtype="float64")
+    r2 = u["r_cos"].to_numpy(dtype="float64")
+    rrf = (np.where(np.isnan(r1), 0.0, 1.0 / (60.0 + r1))
+           + np.where(np.isnan(r2), 0.0, 1.0 / (60.0 + r2)))
+    out = pd.DataFrame({
+        "doc_id": u["doc_id"].astype("int64"),
+        "r_bm25": np.where(np.isnan(r1), -1, r1).astype(np.int64),
+        "r_cos": np.where(np.isnan(r2), -1, r2).astype(np.int64),
+        "rrf": rrf,
+    })
+    return (out.sort_values(["rrf", "doc_id"], ascending=[False, True],
+                            kind="mergesort")
+            .head(10).reset_index(drop=True))
+
+
+def _hybrid_rrf_sql() -> str:
+    bm25 = _bm25_sql(k=20)
+    # strip the generated statement down to a CTE body: reuse the full
+    # chain but keep only qid 0 and the (doc_id, rank) projection
+    bm25_body = bm25.strip().removeprefix("WITH").rsplit("SELECT", 1)[0]
+    return f"""
+WITH {bm25_body},
+br AS (
+  SELECT doc_id, rank AS r_bm25 FROM ranked
+  WHERE qid = 0 AND rank <= 20
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id,
+         UNNEST(generate_series(1, len(e.embedding))) AS i,
+         e.embedding AS ee, q.qe AS qe
+  FROM embeddings e, q
+),
+tms AS (
+  SELECT vec_id, i,
+         ee[i]::DOUBLE * qe[i]::DOUBLE AS dterm,
+         ee[i]::DOUBLE * ee[i]::DOUBLE AS eterm,
+         qe[i]::DOUBLE * qe[i]::DOUBLE AS qterm
+  FROM pairs
+),
+fold AS (
+  SELECT vec_id,
+         list_sum(list(dterm ORDER BY i)) AS dot,
+         list_sum(list(eterm ORDER BY i)) AS ss,
+         list_sum(list(qterm ORDER BY i)) AS qss
+  FROM tms GROUP BY vec_id
+),
+sc AS (
+  SELECT vec_id::BIGINT AS doc_id,
+         dot / (sqrt(ss) * sqrt(qss)) AS cos
+  FROM fold
+),
+cr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r_cos
+  FROM sc QUALIFY r_cos <= 20
+),
+u AS (
+  SELECT COALESCE(br.doc_id, cr.doc_id) AS doc_id, r_bm25, r_cos
+  FROM br FULL OUTER JOIN cr ON br.doc_id = cr.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id,
+       COALESCE(r_bm25, -1)::BIGINT AS r_bm25,
+       COALESCE(r_cos, -1)::BIGINT AS r_cos,
+       (CASE WHEN r_bm25 IS NOT NULL THEN 1.0 / (60 + r_bm25)
+             ELSE 0.0 END
+        + CASE WHEN r_cos IS NOT NULL THEN 1.0 / (60 + r_cos)
+               ELSE 0.0 END) AS rrf
+FROM u
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+
+_SQL_HYBRID_RRF = _hybrid_rrf_sql()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -7881,6 +8036,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_linear_touch": _q_linear_attribution,
         "er_sorted_neighborhood_pairs": _q_sorted_neighborhood,
         "spatial_nearest_part": _q_spatial_nearest,
+        "search_phrase_documents": _q_phrase_count,
+        "search_hybrid_rrf": _q_hybrid_rrf,
         "agg_user_value_geomean": _q_geomean_users,
         "feature_time_events": _q_time_features,
         "ts_autocorrelation_users": _q_acf_user_values,
@@ -8003,6 +8160,8 @@ def oracle_sql() -> dict[str, str]:
         "attribution_linear_touch": _SQL_LINEAR_ATTRIBUTION,
         "er_sorted_neighborhood_pairs": _SQL_SORTED_NEIGHBORHOOD,
         "spatial_nearest_part": _SQL_SPATIAL_NEAREST,
+        "search_phrase_documents": _SQL_PHRASE_COUNT,
+        "search_hybrid_rrf": _SQL_HYBRID_RRF,
         "agg_user_value_geomean": _SQL_GEOMEAN,
         "feature_time_events": _SQL_TIME_FEATURES,
         "ts_autocorrelation_users": _SQL_ACF_USER_VALUES,

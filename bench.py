@@ -305,6 +305,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("spatial_nearest_part", em._q_spatial_nearest)
         timed("agg_user_value_geomean", em._q_geomean_users)
         timed("feature_time_events", em._q_time_features)
+        timed("search_phrase_documents", em._q_phrase_count)
+        timed("search_hybrid_rrf", em._q_hybrid_rrf)
 
     result = {
         "metric": "kg_pipeline_wall",

@@ -163,3 +163,49 @@ def lookup_postings(index_ds, terms: list[str]) -> pd.DataFrame:
         })
     return pd.DataFrame(out).sort_values("term").reset_index(drop=True) \
         if out else pd.DataFrame(columns=["term", "df", "doc_ids", "tfs"])
+
+
+def phrase_count(ds, w1: str, w2: str, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Exact two-word phrase occurrence counts: how many times token
+    ``w1`` is IMMEDIATELY followed by ``w2`` in each document — the
+    phrase-query primitive a positional index answers (here as the
+    one-shot streaming scan; the stored positional index is the
+    repeated-query artifact). Tokenization = the module's exact
+    single-space split, so the SQL oracle mirrors with string_split
+    adjacency. Distinct words only (w1 != w2) keeps non-overlapping
+    counts identical to regex semantics.
+
+    Scale shape: pure map — flatten each batch's token lists once
+    (list_parent_indices), adjacency mask = one vectorized compare of
+    consecutive flat tokens within the same parent, per-doc counts by
+    bincount. No shuffle, no Python per-row work.
+
+    -> Dataset(id_col, n_occurrences), only docs with >= 1 match.
+    """
+    if w1 == w2:
+        raise ValueError("phrase_count requires distinct words "
+                         "(overlapping self-phrases diverge from "
+                         "non-overlapping regex counts)")
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).combine_chunks()
+        ids = t.column(id_col).combine_chunks()
+        parts = pc.split_pattern(pc.utf8_lower(texts), " ")
+        flat = pc.list_flatten(parts).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(parts).to_numpy(
+            zero_copy_only=False)
+        if len(flat) < 2:
+            return pa.table({id_col: pa.array([], ids.type),
+                             "n_occurrences": pa.array([], pa.int64())})
+        hit = ((flat[:-1] == w1) & (flat[1:] == w2)
+               & (parent[:-1] == parent[1:]))
+        counts = np.bincount(parent[:-1][hit], minlength=len(t))
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            id_col: ids.take(pa.array(nz)),
+            "n_occurrences": pa.array(counts[nz].astype(np.int64)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -51,3 +51,37 @@ def test_time_features_matches_pandas():
     assert got["dow"].tolist() == [0, 5, 2]       # Monday=0
     assert got["month"].tolist() == [1, 6, 12]
     assert got["is_weekend"].tolist() == [False, True, False]
+
+
+# --------------------------------------------------------- phrase count
+
+def test_phrase_count_matches_python():
+    from raykg.ops.invindex import phrase_count
+
+    texts = ["a b a b a", "b a b", "x y", "", "a b"]
+    # phrase "a b": counts 2, 1, 0, 0, 1
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    got = (phrase_count(rd.from_pandas(df).repartition(2), "a", "b")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [0, 1, 4]
+    assert got["n_occurrences"].tolist() == [2, 1, 1]
+
+
+def test_phrase_count_rejects_self_phrase():
+    from raykg.ops.invindex import phrase_count
+
+    df = pd.DataFrame({"doc_id": [0], "text": ["a a a"]})
+    with pytest.raises(ValueError):
+        phrase_count(rd.from_pandas(df), "a", "a")
+
+
+def test_phrase_count_case_insensitive_and_boundary():
+    from raykg.ops.invindex import phrase_count
+
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["A b", "c A"]})
+    got = phrase_count(rd.from_pandas(df), "a", "b").to_pandas()
+    assert got["doc_id"].tolist() == [0]
+    # no cross-document adjacency: doc 0 ends 'b', doc 1 starts 'c'
+    got2 = phrase_count(rd.from_pandas(df), "b", "c").to_pandas()
+    assert len(got2) == 0
