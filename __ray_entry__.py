@@ -7863,6 +7863,91 @@ LIMIT 10
 _SQL_HYBRID_RRF = _hybrid_rrf_sql()
 
 
+def _q_blocking_quality(sf_dir: str):
+    """Blocking-strategy evaluation (raykg/ops/linkage.py
+    blocking_quality): reduction ratio / pair completeness / pair
+    quality of the window-4 sorted-neighborhood candidates against
+    the equal-cents true-match pairs — exact int64 counts through one
+    pair-key exchange, each ratio one mirrored float division."""
+    import pandas as pd
+
+    from raykg.ops.joins import _key_bucket
+    from raykg.ops.linkage import blocking_quality, \
+        sorted_neighborhood_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_acctbal"])
+    n_records = ds.count()
+
+    def cents(t: pa.Table) -> pa.Table:
+        bal = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id": t.column("c_custkey").cast(pa.int64()),
+            "cents": pa.array(np.floor(bal * 100.0 + 0.5).astype(
+                np.int64)),
+        })
+
+    recs = ds.map_batches(cents, batch_format="pyarrow")
+    cand = sorted_neighborhood_pairs(recs, val_col="cents",
+                                     id_col="id", window=4)
+
+    # truth = all equal-cents pairs: bucket by cents, per-group triu
+    def by_cents(t: pa.Table) -> pa.Table:
+        return t.append_column("_b", _key_bucket(t.column("cents"), 64))
+
+    def eq_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("cents", sort=False):
+            ids = np.sort(grp["id"].to_numpy(np.int64))
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({"id_a": ids[ii],
+                                      "id_b": ids[jj]}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.array([], "int64"),
+                                 "id_b": pd.array([], "int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    truth = (recs.map_batches(by_cents, batch_format="pyarrow")
+             .groupby("_b").map_groups(eq_pairs,
+                                       batch_format="pandas"))
+
+    return blocking_quality(cand, truth, n_records)
+
+
+_SQL_BLOCKING_QUALITY = """
+WITH c AS (
+  SELECT c_custkey::BIGINT AS id,
+         CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM customer
+), r AS (
+  SELECT id, row_number() OVER (ORDER BY cents, id) AS rn FROM c
+), cand AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+), truth AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM c a JOIN c b ON b.cents = a.cents AND b.id > a.id
+), hit AS (
+  SELECT id_a, id_b FROM cand INTERSECT SELECT id_a, id_b FROM truth
+), s AS (
+  SELECT (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+         (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+         (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+         (SELECT count(*) FROM c)::BIGINT AS nr
+)
+SELECT n_cand, n_truth, n_hit,
+       1.0 - (n_cand::DOUBLE / ((nr * (nr - 1)) // 2)::DOUBLE)
+         AS reduction_ratio,
+       CASE WHEN n_truth > 0 THEN n_hit::DOUBLE / n_truth::DOUBLE
+            ELSE 0.0 END AS pair_completeness,
+       CASE WHEN n_cand > 0 THEN n_hit::DOUBLE / n_cand::DOUBLE
+            ELSE 0.0 END AS pair_quality
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -8038,6 +8123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_nearest_part": _q_spatial_nearest,
         "search_phrase_documents": _q_phrase_count,
         "search_hybrid_rrf": _q_hybrid_rrf,
+        "er_blocking_quality": _q_blocking_quality,
         "agg_user_value_geomean": _q_geomean_users,
         "feature_time_events": _q_time_features,
         "ts_autocorrelation_users": _q_acf_user_values,
@@ -8162,6 +8248,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_nearest_part": _SQL_SPATIAL_NEAREST,
         "search_phrase_documents": _SQL_PHRASE_COUNT,
         "search_hybrid_rrf": _SQL_HYBRID_RRF,
+        "er_blocking_quality": _SQL_BLOCKING_QUALITY,
         "agg_user_value_geomean": _SQL_GEOMEAN,
         "feature_time_events": _SQL_TIME_FEATURES,
         "ts_autocorrelation_users": _SQL_ACF_USER_VALUES,

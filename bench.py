@@ -307,6 +307,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("feature_time_events", em._q_time_features)
         timed("search_phrase_documents", em._q_phrase_count)
         timed("search_hybrid_rrf", em._q_hybrid_rrf)
+        timed("er_blocking_quality", em._q_blocking_quality)
 
     result = {
         "metric": "kg_pipeline_wall",

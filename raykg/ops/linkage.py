@@ -224,3 +224,72 @@ def sorted_neighborhood_pairs(ds, val_col: str, id_col: str,
 
     return (ranked.map_batches(emit, batch_format="pandas")
             .groupby("_b").map_groups(pairs, batch_format="pandas"))
+
+
+def blocking_quality(cand_pairs, truth_pairs, n_records: int,
+                     coarse: int = 64):
+    """Blocking-strategy evaluation (Christen 2012 §7.4): given the
+    CANDIDATE pair set a blocking scheme produced and the TRUE match
+    pair set, compute
+
+        reduction_ratio   = 1 - |C| / (n·(n-1)/2)
+        pair_completeness = |C ∩ T| / |T|   (blocking recall)
+        pair_quality      = |C ∩ T| / |C|   (blocking precision)
+
+    — the three numbers that justify any blocking choice before the
+    expensive compare step runs. All counts exact int64: the ∩ is one
+    pair-key bucketed exchange of (id_a, id_b) rows tagged by side
+    (per-block dedup pre-pass, candidates may repeat); each ratio is
+    ONE float division of exact ints, SQL-mirrorable.
+
+    ``cand_pairs`` / ``truth_pairs``: Datasets with id_a < id_b int
+    columns. -> one-row DataFrame(n_cand, n_truth, n_hit,
+    reduction_ratio, pair_completeness, pair_quality).
+    """
+    from raykg.ops.joins import _key_bucket
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            a = t.column("id_a").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            b = t.column("id_b").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            df = pd.DataFrame({"id_a": a, "id_b": b}).drop_duplicates()
+            df["_side"] = np.int8(side)
+            tbl = pa.Table.from_pandas(df, preserve_index=False)
+            return tbl.append_column(
+                "_b", _key_bucket(pa.chunked_array([pa.array(
+                    df["id_a"].to_numpy() * 1_000_003
+                    + df["id_b"].to_numpy())]), coarse))
+        return fn
+
+    both = (cand_pairs.map_batches(tag(0), batch_format="pyarrow")
+            .union(truth_pairs.map_batches(tag(1),
+                                           batch_format="pyarrow")))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["id_a", "id_b", "_side"])
+        cand = d[d["_side"] == 0]
+        truth = d[d["_side"] == 1]
+        m = cand.merge(truth, on=["id_a", "id_b"], how="inner")
+        return pd.DataFrame({"n_cand": [np.int64(len(cand))],
+                             "n_truth": [np.int64(len(truth))],
+                             "n_hit": [np.int64(len(m))]})
+
+    parts = (both.groupby("_b").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    n_cand = int(parts["n_cand"].sum())
+    n_truth = int(parts["n_truth"].sum())
+    n_hit = int(parts["n_hit"].sum())
+    total = n_records * (n_records - 1) // 2
+    return pd.DataFrame({
+        "n_cand": pd.array([n_cand], "int64"),
+        "n_truth": pd.array([n_truth], "int64"),
+        "n_hit": pd.array([n_hit], "int64"),
+        "reduction_ratio": [1.0 - (float(n_cand) / float(total))
+                            if total else 0.0],
+        "pair_completeness": [float(n_hit) / float(n_truth)
+                              if n_truth else 0.0],
+        "pair_quality": [float(n_hit) / float(n_cand)
+                         if n_cand else 0.0],
+    })

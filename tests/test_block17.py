@@ -113,3 +113,24 @@ def test_nearest_within_boundary_and_ties():
     got2 = nearest_within(rd.from_pandas(far), rd.from_pandas(right),
                           r=100, coarse=2).to_pandas()
     assert len(got2) == 0
+
+
+# ------------------------------------------------- blocking quality
+
+def test_blocking_quality_exact_counts():
+    from raykg.ops.linkage import blocking_quality
+
+    cand = pd.DataFrame({"id_a": [1, 1, 2, 3, 1],  # dup candidate row
+                         "id_b": [2, 3, 3, 4, 2]})
+    truth = pd.DataFrame({"id_a": [1, 2, 7],
+                          "id_b": [2, 3, 8]})
+    out = blocking_quality(rd.from_pandas(cand),
+                           rd.from_pandas(truth), n_records=10,
+                           coarse=4)
+    row = out.iloc[0]
+    assert row["n_cand"] == 4          # dedup'd
+    assert row["n_truth"] == 3
+    assert row["n_hit"] == 2           # (1,2), (2,3); (7,8) unblocked
+    assert row["reduction_ratio"] == 1.0 - 4 / 45
+    assert row["pair_completeness"] == 2 / 3
+    assert row["pair_quality"] == 0.5
