@@ -574,10 +574,12 @@ def k_core(edges_ds, k: int, src: str = "src", dst: str = "dst",
          beyond;
       3. edges filtered to both-endpoints-surviving (two semi joins).
     Edge count is MONOTONE NON-INCREASING, so an unchanged count is a
-    fixed point. Round count is the peel depth (<= max degree; tiny in
-    practice — each round removes every vertex below k simultaneously,
-    not one vertex at a time). ``max_rounds`` guards pathological
-    inputs by raising rather than returning a partial core.
+    fixed point. Round count is the CASCADE depth: each round removes
+    every vertex below k simultaneously, which converges in a handful
+    of rounds on clustered graphs but can reach O(V) on chain-shaped
+    inputs (a 200-node path at k=2 peels two endpoints per round) —
+    raise ``max_rounds`` for such graphs; the guard RAISES rather
+    than returning a partial core.
 
     -> Dataset(vertex, deg): the k-core members with their in-core
     degrees (empty when no k-core exists).

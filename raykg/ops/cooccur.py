@@ -320,7 +320,11 @@ def cooccur_cosine(
     # per-item distinct-basket counts: per-block (basket,item) dedup
     # then per-item partial counts — duplicate (basket,item) rows may
     # straddle blocks, so count distinct through one basket-bucketed
-    # exchange (the same bucketing the pair pass uses)
+    # exchange (the same bucketing the pair pass uses). Known cost:
+    # the raw rows cross this exchange twice (once here, once for the
+    # pair pass); sharing one exchange would need the pair pass to
+    # consume the materialized per-bucket groups with whole-basket
+    # block alignment, which Ray's re-blocking doesn't guarantee.
     def item_parts(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates([basket_col, item_col])
         return (g.groupby(item_col, sort=False).size()

@@ -53,8 +53,11 @@ def build_dictionary(ds, col: str, n_ranges: int = DICT_RANGES,
         v = v[~pd.isna(v)]
         return pa.table({col: pa.array(pd.unique(v), t.column(col).type)})
 
+    # materialized once: the sample pass (count + spread) and the
+    # range-assign pass below would otherwise each re-execute the
+    # full scan + per-block dedup
     uniq = ds.select_columns([col]).map_batches(
-        block_unique, batch_format="pyarrow")
+        block_unique, batch_format="pyarrow").materialize()
 
     # value-range splits from a hash-spread sample of the distinct rows
     rows = hash_spread_sample_rows(uniq, col, sample_cap)
@@ -131,9 +134,11 @@ def dict_encode(ds, col: str, out_col: str = "code",
 
     d = d.map_batches(ren, batch_format="pyarrow").materialize()
     sch = ds.schema()
-    kt = dict(zip(sch.names, sch.types))[col]
-    keep = dict.fromkeys((keep_cols or []), None)
+    types = dict(zip(sch.names, sch.types))
+    keep = list(dict.fromkeys(keep_cols or []))
+    # left_types must cover EVERY left column: the shuffle fallback's
+    # tag_right fills left columns with pa.nulls(ltypes[c])
     return auto_join(ds, d, on=col, how="left",
-                     left_cols=list(keep), right_cols=[out_col],
-                     left_types={col: kt},
+                     left_cols=keep, right_cols=[out_col],
+                     left_types={c: types[c] for c in [col] + keep},
                      right_types={out_col: pa.int64()})

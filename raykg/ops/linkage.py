@@ -200,19 +200,21 @@ def sorted_neighborhood_pairs(ds, val_col: str, id_col: str,
         # dense ranks -> position == rank - lo (replication guarantees
         # every partner of an OWNED lower rank is present)
         pos = r - lo
-        arr = np.full(int(pos.max()) + 1 if len(pos) else 0, -1,
-                      dtype=np.int64)
-        arr[pos] = ids
+        n_slots = int(pos.max()) + 1 if len(pos) else 0
+        arr = np.zeros(n_slots, dtype=np.int64)
+        present = np.zeros(n_slots, dtype=bool)  # ids may be ANY
+        arr[pos] = ids                           # int64 incl. negative
+        present[pos] = True
         out_a, out_b, out_d = [], [], []
         own_pos = pos[own]
         for d in range(1, window):
             j = own_pos + d
-            ok = j < len(arr)
-            a_ids = arr[own_pos[ok]]
-            b_ids = arr[j[ok]]
-            hit = b_ids >= 0
-            out_a.append(a_ids[hit])
-            out_b.append(b_ids[hit])
+            ok = j < n_slots
+            a_pos = own_pos[ok]
+            b_pos = j[ok]
+            hit = present[b_pos]
+            out_a.append(arr[a_pos][hit])
+            out_b.append(arr[b_pos][hit])
             out_d.append(np.full(int(hit.sum()), d, np.int64))
         if not out_a:
             return pd.DataFrame({"id_a": pd.array([], "int64"),

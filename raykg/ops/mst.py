@@ -34,7 +34,7 @@ import pyarrow as pa
 MST_BUCKETS = 64
 
 
-def _forest_roots(winners, coarse: int, max_rounds: int):
+def _forest_roots(winners, max_rounds: int):
     """Root pointers of the winner pseudo-forest: winners holds ONE
     row per live component ``c`` with its chosen edge's other
     component ``oc``. Break each merged tree's unique mutual 2-cycle
@@ -104,17 +104,24 @@ def minimum_spanning_forest(edges_ds, src: str = "src", dst: str = "dst",
                             weight: str = "w", max_rounds: int = 40,
                             coarse: int = MST_BUCKETS):
     """-> Dataset(u, v, w): the minimum spanning forest edge set
-    (one tree per connected component), u < v. Weights int64 (cents
-    convention — float weights work but lose the exact-compare
-    guarantee); duplicate edges collapse to their minimum weight;
-    self-loops dropped."""
+    (one tree per connected component), u < v. Weights must be
+    INTEGER (the cents convention — pre-quantize float similarities;
+    a float column raises rather than being silently truncated);
+    duplicate edges collapse to their minimum weight; self-loops
+    dropped."""
     from raykg.ops.cc import _bucket
     from raykg.ops.joins import auto_join
 
     def norm(t: pa.Table) -> pa.Table:
         a = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
         b = t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
-        w = t.column(weight).to_numpy(zero_copy_only=False).astype(np.int64)
+        wr = t.column(weight).to_numpy(zero_copy_only=False)
+        if not np.issubdtype(wr.dtype, np.integer):
+            raise ValueError(
+                "minimum_spanning_forest needs integer weights — "
+                "pre-quantize float similarities (cents convention); "
+                "astype truncation would silently reorder edges")
+        w = wr.astype(np.int64)
         u = np.minimum(a, b)
         v = np.maximum(a, b)
         keep = u != v
@@ -224,7 +231,7 @@ def minimum_spanning_forest(edges_ds, src: str = "src", dst: str = "dst",
         # each merged tree's minimum edge; break those (smaller id
         # self-roots), then parent <- parent[parent] converges to root
         # pointers in ceil(log2 depth) plan-adaptive joins.
-        roots = _forest_roots(winners, coarse, max_rounds)
+        roots = _forest_roots(winners, max_rounds)
 
         relab = auto_join(labels, roots, on="comp",
                           right_on="c", how="left",

@@ -825,17 +825,31 @@ def cuped_adjust(ds, arm_col: str, x_col: str, y_col: str) -> pd.DataFrame:
         df = pd.DataFrame({"arm": arm, "x": x, "y": y})
         g = df.groupby("arm", as_index=False).agg(
             n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"))
+
+        def exact_sum(a: np.ndarray, b: np.ndarray) -> int:
+            # int64 fast path unless Σ|a·b| could wrap; then Python
+            # ints (the block partial must already be exact — the
+            # driver fold can't repair a wrapped int64)
+            mx = int(np.abs(a).max(initial=0))
+            my = int(np.abs(b).max(initial=0))
+            if mx * my * max(len(a), 1) < (1 << 62):
+                return int((a * b).sum())
+            return sum(int(av) * int(bv) for av, bv in zip(a, b))
+
+        sxy, sxx = exact_sum(x, y), exact_sum(x, x)
+        # block-level Σxy/Σx² ride in the FIRST arm row (only their
+        # global sums are consumed); stored as decimal strings so a
+        # huge block partial cannot wrap the int64 column either
+        zeros = ["0"] * max(len(g) - 1, 0)
         return pa.table({
             "arm": pa.array(g["arm"]),
             "n": pa.array(g["n"].to_numpy(np.int64)),
             "sx": pa.array(g["sx"].to_numpy(np.int64)),
             "sy": pa.array(g["sy"].to_numpy(np.int64)),
-            "sxy": pa.array(np.concatenate(
-                [[int((x * y).sum())], np.zeros(len(g) - 1, np.int64)])
-                if len(g) else np.array([], np.int64)),
-            "sxx": pa.array(np.concatenate(
-                [[int((x * x).sum())], np.zeros(len(g) - 1, np.int64)])
-                if len(g) else np.array([], np.int64)),
+            "sxy": pa.array(([str(sxy)] + zeros) if len(g) else [],
+                            pa.string()),
+            "sxx": pa.array(([str(sxx)] + zeros) if len(g) else [],
+                            pa.string()),
         })
 
     parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
@@ -846,8 +860,8 @@ def cuped_adjust(ds, arm_col: str, x_col: str, y_col: str) -> pd.DataFrame:
     n = int(parts["n"].sum())
     sx = int(parts["sx"].sum())
     sy = int(parts["sy"].sum())
-    sxy = int(parts["sxy"].sum())
-    sxx = int(parts["sxx"].sum())
+    sxy = sum(int(v) for v in parts["sxy"])   # decimal strings
+    sxx = sum(int(v) for v in parts["sxx"])
     cov_num = n * sxy - sx * sy          # n² · cov
     var_num = n * sxx - sx * sx          # n² · var
     theta = float(cov_num) / float(var_num) if var_num != 0 else 0.0

@@ -202,33 +202,54 @@ def suppress_small_groups(ds, quasi_cols: list[str], k: int = 5,
 
     Null quasi values participate as their own combo value (pandas
     ``dropna=False`` grouping == SQL ``PARTITION BY`` null equality).
-    -> the input Dataset filtered to surviving rows (same columns).
+    Combo keys are hashed from ARROW-cast strings (stable per column
+    across blocks) — pandas ``astype(str)`` would widen a nullable
+    int block to float ('5.0' vs '5') and split a combo across
+    blocks. -> the input Dataset filtered to surviving rows (same
+    columns).
     """
     from raykg.ops.joins import auto_join
     from raykg.util import hash_string_columns
 
-    bad = k_anonymity(ds, quasi_cols, k=k, coarse=coarse)
+    _NULLS = "\x00<null>"
 
-    def pack_bad(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        h = hash_string_columns(
-            *[df[c].astype(str).tolist() for c in quasi_cols])
-        return pa.table({"_combo": pa.array(h.astype(np.int64))})
-
-    bad_keys = bad.map_batches(pack_bad,
-                               batch_format="pyarrow").materialize()
+    def _combo_hash(t: pa.Table) -> np.ndarray:
+        cols = []
+        for c in quasi_cols:
+            s = pc.fill_null(pc.cast(t.column(c), pa.string()), _NULLS)
+            cols.append(s.to_pylist())
+        return hash_string_columns(*cols).astype(np.int64)
 
     def pack_rows(t: pa.Table) -> pa.Table:
-        df = t.select(quasi_cols).to_pandas()
-        h = hash_string_columns(
-            *[df[c].astype(str).tolist() for c in quasi_cols])
-        return t.append_column("_combo", pa.array(h.astype(np.int64)))
+        return t.append_column("_combo", pa.array(_combo_hash(t)))
 
-    keep_cols = [c for c in ds.schema().names]
+    # census over the hashed combo (the k_anonymity pre-count plan,
+    # but keyed by the stable combo hash end-to-end)
+    def census(t: pa.Table) -> pa.Table:
+        h = _combo_hash(t)
+        combo, cnt = np.unique(h, return_counts=True)
+        return pa.table({
+            "_combo": pa.array(combo),
+            "n": pa.array(cnt.astype(np.int64)),
+            "_b": pa.array((combo.view(np.uint64)
+                            % np.uint64(coarse)).astype(np.int32)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("_combo", as_index=False)["n"].sum()
+        return agg[agg["n"] < k][["_combo"]]
+
+    bad_keys = (ds.map_batches(census, batch_format="pyarrow")
+                .groupby("_b")
+                .map_groups(fold, batch_format="pandas")).materialize()
+
+    keep_cols = list(ds.schema().names)
+    types = dict(zip(ds.schema().names, ds.schema().types))
     out = auto_join(
         ds.map_batches(pack_rows, batch_format="pyarrow"), bad_keys,
         on="_combo", how="anti", left_cols=keep_cols,
-        left_types={"_combo": pa.int64()},
+        left_types={"_combo": pa.int64(),
+                    **{c: types[c] for c in keep_cols}},
         right_types={"_combo": pa.int64()})
 
     def strip(t: pa.Table) -> pa.Table:

@@ -180,3 +180,37 @@ def test_parse_timestamps_bad_string_raises():
     df = pd.DataFrame({"id": [1], "raw": ["not-a-date"]})
     with pytest.raises(Exception):
         parse_timestamps(rd.from_pandas(df), "raw").materialize()
+
+
+def test_suppress_small_groups_nullable_int_quasi():
+    # review fix: pandas astype(str) widened nullable-int blocks to
+    # float ('5.0' vs '5'), splitting a combo's hash across blocks
+    df = pd.DataFrame({
+        "id": np.arange(8, dtype=np.int64),
+        "g": pd.array([5, 5, 5, 5, None, None, 7, 7],
+                      dtype="Int64"),
+    })
+    # blocks split so one g=5 block has a null and another does not
+    ds = rd.from_pandas(df).repartition(4)
+    out = suppress_small_groups(ds, ["g"], k=3).to_pandas()
+    assert set(out["id"]) == {0, 1, 2, 3}  # the 4-member g=5 combo
+
+
+def test_dict_encode_shuffle_fallback_matches_broadcast():
+    # review fix: the hash_join fallback lacked keep_cols types
+    df = pd.DataFrame({"id": np.arange(100, dtype=np.int64),
+                       "s": [f"v{i % 9}" for i in range(100)]})
+    ds = rd.from_pandas(df).repartition(3)
+    bc = dict_encode(ds, "s", out_col="c", keep_cols=["id"]).to_pandas()
+    from raykg.ops import joins as _j
+    old = _j.BROADCAST_JOIN_BYTES
+    _j.BROADCAST_JOIN_BYTES = 0  # force the shuffle plan
+    try:
+        sh = dict_encode(rd.from_pandas(df).repartition(3), "s",
+                         out_col="c", keep_cols=["id"]).to_pandas()
+    finally:
+        _j.BROADCAST_JOIN_BYTES = old
+    pd.testing.assert_frame_equal(
+        bc.sort_values("id").reset_index(drop=True)[["id", "c"]],
+        sh.sort_values("id").reset_index(drop=True)[["id", "c"]],
+        check_dtype=False)

@@ -136,3 +136,15 @@ def test_cooccur_cosine_identical_items_score_one():
     top = got.iloc[0]
     assert (top["item_a"], top["item_b"]) == (1, 2)
     assert top["cosine"] == 1.0
+
+
+def test_cuped_huge_values_no_overflow():
+    # review fix: per-block Σxy/Σx² wrapped int64 before the driver
+    # fold; partials now escalate to Python ints + decimal strings
+    big = 4_000_000_000  # x*y = 1.6e19 > 2^63 for a single unit
+    units = pd.DataFrame({"arm": [0, 1], "x": [big, big],
+                          "y": [big, big - 2]})
+    got = cuped_adjust(rd.from_pandas(units), "arm", "x", "y")
+    ref = _cuped_reference(units)
+    np.testing.assert_allclose(got["adj_mean_y"], ref["adj_mean_y"],
+                               rtol=1e-12)

@@ -134,3 +134,16 @@ def test_blocking_quality_exact_counts():
     assert row["reduction_ratio"] == 1.0 - 4 / 45
     assert row["pair_completeness"] == 2 / 3
     assert row["pair_quality"] == 0.5
+
+
+def test_sorted_neighborhood_negative_ids():
+    # review fix: -1 was the empty-slot sentinel, dropping pairs whose
+    # partner id was negative
+    df = pd.DataFrame({"id": np.array([-1, -5, 3], dtype=np.int64),
+                       "v": [1, 2, 3]})
+    got = _sorted(sorted_neighborhood_pairs(
+        rd.from_pandas(df), val_col="v", id_col="id",
+        window=2).to_pandas())
+    want = _sorted(pd.DataFrame({"id_a": [-1, -5], "id_b": [-5, 3],
+                                 "dist": [1, 1]}))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
