@@ -34,17 +34,62 @@ import pyarrow as pa
 MST_BUCKETS = 64
 
 
+ROOTS_INMEM_BYTES = 128 << 20
+
+
+def _roots_inmem(blocks) -> pa.Table:
+    """Single-task pointer doubling over the assembled (c, p) parent
+    relation — the worker-side fast path (~16 B per live component:
+    128 MB covers 8M components; the join-round path takes over
+    beyond). Same 2-cycle-break + jump semantics as the distributed
+    rounds."""
+    import ray
+
+    blocks = ray.get(list(blocks))  # a LIST of refs is not auto-resolved
+    tabs = []
+    for b in blocks:
+        if isinstance(b, pa.Table):
+            if b.num_rows:
+                tabs.append(b)
+        elif len(b):
+            tabs.append(pa.Table.from_pandas(b, preserve_index=False))
+    t = pa.concat_tables([b.select(["c", "p"]) for b in tabs])
+    c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+    p = t.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(c, kind="stable")
+    c, p = c[order], p[order]
+    # every parent is itself a live component (it has a winner row)
+    pi = np.searchsorted(c, p)
+    # mutual 2-cycle: smaller id self-roots
+    self_pos = np.arange(len(c))
+    mutual = pi[pi] == self_pos
+    pi = np.where(mutual & (c < p), self_pos, pi)
+    for _ in range(64):
+        nxt = pi[pi]
+        if (nxt == pi).all():
+            break
+        pi = nxt
+    return pa.table({"c": pa.array(c), "root": pa.array(c[pi])})
+
+
 def _forest_roots(winners, max_rounds: int):
     """Root pointers of the winner pseudo-forest: winners holds ONE
     row per live component ``c`` with its chosen edge's other
     component ``oc``. Break each merged tree's unique mutual 2-cycle
     (the two endpoints of its minimum edge point at each other —
     smaller id becomes the self-rooted representative), then pointer-
-    double until every parent is a root. Each round is one
-    plan-adaptive self-join of an O(live components) relation; round
-    count is ceil(log2 max tree depth) <= log2 V.
+    double until every parent is a root.
+
+    While the relation fits ``ROOTS_INMEM_BYTES`` it is assembled BY
+    A WORKER TASK and doubled in memory (one task instead of ~3 jobs
+    per jump round — the auto_join adaptive-broadcast rationale);
+    beyond that, each round is one plan-adaptive self-join of the
+    O(live components) relation, ceil(log2 max tree depth) rounds.
 
     -> materialized Dataset(c, root)."""
+    import ray
+    import ray.data as rd
+
     from raykg.ops.joins import auto_join
 
     i64 = pa.int64()
@@ -54,6 +99,15 @@ def _forest_roots(winners, max_rounds: int):
                          "p": t.column("oc").cast(pa.int64())})
 
     P = winners.map_batches(proj, batch_format="pyarrow").materialize()
+
+    try:
+        sz = P.size_bytes()
+    except Exception:
+        sz = None
+    if sz is not None and sz <= ROOTS_INMEM_BYTES:
+        task = ray.remote(_roots_inmem)
+        ref = task.remote(list(P.to_arrow_refs()))
+        return rd.from_arrow_refs([ref]).materialize()
 
     def ren(t: pa.Table) -> pa.Table:
         return t.rename_columns(
