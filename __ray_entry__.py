@@ -7748,9 +7748,9 @@ def _q_hybrid_rrf(sf_dir: str):
     vs its full SQL oracle) fused with a dense cosine ranking against
     the vec_id-0 query embedding — rrf = Σ 1/(60 + rank), absent leg
     contributes 0, top 10 by (rrf desc, doc_id). Cosine is bit-exact
-    cross-side: dim 64 < numpy's pairwise-summation threshold, so
-    np.sum's row fold == the oracle's list_sum(list(term ORDER BY
-    dim)) sequential fold."""
+    cross-side by construction: an EXPLICIT per-dimension left fold
+    (vectorized across rows) == the oracle's
+    list_sum(list(term ORDER BY dim)) sequential fold."""
     import pandas as pd
 
     from raykg.ops.bm25 import bm25_topk
@@ -7765,12 +7765,22 @@ def _q_hybrid_rrf(sf_dir: str):
                           columns=["vec_id", "embedding"])
     qrow = emb.filter(expr="vec_id == 0").take(1)
     qv = np.asarray(qrow[0]["embedding"], dtype=np.float64)
-    qss = float(np.sum(qv * qv))
+    qss = 0.0
+    for x in qv:          # explicit left fold — see block_top
+        qss += float(x) * float(x)
 
     def block_top(t: pa.Table) -> pa.Table:
         E = column_to_vectors(t.column("embedding")).astype(np.float64)
-        dot = np.sum(E * qv, axis=1)
-        ss = np.sum(E * E, axis=1)
+        # EXPLICIT left fold over dimensions (vectorized across rows):
+        # np.sum's reduction is 8-accumulator pairwise, NOT the
+        # sequential fold the oracle's list_sum(list ORDER BY dim)
+        # computes — the explicit dim loop makes bit-equality hold by
+        # construction rather than by luck
+        dot = np.zeros(len(E))
+        ss = np.zeros(len(E))
+        for j in range(E.shape[1]):
+            dot += E[:, j] * qv[j]
+            ss += E[:, j] * E[:, j]
         cos = dot / (np.sqrt(ss) * np.sqrt(qss))
         df = pd.DataFrame({
             "doc_id": t.column("vec_id").to_numpy(
@@ -7946,6 +7956,134 @@ SELECT n_cand, n_truth, n_hit,
             ELSE 0.0 END AS pair_quality
 FROM s
 """
+
+
+def _q_nb_wordcounts(sf_dir: str):
+    """Multinomial Naive Bayes TRAINING (raykg/ops/nb.py nb_train) —
+    the model IS a relation of exact integer token counts per
+    (lang, word): per-block Zipf-bounded pre-counts, one word-bucket
+    fold. Fully oracle-checked — the one-pass trainer whose output a
+    SQL GROUP BY reproduces bit-for-bit."""
+    from raykg.ops.nb import nb_train
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+    counts, _ = nb_train(docs, text_col="text", label_col="lang")
+    out = counts.to_pandas()
+    out["c"] = out["c"].astype("int64")
+    return (out.rename(columns={"label": "lang"})
+            .sort_values(["lang", "word"]).reset_index(drop=True))
+
+
+_SQL_NB_COUNTS = """
+WITH toks AS (
+  SELECT lang, UNNEST(string_split(lower(text), ' ')) AS word
+  FROM documents
+)
+SELECT lang, word, count(*)::BIGINT AS c
+FROM toks GROUP BY lang, word
+ORDER BY lang, word
+"""
+
+
+def _q_nb_classify(sf_dir: str):
+    """NB language classification (raykg/ops/nb.py nb_classify):
+    train on even doc_ids, label the odd ones — broadcast model,
+    one factorize + matrix gather + scatter-add per batch. Scores
+    are float folds (rows-only); pinned bit-equal against the
+    sequential reference in tests/test_block21.py (shared libm
+    quotient-log formulation)."""
+    from raykg.ops.nb import nb_classify, nb_train
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+
+    def half(keep_even: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 2 == 0) if keep_even else (ids % 2 == 1)
+            return t.filter(pa.array(m))
+        return fn
+
+    train = docs.map_batches(half(True), batch_format="pyarrow")
+    test = docs.map_batches(half(False), batch_format="pyarrow")
+    counts, stats = nb_train(train, text_col="text", label_col="lang")
+    out = nb_classify(test, counts, stats, text_col="text",
+                      id_col="doc_id").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_search_ndcg(sf_dir: str):
+    """Search-ranking evaluation (raykg/ops/mlmetrics.py
+    ranking_metrics): MRR and nDCG@10 of the BM25 top-10 lists
+    against derived graded relevance rel = (doc_id + 3·qid) % 4 —
+    DCG/IDCG are rank-ascending libm-log2 folds mirrored by
+    list_sum(list(term ORDER BY rank/pos)), MRR one division of
+    exact ints. nDCG here is LOCAL to the retrieved list (the ideal
+    ranking permutes the top-k, the standard eval-harness form)."""
+    from raykg.ops.bm25 import bm25_topk
+    from raykg.ops.mlmetrics import ranking_metrics
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    results = bm25_topk(docs, _BM25_QUERIES, k=10)
+
+    def rel_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        import pandas as pd
+        parts = []
+        for q in range(len(_BM25_QUERIES)):
+            parts.append(pd.DataFrame({
+                "qid": np.full(len(ids), q, np.int64),
+                "doc_id": ids,
+                "rel": (ids + 3 * q) % 4,
+            }))
+        return pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
+                                    preserve_index=False)
+
+    rel = docs.map_batches(rel_rows, batch_format="pyarrow")
+    return ranking_metrics(results, rel, k=10)
+
+
+def _search_ndcg_sql() -> str:
+    bm25 = _bm25_sql(k=10)
+    body = bm25.strip().removeprefix("WITH").rsplit("SELECT", 1)[0]
+    return f"""
+WITH {body},
+res AS (
+  SELECT qid, doc_id, rank FROM ranked WHERE rank <= 10
+), rl AS (
+  SELECT qid, doc_id, rank,
+         ((doc_id + 3 * qid) % 4)::BIGINT AS rel
+  FROM res
+), d AS (
+  SELECT qid,
+         count(*) FILTER (rel > 0)::BIGINT AS n_rel,
+         COALESCE(1.0 / (min(rank) FILTER (rel > 0)), 0.0) AS mrr,
+         list_sum(list(rel::DOUBLE / log2((rank + 1)::DOUBLE)
+                       ORDER BY rank)) AS dcg
+  FROM rl GROUP BY qid
+), ip AS (
+  SELECT qid, rel,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY rel DESC, doc_id) AS pos
+  FROM rl
+), ii AS (
+  SELECT qid,
+         list_sum(list(rel::DOUBLE / log2((pos + 1)::DOUBLE)
+                       ORDER BY pos)) AS idcg
+  FROM ip GROUP BY qid
+)
+SELECT d.qid::BIGINT AS qid, d.n_rel, d.mrr, d.dcg, ii.idcg,
+       CASE WHEN ii.idcg > 0 THEN d.dcg / ii.idcg ELSE 0.0 END AS ndcg
+FROM d JOIN ii ON ii.qid = d.qid
+ORDER BY qid
+"""
+
+
+_SQL_SEARCH_NDCG = _search_ndcg_sql()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -8124,6 +8262,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_phrase_documents": _q_phrase_count,
         "search_hybrid_rrf": _q_hybrid_rrf,
         "er_blocking_quality": _q_blocking_quality,
+        "train_nb_wordcounts": _q_nb_wordcounts,
+        "classify_nb_documents": _q_nb_classify,
+        "eval_search_ndcg": _q_search_ndcg,
         "agg_user_value_geomean": _q_geomean_users,
         "feature_time_events": _q_time_features,
         "ts_autocorrelation_users": _q_acf_user_values,
@@ -8249,6 +8390,8 @@ def oracle_sql() -> dict[str, str]:
         "search_phrase_documents": _SQL_PHRASE_COUNT,
         "search_hybrid_rrf": _SQL_HYBRID_RRF,
         "er_blocking_quality": _SQL_BLOCKING_QUALITY,
+        "train_nb_wordcounts": _SQL_NB_COUNTS,
+        "eval_search_ndcg": _SQL_SEARCH_NDCG,
         "agg_user_value_geomean": _SQL_GEOMEAN,
         "feature_time_events": _SQL_TIME_FEATURES,
         "ts_autocorrelation_users": _SQL_ACF_USER_VALUES,

@@ -308,6 +308,9 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("search_phrase_documents", em._q_phrase_count)
         timed("search_hybrid_rrf", em._q_hybrid_rrf)
         timed("er_blocking_quality", em._q_blocking_quality)
+        timed("train_nb_wordcounts", em._q_nb_wordcounts)
+        timed("classify_nb_documents", em._q_nb_classify)
+        timed("eval_search_ndcg", em._q_search_ndcg)
 
     result = {
         "metric": "kg_pipeline_wall",

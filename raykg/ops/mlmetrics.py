@@ -273,3 +273,104 @@ def grouped_auc(ds, group_col: str, label_col: str, score_col: str,
            .map_groups(fold, batch_format="pandas")
            .to_pandas())
     return out.sort_values("g").reset_index(drop=True)
+
+
+def ranking_metrics(results_ds, rel_ds, qid_col: str = "qid",
+                    doc_col: str = "doc_id", rank_col: str = "rank",
+                    rel_col: str = "rel", k: int = 10,
+                    coarse: int = 64):
+    """Search-ranking evaluation per query: MRR and nDCG@k — the
+    metrics that close the retrieval loop (bm25 / hybrid RRF are the
+    producers, this is the judge).
+
+        MRR  = 1 / (first rank with rel > 0)        (0 if none)
+        DCG  = Σ_{rank<=k} rel / log2(rank + 1)     (rank-ascending)
+        IDCG = same fold over rel sorted (desc, doc) — the ideal
+        nDCG = DCG / IDCG                           (0 if IDCG = 0)
+
+    Contract: ``k <= 128`` ranks per query (top-k result lists).
+    Plan: one qid-bucket tagged co-location of results ⋈ relevance
+    (many queries per task); the log2 values come from a
+    ``math.log2`` (libm) lookup table over the k rank positions, each
+    per-query fold runs rank-ascending — so DCG/IDCG are bit-equal to
+    a SQL ``list_sum(list(term ORDER BY rank))`` oracle, and every
+    other statistic is one mirrored float division of exact ints.
+
+    ``rel_ds``: Dataset(qid, doc_id, rel) with INTEGER relevance
+    grades; absent pairs take rel 0. -> DataFrame(qid, n_rel, mrr,
+    dcg, idcg, ndcg) sorted by qid.
+    """
+    import math
+
+    from raykg.ops.joins import _key_bucket
+
+    log2v = np.array([0.0] + [math.log2(r + 1)
+                              for r in range(1, k + 1)])
+
+    def tag_res(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "qid": t.column(qid_col).cast(pa.int64()),
+            "doc": t.column(doc_col).cast(pa.int64()),
+            "rank": t.column(rank_col).cast(pa.int64()),
+            "rel": pa.array(np.zeros(t.num_rows, np.int64)),
+            "is_res": pa.array(np.ones(t.num_rows, np.bool_)),
+        })
+        return out.append_column("_b", _key_bucket(out.column("qid"),
+                                                   coarse))
+
+    def tag_rel(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "qid": t.column(qid_col).cast(pa.int64()),
+            "doc": t.column(doc_col).cast(pa.int64()),
+            "rank": pa.array(np.zeros(t.num_rows, np.int64)),
+            "rel": t.column(rel_col).cast(pa.int64()),
+            "is_res": pa.array(np.zeros(t.num_rows, np.bool_)),
+        })
+        return out.append_column("_b", _key_bucket(out.column("qid"),
+                                                   coarse))
+
+    both = (results_ds.map_batches(tag_res, batch_format="pyarrow")
+            .union(rel_ds.map_batches(tag_rel,
+                                      batch_format="pyarrow")))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["qid", "n_rel", "mrr", "dcg", "idcg", "ndcg"]
+        res = g[g["is_res"]][["qid", "doc", "rank"]]
+        rel = g[~g["is_res"]][["qid", "doc", "rel"]]
+        m = res.merge(rel, on=["qid", "doc"], how="left")
+        m["rel"] = m["rel"].fillna(0).astype(np.int64)
+        m = m[m["rank"] <= k]
+        if not len(m):
+            return pd.DataFrame({c: [] for c in cols})
+        # (queries × rank-position) relevance grid; the folds run
+        # RANK-ASCENDING (vectorized across queries) — absent ranks
+        # contribute +0.0, an exact identity, so each query's fold is
+        # bit-equal to folding only its present ranks in order
+        qids = np.sort(m["qid"].unique())
+        qix = np.searchsorted(qids, m["qid"].to_numpy())
+        relm = np.zeros((len(qids), k + 1))
+        relm[qix, m["rank"].to_numpy(np.int64)] = \
+            m["rel"].to_numpy(np.int64)
+        body = relm[:, 1:]
+        dcg = np.zeros(len(qids))
+        for r in range(1, k + 1):
+            dcg += relm[:, r] / log2v[r]
+        ideal = np.sort(body, axis=1)[:, ::-1]
+        idcg = np.zeros(len(qids))
+        for i in range(ideal.shape[1]):
+            idcg += ideal[:, i] / log2v[i + 1]
+        has = (body > 0).any(axis=1)
+        first = np.argmax(body > 0, axis=1) + 1
+        mrr = np.where(has, 1.0 / first, 0.0)
+        ndcg = np.where(idcg > 0, dcg / np.where(idcg > 0, idcg, 1.0),
+                        0.0)
+        return pd.DataFrame({
+            "qid": qids, "n_rel": (body > 0).sum(axis=1),
+            "mrr": mrr, "dcg": dcg, "idcg": idcg, "ndcg": ndcg,
+        })
+
+    out = (both.groupby("_b").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    out["qid"] = out["qid"].astype("int64")
+    out["n_rel"] = out["n_rel"].astype("int64")
+    return out.sort_values("qid").reset_index(drop=True)

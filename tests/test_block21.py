@@ -1,0 +1,130 @@
+"""Twenty-first-block operators: Multinomial Naive Bayes
+(raykg/ops/nb.py) and search-ranking metrics
+(mlmetrics.ranking_metrics) — pinned against sequential references."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from raykg.ops.mlmetrics import ranking_metrics
+from raykg.ops.nb import nb_classify, nb_reference, nb_train
+
+
+def _corpus(rng, n, labels=("en", "fr", "de")):
+    vocabs = {
+        "en": ["the", "cat", "dog", "runs", "fast"],
+        "fr": ["le", "chat", "chien", "court", "vite"],
+        "de": ["der", "katze", "hund", "lauft", "schnell"],
+    }
+    shared = ["data", "table", "row"]
+    rows = []
+    for i in range(n):
+        lab = labels[int(rng.integers(0, len(labels)))]
+        words = list(rng.choice(vocabs[lab] + shared,
+                                size=int(rng.integers(3, 12))))
+        rows.append((i, " ".join(words), lab))
+    return pd.DataFrame(rows, columns=["doc_id", "text", "label"])
+
+
+def test_nb_train_counts_exact():
+    rng = np.random.default_rng(51)
+    df = _corpus(rng, 200)
+    for parts in (1, 5):
+        counts, stats = nb_train(
+            rd.from_pandas(df).repartition(parts),
+            text_col="text", label_col="label")
+        got = (counts.to_pandas().sort_values(["label", "word"])
+               .reset_index(drop=True))
+        want = (df.assign(w=df["text"].str.lower().str.split(" "))
+                .explode("w").groupby(["label", "w"]).size()
+                .rename("c").reset_index()
+                .rename(columns={"w": "word"})
+                .sort_values(["label", "word"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # class stats
+        want_docs = df.groupby("label").size()
+        for _, r in stats.iterrows():
+            assert r["n_docs"] == want_docs[r["label"]]
+
+
+def test_nb_classify_matches_reference_bitexact():
+    rng = np.random.default_rng(53)
+    train = _corpus(rng, 300)
+    test = _corpus(rng, 120)
+    want = nb_reference(train, test, label_col="label")
+    for parts in (1, 4):
+        counts, stats = nb_train(
+            rd.from_pandas(train).repartition(parts),
+            text_col="text", label_col="label")
+        got = (nb_classify(rd.from_pandas(test).repartition(parts),
+                           counts, stats, text_col="text")
+               .to_pandas().sort_values("doc_id")
+               .reset_index(drop=True))
+        assert got["pred"].tolist() == want.sort_values(
+            "doc_id")["pred"].tolist()
+    # sanity: learns the language signal
+    truth = test.set_index("doc_id")["label"]
+    acc = (got.set_index("doc_id")["pred"] == truth).mean()
+    assert acc > 0.9
+
+
+def test_nb_classify_unseen_words_floor():
+    train = pd.DataFrame({"doc_id": [0, 1],
+                          "text": ["aa aa bb", "cc cc dd"],
+                          "label": ["x", "y"]})
+    test = pd.DataFrame({"doc_id": [2, 3],
+                         "text": ["aa zz", "cc zz"],
+                         "label": ["?", "?"]})
+    counts, stats = nb_train(rd.from_pandas(train), label_col="label")
+    got = (nb_classify(rd.from_pandas(test), counts, stats)
+           .to_pandas().sort_values("doc_id"))
+    assert got["pred"].tolist() == ["x", "y"]
+
+
+# --------------------------------------------------------- ranking metrics
+
+def test_ranking_metrics_hand_computed():
+    results = pd.DataFrame({
+        "qid": [0, 0, 0, 1, 1],
+        "doc_id": [10, 11, 12, 20, 21],
+        "rank": [1, 2, 3, 1, 2],
+    })
+    rel = pd.DataFrame({
+        "qid": [0, 0, 1],
+        "doc_id": [11, 12, 99],     # qid1's only rel doc not retrieved
+        "rel": [2, 1, 3],
+    })
+    out = ranking_metrics(rd.from_pandas(results), rd.from_pandas(rel),
+                          k=10, coarse=4)
+    q0 = out[out["qid"] == 0].iloc[0]
+    assert q0["n_rel"] == 2
+    assert q0["mrr"] == 0.5                       # first rel at rank 2
+    dcg = 2 / math.log2(3) + 1 / math.log2(4)
+    idcg = 2 / math.log2(2) + 1 / math.log2(3)
+    assert q0["dcg"] == pytest.approx(dcg, rel=1e-15)
+    assert q0["ndcg"] == pytest.approx(dcg / idcg, rel=1e-15)
+    q1 = out[out["qid"] == 1].iloc[0]
+    assert q1["n_rel"] == 0 and q1["mrr"] == 0.0 and q1["ndcg"] == 0.0
+
+
+def test_ranking_metrics_partition_invariant():
+    rng = np.random.default_rng(57)
+    results = pd.DataFrame({
+        "qid": np.repeat(np.arange(30), 10),
+        "doc_id": rng.integers(0, 500, 300),
+        "rank": np.tile(np.arange(1, 11), 30),
+    })
+    rel = pd.DataFrame({
+        "qid": rng.integers(0, 30, 200),
+        "doc_id": rng.integers(0, 500, 200),
+        "rel": rng.integers(0, 4, 200),
+    }).drop_duplicates(["qid", "doc_id"])
+    a = ranking_metrics(rd.from_pandas(results).repartition(5),
+                        rd.from_pandas(rel).repartition(3), k=10)
+    b = ranking_metrics(rd.from_pandas(results),
+                        rd.from_pandas(rel), k=10)
+    pd.testing.assert_frame_equal(a, b)
+    assert ((a["ndcg"] >= 0) & (a["ndcg"] <= 1 + 1e-12)).all()
