@@ -147,3 +147,54 @@ def test_sorted_neighborhood_negative_ids():
     want = _sorted(pd.DataFrame({"id_a": [-1, -5], "id_b": [-5, 3],
                                  "dist": [1, 1]}))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# --------------------------------------------- asof fast-path equivalence
+
+def test_asof_fast_path_random_many_keys():
+    """The vectorized many-keys merge (joins._merge_fast) must be
+    indistinguishable from pandas merge_asof across random inputs
+    with empty-right keys, out-of-range probes, and negative ts."""
+    from raykg.ops.joins import asof_join
+
+    rng = np.random.default_rng(61)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 50, 400),
+        "ts": rng.integers(-1000, 1000, 400),
+        "lid": np.arange(400, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 40, 150),   # keys 40..49 have no rights
+        "ts": rng.integers(-1000, 1000, 150),
+        "val": rng.integers(0, 10_000, 150),
+    }).drop_duplicates(["k", "ts"])     # merge_asof needs unique ts/key
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort"),
+        on="ts", by="k", direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+    got = (asof_join(rd.from_pandas(left).repartition(4),
+                     rd.from_pandas(right).repartition(3),
+                     key="k", right_key="k", ts="ts", right_ts="ts",
+                     left_cols=["lid"], right_cols=["val"],
+                     fill={"val": -1}, census=False)
+           .to_pandas().sort_values("lid").reset_index(drop=True))
+    want_val = want["val"].fillna(-1).astype(np.int64)
+    assert got["val"].astype(np.int64).tolist() == want_val.tolist()
+
+
+def test_asof_fast_path_huge_key_falls_back():
+    # |key| >= 2^55 disables the composite encoding; the loop path
+    # must produce the same answer
+    from raykg.ops.joins import asof_join
+
+    big = 1 << 60
+    left = pd.DataFrame({"k": [big, big, 5], "ts": [10, 3, 7],
+                         "lid": [0, 1, 2]})
+    right = pd.DataFrame({"k": [big, 5], "ts": [5, 6], "val": [77, 88]})
+    got = (asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                     key="k", right_key="k", ts="ts", right_ts="ts",
+                     left_cols=["lid"], right_cols=["val"],
+                     fill={"val": -1}, census=False)
+           .to_pandas().sort_values("lid"))
+    assert got["val"].astype(np.int64).tolist() == [77, -1, 88]
