@@ -8086,6 +8086,117 @@ ORDER BY qid
 _SQL_SEARCH_NDCG = _search_ndcg_sql()
 
 
+def _q_weighted_mean(sf_dir: str):
+    """Grouped weighted mean (raykg/ops/profile.py
+    grouped_weighted_mean): per-user cent values weighted by
+    (event_id % 5) + 1 — exact Σwx / Σw through Python-int folds
+    (decimal-string partials), one mirrored float division; HUGEINT
+    oracle."""
+    from raykg.ops.profile import grouped_weighted_mean
+
+    ev = _events_with_cents(sf_dir)
+
+    def wcol(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return t.append_column("w", pa.array(eid % 5 + 1))
+
+    out = grouped_weighted_mean(
+        ev.map_batches(wcol, batch_format="pyarrow"),
+        key="user_id", val_col="cents", weight_col="w")
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["sum_w"] = out["sum_w"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_SQL_WEIGHTED_MEAN = """
+WITH e AS (
+  SELECT user_id::BIGINT AS user_id,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         (event_id % 5 + 1)::BIGINT AS w
+  FROM events
+), g AS (
+  SELECT user_id, count(*)::BIGINT AS n, sum(w)::BIGINT AS sum_w,
+         sum(w::HUGEINT * cents::HUGEINT) AS swx
+  FROM e GROUP BY user_id
+)
+SELECT user_id, n, sum_w, swx::DOUBLE / sum_w::DOUBLE AS wmean
+FROM g WHERE sum_w <> 0 ORDER BY user_id
+"""
+
+
+def _q_interpolate_values(sf_dir: str):
+    """Linear-interpolation resampling (raykg/ops/resample.py
+    interpolate_grid): per-user hourly grid where each bucket's
+    observation is its last event's cents and gaps take the straight
+    line between neighbors — one mirrored float expression per gap
+    point; oracle = IGNORE NULLS window fills over the same grid."""
+    from raykg.ops.resample import interpolate_grid
+
+    out = interpolate_grid(
+        _events_with_cents(sf_dir), key_col="user_id", ts_col="ts",
+        val_col="cents", tiebreak_col="event_id",
+        bucket_us=3_600_000_000).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["bk"] = out["bk"].astype("int64")
+    return (out.sort_values(["user_id", "bk"])
+            .reset_index(drop=True))
+
+
+_SQL_INTERPOLATE = """
+WITH e AS (
+  SELECT user_id::BIGINT AS user_id,
+         epoch_us(ts) // 3600000000 AS bk,
+         epoch_us(ts) AS us, event_id,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+), obs AS (
+  SELECT user_id, bk, cents FROM (
+    SELECT user_id, bk, cents,
+           row_number() OVER (PARTITION BY user_id, bk
+                              ORDER BY us DESC, event_id DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+), span AS (
+  SELECT user_id, min(bk) AS lo, max(bk) AS hi FROM obs
+  GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(range(lo, hi + 1)) AS bk FROM span
+), j AS (
+  SELECT g.user_id, g.bk, o.cents AS obs_v
+  FROM grid g LEFT JOIN obs o
+    ON o.user_id = g.user_id AND o.bk = g.bk
+), f AS (
+  SELECT user_id, bk, obs_v,
+         last_value(obs_v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bk
+           ROWS UNBOUNDED PRECEDING) AS prev_v,
+         last_value(CASE WHEN obs_v IS NOT NULL THEN bk END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bk
+           ROWS UNBOUNDED PRECEDING) AS prev_bk,
+         first_value(obs_v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bk
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_v,
+         first_value(CASE WHEN obs_v IS NOT NULL THEN bk END
+                     IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bk
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_bk
+  FROM j
+)
+SELECT user_id, bk,
+       CASE WHEN obs_v IS NOT NULL THEN obs_v::DOUBLE
+            ELSE prev_v::DOUBLE
+                 + ((next_v - prev_v)::DOUBLE * (bk - prev_bk)::DOUBLE)
+                   / (next_bk - prev_bk)::DOUBLE END AS v,
+       obs_v IS NOT NULL AS is_observed
+FROM f ORDER BY user_id, bk
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline (non-SQL: stateful incremental chain)
@@ -8265,6 +8376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_nb_wordcounts": _q_nb_wordcounts,
         "classify_nb_documents": _q_nb_classify,
         "eval_search_ndcg": _q_search_ndcg,
+        "agg_user_weighted_mean": _q_weighted_mean,
+        "window_interpolate_user_values": _q_interpolate_values,
         "agg_user_value_geomean": _q_geomean_users,
         "feature_time_events": _q_time_features,
         "ts_autocorrelation_users": _q_acf_user_values,
@@ -8392,6 +8505,8 @@ def oracle_sql() -> dict[str, str]:
         "er_blocking_quality": _SQL_BLOCKING_QUALITY,
         "train_nb_wordcounts": _SQL_NB_COUNTS,
         "eval_search_ndcg": _SQL_SEARCH_NDCG,
+        "agg_user_weighted_mean": _SQL_WEIGHTED_MEAN,
+        "window_interpolate_user_values": _SQL_INTERPOLATE,
         "agg_user_value_geomean": _SQL_GEOMEAN,
         "feature_time_events": _SQL_TIME_FEATURES,
         "ts_autocorrelation_users": _SQL_ACF_USER_VALUES,

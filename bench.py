@@ -311,6 +311,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("train_nb_wordcounts", em._q_nb_wordcounts)
         timed("classify_nb_documents", em._q_nb_classify)
         timed("eval_search_ndcg", em._q_search_ndcg)
+        timed("agg_user_weighted_mean", em._q_weighted_mean)
+        timed("window_interpolate_user_values", em._q_interpolate_values)
 
     result = {
         "metric": "kg_pipeline_wall",

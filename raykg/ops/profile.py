@@ -920,3 +920,43 @@ def grouped_geomean(ds, key: str, col: str) -> pd.DataFrame:
         rows.append((k, n, math.exp(acc_ln / float(n)),
                      float(n) / acc_inv))
     return pd.DataFrame(rows, columns=[key, "n", "geomean", "harmmean"])
+
+
+def grouped_weighted_mean(ds, key: str, val_col: str,
+                          weight_col: str) -> pd.DataFrame:
+    """Weighted mean per key over INTEGER values and weights:
+    Σ(w·x) / Σw — both sums exact (int64 per-block partials escalated
+    to Python ints at the fold, the cuped_adjust convention), the
+    mean ONE mirrored float division; SQL = sum(w*x)::HUGEINT vs
+    sum(w). Zero-total-weight keys are dropped on both sides.
+    -> (key, n, sum_w, wmean) sorted by key.
+    """
+    def part(t: pa.Table) -> pa.Table:
+        x = t.column(val_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        w = t.column(weight_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        kv = t.column(key).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"k": kv, "w": w, "wx": w * x})
+        mx = int(np.abs(x).max(initial=0))
+        mw = int(np.abs(w).max(initial=0))
+        if mx * mw * max(len(x), 1) >= (1 << 62):  # exact fallback:
+            # Python-int OBJECTS sum exactly through pandas groupby —
+            # dtype=object is load-bearing (a bare list of big ints
+            # infers uint64 and wraps again)
+            df["wx"] = pd.Series(
+                [int(a) * int(b) for a, b in zip(w, x)], dtype=object)
+        g = df.groupby("k", as_index=False).agg(
+            n=("w", "size"), sw=("w", "sum"), swx=("wx", "sum"))
+        g["swx"] = g["swx"].map(str)   # decimal strings survive int64
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    rows = []
+    for k, g in parts.groupby("k", sort=True):
+        n = int(g["n"].sum())
+        sw = int(g["sw"].sum())
+        swx = sum(int(v) for v in g["swx"])
+        if sw != 0:
+            rows.append((k, n, sw, float(swx) / float(sw)))
+    return pd.DataFrame(rows, columns=[key, "n", "sum_w", "wmean"])

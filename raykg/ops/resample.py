@@ -420,3 +420,88 @@ def time_features(ds, ts_col: str = "ts", keep: list[str] | None = None):
         return out
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def interpolate_grid(ds, key_col: str, ts_col: str, val_col: str,
+                     tiebreak_col: str, bucket_us: int,
+                     coarse: int = 64):
+    """Linear-interpolation resampling: one row per (key, bucket) on
+    the dense grid [first obs bucket, last obs bucket], where each
+    bucket's observation is the value of its LAST event (by
+    (ts, tiebreak)) and empty buckets take the straight line between
+    their neighboring observations
+
+        v = v0 + (v1 - v0) · (g - b0) / (b1 - b0)
+
+    — the ffill sibling (resample_ffill / gapfill_grid) for metrics
+    where a step function misrepresents a trend. All operands exact
+    int64; ONE mirrored float expression per gap point, so the SQL
+    oracle (IGNORE NULLS window fills over the same grid) matches
+    bit-for-bit. Values are floored to int cents on entry (the
+    gapfill convention).
+
+    Scale shape: per-block last-per-(key, bucket) pre-pick (exchange
+    O(blocks × touched buckets)), one key-bucket fold; each key's
+    grid expands vectorized (interior gaps always have both
+    neighbors, so no NaN edge).  -> Dataset(key, bk, v, is_observed).
+    """
+    from raykg.ops.joins import _key_bucket
+    from raykg.util import ts_to_us
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = ts_to_us(t.column(ts_col))
+        bk = us // bucket_us
+        v = t.column(val_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            key_col: t.column(key_col).to_pandas(),
+            "bk": bk,
+            "ts": us,
+            "tb": t.column(tiebreak_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False),
+            "cv": np.floor(v).astype(np.int64),
+        })
+        # per-block last event per (key, bucket)
+        df = (df.sort_values(["ts", "tb"], kind="mergesort")
+              .drop_duplicates([key_col, "bk"], keep="last"))
+        g = pa.Table.from_pandas(df, preserve_index=False)
+        return g.append_column("_b", _key_bucket(g.column(key_col),
+                                                 coarse))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["ts", "tb"], kind="mergesort")
+              .drop_duplicates([key_col, "bk"], keep="last"))
+        pieces = []
+        for k, grp in df.groupby(key_col, sort=False):
+            grp = grp.sort_values("bk", kind="mergesort")
+            ob = grp["bk"].to_numpy(np.int64)
+            ov = grp["cv"].to_numpy(np.int64)
+            lo, hi = int(ob[0]), int(ob[-1])
+            grid = np.arange(lo, hi + 1, dtype=np.int64)
+            nxt = np.searchsorted(ob, grid, side="left")
+            prv = np.searchsorted(ob, grid, side="right") - 1
+            observed = (nxt < len(ob)) & (ob[np.clip(nxt, 0,
+                                                     len(ob) - 1)]
+                                          == grid)
+            b0, v0 = ob[prv], ov[prv]
+            b1 = ob[np.clip(nxt, 0, len(ob) - 1)]
+            v1 = ov[np.clip(nxt, 0, len(ob) - 1)]
+            db = np.where(b1 > b0, b1 - b0, 1)
+            interp = (v0.astype(np.float64)
+                      + ((v1 - v0).astype(np.float64)
+                         * (grid - b0).astype(np.float64))
+                      / db.astype(np.float64))
+            v = np.where(observed, ov[prv].astype(np.float64), interp)
+            pieces.append(pd.DataFrame({
+                key_col: np.full(len(grid), k, dtype=object)
+                if isinstance(k, str) else np.full(len(grid), k),
+                "bk": grid, "v": v, "is_observed": observed,
+            }))
+        if not pieces:
+            return pd.DataFrame({key_col: pd.array([], "int64"),
+                                 "bk": pd.array([], "int64"),
+                                 "v": pd.array([], "float64"),
+                                 "is_observed": pd.array([], "bool")})
+        return pd.concat(pieces, ignore_index=True)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_b").map_groups(fold, batch_format="pandas"))

@@ -128,3 +128,67 @@ def test_ranking_metrics_partition_invariant():
                         rd.from_pandas(rel), k=10)
     pd.testing.assert_frame_equal(a, b)
     assert ((a["ndcg"] >= 0) & (a["ndcg"] <= 1 + 1e-12)).all()
+
+
+# --------------------------------------- weighted mean + interpolation
+
+def test_grouped_weighted_mean_exact():
+    from raykg.ops.profile import grouped_weighted_mean
+
+    rng = np.random.default_rng(67)
+    df = pd.DataFrame({"k": rng.integers(0, 5, 200),
+                       "x": rng.integers(-100, 1000, 200),
+                       "w": rng.integers(0, 6, 200)})
+    for parts in (1, 4):
+        got = grouped_weighted_mean(
+            rd.from_pandas(df).repartition(parts), "k", "x", "w")
+        for _, r in got.iterrows():
+            sub = df[df["k"] == r["k"]]
+            assert r["sum_w"] == sub["w"].sum()
+            assert r["wmean"] == pytest.approx(
+                (sub["w"] * sub["x"]).sum() / sub["w"].sum(),
+                rel=1e-14)
+    # zero-total-weight keys dropped
+    z = pd.DataFrame({"k": [9, 9], "x": [5, 6], "w": [0, 0]})
+    got = grouped_weighted_mean(rd.from_pandas(z), "k", "x", "w")
+    assert len(got) == 0
+
+
+def test_grouped_weighted_mean_overflow_path():
+    from raykg.ops.profile import grouped_weighted_mean
+
+    big = 4_000_000_000
+    df = pd.DataFrame({"k": [1, 1], "x": [big, big],
+                       "w": [big, big]})  # w*x = 1.6e19 > 2^63
+    got = grouped_weighted_mean(rd.from_pandas(df), "k", "x", "w")
+    assert got["wmean"].iloc[0] == pytest.approx(big, rel=1e-15)
+
+
+def test_interpolate_grid_hand_computed():
+    from raykg.ops.resample import interpolate_grid
+
+    # user 1: obs at buckets 0 (v=100) and 3 (v=400); gaps at 1, 2
+    ts = np.array([30, 3 * 3600 * 1_000_000 + 5], dtype=np.int64)
+    df = pd.DataFrame({"user_id": [1, 1], "ts": ts,
+                       "cents": [100.0, 400.0],
+                       "event_id": [0, 1]})
+    got = (interpolate_grid(rd.from_pandas(df), key_col="user_id",
+                            ts_col="ts", val_col="cents",
+                            tiebreak_col="event_id",
+                            bucket_us=3_600_000_000)
+           .to_pandas().sort_values("bk").reset_index(drop=True))
+    assert got["bk"].tolist() == [0, 1, 2, 3]
+    assert got["v"].tolist() == [100.0, 200.0, 300.0, 400.0]
+    assert got["is_observed"].tolist() == [True, False, False, True]
+
+
+def test_interpolate_grid_last_event_wins_bucket():
+    from raykg.ops.resample import interpolate_grid
+
+    df = pd.DataFrame({"user_id": [1, 1], "ts": [10, 20],
+                       "cents": [5.0, 9.0], "event_id": [0, 1]})
+    got = interpolate_grid(rd.from_pandas(df).repartition(2),
+                           key_col="user_id", ts_col="ts",
+                           val_col="cents", tiebreak_col="event_id",
+                           bucket_us=3_600_000_000).to_pandas()
+    assert got["v"].tolist() == [9.0]   # later ts wins the bucket
