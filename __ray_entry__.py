@@ -6521,6 +6521,8 @@ SELECT a.id AS id_a, x.id AS id_b,
                                  / (SELECT den FROM d)::DOUBLE)) END
   ) AS score
 FROM b a JOIN b x ON a.blk = x.blk AND x.id > a.id
+WHERE a.blk IN (SELECT blk FROM b GROUP BY blk
+                HAVING count(*) <= 10000)
 ORDER BY id_a, id_b
 """
 

@@ -2,7 +2,8 @@
 C4-style per-line heuristic filter (Raffel et al. 2020, "Exploring the
 Limits of Transfer Learning", §2.2) — the first two passes of every
 web-scale LLM training-data pipeline (the reference's corpus is
-pre-cleaned transcripts, `pipeline/incremental_dataset.py:21-60`; a
+pre-cleaned transcripts, read as JSONL batches in
+`scripts/eval_kbp.py:776-783`; a
 web corpus needs these before any of its stages apply).
 
 Both transforms are fully vectorized Arrow compute (RE2 kernels —

@@ -576,6 +576,10 @@ def asof_join(
             return None
         lsalt = left["_salt"].to_numpy(np.int64)
         rsalt = right["_salt"].to_numpy(np.int64)
+        # (key, salt) packs as key*256 + salt; a salt >= 256 would
+        # alias (k, 256) onto (k+1, 0) — fall back to the loop path.
+        if max(lsalt.max(initial=0), rsalt.max(initial=0)) >= 256:
+            return None
         comb_l = lk.astype(np.uint64) * np.uint64(256) \
             + lsalt.astype(np.uint64)
         comb_r = rk.astype(np.uint64) * np.uint64(256) \

@@ -25,8 +25,10 @@ Plan (two passes, nothing corpus-sized on the driver):
    broadcast scalars.
 
 Partitioning assumption: one blocking key's rows co-locate; a block
-of B rows emits B(B−1)/2 pairs — ``max_block`` skips oversize blocks
-explicitly (the cooccur ``max_basket`` convention). u requires
+of B rows emits B(B−1)/2 pairs — blocks with more than ``max_block``
+rows are DROPPED entirely (the cooccur ``max_basket`` convention;
+emitting a partial lag-bounded subset would be sort-order-dependent).
+The SQL oracle mirrors the cap with a block-size qualify. u requires
 0 < u_num_f < u_den (a field that never or always agrees carries no
 information and makes a weight infinite) — raised, not NaN'd.
 """
@@ -116,12 +118,20 @@ def fs_link_scores(ds, block_col: str, fields: list[str],
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["blk", "pid"], kind="stable")
+        # Drop oversize blocks ENTIRELY (the cooccur max_basket
+        # convention): a block of B rows emits B(B-1)/2 pairs, so one
+        # degenerate blocking key (B > max_block) would dominate the
+        # whole job. Emitting only lag<max_block pairs of an oversize
+        # block would be a sort-order-dependent partial subset — all
+        # or nothing is the only deterministic contract.
+        bsize = df.groupby("blk", sort=False)["blk"].transform("size")
+        df = df[bsize.to_numpy(np.int64) <= max_block]
         bk = df["blk"].to_numpy()
         pid = df["pid"].to_numpy(np.int64)
         fvals = [df[f"f{fi}"].to_numpy() for fi in range(nf)]
         sizes = df.groupby("blk", sort=False).size().to_numpy()
         a_parts, b_parts, s_parts = [], [], []
-        dmax = int(min(sizes.max(initial=0), max_block))
+        dmax = int(sizes.max(initial=0))
         for d in range(1, dmax):
             same = bk[d:] == bk[:-d]
             if not same.any():

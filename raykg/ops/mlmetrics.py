@@ -339,7 +339,9 @@ def ranking_metrics(results_ds, rel_ds, qid_col: str = "qid",
         rel = g[~g["is_res"]][["qid", "doc", "rel"]]
         m = res.merge(rel, on=["qid", "doc"], how="left")
         m["rel"] = m["rel"].fillna(0).astype(np.int64)
-        m = m[m["rank"] <= k]
+        # ranks are 1-based; a rank<1 row must not wrap via negative
+        # indexing into another rank position's relm column
+        m = m[(m["rank"] >= 1) & (m["rank"] <= k)]
         if not len(m):
             return pd.DataFrame({c: [] for c in cols})
         # (queries × rank-position) relevance grid; the folds run

@@ -358,7 +358,29 @@ def cusum_changepoint(ds, key_col: str, ts_col: str, val_col: str,
         tot = np.zeros(g, np.int64)
         np.add.at(tot, codes, x)
         n_rep = np.repeat(n_per, n_per)
-        dev = np.abs(n_rep * cum - kpos * np.repeat(tot, n_per))
+        # |n·cum − k·tot| is bounded by ~2·n²·max|x| per key; escalate
+        # to exact Python-int (object) arithmetic when that bound
+        # nears int64 (the grouped_weighted_mean convention) instead
+        # of silently wrapping. The SQL oracle runs the same products
+        # in HUGEINT and casts dev::BIGINT at output, so a dev that
+        # cannot fit int64 raises on both sides.
+        n_max = int(n_per.max(initial=0))
+        m_abs = int(np.abs(x).max(initial=0))
+        if 2 * n_max * n_max * m_abs >= (1 << 62):
+            cum_all_o = np.cumsum(x.astype(object))
+            base_o = np.repeat(cum_all_o[starts] - x[starts], n_per) \
+                if len(x) else np.zeros(0, object)
+            cum_o = cum_all_o - base_o
+            dev = np.abs(n_rep.astype(object) * cum_o
+                         - kpos.astype(object)
+                         * np.repeat(tot, n_per).astype(object))
+            if len(dev) and int(max(dev)) >= (1 << 63):
+                raise OverflowError(
+                    "cusum_changepoint: dev exceeds int64 (matches "
+                    "the oracle's dev::BIGINT cast failure)")
+            dev = dev.astype(np.int64)
+        else:
+            dev = np.abs(n_rep * cum - kpos * np.repeat(tot, n_per))
         max_dev = np.maximum.reduceat(dev, starts) if len(x) else \
             np.zeros(0, np.int64)
         # first position attaining the max (ties -> smallest k)
@@ -452,6 +474,14 @@ def interpolate_grid(ds, key_col: str, ts_col: str, val_col: str,
         us = ts_to_us(t.column(ts_col))
         bk = us // bucket_us
         v = t.column(val_col).to_numpy(zero_copy_only=False)
+        # floor().astype(int64) on a NaN is platform-dependent
+        # garbage, not an error — enforce the 'floored int cents on
+        # entry' contract explicitly (the grouped_gini convention)
+        if np.isnan(v.astype(np.float64)).any():
+            raise ValueError(
+                f"interpolate_grid: null/NaN in {val_col!r}; values "
+                "must be non-null (floored-int-cents-on-entry "
+                "contract)")
         df = pd.DataFrame({
             key_col: t.column(key_col).to_pandas(),
             "bk": bk,

@@ -27,7 +27,7 @@ applies — cumulative semantics make the re-merge a prefix-offset fix-up
 (add the preceding ranges' totals); not implemented here, documented.
 
 Reference scope: the reference's per-mention "found_at rank" and
-running-evaluation counters (scripts/evaluate_kbp.py) are driver-side
+running-evaluation counters (scripts/eval_kbp.py) are driver-side
 Python over one batch; this is the distributed generalization a 100 TB
 event log needs.
 """

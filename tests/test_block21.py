@@ -192,3 +192,34 @@ def test_interpolate_grid_last_event_wins_bucket():
                            val_col="cents", tiebreak_col="event_id",
                            bucket_us=3_600_000_000).to_pandas()
     assert got["v"].tolist() == [9.0]   # later ts wins the bucket
+
+
+def test_ranking_metrics_rejects_out_of_range_ranks():
+    # rank 0 and negative ranks must be dropped, not wrap via numpy
+    # negative indexing into another rank position's relm column
+    results = pd.DataFrame({
+        "qid": [0, 0, 0, 0],
+        "doc_id": [10, 11, 12, 13],
+        "rank": [0, -1, 1, 2],
+    })
+    rel = pd.DataFrame({"qid": [0, 0, 0],
+                        "doc_id": [10, 11, 12], "rel": [3, 3, 2]})
+    out = ranking_metrics(rd.from_pandas(results), rd.from_pandas(rel),
+                          k=10, coarse=4)
+    q0 = out[out["qid"] == 0].iloc[0]
+    # only ranks 1 (rel=2) and 2 (rel=0) count; rel docs 10/11 gone
+    assert q0["mrr"] == 1.0
+    assert q0["dcg"] == pytest.approx(2 / math.log2(2), rel=1e-15)
+
+
+def test_interpolate_grid_rejects_nan_values():
+    from raykg.ops.resample import interpolate_grid
+
+    df = pd.DataFrame({"user_id": [1, 1], "ts": [10, 20],
+                       "cents": [5.0, float("nan")],
+                       "event_id": [0, 1]})
+    with pytest.raises(Exception, match="null/NaN"):
+        interpolate_grid(rd.from_pandas(df), key_col="user_id",
+                         ts_col="ts", val_col="cents",
+                         tiebreak_col="event_id",
+                         bucket_us=3_600_000_000).to_pandas()

@@ -350,3 +350,27 @@ def test_cusum_ties_and_degenerate_keys():
            .to_pandas().sort_values("k").reset_index(drop=True))
     assert got["k_star"].tolist() == [1, 1]
     assert got["dev"].tolist() == [0, 0]
+
+
+def test_cusum_bigint_escalation_exact():
+    from raykg.ops.resample import cusum_changepoint
+
+    # n=2000 rows of ~8e12 values: n^2 * max|x| ~ 3.2e19 > 2^63 —
+    # int64 would wrap; the object-escalation path must stay exact.
+    n = 2000
+    rng = np.random.default_rng(7)
+    x = rng.integers(7_000_000_000_000, 8_000_000_000_000, n)
+    x[n // 2:] += 500_000_000_000          # planted level shift
+    df = pd.DataFrame({"k": np.zeros(n, np.int64),
+                       "ts": np.arange(n), "tb": np.arange(n),
+                       "x": x})
+    got = cusum_changepoint(rd.from_pandas(df), key_col="k",
+                            ts_col="ts", val_col="x",
+                            tiebreak_col="tb", coarse=4).to_pandas()
+    cum = np.cumsum(x.astype(object))
+    tot = int(cum[-1])
+    dev = [abs(n * int(c) - (i + 1) * tot) for i, c in enumerate(cum)]
+    ks = int(np.argmax(dev)) + 1
+    assert int(got["k_star"].iloc[0]) == ks
+    assert int(got["dev"].iloc[0]) == dev[ks - 1]
+    assert abs(ks - n // 2) <= 2

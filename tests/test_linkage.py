@@ -67,14 +67,26 @@ def test_fs_degenerate_field_raises():
 
 
 def test_fs_max_block_guard():
-    # one hot block of 60 rows with max_block=5: only lags 1..4 are
-    # emitted — bounded work, documented semantic change
-    df = _world(60)
-    df["blk"] = 0
+    # an oversize block (B > max_block) is dropped ENTIRELY (the
+    # cooccur max_basket convention); small blocks are unaffected —
+    # NOT a sort-order-dependent partial lag subset
+    df = _world(64)
+    df.loc[:59, "blk"] = 0          # hot block: 60 rows
+    df.loc[60:, "blk"] = 1          # small block: 4 rows
     got = fs_link_scores(rd.from_pandas(df), block_col="blk",
                          fields=["f0", "f1"], m_probs=[0.9, 0.75],
                          max_block=5).to_pandas()
-    assert len(got) == 59 + 58 + 57 + 56
+    # only the 4-row block's pairs survive
+    assert len(got) == 4 * 3 // 2
+    full = fs_link_scores(rd.from_pandas(df), block_col="blk",
+                          fields=["f0", "f1"], m_probs=[0.9, 0.75]
+                          ).to_pandas()
+    small = (full.merge(df[["id", "blk"]], left_on="id_a",
+                        right_on="id")
+             .query("blk == 1")[["id_a", "id_b", "score"]])
+    pd.testing.assert_frame_equal(
+        got.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+        small.sort_values(["id_a", "id_b"]).reset_index(drop=True))
 
 
 def test_fs_scores_rank_surface_duplicates_highest():

@@ -2093,3 +2093,41 @@ def test_scd2_history_string_keys_partition_invariant():
         ("z", 1, 2, False), ("z", 3, 4, True)]
     # null value round-trips (pre-change y.a is null, not the sentinel)
     assert h[(h.k == "y") & (h.valid_from == 1)].a.isna().all()
+
+
+def test_asof_join_n_salts_over_256_still_correct():
+    """n_salts > 256 would alias (k, 256) onto (k+1, 0) in the
+    _merge_fast dense-rank packing; the guard must route to the loop
+    fallback and keep results identical to pandas.merge_asof."""
+    import pandas as pd
+
+    from raykg.ops.joins import asof_join
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 400, 150
+    left = pd.DataFrame({
+        "k": rng.integers(0, 6, n_l),
+        "t": rng.integers(0, 5_000, n_l).astype("datetime64[s]"),
+        "payload": np.arange(n_l),
+    })
+    right = pd.DataFrame({
+        "rk": rng.integers(0, 8, n_r),
+        "rt": rng.integers(0, 5_000, n_r).astype("datetime64[s]"),
+        "val": rng.integers(0, 1000, n_r),
+    })
+    right = (right.sort_values(["rk", "rt", "val"])
+             .groupby(["rk", "rt"], as_index=False).last())
+    got = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        key="k", right_key="rk", ts="t", right_ts="rt",
+        left_cols=["payload"], right_cols=["val"], fill={"val": -1},
+        n_salts=300, max_group=10,   # force salting + >256 salts
+    ).to_pandas().sort_values("payload").reset_index(drop=True)
+    exp = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("rt").rename(columns={"rk": "k", "rt": "t"}),
+        on="t", by="k", direction="backward",
+    )
+    exp["val"] = exp["val"].fillna(-1).astype("int64")
+    exp = exp.sort_values("payload").reset_index(drop=True)
+    assert (got["val"].to_numpy() == exp["val"].to_numpy()).all()
