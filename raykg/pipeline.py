@@ -235,6 +235,18 @@ MAX_SALTS = 64
 # object. Same adaptive shape as minhash verification.
 NIL_MAP_BROADCAST_ROWS = 1 << 20
 
+# default-mode (kb_shards=1) cluster assembly: below this many NIL
+# mentions per epoch, cluster parts are collected on the driver (the
+# reference's own driver-held state, O(NIL mentions) rows with
+# per-member lists + centers); above it the epoch auto-switches to the
+# DISTRIBUTED assembly written for the sharded-RW path — salted
+# re-merge in per-bucket map_groups, driver pulls only the 8-byte
+# min_mention_id column, workers assign canonical ids and write the
+# partition. Same adaptive broadcast-vs-shuffle shape as
+# NIL_MAP_BROADCAST_ROWS; surface blocking only (global blocking is
+# the single-group conformance mode — nothing to distribute).
+DRIVER_ASSEMBLY_NIL_ROWS = 1 << 20
+
 
 @ray.remote
 def _build_nil_uri_map(clusters_path: str) -> dict[int, str]:
@@ -618,6 +630,7 @@ def run_epoch(
     # bucket above MAX_CLUSTER_GROUP by mention_id so no single
     # map_groups task exceeds the bound; assembly re-merges.
     salt_counts = None
+    n_nil_epoch = None
     if cfg.blocking == "surface":
         nil_ds = nil_ds.materialize()
 
@@ -640,6 +653,7 @@ def run_epoch(
             hist_df.groupby("block")["n"].sum()
             .reindex(range(SURFACE_BUCKETS), fill_value=0)
         )
+        n_nil_epoch = int(hist.sum())
         n_salts = np.minimum(
             MAX_SALTS,
             np.maximum(1, -(-hist.to_numpy() // MAX_CLUSTER_GROUP)),
@@ -666,7 +680,13 @@ def run_epoch(
     clusters_dir = os.path.join(out_dir, "clusters")
     os.makedirs(clusters_dir, exist_ok=True)
     clusters_path = os.path.join(clusters_dir, f"epoch={epoch}.parquet")
-    if rw_shards is None:
+    # adaptive assembly strategy (DRIVER_ASSEMBLY_NIL_ROWS above): a
+    # big surface-mode epoch runs the distributed assembly even with
+    # kb_shards=1, so cluster parts never land wholesale on the driver
+    distributed_assembly = rw_shards is not None or (
+        n_nil_epoch is not None and n_nil_epoch > DRIVER_ASSEMBLY_NIL_ROWS
+    )
+    if not distributed_assembly:
         # clusters are the small side (one row per novel entity) —
         # collected for canonical id assignment + the KB delta. In this
         # (kb_shards=1) mode the RW index of minted entities lives on
@@ -755,7 +775,25 @@ def run_epoch(
             merged.map_batches(
                 _finalize_clusters, batch_format="pyarrow"
             ).write_parquet(clusters_path)
-        rw_shards.append_epoch(clusters_path, epoch, n_clusters)
+        if rw_shards is not None:
+            rw_shards.append_epoch(clusters_path, epoch, n_clusters)
+        else:
+            # default mode with distributed assembly: the driver RW
+            # arrays (this mode's state, O(clusters × dim) — NOT the
+            # O(NIL mentions) parts pull) load from the written
+            # partition, ordered by canonical rank so RW row position
+            # matches the driver-assembly path bit-for-bit
+            rw_tbl = pq.read_table(
+                clusters_path, columns=["cluster_id", "title", "center"]
+            )
+            if rw_tbl.num_rows:
+                ranks = np.fromiter(
+                    (int(u.rsplit(":", 1)[1])
+                     for u in rw_tbl.column("cluster_id").to_pylist()),
+                    dtype=np.int64, count=rw_tbl.num_rows,
+                )
+                rw_tbl = rw_tbl.take(pa.array(np.argsort(ranks)))
+            rw_state.add_clusters(rw_tbl)
     t_clusters = time.time()
 
     # ---- triples (deferrable: next epoch only needs the RW clusters,
@@ -769,7 +807,7 @@ def run_epoch(
             columns=["mention_id", "conv_id", "turn_idx", "is_nil",
                      "entity_uri"],
         )
-        if rw_shards is None:
+        if clusters_table is not None:
             nil_uri_map: dict[int, str] = {}
             for row in clusters_table.select(
                 ["cluster_id", "mention_ids"]
@@ -786,7 +824,7 @@ def run_epoch(
 
             triple_ds = linked.map_batches(_to_triples, batch_format="pyarrow")
         elif n_nil_mentions <= NIL_MAP_BROADCAST_ROWS:
-            # sharded-RW mode, small epoch: the minted-uri map fits a
+            # distributed-assembly mode, small epoch: the minted-uri map fits a
             # broadcast. A WORKER task builds it from the clusters
             # partition (the driver holds only the ref — no O(NIL
             # mentions) driver loop), and uri resolution stays the
@@ -801,7 +839,7 @@ def run_epoch(
 
             triple_ds = linked.map_batches(_to_triples, batch_format="pyarrow")
         else:
-            # sharded-RW mode, big epoch: resolve minted uris by a
+            # distributed-assembly mode, big epoch: resolve minted uris by a
             # distributed hash join (mention_id -> cluster_id exploded
             # from the clusters partition) instead of a broadcast dict
             # — no O(NIL mentions) single-object state anywhere
@@ -885,7 +923,7 @@ def run_epoch(
             mat.map_batches(_keep(True), batch_format="pyarrow")
         )
         triple_ds = unique_part.union(ment_part)
-        if rw_shards is None:
+        if clusters_table is not None:
             ctriples = cluster_triples(clusters_table, epoch)
             if ctriples.num_rows:
                 triple_ds = triple_ds.union(rd.from_arrow(ctriples))

@@ -115,3 +115,29 @@ def test_sharded_pq_composition(small_fixture, tmp_path_factory):
     p = tp / len(pred) if pred else 1.0
     r = tp / len(gold) if gold else 1.0
     assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_default_mode_distributed_assembly_parity(
+        small_fixture, tmp_path_factory, both_runs, monkeypatch):
+    """A big surface-mode epoch in DEFAULT (kb_shards=1) mode must
+    auto-switch to the distributed cluster assembly (no to_pandas of
+    cluster parts on the driver) and still be bit-identical — forced
+    by dropping DRIVER_ASSEMBLY_NIL_ROWS to 0. The driver RW arrays
+    are rebuilt from the written partition in canonical-rank order, so
+    every later epoch's retrieval sees identical RW row positions."""
+    import raykg.pipeline as rp
+
+    monkeypatch.setattr(rp, "DRIVER_ASSEMBLY_NIL_ROWS", 0)
+    out1, _ = both_runs
+    out = str(tmp_path_factory.mktemp("default_dist_assembly"))
+    run_pipeline(small_fixture, out, PipelineConfig())
+    pd.testing.assert_frame_equal(_triples(out1), _triples(out))
+    # mentions parity too: RW retrieval state must match across epochs
+    cols = ["mention_id", "is_nil", "entity_uri", "top_score"]
+    a = rd.read_parquet(os.path.join(out1, "mentions"),
+                        columns=cols).to_pandas()
+    b = rd.read_parquet(os.path.join(out, "mentions"),
+                        columns=cols).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("mention_id").reset_index(drop=True),
+        b.sort_values("mention_id").reset_index(drop=True))
