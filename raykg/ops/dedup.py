@@ -282,29 +282,45 @@ def _verify_candidate_pairs(ds, candidates, text_col, id_col, shingle_k,
             }
         )
 
-    use_broadcast = n_cand <= broadcast_pairs
+    # hard driver bound for the pair table itself (16 B/pair, so 64 MB
+    # at the cap); above it the shuffle path is unconditional
+    hard_pairs = max(broadcast_pairs, 1 << 22)
+    cand_ids = None
+    use_broadcast = n_cand <= hard_pairs
     if use_broadcast:
-        # byte-budget check (round-3 open item): the pair count bounds
-        # the id set at 2*n_cand, but the broadcast map's real weight is
-        # ids x text length — sample the corpus for the average
+        # byte-budget check on the MEASURED distinct-id set: a dense
+        # candidate set (many pairs over few docs — the quote-join
+        # regime) must not be pushed to the shuffle path by the loose
+        # 2*n_cand id bound. Per-block uniques fold to one sorted id
+        # array on the driver (<= 2*hard_pairs ints, bounded above).
+        def block_ids(t: pa.Table) -> pa.Table:
+            u = np.unique(np.concatenate([
+                t.column("id_a").to_numpy(zero_copy_only=False),
+                t.column("id_b").to_numpy(zero_copy_only=False),
+            ]).astype(np.int64))
+            return pa.table({"id": pa.array(u)})
+
+        cand_ids = np.unique(
+            candidates.map_batches(block_ids, batch_format="pyarrow")
+            .to_pandas()["id"].to_numpy(np.int64)
+        )
         sample = ds.limit(256).select_columns([text_col]).take_all()
         avg_len = (
             sum(len(r[text_col] or "") for r in sample) / len(sample)
             if sample else 0.0
         )
-        use_broadcast = 2 * n_cand * avg_len <= broadcast_bytes
+        use_broadcast = (
+            len(cand_ids) * avg_len <= broadcast_bytes
+            and (n_cand <= broadcast_pairs
+                 or len(cand_ids) * avg_len <= broadcast_bytes // 4)
+        )
     if use_broadcast:
         # ---- broadcast verification (the measured-small side). Driver
         # footprint is bounded by broadcast_pairs x avg text size,
         # never by the corpus: one filtering pass collects only the
         # candidate rows' texts.
         cand_tbl = candidates.to_pandas()
-        cand_ids = np.unique(
-            np.concatenate(
-                [cand_tbl["id_a"].to_numpy(), cand_tbl["id_b"].to_numpy()]
-            )
-        )
-        cand_ref = ray.put(cand_ids)
+        cand_ref = ray.put(cand_ids)   # distinct ids measured above
 
         def keep_candidates(batch: pa.Table) -> pa.Table:
             wanted = ray.get(cand_ref)  # sorted unique ids
@@ -722,6 +738,92 @@ def jaccard_similarity_join(
     return verified.map_batches(decode, batch_format="pyarrow")
 
 
+def _containment_candidates(union, freq_ref, shingle_k: int,
+                            threshold: float):
+    """Positionally-filtered candidate generation for
+    ``containment_join`` (factored for the planted-hot-shingle bound
+    test). ``union`` tags left rows gid%2==0, right rows gid%2==1.
+    -> Dataset(id_a, id_b) of surviving cross-side candidates."""
+    def order_tokens(text: str, ftoks, fcounts) -> np.ndarray:
+        sh = np.sort(_shingles(text, shingle_k))
+        if ftoks is not None and len(ftoks):
+            pos = np.clip(np.searchsorted(ftoks, sh), 0, len(ftoks) - 1)
+            cnt = np.where(ftoks[pos] == sh, fcounts[pos], 0)
+            sh = sh[np.lexsort((sh, cnt))]
+        return sh
+
+    def emit_tokens(batch: pa.Table) -> pa.Table:
+        ftoks, fcounts = ray.get(freq_ref)
+        gids = batch.column("gid").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        toks, docs, poss, sizes = [], [], [], []
+        for i, t in zip(gids.tolist(), texts):
+            sh = order_tokens(t, ftoks, fcounts)
+            n = len(sh)
+            if i % 2 == 0:
+                # left: prefix only (one-sided AllPairs bound); the
+                # -1e-9 guards float ceil (see _prefix_token_table)
+                alpha = int(np.ceil(threshold * n - 1e-9))
+                p = n - alpha + 1
+                sh = sh[:p]
+            toks.append(sh)
+            docs.append(np.full(len(sh), i, dtype=np.int64))
+            poss.append(np.arange(len(sh), dtype=np.int64))
+            sizes.append(np.full(len(sh), n, dtype=np.int64))
+        tok = (np.concatenate(toks) if toks
+               else np.zeros(0, dtype=np.uint64))
+        with np.errstate(over="ignore"):
+            coarse = ((tok * np.uint64(0x9E3779B97F4A7C15))
+                      >> np.uint64(52)).astype(np.int32)
+        z = np.zeros(0, dtype=np.int64)
+        return pa.table({
+            "bucket": pa.array(coarse),
+            "token": pa.array(tok.astype(np.int64)),
+            "gid": pa.array(np.concatenate(docs) if docs else z),
+            "pos": pa.array(np.concatenate(poss) if poss else z),
+            "size": pa.array(np.concatenate(sizes) if sizes else z),
+        })
+
+    def cross_pairs_in_bucket(cg: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in cg.groupby("token", sort=False):
+            gid = g["gid"].to_numpy(np.int64)
+            lm = gid % 2 == 0
+            if not lm.any() or lm.all():
+                continue
+            size = g["size"].to_numpy(np.int64)
+            pos = g["pos"].to_numpy(np.int64)
+            # positional filter: overlap <= min(|S_L|-p_l, |S_R|-p_r);
+            # the left bound |S_L|-p_l >= ceil(t*|S_L|) holds by prefix
+            # construction, so only the right suffix gates the pair
+            need = np.ceil(threshold * size[lm] - 1e-9).astype(np.int64)
+            avail_r = size[~lm] - pos[~lm]
+            order = np.argsort(-avail_r, kind="stable")
+            r_sorted = gid[~lm][order]
+            a_sorted = avail_r[order]           # descending
+            cnt = np.searchsorted(-a_sorted, -need, side="right")
+            total = int(cnt.sum())
+            if total == 0:
+                continue
+            offs = np.repeat(np.cumsum(cnt) - cnt, cnt)
+            flat = np.arange(total, dtype=np.int64) - offs
+            out_a.append(np.repeat(gid[lm], cnt))
+            out_b.append(r_sorted[flat])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(
+                {"id_a": "int64", "id_b": "int64"}
+            )
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return (
+        union.map_batches(emit_tokens, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cross_pairs_in_bucket, batch_format="pandas")
+    )
+
+
 def containment_join(
     left_ds,
     right_ds,
@@ -751,12 +853,24 @@ def containment_join(
     prefix-pruned; asymmetry is paid in right-side token volume, the
     standard inverted-index exchange). Cross-side candidates only;
     verification reuses the adaptive broadcast-vs-shuffle exact stage
-    with the containment metric. Skew caveat: a left prefix holding a
-    corpus-common shingle crosses with that token's whole right
-    posting list — the rarest-first order makes this rare, but a
-    pathological corpus (every doc sharing one rare-in-sample token)
-    degrades to the posting-list product; raise ``shingle_k`` or
-    pre-dedup boilerplate first.
+    with the containment metric.
+
+    Skew bound (PPJoin-style positional filter, Xiao et al. WWW'08):
+    both sides carry each token's POSITION in the doc's global-order
+    token list plus the doc's set size. For a qualifying pair, every
+    shared token sits at or after the first shared token's position in
+    BOTH lists (positions are monotone in the shared global order), so
+    ``|S_L ∩ S_R| <= min(|S_L|−p_l, |S_R|−p_r)`` — a candidate is
+    emitted only when ``|S_R|−p_r >= ceil(t·|S_L|)`` (the left-side
+    bound holds by prefix construction). A corpus-common shingle sorts
+    LAST in the rarest-first order, so its right-side suffix bound is
+    ~1 and the old degeneracy (a hot shingle in a left prefix crossing
+    the whole right posting list) is pruned per-posting BEFORE the
+    product is materialized: per token the rights are sorted by suffix
+    length once and each left takes a searchsorted prefix slice, so
+    work is O(postings·log + survivors), not O(|L|·|R|). Exactness is
+    unchanged — the first shared token of a truly-qualifying pair
+    always survives the bound.
 
     -> Dataset(id_l, id_r, containment).
     """
@@ -780,58 +894,8 @@ def containment_join(
     ftoks, fcounts, _ = _common_token_counts(
         union, "text", "gid", shingle_k)
     freq_ref = ray.put((ftoks, fcounts))
-
-    def emit_tokens(batch: pa.Table) -> pa.Table:
-        gids = batch.column("gid").to_numpy(zero_copy_only=False)
-        texts = batch.column("text").to_pylist()
-        left_m = gids % 2 == 0
-        # left rows: prefix only (the one-sided AllPairs bound)
-        lt = _prefix_token_table(
-            [t for t, m in zip(texts, left_m) if m],
-            gids[left_m], shingle_k, threshold, "gid",
-            freq=ray.get(freq_ref))
-        # right rows: every distinct shingle (full posting lists)
-        toks, docs = [], []
-        for i, t in zip(gids[~left_m].tolist(),
-                        (t for t, m in zip(texts, left_m) if not m)):
-            sh = _shingles(t, shingle_k)
-            toks.append(sh)
-            docs.append(np.full(len(sh), i, dtype=np.int64))
-        tok = (np.concatenate(toks) if toks
-               else np.zeros(0, dtype=np.uint64))
-        with np.errstate(over="ignore"):
-            coarse = ((tok * np.uint64(0x9E3779B97F4A7C15))
-                      >> np.uint64(52)).astype(np.int32)
-        rt = pa.table({
-            "bucket": pa.array(coarse),
-            "token": pa.array(tok.astype(np.int64)),
-            "gid": pa.array(np.concatenate(docs) if docs
-                            else np.zeros(0, dtype=np.int64)),
-        })
-        return pa.concat_tables([lt, rt])
-
-    def cross_pairs_in_bucket(cg: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, g in cg.groupby("token", sort=False):
-            ids = np.unique(g["gid"].to_numpy())
-            L = ids[ids % 2 == 0]
-            R = ids[ids % 2 == 1]
-            if len(L) and len(R):
-                out_a.append(np.repeat(L, len(R)))
-                out_b.append(np.tile(R, len(L)))
-        if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(
-                {"id_a": "int64", "id_b": "int64"}
-            )
-        return pd.DataFrame(
-            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
-        )
-
-    candidates = (
-        union.map_batches(emit_tokens, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(cross_pairs_in_bucket, batch_format="pandas")
-    )
+    candidates = _containment_candidates(
+        union, freq_ref, shingle_k, threshold)
     verified = _verify_candidate_pairs(
         union, candidates, "text", "gid", shingle_k, threshold,
         broadcast_pairs, broadcast_bytes,

@@ -134,3 +134,72 @@ def test_sequence_pattern_match_null_events_and_overlap():
         rd.from_pandas(df), "k", "ts", "id", "ev", sym,
         "vp").to_pandas()
     assert got[["n_events", "n_matches"]].values.tolist() == [[5, 1]]
+
+
+def test_containment_positional_filter_bounds_hot_shingle():
+    """Planted boilerplate skew (the documented pathological case): 200
+    right docs each share a small chunk of a corpus-common footer that
+    also sits in every left doc's AllPairs prefix. Without the
+    positional filter the hot footer tokens cross each left with their
+    whole right posting list (thousands of candidates, all verifying
+    false); with it, a hot token's right-suffix bound (|S_R| - pos)
+    collapses below ceil(t*|S_L|) and the product never materializes —
+    while true containments still surface through large-suffix
+    postings."""
+    import ray
+
+    from raykg.ops.dedup import (_common_token_counts,
+                                 _containment_candidates)
+
+    rng = np.random.default_rng(41)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    footer = "the common footer text paste "          # 29 chars
+    # lefts: footer-dominated (prefix must include footer shingles)
+    left = pd.DataFrame({
+        "doc_id": np.arange(10),
+        "text": [footer + "".join(rng.choice(list(alpha), 3))
+                 for _ in range(10)],
+    })
+    # planted skew: rights contain a 10-char footer chunk inside
+    # otherwise-unique text -> hot posting lists, near-zero containment
+    rights = []
+    for i in range(200):
+        body = "".join(rng.choice(list(alpha), 100))
+        off = int(rng.integers(0, len(footer) - 10))
+        chunk = footer[off:off + 10]
+        pos = int(rng.integers(20, 80))
+        rights.append(body[:pos] + chunk + body[pos:])
+    # plus 5 true containers: full footer inside unique text
+    for i in range(5):
+        body = "".join(rng.choice(list(alpha), 100))
+        rights.append(body[:50] + footer + body[50:])
+    right = pd.DataFrame({"doc_id": np.arange(len(rights)),
+                          "text": rights})
+
+    def tag(df, side):
+        return pd.DataFrame({
+            "gid": df["doc_id"].to_numpy(np.int64) * 2 + side,
+            "text": df["text"],
+        })
+
+    union = rd.from_pandas(tag(left, 0)).union(
+        rd.from_pandas(tag(right, 1)))
+    freq = _common_token_counts(union, "text", "gid", 5)
+    cands = _containment_candidates(
+        union, ray.put((freq[0], freq[1])), 5, 0.8).to_pandas()
+    distinct = cands.drop_duplicates(["id_a", "id_b"])
+    # candidate volume stays near output size: 10 lefts x 5 true
+    # containers (+ boundary-window strays), nowhere near the
+    # 10 x ~46-per-token posting product of the unfiltered join
+    assert len(distinct) <= 150, len(distinct)
+
+    # end-to-end: result still exactly matches brute force
+    got = (containment_join(rd.from_pandas(left),
+                            rd.from_pandas(right),
+                            threshold=0.8, shingle_k=5)
+           .to_pandas().sort_values(["id_l", "id_r"])
+           .reset_index(drop=True))
+    ref = _contain_brute(left, right, t=0.8)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    # all 10 lefts are contained in each of the 5 true containers
+    assert len(ref) >= 50
