@@ -162,7 +162,297 @@ def minimum_spanning_forest(edges_ds, src: str = "src", dst: str = "dst",
     INTEGER (the cents convention — pre-quantize float similarities;
     a float column raises rather than being silently truncated);
     duplicate edges collapse to their minimum weight; self-loops
-    dropped."""
+    dropped.
+
+    Execution: while the vertex-label relation fits
+    ``ROOTS_INMEM_BYTES`` the rounds run as RAW RAY TASKS over
+    co-partitioned object-store numpy state (the pagerank precedent —
+    iterative co-partitioned state is the documented raw-task case;
+    the Ray-Data-loop formulation paid ~12 fixed-cost jobs per Borůvka
+    round on micro data). Edges are bucketed once by h(u); each round
+    is attach-cu tasks → attach-cv + cross-filter + local-min tasks →
+    per-component winner folds → ONE pointer-doubling task over the
+    O(live components) winner relation → relabel tasks; only per-round
+    cross-edge counts touch the driver. Beyond the bound the original
+    plan-adaptive Dataset-join rounds take over (``_msf_dataset``)."""
+    import ray
+
+    n_verts, ebuckets, vparts, eff_coarse = _mst_prepare(
+        edges_ds, src, dst, weight, coarse)
+    if n_verts is not None and n_verts * 48 <= ROOTS_INMEM_BYTES:
+        return _msf_tasks(ebuckets, vparts, max_rounds, eff_coarse)
+    return _msf_dataset(edges_ds, src, dst, weight, max_rounds, coarse)
+
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _vbucket(keys: np.ndarray, coarse: int) -> np.ndarray:
+    return ((keys.astype(np.uint64) * _GOLDEN)
+            >> np.uint64(52)).astype(np.int64) % coarse
+
+
+def _mst_prepare(edges_ds, src, dst, weight, coarse):
+    """One raw-task split pass: per-block normalize (u<v, self-loops
+    dropped, integer-weight check) and route rows to h(u) edge buckets
+    + h(id) vertex-id parts. Returns (n_vertices, [edge-bucket refs],
+    [[vertex-part refs per bucket]]); n_vertices is None when the
+    input has no blocks."""
+    import ray
+
+    @ray.remote
+    def _split(tbl, c: int):
+        if (not isinstance(tbl, pa.Table)):
+            tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+        if tbl.num_rows == 0 or src not in tbl.column_names:
+            z = np.zeros(0, np.int64)
+            return ([(z, z, z) for _ in range(c)]
+                    + [z for _ in range(c)])
+        a = tbl.column(src).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        b = tbl.column(dst).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        wr = tbl.column(weight).to_numpy(zero_copy_only=False)
+        if not np.issubdtype(wr.dtype, np.integer):
+            raise ValueError(
+                "minimum_spanning_forest needs integer weights — "
+                "pre-quantize float similarities (cents convention); "
+                "astype truncation would silently reorder edges")
+        w = wr.astype(np.int64)
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        keep = u != v
+        u, v, w = u[keep], v[keep], w[keep]
+        ub = _vbucket(u, c)
+        ids = np.unique(np.concatenate([u, v]))
+        ib = _vbucket(ids, c)
+        out = []
+        for j in range(c):
+            m = ub == j
+            out.append((u[m], v[m], w[m]))
+        for j in range(c):
+            out.append(ids[ib == j])
+        return out
+
+    @ray.remote
+    def _concat_edges(*parts):
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+                np.concatenate([p[2] for p in parts]))
+
+    @ray.remote
+    def _vert_labels(*id_parts):
+        ids = (np.unique(np.concatenate(id_parts)) if id_parts
+               else np.zeros(0, np.int64))
+        return (ids, ids.copy())          # (vertex sorted, comp)
+
+    block_refs = list(edges_ds.to_arrow_refs())
+    if not block_refs:
+        return None, [], [], coarse
+    # adaptive bucket count: the round structure routes O(coarse²)
+    # refs and spawns ~4·coarse tasks per round — at micro scale that
+    # fixed cost dominates the numpy work. Aim for ~128k edges per
+    # bucket, floor 2 (num_returns=1 would not unpack), cap at the
+    # caller's coarse (the 100 TB setting).
+    n_edges = sum(ray.get([
+        ray.remote(lambda t: int(getattr(t, "num_rows", len(t))))
+        .remote(b) for b in block_refs
+    ]))
+    coarse = int(min(coarse, max(2, n_edges // 131_072 + 1)))
+    splits = [_split.options(num_returns=2 * coarse).remote(b, coarse)
+              for b in block_refs]
+    ebuckets = [
+        _concat_edges.remote(*[s[j] for s in splits])
+        for j in range(coarse)
+    ]
+    vlabels = [
+        _vert_labels.remote(*[s[coarse + j] for s in splits])
+        for j in range(coarse)
+    ]
+    n_verts = sum(ray.get([
+        ray.remote(lambda lb: len(lb[0])).remote(lb) for lb in vlabels
+    ]))
+    return n_verts, ebuckets, vlabels, coarse
+
+
+def _msf_tasks(ebuckets, vlabels, max_rounds: int, coarse: int):
+    """Raw-task Borůvka rounds (see minimum_spanning_forest). State in
+    the object store: per-bucket edge arrays (static ids, shrinking to
+    the live cross set each round), per-bucket (vertex, comp) labels,
+    and per-round winner parts whose (u, v, w) accumulate into the
+    forest. Only scalar cross-edge counts cross the driver."""
+    import ray
+    import ray.data as rd
+
+    @ray.remote
+    def _attach_u(eb, lab, c: int):
+        u, v, w = eb
+        verts, comp = lab
+        cu = (comp[np.searchsorted(verts, u)] if len(u)
+              else np.zeros(0, np.int64))
+        vb = _vbucket(v, c) if len(v) else np.zeros(0, np.int64)
+        return [(u[vb == k], v[vb == k], w[vb == k], cu[vb == k])
+                for k in range(c)]
+
+    @ray.remote
+    def _attach_v(lab, c: int, *parts):
+        u = np.concatenate([p[0] for p in parts])
+        v = np.concatenate([p[1] for p in parts])
+        w = np.concatenate([p[2] for p in parts])
+        cu = np.concatenate([p[3] for p in parts])
+        verts, comp = lab
+        cv = (comp[np.searchsorted(verts, v)] if len(v)
+              else np.zeros(0, np.int64))
+        cross = cu != cv
+        u, v, w, cu, cv = u[cross], v[cross], w[cross], cu[cross], \
+            cv[cross]
+        n_cross = int(len(u))
+        # surviving edges route back to their h(u) bucket for the
+        # next round
+        ub = _vbucket(u, c) if len(u) else np.zeros(0, np.int64)
+        out = [(u[ub == j], v[ub == j], w[ub == j]) for j in range(c)]
+        # candidate minima per incident component, both directions,
+        # local (w, u, v)-min per c before the exchange
+        cc = np.concatenate([cu, cv])
+        oc = np.concatenate([cv, cu])
+        u2 = np.concatenate([u, u])
+        v2 = np.concatenate([v, v])
+        w2 = np.concatenate([w, w])
+        order = np.lexsort((v2, u2, w2, cc))
+        first = np.ones(len(order), dtype=bool)
+        ccs = cc[order]
+        if len(ccs) > 1:
+            first[1:] = ccs[1:] != ccs[:-1]
+        sel = order[first]
+        cb = (_vbucket(cc[sel], c) if len(sel)
+              else np.zeros(0, np.int64))
+        for m in range(c):
+            s = sel[cb == m]
+            out.append((cc[s], oc[s], u2[s], v2[s], w2[s]))
+        out.append(n_cross)
+        return out
+
+    @ray.remote
+    def _fold_winners(*cand_parts):
+        c = np.concatenate([p[0] for p in cand_parts])
+        oc = np.concatenate([p[1] for p in cand_parts])
+        u = np.concatenate([p[2] for p in cand_parts])
+        v = np.concatenate([p[3] for p in cand_parts])
+        w = np.concatenate([p[4] for p in cand_parts])
+        order = np.lexsort((v, u, w, c))
+        first = np.ones(len(order), dtype=bool)
+        cs = c[order]
+        if len(cs) > 1:
+            first[1:] = cs[1:] != cs[:-1]
+        sel = order[first]
+        return (c[sel], oc[sel], u[sel], v[sel], w[sel])
+
+    @ray.remote
+    def _roots(*winner_parts):
+        c = np.concatenate([p[0] for p in winner_parts])
+        p_ = np.concatenate([p[1] for p in winner_parts])
+        order = np.argsort(c, kind="stable")
+        c, p_ = c[order], p_[order]
+        pi = np.searchsorted(c, p_)
+        self_pos = np.arange(len(c))
+        mutual = pi[pi] == self_pos
+        pi = np.where(mutual & (c < p_), self_pos, pi)
+        for _ in range(64):
+            nxt = pi[pi]
+            if (nxt == pi).all():
+                break
+            pi = nxt
+        return (c, c[pi])                 # (comp sorted, root)
+
+    @ray.remote
+    def _relabel(lab, roots):
+        verts, comp = lab
+        rc, rr = roots
+        if len(rc):
+            pos = np.clip(np.searchsorted(rc, comp), 0, len(rc) - 1)
+            hit = rc[pos] == comp
+            comp = np.where(hit, rr[pos], comp)
+        return (verts, comp)
+
+    @ray.remote
+    def _winner_edges(wp):
+        _, _, u, v, w = wp
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "w": pa.array(w)})
+
+    forest_refs = []
+    for _ in range(max_rounds):
+        a_refs = [
+            _attach_u.options(num_returns=coarse).remote(
+                ebuckets[j], vlabels[j], coarse)
+            for j in range(coarse)
+        ]
+        b_refs = [
+            _attach_v.options(num_returns=2 * coarse + 1).remote(
+                vlabels[k], coarse, *[a_refs[j][k] for j in range(coarse)])
+            for k in range(coarse)
+        ]
+        n_cross = sum(ray.get([b[2 * coarse] for b in b_refs]))
+        if n_cross == 0:
+            break
+        ebuckets = [
+            # next round's live edge set for bucket j, parts from all k
+            _concat3.remote(*[b_refs[k][j] for k in range(coarse)])
+            for j in range(coarse)
+        ]
+        winner_parts = [
+            _fold_winners.remote(
+                *[b_refs[k][coarse + m] for k in range(coarse)])
+            for m in range(coarse)
+        ]
+        forest_refs.extend(
+            _winner_edges.remote(wp) for wp in winner_parts)
+        roots_ref = _roots.remote(*winner_parts)
+        vlabels = [_relabel.remote(lb, roots_ref) for lb in vlabels]
+    else:
+        raise RuntimeError(f"minimum_spanning_forest did not converge "
+                           f"in {max_rounds} rounds")
+
+    if not forest_refs:
+        return rd.from_arrow(pa.table({
+            "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+            "w": pa.array([], pa.int64())}))
+    out = rd.from_arrow_refs(forest_refs)
+
+    # ONE edge-key dedup for the whole forest (an edge may be chosen
+    # by both endpoint components in its round)
+    from raykg.ops.cc import _bucket
+
+    def edge_key(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        return t.append_column("_e", pa.array(
+            _bucket(u * 1_000_003 + v, MST_BUCKETS)))
+
+    return (out.map_batches(edge_key, batch_format="pyarrow")
+            .groupby("_e")
+            .map_groups(lambda g: g.drop_duplicates(["u", "v"])
+                        .drop(columns="_e"),
+                        batch_format="pandas"))
+
+
+def _concat3_fn(*parts):
+    return (np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]))
+
+
+import ray as _ray  # noqa: E402  (module-level remote for _msf_tasks)
+
+_concat3 = _ray.remote(_concat3_fn)
+
+
+def _msf_dataset(edges_ds, src: str = "src", dst: str = "dst",
+                 weight: str = "w", max_rounds: int = 40,
+                 coarse: int = MST_BUCKETS):
+    """Plan-adaptive Dataset-join Borůvka rounds — the beyond-inmem
+    fallback of minimum_spanning_forest (labels exceed
+    ROOTS_INMEM_BYTES)."""
     from raykg.ops.cc import _bucket
     from raykg.ops.joins import auto_join
 

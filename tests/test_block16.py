@@ -66,6 +66,31 @@ def test_mst_path_graph_many_rounds():
     assert len(got) == n - 1
 
 
+def test_mst_dataset_fallback_equivalence(monkeypatch):
+    """Forcing the beyond-inmem Dataset-join path (labels bound -> 0)
+    must give the identical forest as the raw-task rounds and
+    Kruskal."""
+    import raykg.ops.mst as m
+
+    rng = np.random.default_rng(29)
+    e = rng.integers(0, 40, size=(300, 2))
+    df = pd.DataFrame({"src": e[:, 0], "dst": e[:, 1],
+                       "w": rng.integers(1, 30, 300)})
+    want = mst_bruteforce(df)
+    monkeypatch.setattr(m, "ROOTS_INMEM_BYTES", 0)
+    got = (minimum_spanning_forest(
+        rd.from_pandas(df).repartition(3), coarse=8)
+        .to_pandas().sort_values(["u", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_mst_float_weights_raise():
+    df = pd.DataFrame({"src": [0], "dst": [1], "w": [1.5]})
+    import pytest as _pt
+    with _pt.raises(Exception, match="integer weights"):
+        minimum_spanning_forest(rd.from_pandas(df), coarse=4).to_pandas()
+
+
 # -------------------------------------------------------------- silhouette
 
 def _sil_reference(V, C):
