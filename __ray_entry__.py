@@ -1606,6 +1606,40 @@ def _q_media_frames(sf_dir: str):
     )
 
 
+def _q_media_frames_real(sf_dir: str):
+    """REAL video frame sampling (raykg/ops/multimodal.py
+    FrameSampleStage fake=False): deterministic rawvideo AVI payloads
+    (the ffmpeg -c:v rawvideo container, parsed by the built-in
+    pure-numpy RIFF/DIB codec) are decoded in an actor pool; each
+    output row carries the sampled frame as a decodable P6 netpbm
+    payload. Rows-only check (payload bytes are not SQL-expressible)."""
+    from raykg.ops.multimodal import (MEDIA_SCHEMA, FrameSampleStage,
+                                      synth_avi)
+
+    n = 24
+    rows = {
+        "media_id": pa.array(np.arange(n, dtype=np.int64)),
+        "kind": pa.array(["video"] * n),
+        "payload": pa.array(
+            [synth_avi(n_frames=4 + i % 5, width=12, height=8,
+                       fps=4, seed=i) for i in range(n)],
+            pa.binary()),
+        "mime": pa.array(["video/x-msvideo"] * n),
+        "width": pa.array(np.full(n, 12, np.int32)),
+        "height": pa.array(np.full(n, 8, np.int32)),
+        "duration_ms": pa.array(
+            ((4 + np.arange(n) % 5) * 250).astype(np.int32)),
+    }
+    ds = rd.from_arrow(pa.table(rows, schema=MEDIA_SCHEMA))
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"every_ms": 250, "fake": False},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+    )
+
+
 def _q_media_features(sf_dir: str):
     from raykg.ops.multimodal import DecodeStage, synth_media_table
 
@@ -8452,6 +8486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sq8_knn": _q_sq8_knn,
         "text_fingerprints": _q_fingerprints,
         "media_frame_sample": _q_media_frames,
+        "media_frame_sample_real": _q_media_frames_real,
         "media_decode_features": _q_media_features,
         "kg_eval_report": _q_eval_report,
         "kg_nil_ablation": _q_nil_ablation,

@@ -123,16 +123,71 @@ def truncate_candidate(
     return cand, descr_tokens[:remaining]
 
 
+class WordPieceTokenizer:
+    """Deterministic greedy longest-match wordpiece tokenizer — the
+    sub-word seam the reference's window arithmetic actually consumes
+    (BLINK's BertTokenizer feeds ``data_process.py:26-69`` SUB-WORD
+    counts, not whitespace words). Fixed in-code vocab: common English
+    stems + ``##``-continuation suffixes + every ascii alnum /
+    common-punctuation single char, so any token always tokenizes
+    fully (a char is always a piece) and the rejoined string stays
+    information-preserving for the n-gram hash encoder; a truly
+    unknown character emits ``[UNK]`` and stops the word (BERT's
+    rule). One word can become many pieces, which is exactly what
+    exercises the token-budget windowing a whitespace stand-in
+    cannot."""
+
+    STEMS = [
+        "the", "and", "for", "with", "that", "this", "from", "work",
+        "talk", "build", "corp", "acme", "alpha", "omega", "beta",
+        "data", "inter", "nation", "found", "develop", "research",
+        "announc", "report", "compan", "organiz", "institut",
+    ]
+    SUFFIXES = ["ing", "ed", "er", "est", "ly", "tion", "ment", "al",
+                "ation", "ies", "s", "y", "e"]
+    CHARS = "abcdefghijklmnopqrstuvwxyz0123456789.,-'&()/:"
+
+    def __init__(self):
+        self.starts = sorted(
+            set(self.STEMS) | set(self.CHARS), key=len, reverse=True)
+        self.conts = sorted(
+            set(self.SUFFIXES) | set(self.CHARS), key=len, reverse=True)
+
+    def tokenize(self, text: str) -> list[str]:
+        out: list[str] = []
+        for word in (text or "").lower().split():
+            pos, first = 0, True
+            while pos < len(word):
+                pieces = self.starts if first else self.conts
+                for p in pieces:
+                    if word.startswith(p, pos):
+                        out.append(p if first else "##" + p)
+                        pos += len(p)
+                        first = False
+                        break
+                else:
+                    out.append("[UNK]")
+                    break
+        return out
+
+
 class HashEncoder:
     """Deterministic drop-in for the BLINK biencoder towers.
 
     ``max_seq_length`` models the real tokenizer's input budget: the
     mention's context is whitespace-tokenized (the wordpiece stand-in;
-    a real tokenizer drops into ``tokenize``) and windowed with the
-    reference's quota balancing before encoding, and entity
-    descriptions truncate like the candidate tokenizer — so swapping a
-    transformer into this slot changes the embedding function, not the
-    truncation semantics. ``None`` disables windowing."""
+    a real tokenizer drops into ``tokenize`` — ``HashWordPieceEncoder``
+    / spec ``"hash-wp"`` is the in-repo sub-word instantiation, the
+    parity gate's default) and windowed with the reference's quota
+    balancing before encoding, and entity descriptions truncate like
+    the candidate tokenizer — so swapping a transformer into this slot
+    changes the embedding function, not the truncation semantics.
+    ``None`` disables windowing."""
+
+    # lower bound on chars consumed per produced token (incl.
+    # separator) — the windowing fast path's safety margin; sub-word
+    # tokenizers override (one char can be one piece)
+    MIN_CHARS_PER_TOKEN = 2
 
     def __init__(self, dim: int = DIM, scale: float = VEC_SCALE,
                  max_seq_length: int | None = 128):
@@ -149,11 +204,13 @@ class HashEncoder:
         out = []
         for m, l, r in zip(mentions, context_left, context_right):
             l, r = l or "", r or ""
-            # whitespace tokens take >= 2 chars each incl. separator, so
-            # a short row can never exceed the budget — skip tokenizing.
+            # tokens take >= MIN_CHARS_PER_TOKEN chars each (incl.
+            # separator for whitespace; 1 for sub-word pieces), so a
+            # short row can never exceed the budget — skip tokenizing.
             # Budget is msl - 2 tokens (the [ENT_START]/[ENT_END] tag
-            # allowance counts against msl), hence 2*(msl-2)-1 chars.
-            if len(l) + len(r) + len(m or "") + 3 <= 2 * (msl - 2) - 1:
+            # allowance counts against msl).
+            if (len(l) + len(r) + len(m or "") + 3
+                    <= self.MIN_CHARS_PER_TOKEN * (msl - 2) - 1):
                 out.append(l + " " + r)
                 continue
             lt, rt = self.tokenize(l), self.tokenize(r)
@@ -343,17 +400,38 @@ class TinyTransformerEncoder(HashEncoder):
 # Encoder registry: PipelineConfig / fixtures / the oracle select by
 # spec string so configs stay JSON-serializable (digest) and the
 # factory pickles into map_batches closures as a module-level name.
-ENCODERS = {"hash": HashEncoder, "tiny": TinyTransformerEncoder}
+class HashWordPieceEncoder(HashEncoder):
+    """HashEncoder with the deterministic sub-word tokenizer in the
+    ``tokenize`` seam — windowing and candidate truncation run on
+    SUB-WORD counts exactly as the reference's ``data_process.py``
+    arithmetic does on BertTokenizer output. The embedding function is
+    unchanged (n-gram hash over the rejoined pieces)."""
+
+    MIN_CHARS_PER_TOKEN = 1   # one char can be one piece
+
+    def __init__(self, dim: int = DIM, scale: float = VEC_SCALE,
+                 max_seq_length: int | None = 128):
+        super().__init__(dim=dim, scale=scale,
+                         max_seq_length=max_seq_length)
+        self._wp = WordPieceTokenizer()
+
+    def tokenize(self, text: str) -> list[str]:
+        return self._wp.tokenize(text)
+
+
+ENCODERS = {"hash": HashEncoder, "hash-wp": HashWordPieceEncoder,
+            "tiny": TinyTransformerEncoder}
 
 
 def make_encoder(spec: str = "hash", dim: int = DIM,
-                 scale: float = VEC_SCALE):
+                 scale: float = VEC_SCALE,
+                 max_seq_length: int | None = 128):
     try:
         cls = ENCODERS[spec]
     except KeyError:
         raise ValueError(f"unknown encoder spec {spec!r}; "
                          f"one of {sorted(ENCODERS)}") from None
-    return cls(dim=dim, scale=scale)
+    return cls(dim=dim, scale=scale, max_seq_length=max_seq_length)
 
 
 class MentionEncoder:
@@ -370,8 +448,9 @@ class MentionEncoder:
     """
 
     def __init__(self, dim: int = DIM, scale: float = VEC_SCALE,
-                 spec: str = "hash"):
-        self.encoder = make_encoder(spec, dim=dim, scale=scale)
+                 spec: str = "hash", max_seq_length: int | None = 128):
+        self.encoder = make_encoder(spec, dim=dim, scale=scale,
+                                    max_seq_length=max_seq_length)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         enc = self.encoder.encode_mentions(

@@ -35,8 +35,10 @@ class LinkStage:
         ann_ref=None,
         nprobe: int = 16,
         encoder: str = "hash",
+        max_seq_length: int | None = 128,
     ):
-        self.encode = MentionEncoder(dim=dim, spec=encoder)
+        self.encode = MentionEncoder(dim=dim, spec=encoder,
+                                     max_seq_length=max_seq_length)
         self.retrieve = Retriever(kb_ref, rw_ref, top_k, compact=compact,
                                   ann_ref=ann_ref, nprobe=nprobe)
         self.score = NilStage(model, rw_uris=rw_uris or [])
@@ -55,7 +57,8 @@ _STAGE_CACHE: dict = {}
 
 
 def make_link_fn(kb_ref, rw_ref, rw_uris_ref, model, dim, top_k, compact,
-                 ann_ref=None, nprobe: int = 16, encoder: str = "hash"):
+                 ann_ref=None, nprobe: int = 16, encoder: str = "hash",
+                 max_seq_length: int | None = 128):
     """``rw_uris_ref`` is a ray.put ref of the minted-uri list — large
     broadcast state always travels by ref, never inside the pickled
     task closure. ``ann_ref``: prebuilt IVF metadata ref (see
@@ -67,7 +70,7 @@ def make_link_fn(kb_ref, rw_ref, rw_uris_ref, model, dim, top_k, compact,
 
     key = (
         _key(kb_ref), _key(rw_ref), _key(ann_ref), nprobe, dim, top_k, compact,
-        encoder,
+        encoder, max_seq_length,
     )
 
     def link_fn(batch: pa.Table) -> pa.Table:
@@ -78,7 +81,7 @@ def make_link_fn(kb_ref, rw_ref, rw_uris_ref, model, dim, top_k, compact,
             stage = LinkStage(
                 kb_ref, rw_ref, rw_uris, model, dim=dim, top_k=top_k,
                 compact=compact, ann_ref=ann_ref, nprobe=nprobe,
-                encoder=encoder,
+                encoder=encoder, max_seq_length=max_seq_length,
             )
             _STAGE_CACHE[key] = stage
         return stage(batch)

@@ -244,9 +244,16 @@ def hash_join(
             res = left.merge(right, on=on, how=how)
         return res[out_cols]
 
-    merged = tagged.groupby("_bucket").map_groups(
-        merge_bucket, batch_format="pandas"
-    )
+    # raw-task routing exchange instead of the groupby sort-shuffle:
+    # the bucket column already encodes the partitioning, so the sort
+    # machinery's fixed cost (~4-7 s at 256 buckets) buys nothing
+    from raykg.ops.exchange import hash_exchange
+
+    # salted hot keys occupy buckets up to coarse*n_salts — the
+    # exchange must keep them separate (rights are replicated per
+    # salt; folding them back would duplicate matches)
+    n_buckets = coarse * (n_salts if hot_ref is not None else 1)
+    merged = hash_exchange(tagged, "_bucket", n_buckets, merge_bucket)
 
     def finalize(t: pa.Table) -> pa.Table:
         # the union made both sides nullable and pandas may have widened
@@ -680,9 +687,12 @@ def asof_join(
             return pd.DataFrame({c: [] for c in cols})
         return pd.concat(parts, ignore_index=True)[cols]
 
-    merged = tagged.groupby("_bucket").map_groups(
-        merge_bucket, batch_format="pandas"
-    )
+    # raw-task routing exchange instead of the groupby sort-shuffle:
+    # the bucket column already encodes the partitioning, so the sort
+    # machinery's fixed cost (~4-7 s at 256 buckets) buys nothing
+    from raykg.ops.exchange import hash_exchange
+
+    merged = hash_exchange(tagged, "_bucket", coarse, merge_bucket)
 
     def finalize(t: pa.Table) -> pa.Table:
         # the union made left columns nullable, which pandas widened to

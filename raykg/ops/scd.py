@@ -91,6 +91,12 @@ def scd2_history(snapshots, key: str, value_cols: list[str],
             snap.map_batches(tag(i), batch_format="pyarrow"))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):        # empty bucket (the exchange types it)
+            out = g[[key] + value_cols].copy()
+            out["valid_from"] = np.array([], np.int64)
+            out["valid_to"] = np.array([], np.int64)
+            out["is_current"] = np.array([], bool)
+            return out
         k = g[key].to_numpy()
         snap = g["_snap"].to_numpy()
         order = np.lexsort((snap, k))
@@ -115,8 +121,11 @@ def scd2_history(snapshots, key: str, value_cols: list[str],
         out["is_current"] = last_snap == n_snaps
         return out
 
-    return (tagged.groupby("_b")
-            .map_groups(per_bucket, batch_format="pandas"))
+    # raw-task routing exchange (raykg.ops.exchange): the bucket
+    # column already encodes the partitioning
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(tagged, "_b", coarse, per_bucket)
 
 
 def snapshot_as_of(history_ds, snap: int):

@@ -129,6 +129,7 @@ def run_reference_chain(
     dim: int = 64,
     vectorizers: dict | None = None,
     encoder_spec: str = "hash",
+    max_seq_length: int | None = 128,
 ) -> dict:
     """Sequential epochs over the fixture; returns mentions df, clusters
     per epoch, and the full triple set."""
@@ -136,7 +137,8 @@ def run_reference_chain(
 
     from raykg.encode import make_encoder
 
-    encoder = make_encoder(encoder_spec, dim=dim)
+    encoder = make_encoder(encoder_spec, dim=dim,
+                           max_seq_length=max_seq_length)
     kb_tbl = pq.read_table(os.path.join(fixture_dir, "kb.parquet"))
     kb_vecs = column_to_vectors(kb_tbl.column("embedding"))
     kb_meta = [

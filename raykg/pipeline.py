@@ -111,6 +111,9 @@ class PipelineConfig:
     # shard trains codebooks on its own rows; the running-top-k merge
     # is unchanged because shortlist scores are exact.
     ann: str = "exact"  # exact | ivf | pq
+    # encoder token budget (HashEncoder.max_seq_length): windowing /
+    # truncation arithmetic threshold; None disables windowing
+    max_seq_length: int | None = 128
     ivf_lists: int = 128
     ivf_nprobe: int = 16
     pq_m: int = 8
@@ -405,7 +408,8 @@ def run_epoch(
             per_shard = max(1, cpus // cfg.kb_shards)
             use_rw_shards = rw_shards is not None and rw_shards.total > 0
             ds = ds.map_batches(
-                MentionEncoder(dim=cfg.dim, spec=cfg.encoder),
+                MentionEncoder(dim=cfg.dim, spec=cfg.encoder,
+                               max_seq_length=cfg.max_seq_length),
                 batch_format="pyarrow",
                 batch_size=cfg.encode_batch,
             )
@@ -533,6 +537,7 @@ def run_epoch(
                     ann_ref=kb_handles.get("ann_ref"),
                     nprobe=cfg.ivf_nprobe,
                     encoder=cfg.encoder,
+                    max_seq_length=cfg.max_seq_length,
                 ),
                 batch_format="pyarrow",
                 batch_size=cfg.encode_batch,

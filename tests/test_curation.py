@@ -840,3 +840,50 @@ def test_top_k_per_key_keep_ties_matches_rank_semantics():
     got2 = (top_k_per_key(rd.from_pandas(df), "k", "v", "id", k=3)
             .to_pandas())
     assert got2.groupby("k").size().eq(3).all()
+
+
+def test_ffd_tree_matches_scan_exactly():
+    """The segment-tree first-fit (large-block path) must make the
+    IDENTICAL pack choice as the argmax scan for every item — first
+    fit is leftmost, and the tree descends leftmost-sufficient.
+    Includes zero-token docs (must join the first OPEN pack, never an
+    unopened leaf) and over-budget handling upstream."""
+    from raykg.ops.pack import _ffd_scan, _ffd_tree
+
+    rng = np.random.default_rng(77)
+    for _ in range(20):
+        n = int(rng.integers(1, 2000))
+        budget = int(rng.integers(10, 1500))
+        toks = np.minimum(
+            np.sort(rng.integers(0, budget + 5, n))[::-1], budget
+        ).astype(np.int64)
+        a, na = _ffd_scan(toks, budget)
+        b, nb = _ffd_tree(toks, budget)
+        assert na == nb
+        assert (a == b).all()
+    toks = np.zeros(7, np.int64)
+    a, na = _ffd_scan(toks, 4)
+    b, nb = _ffd_tree(toks, 4)
+    assert na == nb == 1 and (a == b).all()
+
+
+def test_pack_block_large_uses_tree_and_holds_invariants():
+    """A block past _TREE_FFD_MIN routes through the tree and still
+    satisfies the packing invariants (each doc once, no pack over
+    budget)."""
+    import raykg.ops.pack as pk
+
+    rng = np.random.default_rng(5)
+    n = pk._TREE_FFD_MIN + 500
+    ids = np.arange(n, dtype=np.int64)
+    toks = rng.integers(1, 900, n).astype(np.int64)
+    ids_o, toks_o, trunc_o, pack_id, slot = pk.pack_block(ids, toks, 1000)
+    assert sorted(ids_o.tolist()) == ids.tolist()
+    df = pd.DataFrame({"pack_id": pack_id, "n": toks_o})
+    assert (df.groupby("pack_id")["n"].sum() <= 1000).all()
+    # pinned vs the scan path on the same input
+    a, na = pk._ffd_scan(np.minimum(
+        toks[np.lexsort((ids, -toks))], 1000), 1000)
+    b, nb = pk._ffd_tree(np.minimum(
+        toks[np.lexsort((ids, -toks))], 1000), 1000)
+    assert na == nb and (a == b).all()

@@ -19,17 +19,79 @@ def _pr(pred: set, gold: set) -> tuple[float, float]:
 
 
 @pytest.fixture(scope="module")
-def engine_triples(small_fixture, tmp_path_factory):
-    # global blocking: the reference-exact conformance configuration
+def wp_fixture(tmp_path_factory):
+    """Flagship-parity world generated with the SUB-WORD tokenizer
+    encoder (spec 'hash-wp'): the window/truncation arithmetic
+    (data_process.py:26-69 semantics) runs end-to-end on wordpiece
+    counts in the main gate, not just in unit tests."""
+    from raykg import fixtures
+
+    d = str(tmp_path_factory.mktemp("fixture_wp"))
+    fixtures.write_fixture(
+        d, n_convs=60, n_kb=80, n_nil=12, n_tomb=5, n_epochs=3,
+        seed=42, encoder_spec="hash-wp",
+    )
+    return d
+
+
+# token budget for the wp gate: small enough that fixture contexts
+# actually exceed it, so the quota-balancing window runs on real rows
+# (test_wp_gate_exercises_windowing pins non-vacuity)
+WP_MSL = 48
+
+
+@pytest.fixture(scope="module")
+def engine_triples(wp_fixture, tmp_path_factory):
+    # global blocking: the reference-exact conformance configuration;
+    # sub-word tokenization on (the parity default)
     out = str(tmp_path_factory.mktemp("parity_out"))
-    run_pipeline(small_fixture, out, PipelineConfig(blocking="global"))
+    run_pipeline(wp_fixture, out,
+                 PipelineConfig(blocking="global", encoder="hash-wp",
+                                max_seq_length=WP_MSL))
     tri = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
     return set(zip(tri.subj, tri.pred, tri.obj))
 
 
 @pytest.fixture(scope="module")
-def oracle_result(small_fixture):
-    return run_reference_chain(small_fixture)
+def oracle_result(wp_fixture):
+    return run_reference_chain(wp_fixture, encoder_spec="hash-wp",
+                               max_seq_length=WP_MSL)
+
+
+def test_wp_gate_exercises_windowing(wp_fixture):
+    """Non-vacuity: at WP_MSL, a real share of the fixture's detected
+    mentions must exceed the token budget (so balance_context_window
+    runs end-to-end in the gate), and the windowed encodings must
+    differ from the unwindowed ones."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raykg.detect import detect_mentions
+    from raykg.encode import HashWordPieceEncoder
+
+    tr = rd.read_parquet(
+        os.path.join(wp_fixture, "transcripts")).to_pandas()
+    m = detect_mentions(
+        pa.Table.from_pandas(tr[["conv_id", "turn_idx", "text"]]))
+    mn = m.column("mention").to_pylist()
+    cl = m.column("context_left").to_pylist()
+    cr = m.column("context_right").to_pylist()
+    wp = HashWordPieceEncoder(max_seq_length=WP_MSL)
+    over = [
+        i for i in range(len(mn))
+        if (len(wp.tokenize(cl[i])) + len(wp.tokenize(cr[i]))
+            + len(wp.tokenize(mn[i])) + 2) > WP_MSL
+    ]
+    assert len(over) >= 20, f"only {len(over)} rows exceed the budget"
+    sub = over[:50]
+    windowed = wp.encode_mentions([mn[i] for i in sub],
+                                  [cl[i] for i in sub],
+                                  [cr[i] for i in sub])
+    raw = HashWordPieceEncoder(max_seq_length=None).encode_mentions(
+        [mn[i] for i in sub], [cl[i] for i in sub],
+        [cr[i] for i in sub])
+    changed = int((~np.isclose(windowed, raw).all(axis=1)).sum())
+    assert changed >= 10, changed
 
 
 def test_triple_parity(engine_triples, oracle_result):
@@ -64,27 +126,29 @@ def test_threestep_parity(small_fixture, tmp_path_factory):
     assert p >= 0.95 and r >= 0.95, (p, r)
 
 
-def test_surface_blocking_parity(small_fixture, tmp_path_factory, oracle_result):
+def test_surface_blocking_parity(wp_fixture, tmp_path_factory, oracle_result):
     """Surface-bucket blocking (the DEFAULT config) must reproduce the
     global-blocking oracle on this fixture — the property that makes it
     a safe default at scale (identical lowercased surfaces always share
     a bucket)."""
     out = str(tmp_path_factory.mktemp("parity_surface_out"))
-    run_pipeline(small_fixture, out, PipelineConfig())
+    run_pipeline(wp_fixture, out,
+                 PipelineConfig(encoder="hash-wp", max_seq_length=WP_MSL))
     tri = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
     pred = set(zip(tri.subj, tri.pred, tri.obj))
     p, r = _pr(pred, oracle_result["triples"])
     assert p >= 0.95 and r >= 0.95, (p, r)
 
 
-def test_ivf_mode_parity(small_fixture, tmp_path_factory, oracle_result):
+def test_ivf_mode_parity(wp_fixture, tmp_path_factory, oracle_result):
     """Approximate (IVF) retrieval mode: linked triples still match the
     exact-search oracle at the P/R gate — the NIL model consumes only
     the top-2 candidate scores, which IVF preserves near-perfectly."""
     out = str(tmp_path_factory.mktemp("parity_ivf_out"))
     run_pipeline(
-        small_fixture, out,
-        PipelineConfig(ann="ivf", ivf_lists=16, ivf_nprobe=6),
+        wp_fixture, out,
+        PipelineConfig(ann="ivf", ivf_lists=16, ivf_nprobe=6,
+                       encoder="hash-wp", max_seq_length=WP_MSL),
     )
     tri = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
     pred = set(zip(tri.subj, tri.pred, tri.obj))
@@ -113,14 +177,15 @@ def test_feature_clusterer_prefit_parity(small_fixture, tmp_path_factory):
     assert p >= 0.95 and r >= 0.95, (p, r)
 
 
-def test_pq_mode_parity(small_fixture, tmp_path_factory, oracle_result):
+def test_pq_mode_parity(wp_fixture, tmp_path_factory, oracle_result):
     """Product-quantized retrieval mode: ADC shortlist + exact re-rank
     keeps the top-2 scores the NIL model consumes, so linked triples
     match the exact-search oracle at the P/R gate."""
     out = str(tmp_path_factory.mktemp("parity_pq_out"))
     run_pipeline(
-        small_fixture, out,
-        PipelineConfig(ann="pq", pq_m=8, pq_rerank=16),
+        wp_fixture, out,
+        PipelineConfig(ann="pq", pq_m=8, pq_rerank=16,
+                       encoder="hash-wp", max_seq_length=WP_MSL),
     )
     tri = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
     pred = set(zip(tri.subj, tri.pred, tri.obj))
