@@ -70,15 +70,41 @@ def _hx_merge(fn, *parts):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def hash_exchange(ds, bucket_col: str, coarse: int, fn):
+@ray.remote
+def _hx_rows(tbl) -> int:
+    return int(getattr(tbl, "num_rows", len(tbl)))
+
+
+# adaptive sizing: aim for this many rows per merge task — below it the
+# per-task fixed cost (scheduling + fn pickle) dominates the group work
+HX_ROWS_PER_BUCKET = 65_536
+
+
+def hash_exchange(ds, bucket_col: str, coarse: int, fn,
+                  adaptive: bool = True):
     """-> Dataset: ``fn`` (pandas in, pandas/arrow out) applied once
     per bucket of ``bucket_col`` over the whole dataset. See module
-    docstring for the contract vs ``groupby().map_groups``."""
+    docstring for the contract vs ``groupby().map_groups``.
+
+    ``adaptive=True`` shrinks the bucket count to the measured row
+    count (~HX_ROWS_PER_BUCKET rows per merge task, floor 2, cap
+    ``coarse``), FOLDING several bucket values into one merge task via
+    ``% coarse_eff``. Only safe when ``fn`` treats co-located distinct
+    groups independently (it re-groups by the real key internally, or
+    is a join whose semantics don't change when extra keys share the
+    task). Callers whose bucket values encode REPLICATION (hash_join's
+    salted hot keys: the same right row is replicated once per salt
+    sub-bucket, so folding two sub-buckets into one task would
+    duplicate matches) must pass ``adaptive=False``."""
     import ray.data as rd
 
     block_refs = list(ds.to_arrow_refs())
     if not block_refs:
         return ds  # empty input: nothing to exchange
+    if adaptive:
+        n_rows = sum(ray.get([_hx_rows.remote(b) for b in block_refs]))
+        coarse = int(min(coarse,
+                         max(2, n_rows // HX_ROWS_PER_BUCKET + 1)))
     splits = [
         _hx_split.options(num_returns=coarse).remote(b, bucket_col,
                                                      coarse)

@@ -252,8 +252,11 @@ def hash_join(
     # salted hot keys occupy buckets up to coarse*n_salts — the
     # exchange must keep them separate (rights are replicated per
     # salt; folding them back would duplicate matches)
+    # salted hot keys replicate rights once per salt sub-bucket, so
+    # bucket folding would duplicate matches - disable adaptation then
     n_buckets = coarse * (n_salts if hot_ref is not None else 1)
-    merged = hash_exchange(tagged, "_bucket", n_buckets, merge_bucket)
+    merged = hash_exchange(tagged, "_bucket", n_buckets, merge_bucket,
+                           adaptive=hot_ref is None)
 
     def finalize(t: pa.Table) -> pa.Table:
         # the union made both sides nullable and pandas may have widened
