@@ -40,6 +40,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from raykg.ops.exchange import hash_exchange
+
 CC_BUCKETS = 64
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
@@ -309,11 +311,11 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
                            coarse)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    edges = (edges_ds.map_batches(norm, batch_format="pyarrow")
-             .groupby("_b")
-             .map_groups(lambda g: g.drop_duplicates(["u", "v"])
-                         .drop(columns=["_b"]),
-                         batch_format="pandas")).materialize()
+    edges = hash_exchange(
+        edges_ds.map_batches(norm, batch_format="pyarrow"), "_b",
+        coarse,
+        lambda g: g.drop_duplicates(["u", "v"]).drop(columns=["_b"]),
+    ).materialize()
 
     # vertex degrees over the dedup'd undirected edge set
     def endpoints(t: pa.Table) -> pa.Table:
@@ -325,11 +327,12 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
                          "deg": pa.array(cnt.astype(np.int64)),
                          "_b": pa.array(_bucket(vert, coarse))})
 
-    degrees = (edges.map_batches(endpoints, batch_format="pyarrow")
-               .groupby("_b")
-               .map_groups(lambda g: g.groupby("vertex", as_index=False)
-                           .agg(deg=("deg", "sum")),
-                           batch_format="pandas"))
+    degrees = hash_exchange(
+        edges.map_batches(endpoints, batch_format="pyarrow"), "_b",
+        coarse,
+        lambda g: g.groupby("vertex", as_index=False)
+        .agg(deg=("deg", "sum")),
+    )
 
     i64 = pa.int64()
     # degrees is O(vertices): materialized so auto_join can measure it
@@ -379,9 +382,9 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
             return pa.table({"key": pa.array([], pa.string())})
         return pa.table({"key": pa.array(np.concatenate(keys))})
 
-    wedge_ds = (both.map_batches(orient, batch_format="pyarrow")
-                .groupby("_b")
-                .map_groups(wedges, batch_format="pandas"))
+    wedge_ds = hash_exchange(
+        both.map_batches(orient, batch_format="pyarrow"), "_b",
+        coarse, wedges)
 
     def edge_keys(t: pa.Table) -> pa.Table:
         u = t.column("u").to_numpy(zero_copy_only=False)
@@ -432,11 +435,11 @@ def local_clustering(edges_ds, src: str = "src", dst: str = "dst",
                            coarse)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    edges = (edges_ds.map_batches(norm, batch_format="pyarrow")
-             .groupby("_b")
-             .map_groups(lambda g: g.drop_duplicates(["u", "v"])
-                         .drop(columns=["_b"]),
-                         batch_format="pandas")).materialize()
+    edges = hash_exchange(
+        edges_ds.map_batches(norm, batch_format="pyarrow"), "_b",
+        coarse,
+        lambda g: g.drop_duplicates(["u", "v"]).drop(columns=["_b"]),
+    ).materialize()
 
     def endpoints(t: pa.Table) -> pa.Table:
         u = t.column("u").to_numpy(zero_copy_only=False)
@@ -447,11 +450,12 @@ def local_clustering(edges_ds, src: str = "src", dst: str = "dst",
                          "deg": pa.array(cnt.astype(np.int64)),
                          "_b": pa.array(_bucket(vert, coarse))})
 
-    degrees = (edges.map_batches(endpoints, batch_format="pyarrow")
-               .groupby("_b")
-               .map_groups(lambda g: g.groupby("vertex", as_index=False)
-                           .agg(deg=("deg", "sum")),
-                           batch_format="pandas")).materialize()
+    degrees = hash_exchange(
+        edges.map_batches(endpoints, batch_format="pyarrow"), "_b",
+        coarse,
+        lambda g: g.groupby("vertex", as_index=False)
+        .agg(deg=("deg", "sum")),
+    ).materialize()
 
     i64 = pa.int64()
     with_du = auto_join(edges, degrees, on="u", right_on="vertex",
@@ -504,9 +508,9 @@ def local_clustering(edges_ds, src: str = "src", dst: str = "dst",
                          "wa": pa.array(np.concatenate(as_)),
                          "wb": pa.array(np.concatenate(bs))})
 
-    wedge_ds = (both.map_batches(orient, batch_format="pyarrow")
-                .groupby("_b")
-                .map_groups(wedges, batch_format="pandas"))
+    wedge_ds = hash_exchange(
+        both.map_batches(orient, batch_format="pyarrow"), "_b",
+        coarse, wedges)
 
     def edge_keys(t: pa.Table) -> pa.Table:
         u = t.column("u").to_numpy(zero_copy_only=False)
@@ -535,11 +539,12 @@ def local_clustering(edges_ds, src: str = "src", dst: str = "dst",
                          "tri": pa.array(cnt.astype(np.int64)),
                          "_b": pa.array(_bucket(vert, coarse))})
 
-    tri_counts = (closed.map_batches(credits, batch_format="pyarrow")
-                  .groupby("_b")
-                  .map_groups(lambda g: g.groupby("vertex", as_index=False)
-                              .agg(tri=("tri", "sum")),
-                              batch_format="pandas")).materialize()
+    tri_counts = hash_exchange(
+        closed.map_batches(credits, batch_format="pyarrow"), "_b",
+        coarse,
+        lambda g: g.groupby("vertex", as_index=False)
+        .agg(tri=("tri", "sum")),
+    ).materialize()
 
     joined = auto_join(degrees.select_columns(["vertex", "deg"]),
                        tri_counts, on="vertex", how="left",
@@ -597,11 +602,11 @@ def k_core(edges_ds, k: int, src: str = "src", dst: str = "dst",
                            coarse)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    edges = (edges_ds.map_batches(norm, batch_format="pyarrow")
-             .groupby("_b")
-             .map_groups(lambda g: g.drop_duplicates(["u", "v"])
-                         .drop(columns=["_b"]),
-                         batch_format="pandas")).materialize()
+    edges = hash_exchange(
+        edges_ds.map_batches(norm, batch_format="pyarrow"), "_b",
+        coarse,
+        lambda g: g.drop_duplicates(["u", "v"]).drop(columns=["_b"]),
+    ).materialize()
     n_edges = edges.count()
 
     def endpoints(t: pa.Table) -> pa.Table:

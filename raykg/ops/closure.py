@@ -53,8 +53,11 @@ def _dedup_min_depth(ds, coarse: int):
                ["depth"].min())
         return out[["node", "anc", "depth"]]
 
-    return (ds.map_batches(bucketize, batch_format="pyarrow")
-            .groupby("_b").map_groups(fold, batch_format="pandas"))
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(bucketize, batch_format="pyarrow"),
+        "_b", coarse, fold)
 
 
 def ancestor_closure(edges_ds, child_col: str = "child",
@@ -118,10 +121,11 @@ def ancestor_closure(edges_ds, child_col: str = "child",
         return pd.concat([keep, new], ignore_index=True)
 
     for _ in range(max_rounds):
-        unioned = (
-            R.map_batches(tag_both, batch_format="pyarrow")
-            .groupby("_b").map_groups(compose, batch_format="pandas")
-        )
+        from raykg.ops.exchange import hash_exchange
+
+        unioned = hash_exchange(
+            R.map_batches(tag_both, batch_format="pyarrow"),
+            "_b", coarse, compose)
         R2 = _dedup_min_depth(unioned, coarse).materialize()
         cnt = R2.count()
         R = R2

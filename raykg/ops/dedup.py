@@ -29,6 +29,7 @@ import ray
 import ray.data
 
 from raykg.util import hash_strings
+from raykg.ops.exchange import hash_exchange
 
 _M61 = np.uint64((1 << 61) - 1)
 
@@ -58,11 +59,9 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         g = g.sort_values(id_col).groupby("_h", as_index=False).first()
         return g.drop(columns=["_h", "_bucket"])
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(keep_first, batch_format="pandas")
-    )
+    return hash_exchange(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        "_bucket", DEDUP_BUCKETS, keep_first)
 
 
 def _shingles(text: str, k: int) -> np.ndarray:
@@ -206,11 +205,9 @@ def minhash_lsh_pairs(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
 
-    candidates = (
-        ds.map_batches(sigs, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(candidate_pairs_in_coarse_bucket, batch_format="pandas")
-    )
+    candidates = hash_exchange(
+        ds.map_batches(sigs, batch_format="pyarrow"),
+        "bucket", 4096, candidate_pairs_in_coarse_bucket)
     # object-store-resident id pairs (the small side, but NOT on the
     # driver) — materialized so the two verification joins below don't
     # re-run the candidate shuffle and can read its schema lazily
@@ -587,6 +584,7 @@ def jaccard_near_dup_pairs(
 
     -> Dataset(id_a, id_b, jaccard).
     """
+    ds = ds.materialize()   # consumed by several passes below
     ftoks, fcounts, n_sampled = _common_token_counts(
         ds, text_col, id_col, shingle_k)
     if n_sampled <= DENSE_TOKEN_LIMIT:
@@ -623,11 +621,9 @@ def jaccard_near_dup_pairs(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
 
-    candidates = (
-        ds.map_batches(prefix_tokens, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs_in_coarse_bucket, batch_format="pandas")
-    )
+    candidates = hash_exchange(
+        ds.map_batches(prefix_tokens, batch_format="pyarrow"),
+        "bucket", 4096, pairs_in_coarse_bucket)
     return _verify_candidate_pairs(
         ds, candidates, text_col, id_col, shingle_k, threshold,
         broadcast_pairs, broadcast_bytes,
@@ -676,11 +672,14 @@ def jaccard_similarity_join(
             })
         return fn
 
+    # the tagged union feeds several passes (frequency sample, vocab
+    # probe, candidate generation, verification) — materialize ONCE so
+    # the upstream reads/maps don't re-execute per pass
     union = left_ds.map_batches(
         tag(0, left_id, left_text), batch_format="pyarrow"
     ).union(right_ds.map_batches(
         tag(1, right_id, right_text), batch_format="pyarrow"
-    ))
+    )).materialize()
 
     def decode(t: pa.Table) -> pa.Table:
         a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -726,11 +725,9 @@ def jaccard_similarity_join(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
 
-    candidates = (
-        union.map_batches(prefix_tokens, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(cross_pairs_in_bucket, batch_format="pandas")
-    )
+    candidates = hash_exchange(
+        union.map_batches(prefix_tokens, batch_format="pyarrow"),
+        "bucket", 4096, cross_pairs_in_bucket)
     verified = _verify_candidate_pairs(
         union, candidates, "text", "gid", shingle_k, threshold,
         broadcast_pairs, broadcast_bytes,
@@ -817,11 +814,9 @@ def _containment_candidates(union, freq_ref, shingle_k: int,
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
 
-    return (
-        union.map_batches(emit_tokens, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(cross_pairs_in_bucket, batch_format="pandas")
-    )
+    return hash_exchange(
+        union.map_batches(emit_tokens, batch_format="pyarrow"),
+        "bucket", 4096, cross_pairs_in_bucket)
 
 
 def containment_join(
@@ -885,11 +880,14 @@ def containment_join(
             })
         return fn
 
+    # the tagged union feeds several passes (frequency sample, vocab
+    # probe, candidate generation, verification) — materialize ONCE so
+    # the upstream reads/maps don't re-execute per pass
     union = left_ds.map_batches(
         tag(0, left_id, left_text), batch_format="pyarrow"
     ).union(right_ds.map_batches(
         tag(1, right_id, right_text), batch_format="pyarrow"
-    ))
+    )).materialize()
 
     ftoks, fcounts, _ = _common_token_counts(
         union, "text", "gid", shingle_k)
@@ -998,11 +996,9 @@ def simhash_pairs(
             {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
         )
 
-    pairs = (
-        ds.map_batches(sigs, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs_in_coarse_bucket, batch_format="pandas")
-    )
+    pairs = hash_exchange(
+        ds.map_batches(sigs, batch_format="pyarrow"),
+        "bucket", 4096, pairs_in_coarse_bucket)
     return _dedup_pairs(pairs)
 
 

@@ -79,6 +79,10 @@ def _hx_rows(tbl) -> int:
 # per-task fixed cost (scheduling + fn pickle) dominates the group work
 HX_ROWS_PER_BUCKET = 65_536
 
+# blocks x coarse refs above this: route through Ray's sort shuffle
+# instead (driver ref-routing table would dominate)
+HX_MAX_REFS = 1 << 20
+
 
 def hash_exchange(ds, bucket_col: str, coarse: int, fn,
                   adaptive: bool = True):
@@ -101,10 +105,22 @@ def hash_exchange(ds, bucket_col: str, coarse: int, fn,
     block_refs = list(ds.to_arrow_refs())
     if not block_refs:
         return ds  # empty input: nothing to exchange
+    if len(block_refs) * coarse > HX_MAX_REFS:
+        # the driver routes blocks x coarse refs — beyond this the
+        # routing table itself is the bottleneck (the 100 TB regime:
+        # 10^5 blocks x 256 buckets = 26M refs). Ray's sort-based
+        # shuffle streams that scale; fall back to it.
+        return ds.groupby(bucket_col).map_groups(
+            fn, batch_format="pandas")
     if adaptive:
         n_rows = sum(ray.get([_hx_rows.remote(b) for b in block_refs]))
+        # floor at the CPU count: group fns are often CPU-bound Python
+        # (pair loops), so fewer tasks than cores loses parallelism;
+        # the pathology being avoided is 100s of near-empty tasks
+        cpus = int(ray.cluster_resources().get("CPU", 4))
         coarse = int(min(coarse,
-                         max(2, n_rows // HX_ROWS_PER_BUCKET + 1)))
+                         max(2, cpus,
+                             n_rows // HX_ROWS_PER_BUCKET + 1)))
     splits = [
         _hx_split.options(num_returns=coarse).remote(b, bucket_col,
                                                      coarse)
