@@ -146,8 +146,8 @@ def _dedup_group(group: pd.DataFrame) -> pd.DataFrame:
 def dedup_triples(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Exact (subj,pred,obj) dedup: local pre-dedup -> hash-bucket
     shuffle -> per-bucket drop_duplicates."""
-    return (
-        ds.map_batches(_add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(_dedup_group, batch_format="pandas")
-    )
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(_add_bucket, batch_format="pyarrow"),
+        "bucket", DEDUP_BUCKETS, _dedup_group)
