@@ -1121,22 +1121,26 @@ def composite_join(
 
     def packer(cols: list[str]):
         def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             key = None
             valid = None
             for c in cols:
                 col = t.column(c)
-                v = col.is_valid().to_numpy(zero_copy_only=False)
-                valid = v if valid is None else (valid & v)
-                s = pd.Series(col.cast(pa.string()).fill_null("")
-                              .to_pylist(), dtype="object")
-                part = (s.str.len().astype(str) + ":" + s).to_numpy(
-                    dtype=object)
-                key = part if key is None else key + part
+                v = col.is_valid()
+                valid = v if valid is None else pc.and_(valid, v)
+                s = pc.cast(col.cast(pa.string()).combine_chunks()
+                            .fill_null(""), pa.string())
+                # "len:value" — all Arrow kernels, no Python strings
+                part = pc.binary_join_element_wise(
+                    pc.cast(pc.utf8_length(s), pa.string()), s, ":")
+                key = part if key is None else \
+                    pc.binary_join_element_wise(key, part, "")
             # NULL in any key column -> never matches (SQL semantics):
             # those rows are dropped from the join here and, for
             # how='left', unioned back below with null right columns
-            t = t.append_column("_ck", pa.array(key, pa.string()))
-            return t.filter(pa.array(valid))
+            t = t.append_column("_ck", key)
+            return t.filter(valid)
         return fn
 
     lk = left_ds.map_batches(packer(on), batch_format="pyarrow")

@@ -70,48 +70,65 @@ def kmeans_fit(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     X0 = _spread_sample(ds, vec_col, id_col, sample_per_block * 16)
     centers = kmeans_lite(X0, k, seed=seed)
 
+    # the Lloyd loop runs as RAW TASKS over the materialized blocks
+    # (the pagerank/MST precedent — iterative co-partitioned state):
+    # a Ray-Data job per iteration would re-execute the parquet read
+    # and pay the job's fixed cost x n_iter; here the vector blocks
+    # sit in the object store once and each iteration is one
+    # numpy-GEMM task per block + a metadata-sized driver fold.
+    block_refs = list(ds.to_arrow_refs())
+
     inertia = float("inf")
     iters = 0
     for _ in range(n_iter):
         cref = ray.put(centers)
-
-        def partials(t: pa.Table, _cref=cref) -> pa.Table:
-            C = ray.get(_cref)
-            V = column_to_vectors(t.column(vec_col)).astype(np.float64)
-            # |x|^2 - 2 x.C + |C|^2, one GEMM per block
-            d2 = ((V * V).sum(axis=1)[:, None]
-                  - 2.0 * (V @ C.T)
-                  + (C * C).sum(axis=1)[None, :])
-            lab = d2.argmin(axis=1)
-            mind = d2[np.arange(len(lab)), lab]
-            out_c, out_n, out_s, out_ssd = [], [], [], []
-            for c in np.unique(lab):
-                m = lab == c
-                out_c.append(int(c))
-                out_n.append(int(m.sum()))
-                out_s.append(V[m].sum(axis=0).tolist())
-                out_ssd.append(float(mind[m].sum()))
-            return pa.table({
-                "c": pa.array(out_c, pa.int32()),
-                "n": pa.array(out_n, pa.int64()),
-                "s": pa.array(out_s),
-                "ssd": pa.array(out_ssd, pa.float64()),
-            })
-
-        parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+        refs = [_kmeans_partials.remote(b, cref, vec_col)
+                for b in block_refs]
+        parts = ray.get(refs)
         iters += 1
-        agg_n = parts.groupby("c")["n"].sum()
-        agg_ssd = float(parts["ssd"].sum())
+        k_, d_ = centers.shape
+        agg_n = np.zeros(k_, np.int64)
+        agg_s = np.zeros((k_, d_), np.float64)
+        agg_ssd = 0.0
+        for cs, ns, ss, ssd in parts:
+            agg_n[cs] += ns
+            agg_s[cs] += ss
+            agg_ssd += ssd
         new_centers = centers.copy()
-        for c, g in parts.groupby("c"):
-            s = np.sum(np.stack([np.asarray(v) for v in g["s"]]), axis=0)
-            new_centers[c] = s / agg_n[c]
+        nz = agg_n > 0
+        new_centers[nz] = agg_s[nz] / agg_n[nz, None]
         shift = float(np.sqrt(((new_centers - centers) ** 2)
                               .sum(axis=1)).max())
         centers, inertia = new_centers, agg_ssd
         if shift < tol:
             break
     return centers, inertia, iters
+
+
+@ray.remote
+def _kmeans_partials(tbl, cref, vec_col: str):
+    C = cref if isinstance(cref, np.ndarray) else ray.get(cref)
+    if not isinstance(tbl, pa.Table):
+        tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+    if tbl.num_rows == 0 or vec_col not in tbl.column_names:
+        d = C.shape[1]
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros((0, d), np.float64), 0.0)
+    V = column_to_vectors(tbl.column(vec_col)).astype(np.float64)
+    # |x|^2 - 2 x.C + |C|^2, one GEMM per block
+    d2 = ((V * V).sum(axis=1)[:, None]
+          - 2.0 * (V @ C.T)
+          + (C * C).sum(axis=1)[None, :])
+    lab = d2.argmin(axis=1)
+    mind = d2[np.arange(len(lab)), lab]
+    cs = np.unique(lab)
+    ns = np.zeros(len(cs), np.int64)
+    ss = np.zeros((len(cs), V.shape[1]), np.float64)
+    for i, c in enumerate(cs):
+        m = lab == c
+        ns[i] = int(m.sum())
+        ss[i] = V[m].sum(axis=0)
+    return (cs.astype(np.int64), ns, ss, float(mind.sum()))
 
 
 def kmeans_assign(ds, centers: np.ndarray, vec_col: str = "embedding",

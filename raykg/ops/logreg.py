@@ -47,6 +47,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
+
 from raykg.nil import LogisticModel
 
 
@@ -79,59 +81,85 @@ def fit_logreg_distributed(
     if d == 0:
         raise ValueError("need at least one feature column")
 
-    # ---- pass 0: scaler moments (one partial row per block)
-    def moments(t: pa.Table) -> pa.Table:
-        X = _feature_matrix(t, feature_cols)
-        return pa.table({
-            "n": pa.array([len(X)], pa.int64()),
-            "sx": pa.array([X.sum(axis=0)], pa.list_(pa.float64())),
-            "sxx": pa.array([(X * X).sum(axis=0)], pa.list_(pa.float64())),
-        })
+    # materialize ONCE; both the scaler pass and every IRLS step run
+    # as raw tasks over these blocks
+    block_refs_all = list(ds.to_arrow_refs())
 
-    mom = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
-    n_total = int(mom["n"].sum())
+    # ---- pass 0: scaler moments (one partial tuple per block)
+    moms = ray.get([
+        _moments_partials.remote(b, feature_cols) for b in block_refs_all
+    ])
+    n_total = int(sum(m[0] for m in moms))
     if n_total == 0:
         raise ValueError("empty dataset")
-    sx = _fold(mom, "sx")
-    sxx = _fold(mom, "sxx")
+    rows = np.stack([m[1] for m in moms])
+    order = np.lexsort(rows.T[::-1])   # canonical fold order
+    sx = rows[order].sum(axis=0)
+    rows2 = np.stack([m[2] for m in moms])
+    sxx = rows2[np.lexsort(rows2.T[::-1])].sum(axis=0)
     mean = sx / n_total
     var = np.maximum(sxx / n_total - mean * mean, 0.0)
     scale = np.sqrt(var)
     scale[scale == 0.0] = 1.0
 
-    # ---- IRLS iterations: one pass per Newton step
+    # ---- IRLS iterations as RAW TASKS over the materialized blocks
+    # (the kmeans/pagerank precedent): a Ray-Data job per Newton step
+    # would re-execute the upstream read and pay the job's fixed cost
+    # x max_iter; here the feature blocks sit in the object store once
+    # and each step is one GEMM task per block + an O(d²) driver fold.
+    block_refs = block_refs_all
     reg = np.eye(d + 1) / C
     reg[d, d] = 0.0
     w = np.zeros(d + 1)
 
     for _ in range(max_iter):
         w_now = w.copy()
-
-        def partials(t: pa.Table) -> pa.Table:
-            X = _feature_matrix(t, feature_cols)
-            Xs = (X - mean) / scale
-            Xb = np.concatenate([Xs, np.ones((len(Xs), 1))], axis=1)
-            y = t.column(label_col).to_numpy(
-                zero_copy_only=False).astype(np.float64)
-            z = Xb @ w_now
-            p = 1.0 / (1.0 + np.exp(-z))
-            wgt = np.maximum(p * (1 - p), 1e-10)
-            H = (Xb * wgt[:, None]).T @ Xb
-            g = Xb.T @ (p - y)
-            return pa.table({
-                "h": pa.array([H.ravel()], pa.list_(pa.float64())),
-                "g": pa.array([g], pa.list_(pa.float64())),
-            })
-
-        parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
-        H = _fold(parts, "h").reshape(d + 1, d + 1) + reg
-        g = _fold(parts, "g") + reg @ w_now
+        refs = [_irls_partials.remote(b, w_now, mean, scale,
+                                      feature_cols, label_col)
+                for b in block_refs]
+        parts = ray.get(refs)
+        H = sum(p[0] for p in parts) + reg
+        g = sum(p[1] for p in parts) + reg @ w_now
         step = np.linalg.solve(H, g)
         w = w_now - step
         if np.abs(step).max() < tol:
             break
 
     return LogisticModel(feature_cols, w[:d], w[d], mean=mean, scale=scale)
+
+
+def _irls_partials_fn(tbl, w_now, mean, scale, feature_cols, label_col):
+    if not isinstance(tbl, pa.Table):
+        tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+    d = len(feature_cols)
+    if tbl.num_rows == 0 or feature_cols[0] not in tbl.column_names:
+        return np.zeros((d + 1, d + 1)), np.zeros(d + 1)
+    X = _feature_matrix(tbl, feature_cols)
+    Xs = (X - mean) / scale
+    Xb = np.concatenate([Xs, np.ones((len(Xs), 1))], axis=1)
+    y = tbl.column(label_col).to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    z = Xb @ w_now
+    p = 1.0 / (1.0 + np.exp(-z))
+    wgt = np.maximum(p * (1 - p), 1e-10)
+    H = (Xb * wgt[:, None]).T @ Xb
+    g = Xb.T @ (p - y)
+    return H, g
+
+
+_irls_partials = ray.remote(_irls_partials_fn)
+
+
+@ray.remote
+def _moments_partials(tbl, feature_cols):
+    if not isinstance(tbl, pa.Table):
+        tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+    d = len(feature_cols)
+    if tbl.num_rows == 0 or (feature_cols
+                             and feature_cols[0] not in tbl.column_names):
+        return 0, np.zeros(d), np.zeros(d)
+    X = _feature_matrix(tbl, feature_cols)
+    return len(X), X.sum(axis=0), (X * X).sum(axis=0)
 
 
 def score_dataset(ds, model: LogisticModel, feature_cols: list[str],
