@@ -625,10 +625,9 @@ def k_core(edges_ds, k: int, src: str = "src", dst: str = "dst",
     i64 = pa.int64()
     degrees = None
     for _ in range(max_rounds):
-        degrees = (edges.map_batches(endpoints, batch_format="pyarrow")
-                   .groupby("_b")
-                   .map_groups(fold_deg, batch_format="pandas")
-                   ).materialize()
+        degrees = hash_exchange(
+            edges.map_batches(endpoints, batch_format="pyarrow"),
+            "_b", coarse, fold_deg).materialize()
         if n_edges == 0:
             break
 

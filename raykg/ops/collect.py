@@ -58,8 +58,8 @@ def grouped_string_agg(
         out = g.groupby(key_col, sort=False)[val_col].agg(sep.join)
         return out.rename(out_col).reset_index()
 
-    return (
-        ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("_b")
-        .map_groups(agg_bucket, batch_format="pandas")
-    )
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(tag, batch_format="pyarrow"), "_b", coarse,
+        agg_bucket)

@@ -1088,11 +1088,21 @@ def embedding_cosine_pairs(
             }
         )
 
-    pairs = (
-        ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-    )
+    def pairs_folded(g: pd.DataFrame) -> pd.DataFrame:
+        # the exchange folds many raw LSH keys into one task; each
+        # LSH bucket still pairs only within itself
+        if not len(g):
+            return _EMPTY_COSINE_PAIRS.copy()
+        return pd.concat(
+            [pairs_in_bucket(sub)
+             for _, sub in g.groupby("bucket", sort=False)],
+            ignore_index=True)
+
+    from raykg.ops.exchange import hash_exchange
+
+    pairs = hash_exchange(
+        ds.map_batches(bucketize, batch_format="pyarrow"),
+        "bucket", 4096, pairs_folded)
     return _dedup_pairs(pairs)
 
 
@@ -1392,7 +1402,8 @@ def windowed_first(ds, key_cols: list, ts_col: str, id_col: str,
         local = local.assign(_b=(h % np.uint64(coarse)).astype(np.int64))
         return pa.Table.from_pandas(local, preserve_index=False)
 
-    return (ds.map_batches(part, batch_format="pyarrow")
-            .groupby("_b")
-            .map_groups(lambda g: pick(g).drop(columns=["_b"]),
-                        batch_format="pandas"))
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(part, batch_format="pyarrow"), "_b", coarse,
+        lambda g: pick(g).drop(columns=["_b"]))

@@ -279,8 +279,11 @@ def sequence_pattern_match(ds, key_col: str, ts_col: str,
             "n_matches": np.asarray(out_m, dtype=np.int64),
         })
 
-    return (ds.map_batches(project, batch_format="pyarrow")
-            .groupby("_b").map_groups(scan, batch_format="pandas"))
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(project, batch_format="pyarrow"), "_b",
+        coarse, scan)
 
 
 def window_touch_counts(conv_ds, touch_ds, key: str, conv_ts: str,
@@ -372,5 +375,6 @@ def window_touch_counts(conv_ds, touch_ds, key: str, conv_ts: str,
         out["credit"] = np.where(n > 0, 1.0 / np.where(n > 0, n, 1), 0.0)
         return out
 
-    return (both.groupby("_b")
-            .map_groups(count_bucket, batch_format="pandas"))
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(both, "_b", coarse, count_bucket)

@@ -59,8 +59,7 @@ def incremental_exact_dedup(
         df["_bucket"] = (df["_h"] % buckets).astype("int32")
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
-    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        b = int(g["_bucket"].iloc[0])
+    def dedup_one(g: pd.DataFrame, b: int) -> pd.DataFrame:
         g = g.sort_values(id_col).groupby("_h", as_index=False).first()
         bdir = os.path.join(state_dir, f"bucket={b}")
         seen_parts = []
@@ -83,11 +82,23 @@ def incremental_exact_dedup(
         os.replace(tmp, os.path.join(bdir, f"{increment_id}.parquet"))
         return g.drop(columns=["_h", "_bucket"])
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(dedup_bucket, batch_format="pandas")
-    )
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # the exchange may fold several state buckets into one merge
+        # task and hands empty frames for silent buckets — each state
+        # bucket still reads/writes ITS OWN delta file (the on-disk
+        # layout later increments resume from)
+        if not len(g):
+            return g.drop(columns=["_h", "_bucket"])
+        return pd.concat(
+            [dedup_one(sub, int(b))
+             for b, sub in g.groupby("_bucket", sort=False)],
+            ignore_index=True)
+
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(add_hash, batch_format="pyarrow"), "_bucket",
+        buckets, dedup_bucket)
 
 
 def _band_hashes(S: np.ndarray, bands: int) -> np.ndarray:

@@ -75,9 +75,11 @@ def _field_u(ds, fields: list[str]):
                              "sq": sq.to_numpy(np.int64),
                              "n": n.to_numpy(np.int64)})
 
-    parts = (ds.map_batches(pre, batch_format="pyarrow")
-             .groupby("_b").map_groups(fold, batch_format="pandas")
-             .to_pandas())
+    from raykg.ops.exchange import hash_exchange
+
+    parts = hash_exchange(
+        ds.map_batches(pre, batch_format="pyarrow"), "_b", 16,
+        fold).to_pandas()
     agg = parts.groupby("fi").sum()
     n = int(agg["n"].iloc[0])
     u_num = [int(agg.loc[fi, "sq"]) - n for fi in range(len(fields))]
@@ -155,8 +157,11 @@ def fs_link_scores(ds, block_col: str, fields: list[str],
             "score": np.concatenate(s_parts),
         })
 
-    return (ds.map_batches(project, batch_format="pyarrow")
-            .groupby("_b").map_groups(pairs, batch_format="pandas"))
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(project, batch_format="pyarrow"), "_b",
+        coarse, pairs)
 
 
 def sorted_neighborhood_pairs(ds, val_col: str, id_col: str,
@@ -234,8 +239,21 @@ def sorted_neighborhood_pairs(ds, val_col: str, id_col: str,
                              "id_b": np.concatenate(out_b),
                              "dist": np.concatenate(out_d)})
 
-    return (ranked.map_batches(emit, batch_format="pandas")
-            .groupby("_b").map_groups(pairs, batch_format="pandas"))
+    from raykg.ops.exchange import hash_exchange
+
+    def pairs_folded(g: pd.DataFrame) -> pd.DataFrame:
+        # the exchange may fold several rank-range buckets into one
+        # task; the dense-slot array must span ONE range, so re-group
+        if not len(g):
+            return pd.DataFrame({"id_a": pd.array([], "int64"),
+                                 "id_b": pd.array([], "int64"),
+                                 "dist": pd.array([], "int64")})
+        return pd.concat([pairs(sub) for _, sub in g.groupby("_b")],
+                         ignore_index=True)
+
+    return hash_exchange(
+        ranked.map_batches(emit, batch_format="pandas"), "_b",
+        1 << 20, pairs_folded)
 
 
 def blocking_quality(cand_pairs, truth_pairs, n_records: int,
@@ -288,8 +306,9 @@ def blocking_quality(cand_pairs, truth_pairs, n_records: int,
                              "n_truth": [np.int64(len(truth))],
                              "n_hit": [np.int64(len(m))]})
 
-    parts = (both.groupby("_b").map_groups(fold, batch_format="pandas")
-             .to_pandas())
+    from raykg.ops.exchange import hash_exchange
+
+    parts = hash_exchange(both, "_b", 64, fold).to_pandas()
     n_cand = int(parts["n_cand"].sum())
     n_truth = int(parts["n_truth"].sum())
     n_hit = int(parts["n_hit"].sum())

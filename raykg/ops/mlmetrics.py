@@ -268,10 +268,11 @@ def grouped_auc(ds, group_col: str, label_col: str, score_col: str,
         a["auc"] = num2.astype(np.float64) / (2.0 * P * N)
         return a[["g", "pos", "neg", "auc"]]
 
-    out = (ds.map_batches(part, batch_format="pyarrow")
-           .groupby("_b")
-           .map_groups(fold, batch_format="pandas")
-           .to_pandas())
+    from raykg.ops.exchange import hash_exchange
+
+    out = hash_exchange(
+        ds.map_batches(part, batch_format="pyarrow"), "_b", coarse,
+        fold).to_pandas()
     return out.sort_values("g").reset_index(drop=True)
 
 
@@ -371,8 +372,9 @@ def ranking_metrics(results_ds, rel_ds, qid_col: str = "qid",
             "mrr": mrr, "dcg": dcg, "idcg": idcg, "ndcg": ndcg,
         })
 
-    out = (both.groupby("_b").map_groups(fold, batch_format="pandas")
-           .to_pandas())
+    from raykg.ops.exchange import hash_exchange
+
+    out = hash_exchange(both, "_b", coarse, fold).to_pandas()
     out["qid"] = out["qid"].astype("int64")
     out["n_rel"] = out["n_rel"].astype("int64")
     return out.sort_values("qid").reset_index(drop=True)

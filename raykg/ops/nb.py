@@ -59,11 +59,12 @@ def nb_train(ds, text_col: str = "text", label_col: str = "label"):
         return tbl.append_column("_b", _key_bucket(tbl.column("word"),
                                                    NB_BUCKETS))
 
-    counts = (ds.map_batches(part, batch_format="pyarrow")
-              .groupby("_b")
-              .map_groups(lambda g: g.groupby(["label", "word"],
-                                              as_index=False)["c"].sum(),
-                          batch_format="pandas")).materialize()
+    from raykg.ops.exchange import hash_exchange
+
+    counts = hash_exchange(
+        ds.map_batches(part, batch_format="pyarrow"), "_b", NB_BUCKETS,
+        lambda g: g.groupby(["label", "word"], as_index=False)["c"]
+        .sum()).materialize()
 
     def doc_part(t: pa.Table) -> pa.Table:
         texts = t.column(text_col)

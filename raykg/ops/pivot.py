@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from raykg.ops.exchange import hash_exchange
 
 
 def pivot_agg(
@@ -74,10 +75,10 @@ def pivot_agg(
         return df.groupby(key, as_index=False)[n_cols + s_cols].sum()
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_b")
-        .map_groups(final, batch_format="pandas")
+        hash_exchange(
+            ds.map_batches(partial, batch_format="pandas")
+            .map_batches(add_bucket, batch_format="pyarrow"),
+            "_b", 64, final)
     )
 
 

@@ -238,9 +238,11 @@ def grouped_mad(ds, key: str, col: str, coarse: int = 64):
             rows.append((k, len(a), med, mad))
         return pd.DataFrame(rows, columns=[key, "n", "med", "mad"])
 
-    return (ds.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("_b")
-            .map_groups(per_bucket, batch_format="pandas"))
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(add_bucket, batch_format="pyarrow"), "_b",
+        coarse, per_bucket)
 
 
 def grouped_entropy(ds, key: str, col: str) -> pd.DataFrame:
@@ -644,8 +646,11 @@ def grouped_gini(ds, key: str, val_col: str, coarse: int = 64):
             - (nf + 1.0) / nf
         return pd.DataFrame({key: uniq, "n": n, "total": tot, "gini": gini})
 
-    return (ds.map_batches(project, batch_format="pyarrow")
-            .groupby("_b").map_groups(fold, batch_format="pandas"))
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(project, batch_format="pyarrow"), "_b",
+        coarse, fold)
 
 
 def target_encode_loo(ds, cat_col: str, target_col: str,
@@ -782,9 +787,11 @@ def key_skew(ds, key: str, coarse: int = 64) -> pd.DataFrame:
             "sum_sq": [(c * c).sum()],
         })
 
-    parts = (ds.map_batches(pre, batch_format="pyarrow")
-             .groupby("_b").map_groups(fold, batch_format="pandas")
-             .to_pandas())
+    from raykg.ops.exchange import hash_exchange
+
+    parts = hash_exchange(
+        ds.map_batches(pre, batch_format="pyarrow"), "_b", coarse,
+        fold).to_pandas()
     n = int(parts["n_rows"].sum())
     mx = int(parts["max_count"].max()) if len(parts) else 0
     ssq = int(parts["sum_sq"].sum())

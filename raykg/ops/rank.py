@@ -81,11 +81,11 @@ def top_k_per_key(
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         return select_k(g).drop(columns=["_bucket"])
 
-    return (
-        ds.map_batches(local_topk, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(final_topk, batch_format="pandas")
-    )
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(local_topk, batch_format="pyarrow"),
+        "_bucket", coarse, final_topk)
 
 
 def global_rank(ds, val_col: str, id_col: str, out_col: str = "rank",
@@ -140,6 +140,7 @@ def global_rank(ds, val_col: str, id_col: str, out_col: str = "rank",
             id_col: t.column(id_col),
         })
 
+    ds = ds.materialize()     # consumed by the counts AND rank passes
     counts = np.zeros(n_buckets, dtype=np.int64)
     part = (ds.map_batches(assign, batch_format="pyarrow")
             .map_batches(lambda t: pa.table({
@@ -170,8 +171,24 @@ def global_rank(ds, val_col: str, id_col: str, out_col: str = "rank",
             out[pct_col] = (rank - 1) / max(total - 1, 1)
         return out
 
-    return (ds.map_batches(assign, batch_format="pyarrow")
-            .groupby("_rb").map_groups(bucket_rank, batch_format="pandas"))
+    def bucket_rank_folded(g: pd.DataFrame) -> pd.DataFrame:
+        # the exchange folds several range buckets into one task and
+        # types empty ones; each range still ranks against ITS offset
+        if not len(g):
+            out = pd.DataFrame({id_col: g[id_col], val_col: g[val_col],
+                                out_col: np.array([], np.int64)})
+            if pct_col is not None:
+                out[pct_col] = np.array([], np.float64)
+            return out
+        return pd.concat(
+            [bucket_rank(sub) for _, sub in g.groupby("_rb", sort=False)],
+            ignore_index=True)
+
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(assign, batch_format="pyarrow"), "_rb",
+        n_buckets, bucket_rank_folded)
 
 
 def ntile(ds, val_col: str, id_col: str, k: int, out_col: str = "tile",
@@ -262,9 +279,11 @@ def pareto_coverage(ds, key_col: str, weight_col: str,
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("k", sort=False, as_index=False)["s"].sum()
 
-    totals = (ds.map_batches(part, batch_format="pyarrow")
-              .groupby("_b").map_groups(fold, batch_format="pandas")
-              .materialize())
+    from raykg.ops.exchange import hash_exchange
+
+    totals = hash_exchange(
+        ds.map_batches(part, batch_format="pyarrow"), "_b", coarse,
+        fold).materialize()
 
     rows = hash_spread_sample_rows(totals, "k", sample_cap)
     sv = np.sort(np.array([r["s"] for r in rows], dtype=np.int64)) \

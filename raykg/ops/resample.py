@@ -62,6 +62,10 @@ def gapfill_grid(ds, key_col: str, ts_col: str, bucket_us: int,
         agg = {"n": "sum"}
         if val_col is not None:
             agg["s"] = "sum"
+        cols = [key_col, "bk", "n"] + (["s"] if val_col is not None
+                                       else [])
+        if not len(df):          # empty bucket (exchange types it)
+            return df.reindex(columns=cols)
         folded = df.groupby([key_col, "bk"], sort=False).agg(
             agg).reset_index()
         pieces = []
@@ -82,9 +86,11 @@ def gapfill_grid(ds, key_col: str, ts_col: str, bucket_us: int,
             pieces.append(pd.DataFrame(out))
         return pd.concat(pieces, ignore_index=True)
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("_b")
-            .map_groups(fill, batch_format="pandas"))
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"), "_b",
+        coarse, fill)
 
 
 def grouped_ewma(ds, key_col: str, val_col: str, order_cols: list,
@@ -149,9 +155,11 @@ def grouped_ewma(ds, key_col: str, val_col: str, order_cols: list,
         n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
         return pd.DataFrame({key_col: uniq, "n": n, "ewma": acc})
 
-    return (ds.map_batches(project, batch_format="pyarrow")
-            .groupby("_b")
-            .map_groups(fold, batch_format="pandas"))
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(project, batch_format="pyarrow"), "_b",
+        coarse, fold)
 
 
 def time_weighted_avg(ds, key_col: str, ts_col: str, val_col: str,
@@ -219,8 +227,11 @@ def time_weighted_avg(ds, key_col: str, ts_col: str, val_col: str,
         return pd.DataFrame({key_col: np.asarray(uniq)[keep],
                              "n": n[keep], "twa": twa})
 
-    return (ds.map_batches(project, batch_format="pyarrow")
-            .groupby("_b").map_groups(fold, batch_format="pandas"))
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(project, batch_format="pyarrow"), "_b",
+        coarse, fold)
 
 
 def grouped_acf(ds, key_col: str, ts_col: str, val_col: str,
@@ -304,8 +315,11 @@ def grouped_acf(ds, key_col: str, ts_col: str, val_col: str,
             "acf": np.concatenate(out_acf),
         })
 
-    return (ds.map_batches(project, batch_format="pyarrow")
-            .groupby("_b").map_groups(fold, batch_format="pandas"))
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(project, batch_format="pyarrow"), "_b",
+        coarse, fold)
 
 
 def cusum_changepoint(ds, key_col: str, ts_col: str, val_col: str,
@@ -344,6 +358,12 @@ def cusum_changepoint(ds, key_col: str, ts_col: str, val_col: str,
         })
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):          # empty bucket (exchange types it)
+            return pd.DataFrame({
+                key_col: df["k"], "n": np.array([], np.int64),
+                "k_star": np.array([], np.int64),
+                "dev": np.array([], np.int64),
+                "stat": np.array([], np.float64)})
         df = df.sort_values(["k", "ts", "tb"], kind="stable")
         codes, uniq = pd.factorize(df["k"], sort=False)
         x = df["x"].to_numpy(dtype=np.int64)
@@ -397,8 +417,11 @@ def cusum_changepoint(ds, key_col: str, ts_col: str, val_col: str,
             "stat": max_dev.astype(np.float64) / n_per.astype(np.float64),
         })
 
-    return (ds.map_batches(project, batch_format="pyarrow")
-            .groupby("_b").map_groups(fold, batch_format="pandas"))
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(project, batch_format="pyarrow"), "_b",
+        coarse, fold)
 
 
 def parse_timestamps(ds, col: str, fmt: str = "%Y-%m-%d %H:%M:%S",
@@ -533,5 +556,8 @@ def interpolate_grid(ds, key_col: str, ts_col: str, val_col: str,
                                  "is_observed": pd.array([], "bool")})
         return pd.concat(pieces, ignore_index=True)
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("_b").map_groups(fold, batch_format="pandas"))
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"), "_b",
+        coarse, fold)

@@ -84,7 +84,9 @@ def set_op(
         m = l.merge(r, on=cols, how="left", indicator=True)
         return m[m["_merge"] == "left_only"][cols]
 
-    return tagged.groupby("_b").map_groups(resolve, batch_format="pandas")
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(tagged, "_b", coarse, resolve)
 
 
 def union_by_name(datasets, strict_types: bool = True):

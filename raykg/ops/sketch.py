@@ -174,11 +174,11 @@ def approx_grouped_quantiles(
             rows.append((k, *(float(np.quantile(a, q)) for q in qs)))
         return pd.DataFrame(rows, columns=[key_col, *qcols])
 
-    return (
-        ds.map_batches(sample_and_bucket, batch_format="pyarrow")
-        .groupby("_b")
-        .map_groups(q_bucket, batch_format="pandas")
-    )
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(sample_and_bucket, batch_format="pyarrow"),
+        "_b", coarse, q_bucket)
 
 
 # ------------------------------------------------------------- Count-Min

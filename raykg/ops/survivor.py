@@ -66,6 +66,8 @@ def golden_records(ds, key_col: str, ts_col: str, id_col: str,
             out[c] = out[key_col].map(dict(zip(last[key_col], last[c])))
         return out[[key_col, "n_records"] + value_cols]
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("_b")
-            .map_groups(merge, batch_format="pandas"))
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"), "_b",
+        coarse, merge)

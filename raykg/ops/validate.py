@@ -84,9 +84,11 @@ def k_anonymity(ds, quasi_cols: list[str], k: int = 5, coarse: int = 64):
                .reset_index())
         return agg[agg["n"] < k]
 
-    return (ds.map_batches(part, batch_format="pyarrow")
-            .groupby("_b")
-            .map_groups(fold, batch_format="pandas"))
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(part, batch_format="pyarrow"), "_b", coarse,
+        fold)
 
 
 def referential_integrity(child_ds, child_key: str, parent_ds,
@@ -181,9 +183,11 @@ def uniqueness_audit(ds, key_cols: list[str], coarse: int = 64):
                .reset_index())
         return agg[agg["n"] > 1]
 
-    return (ds.map_batches(part, batch_format="pyarrow")
-            .groupby("_b")
-            .map_groups(fold, batch_format="pandas"))
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(part, batch_format="pyarrow"), "_b", coarse,
+        fold)
 
 
 def suppress_small_groups(ds, quasi_cols: list[str], k: int = 5,
@@ -239,9 +243,11 @@ def suppress_small_groups(ds, quasi_cols: list[str], k: int = 5,
         agg = g.groupby("_combo", as_index=False)["n"].sum()
         return agg[agg["n"] < k][["_combo"]]
 
-    bad_keys = (ds.map_batches(census, batch_format="pyarrow")
-                .groupby("_b")
-                .map_groups(fold, batch_format="pandas")).materialize()
+    from raykg.ops.exchange import hash_exchange
+
+    bad_keys = hash_exchange(
+        ds.map_batches(census, batch_format="pyarrow"), "_b", coarse,
+        fold).materialize()
 
     keep_cols = list(ds.schema().names)
     types = dict(zip(ds.schema().names, ds.schema().types))

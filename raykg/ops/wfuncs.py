@@ -184,8 +184,8 @@ def grouped_window(
         df = _apply_specs(df, key, specs)
         return df.drop(columns=["_b"])
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_b")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(add_bucket, batch_format="pyarrow"), "_b",
+        coarse, per_bucket)

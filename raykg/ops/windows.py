@@ -239,6 +239,12 @@ def resample_ffill(
             "_b", _key_bucket(t.column(key), coarse))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):            # empty bucket (exchange types it)
+            return pd.DataFrame({
+                key: g[key],
+                out_ts: pd.array([], dtype="datetime64[ns]"),
+                val_col: np.array([], np.float64),
+            })
         g = g.sort_values([key, ts_col, tiebreak], kind="mergesort")
         out_k, out_t, out_v = [], [], []
         ts_all = pd.to_datetime(g[ts_col]).astype("datetime64[ns]")
@@ -260,8 +266,8 @@ def resample_ffill(
             val_col: np.concatenate(out_v),
         })
 
-    return (
-        ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("_b")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        ds.map_batches(tag, batch_format="pyarrow"), "_b", coarse,
+        per_bucket)
