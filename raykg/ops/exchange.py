@@ -56,7 +56,7 @@ def _hx_split(tbl, bucket_col: str, coarse: int):
 
 
 @ray.remote
-def _hx_merge(fn, *parts):
+def _hx_merge(fn, arrow, *parts):
     tabs = [p for p in parts if p is not None]
     if not tabs:
         return pa.table({})
@@ -64,7 +64,7 @@ def _hx_merge(fn, *parts):
         t = pa.concat_tables(tabs, promote_options="permissive")
     except TypeError:                       # older pyarrow
         t = pa.concat_tables(tabs, promote=True)
-    out = fn(t.to_pandas())
+    out = fn(t if arrow else t.to_pandas())
     if isinstance(out, pa.Table):
         return out
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -85,10 +85,14 @@ HX_MAX_REFS = 1 << 20
 
 
 def hash_exchange(ds, bucket_col: str, coarse: int, fn,
-                  adaptive: bool = True):
+                  adaptive: bool = True, arrow: bool = False):
     """-> Dataset: ``fn`` (pandas in, pandas/arrow out) applied once
     per bucket of ``bucket_col`` over the whole dataset. See module
     docstring for the contract vs ``groupby().map_groups``.
+
+    ``arrow=True`` hands the merged bucket to ``fn`` as a pa.Table
+    (no pandas round-trip — use for fixed-size-list / binary columns
+    that pandas would degrade).
 
     ``adaptive=True`` shrinks the bucket count to the measured row
     count (~HX_ROWS_PER_BUCKET rows per merge task, floor 2, cap
@@ -111,7 +115,7 @@ def hash_exchange(ds, bucket_col: str, coarse: int, fn,
         # 10^5 blocks x 256 buckets = 26M refs). Ray's sort-based
         # shuffle streams that scale; fall back to it.
         return ds.groupby(bucket_col).map_groups(
-            fn, batch_format="pandas")
+            fn, batch_format="pyarrow" if arrow else "pandas")
     if adaptive:
         n_rows = sum(ray.get([_hx_rows.remote(b) for b in block_refs]))
         # floor at the CPU count: group fns are often CPU-bound Python
@@ -127,7 +131,7 @@ def hash_exchange(ds, bucket_col: str, coarse: int, fn,
         for b in block_refs
     ]
     merged = [
-        _hx_merge.remote(fn, *[s[j] for s in splits])
+        _hx_merge.remote(fn, arrow, *[s[j] for s in splits])
         for j in range(coarse)
     ]
     return rd.from_arrow_refs(merged)

@@ -313,6 +313,20 @@ def _cluster_group(group: pa.Table, strategy: str, vec_ref=None,
     return pa.table(rows)
 
 
+def _empty_cluster_parts() -> pa.Table:
+    """Typed zero-row cluster-parts table (the exchange's empty-bucket
+    contract; schema must match _cluster_group's output)."""
+    return pa.table({
+        "block": pa.array([], pa.int64()),
+        "min_mention_id": pa.array([], pa.int64()),
+        "title": pa.array([], pa.string()),
+        "nelements": pa.array([], pa.int64()),
+        "mention_ids": pa.array([], pa.list_(pa.int64())),
+        "mentions": pa.array([], pa.list_(pa.string())),
+        "center": pa.array([], pa.list_(pa.float32())),
+    })
+
+
 def _add_block_key(batch: pa.Table, blocking: str) -> pa.Table:
     if blocking == "global":
         key = pa.array(np.zeros(batch.num_rows, dtype=np.int64))
@@ -676,11 +690,34 @@ def run_epoch(
             nil_ds = nil_ds.map_batches(_salt, batch_format="pyarrow")
 
     salted = salt_counts is not None
-    cluster_parts = nil_ds.groupby("block").map_groups(
-        lambda g: _cluster_group(g, strategy, kb_handles.get("vec_ref"),
-                                 salted=salted),
-        batch_format="pyarrow",
-    )
+    # raw-task routing exchange over the (possibly salted) block keys;
+    # _cluster_group clusters ONE block per call, so the merge fn
+    # re-groups folded buckets and types empty ones
+    from raykg.ops.exchange import hash_exchange
+
+    _vr = kb_handles.get("vec_ref")
+
+    def _cluster_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_cluster_parts()
+        blocks = t.column("block").to_numpy(zero_copy_only=False)
+        order = np.argsort(blocks, kind="stable")
+        t = t.take(pa.array(order))
+        bs = blocks[order]
+        bounds = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        bounds = np.r_[bounds, len(bs)]
+        outs = []
+        for i in range(len(bounds) - 1):
+            sub = t.slice(int(bounds[i]),
+                          int(bounds[i + 1] - bounds[i]))
+            outs.append(_cluster_group(sub, strategy, _vr,
+                                       salted=salted))
+        return pa.concat_tables(outs)
+
+    cluster_parts = hash_exchange(
+        nil_ds, "block",
+        SURFACE_BUCKETS * (MAX_SALTS if salted else 1),
+        _cluster_bucket, arrow=True)
     vec_ref = kb_handles.get("vec_ref")
     clusters_dir = os.path.join(out_dir, "clusters")
     os.makedirs(clusters_dir, exist_ok=True)
