@@ -2307,9 +2307,19 @@ def _q_resample_events(sf_dir: str):
 
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts", "event_id", "value"])
-    return resample_ffill(ev, key="user_id", ts_col="ts",
-                          val_col="value", tiebreak="event_id",
-                          every="1h")
+    out = resample_ffill(ev, key="user_id", ts_col="ts",
+                         val_col="value", tiebreak="event_id",
+                         every="1h")
+
+    def to_us(t: pa.Table) -> pa.Table:
+        # grid timestamps come out ns-resolution; the oracle's
+        # generate_series is µs — align the unit so strict dtype
+        # comparison matches (values are whole hours either way)
+        i = t.column_names.index("gts")
+        return t.set_column(i, "gts",
+                            t.column("gts").cast(pa.timestamp("us")))
+
+    return out.map_batches(to_us, batch_format="pyarrow")
 
 
 _SQL_RESAMPLE_EVENTS = """
