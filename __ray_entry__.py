@@ -6505,7 +6505,16 @@ def _q_fs_link_scores(sf_dir: str):
     custkey last digit. u-probabilities are EXACT integer
     agreeing-pair counts from the data; every weight is one mirrored
     libm-ln expression, summed in field order, so the SQL oracle
-    matches bit-for-bit."""
+    matches bit-for-bit.
+
+    Cap semantics (mirrored by the oracle's block-size HAVING
+    qualify): blocks with more than max_block=10,000 rows contribute
+    NO pairs — all-or-nothing, never a sort-order-dependent partial
+    subset. The drop is surfaced by the engine, not silent: a block
+    census logs dropped block/row counts and RAISES when every block
+    is oversize (nation-blocked customers cross 10k rows/block around
+    sf1.7, at which point this query must fail loudly rather than
+    return zero rows)."""
     from raykg.ops.linkage import fs_link_scores
 
     ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"))

@@ -35,6 +35,7 @@ information and makes a weight infinite) — raised, not NaN'd.
 
 from __future__ import annotations
 
+import logging
 import math
 
 import numpy as np
@@ -44,6 +45,47 @@ import pyarrow as pa
 from raykg.ops.joins import _key_bucket
 
 LINKAGE_BUCKETS = 64
+
+_LOG = logging.getLogger("raykg.linkage")
+
+
+def _block_census(ds, block_col: str, max_block: int,
+                  coarse: int = 16):
+    """-> (n_blocks, n_oversize, rows_in_oversize): block-size census
+    so fs_link_scores can SURFACE its oversize-block drop instead of
+    silently returning fewer (or zero) pairs. Scale shape: per-batch
+    value pre-counts (vocab.py pattern) -> one tiny value-key
+    exchange folding each bucket to ONE stats row -> ``coarse`` rows
+    on the driver; never O(distinct blocks) anywhere central."""
+
+    def pre(t: pa.Table) -> pa.Table:
+        vc = t.column(block_col).combine_chunks().value_counts()
+        vals = vc.field("values")
+        cnts = vc.field("counts").cast(pa.int64())
+        key = pa.array(pd.util.hash_array(
+            np.asarray(vals.to_pandas().astype(str)
+                       .to_numpy(object))).astype(np.int64))
+        return pa.table({"blk": vals, "c": cnts,
+                         "_b": _key_bucket(key, coarse)})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("blk", sort=False)["c"].sum()
+        over = g.to_numpy(np.int64) > max_block
+        return pd.DataFrame({
+            "n_blocks": pd.array([len(g)], "int64"),
+            "n_over": pd.array([int(over.sum())], "int64"),
+            "rows_over": pd.array(
+                [int(g.to_numpy(np.int64)[over].sum())], "int64"),
+        })
+
+    from raykg.ops.exchange import hash_exchange
+
+    sel = ds.map_batches(pre, batch_format="pyarrow")
+    parts = hash_exchange(sel, "_b", coarse, fold).to_pandas()
+    if len(parts) == 0:
+        return 0, 0, 0
+    return (int(parts["n_blocks"].sum()), int(parts["n_over"].sum()),
+            int(parts["rows_over"].sum()))
 
 
 def _field_u(ds, fields: list[str]):
@@ -92,8 +134,33 @@ def fs_link_scores(ds, block_col: str, fields: list[str],
                    coarse: int = LINKAGE_BUCKETS,
                    max_block: int = 10_000):
     """-> Dataset(id_a, id_b, score): Fellegi–Sunter log-likelihood
-    score for every within-block candidate pair (id_a < id_b)."""
+    score for every within-block candidate pair (id_a < id_b).
+
+    Blocks with more than ``max_block`` rows contribute NO pairs (a
+    block of B rows emits B(B-1)/2 pairs, so one degenerate blocking
+    key would dominate the whole job; all-or-nothing is the only
+    deterministic contract). The drop is SURFACED, never silent: a
+    cheap block-size census runs first, raises ``ValueError`` when
+    EVERY block is oversize (the query would silently return zero
+    rows otherwise — e.g. nation-blocked customers beyond ~sf1.7),
+    and logs a warning with the dropped block/row counts when only
+    some are."""
     assert len(fields) == len(m_probs)
+    ds = ds.materialize()  # census + u-stats + pairs: 3 passes, 1 read
+    n_blocks, n_over, rows_over = _block_census(ds, block_col,
+                                                max_block)
+    if n_blocks > 0 and n_over == n_blocks:
+        raise ValueError(
+            f"fs_link_scores: every one of the {n_blocks} blocks of "
+            f"{block_col!r} exceeds max_block={max_block} rows — the "
+            "result would be empty. Choose a finer blocking key or "
+            "raise max_block.")
+    if n_over:
+        _LOG.warning(
+            "fs_link_scores: dropping %d of %d blocks of %r "
+            "(%d rows) that exceed max_block=%d — oversize blocks "
+            "contribute no pairs", n_over, n_blocks, block_col,
+            rows_over, max_block)
     u_num, u_den = _field_u(ds, fields)
     for f, num in zip(fields, u_num):
         if not 0 < num < u_den:

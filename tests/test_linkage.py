@@ -103,3 +103,29 @@ def test_fs_scores_rank_surface_duplicates_highest():
                          coarse=4).to_pandas()
     top = got.sort_values("score", ascending=False).iloc[0]
     assert (top.id_a, top.id_b) == (1, 2)
+
+
+def test_fs_all_blocks_oversize_raises():
+    # the drop must be SURFACED: when EVERY block exceeds max_block
+    # the query would silently return zero rows (nation-blocked
+    # customers beyond ~sf1.7) — fs_link_scores raises instead
+    df = _world(64)
+    df["blk"] = 0  # a single 64-row block
+    with pytest.raises(ValueError, match="every one of the 1 blocks"):
+        fs_link_scores(rd.from_pandas(df), block_col="blk",
+                       fields=["f0", "f1"], m_probs=[0.9, 0.75],
+                       max_block=5).to_pandas()
+
+
+def test_fs_partial_oversize_drop_is_logged(caplog):
+    import logging
+
+    df = _world(64)
+    df.loc[:59, "blk"] = 0
+    df.loc[60:, "blk"] = 1
+    with caplog.at_level(logging.WARNING, logger="raykg.linkage"):
+        fs_link_scores(rd.from_pandas(df), block_col="blk",
+                       fields=["f0", "f1"], m_probs=[0.9, 0.75],
+                       max_block=5).to_pandas()
+    assert any("dropping 1 of 2 blocks" in r.message
+               and "(60 rows)" in r.message for r in caplog.records)
