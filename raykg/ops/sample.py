@@ -208,7 +208,8 @@ def split_assign(ds, id_col: str, fracs: dict[str, float],
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def rebalance(ds, key_col: str, id_col: str, seed: int = 0):
+def rebalance(ds, key_col: str, id_col: str, seed: int = 0,
+              max_keys: int = 100_000):
     """Rebalance a skewed key distribution to EQUAL expected counts:
     every key is downsampled at rate ``min_count / count_key`` via the
     same deterministic hash filter as ``mixture_sample`` (stable under
@@ -216,16 +217,40 @@ def rebalance(ds, key_col: str, id_col: str, seed: int = 0):
     the mix" curation step with the rates derived from the data
     instead of hand-picked.
 
-    Pass 1 is a grouped count (per-block pre-counts, O(keys) on the
-    driver); the rate table broadcasts via the closure (tiny); pass 2
-    is the stateless hash filter.  Rows whose key was unseen in pass 1
-    (impossible for the same input) would be dropped.
+    Pass 1 pre-counts per block (the vocab.py pattern: the shuffle
+    moves distinct-keys-per-block rows, never raw rows), folds with a
+    small groupby, and GUARDS the driver-side rate table at
+    ``max_keys`` distinct keys — the operator's semantics need the
+    whole per-key count table on every task, so a user_id-cardinality
+    key at 100 TB is a design error, not something to absorb
+    silently: it raises with guidance instead of materializing O(rows)
+    on the driver. The rate table broadcasts via the closure (bounded
+    by ``max_keys``); pass 2 is the stateless hash filter. Rows whose
+    key was unseen in pass 1 (impossible for the same input) would be
+    dropped.
     """
-    counts: dict = {}
-    for row in (ds.groupby(key_col).count().take_all()):
-        counts[row[key_col]] = row["count()"]
-    if not counts:
+
+    def pre(t: pa.Table) -> pa.Table:
+        vc = t.column(key_col).combine_chunks().value_counts()
+        return pa.table({key_col: vc.field("values"),
+                         "_c": vc.field("counts").cast(pa.int64())})
+
+    cds = (ds.map_batches(pre, batch_format="pyarrow")
+           .groupby(key_col).sum("_c").materialize())
+    n_keys = cds.count()
+    if n_keys == 0:
         return ds
+    if n_keys > max_keys:
+        raise ValueError(
+            f"rebalance: {key_col!r} has {n_keys} distinct keys "
+            f"(max_keys={max_keys}). The per-key rate table must be "
+            "broadcast to every task, so a near-unique key would "
+            "materialize O(rows) centrally. Rebalance over a coarser "
+            "key (domain, source, language), or raise max_keys if "
+            "the table genuinely fits.")
+    counts: dict = {}
+    for row in cds.take_all():
+        counts[row[key_col]] = row["sum(_c)"]
     min_n = min(counts.values())
     thr = {k: np.float64(min_n) / np.float64(n) * np.float64(1 << 32)
            for k, n in counts.items()}

@@ -887,3 +887,20 @@ def test_pack_block_large_uses_tree_and_holds_invariants():
     b, nb = pk._ffd_tree(np.minimum(
         toks[np.lexsort((ids, -toks))], 1000), 1000)
     assert na == nb and (a == b).all()
+
+
+def test_rebalance_high_cardinality_key_raises():
+    # the per-key rate table broadcasts to every task: a near-unique
+    # key (user_id at 100 TB) must raise, not materialize O(rows) on
+    # the driver
+    from raykg.ops.sample import rebalance
+
+    df = pd.DataFrame({"id": np.arange(500),
+                       "k": [f"u{i}" for i in range(500)]})
+    with pytest.raises(ValueError, match="distinct keys"):
+        rebalance(rd.from_pandas(df).repartition(4), "k", "id",
+                  max_keys=100)
+    # at/below the cap it still works
+    out = rebalance(rd.from_pandas(df).repartition(4), "k", "id",
+                    max_keys=500).to_pandas()
+    assert len(out) == 500  # every key unique -> min_count=1, all kept

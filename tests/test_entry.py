@@ -57,7 +57,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
 def test_query_vs_oracle(name):
     q = entrymod.queries()[name]
-    got = _normalize(_to_pandas(q(SF_DIR)))
+    # kg_triples_summary's oracle reads the flagship's written parquet
+    # at the driver's correctness scale (a fixed /tmp path keyed by
+    # sf0.01) — run the Ray side at that same scale
+    sf = "/root/testdata/sf0.01" if name == "kg_triples_summary" else SF_DIR
+    got = _normalize(_to_pandas(q(sf)))
     with _duck() as con:
         want = _normalize(con.sql(entrymod.oracle_sql()[name]).df())
     assert list(got.columns) == list(want.columns), (got.columns, want.columns)
