@@ -211,11 +211,14 @@ def edit_distance_pairs(
     def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
 
-    pairs = (
-        ds.map_batches(expand, batch_format="pyarrow")
-        .groupby("_vb")
-        .map_groups(bucket_verify, batch_format="pandas")
-    )
+    from raykg.ops.exchange import hash_exchange
+
+    # both exchanges are fold-safe: candidates only form between rows
+    # with EQUAL variant hashes (same _vb bucket by construction), and
+    # every copy of a pair shares one _pb bucket
+    pairs = hash_exchange(
+        ds.map_batches(expand, batch_format="pyarrow"), "_vb", coarse,
+        bucket_verify)
 
     def pb(t: pa.Table) -> pa.Table:
         a = t.column("id_a").to_numpy(zero_copy_only=False)
@@ -227,6 +230,6 @@ def edit_distance_pairs(
         return t.append_column(
             "_pb", pa.array((h % np.uint64(coarse)).astype(np.int32)))
 
-    return (pairs.map_batches(pb, batch_format="pyarrow")
-            .groupby("_pb")
-            .map_groups(pair_dedup, batch_format="pandas"))
+    return hash_exchange(
+        pairs.map_batches(pb, batch_format="pyarrow"), "_pb", coarse,
+        pair_dedup)

@@ -214,20 +214,30 @@ def distinctive_terms(ds, group_col: str = "source",
                               kind="mergesort")
         return out.groupby(group_col, sort=False).head(k)
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["lift", "word"], ascending=[False, True],
-                          kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # whole-bucket fold (hash_exchange contract): several groups
+        # co-locate per task — rank each group independently
+        df = df.sort_values([group_col, "lift", "word"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        g = df.groupby(group_col, sort=False).head(k)
+        rank = (g.groupby(group_col, sort=False).cumcount() + 1)
+        g = g.assign(rank=rank.to_numpy(np.int64))
         return g[[group_col, "word", "n", "lift", "rank"]]
 
-    scored = (
-        ds.map_batches(local_counts, batch_format="pyarrow")
-        .groupby("_bk")
-        .map_groups(bucket_score, batch_format="pandas")
-    )
-    return scored.groupby(group_col).map_groups(
-        final_topk, batch_format="pandas")
+    from raykg.ops.exchange import hash_exchange
+
+    scored = hash_exchange(
+        ds.map_batches(local_counts, batch_format="pyarrow"), "_bk",
+        coarse, bucket_score)
+
+    def add_gb(t: pa.Table) -> pa.Table:
+        return t.append_column("_gb", _key_bucket(t.column(group_col),
+                                                  16))
+
+    return hash_exchange(
+        scored.map_batches(add_gb, batch_format="pyarrow"), "_gb", 16,
+        final_topk)
 
 
 def pmi_bigrams(ds, k: int = 50, min_count: int = 5,

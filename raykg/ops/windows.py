@@ -99,25 +99,26 @@ def sessionize(ds, key: str = "user_id", ts_col: str = "ts",
         g = df.groupby(key, as_index=False).agg(
             _n=(ts_col, "size"), _tmin=(ts_col, "min"), _tmax=(ts_col, "max")
         )
+        g["_hb"] = pd.util.hash_array(
+            g[key].to_numpy(object)).astype(np.int64)
         return g
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        row = pd.DataFrame(
-            {
-                key: [g[key].iloc[0]],
-                "_n": [int(g["_n"].sum())],
-                "_tmin": [g["_tmin"].min()],
-                "_tmax": [g["_tmax"].max()],
-            }
-        )
-        return row[row["_n"] > max_group]
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # whole-bucket fold (hash_exchange contract): several keys
+        # co-locate per task, so re-group by the real key
+        g = df.groupby(key, as_index=False).agg(
+            _n=("_n", "sum"), _tmin=("_tmin", "min"),
+            _tmax=("_tmax", "max"))
+        return g[g["_n"].to_numpy(np.int64) > max_group]
 
-    hot = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(key)
-        .map_groups(combine, batch_format="pandas")
-        .to_pandas()
-    ) if census else pd.DataFrame()
+    if census:
+        from raykg.ops.exchange import hash_exchange
+
+        hot = hash_exchange(
+            ds.map_batches(partial, batch_format="pandas"), "_hb", 16,
+            combine).to_pandas()
+    else:
+        hot = pd.DataFrame()
     hot_map = {
         r[key]: (r["_tmin"].value, max(r["_tmax"].value - r["_tmin"].value, 1))
         for _, r in hot.iterrows()
