@@ -252,6 +252,19 @@ DRIVER_ASSEMBLY_NIL_ROWS = 1 << 20
 
 
 @ray.remote
+def _cluster_triples_task(clusters_path: str, epoch: int) -> pa.Table:
+    """Worker-side cluster-triples emission from the epoch's clusters
+    partition (distributed-assembly mode): replaces a per-epoch Ray
+    Data read_parquet plan whose fixed planning cost dwarfed the few
+    hundred rows involved."""
+    from raykg.triples import cluster_triples
+
+    tbl = pq.read_table(clusters_path,
+                        columns=["cluster_id", "title", "mention_ids"])
+    return cluster_triples(tbl, epoch)
+
+
+@ray.remote
 def _build_nil_uri_map(clusters_path: str) -> dict[int, str]:
     """mention_id -> minted cluster uri, built worker-side from the
     epoch's clusters partition so cluster payloads never land on the
@@ -411,12 +424,7 @@ def run_epoch(
         if cfg.kb_shards > 1:
             from raykg.encode import MentionEncoder
             from raykg.nil import NilStage
-            from raykg.sharded import (
-                ShardFinalizer,
-                ShardRetriever,
-                make_finalizer_fn,
-                make_shard_stage_fn,
-            )
+            from raykg.sharded import ShardRetriever, make_shard_stage_fn
 
             cpus = int(ray.cluster_resources().get("CPU", 4))
             per_shard = max(1, cpus // cfg.kb_shards)
@@ -443,7 +451,16 @@ def run_epoch(
                 actor_cpus = max(
                     0.1, round(cpus / (2 * n_pools * min_actors), 2)
                 )
+                n_sh = len(kb_handles["shard_refs"])
                 for s_i, shard_ref in enumerate(kb_handles["shard_refs"]):
+                    # the LAST shard stage carries the finalizer inline
+                    # (round 5): one fewer pool, no final acc repack
+                    fin_kwargs = {}
+                    if s_i == n_sh - 1:
+                        fin_kwargs["finalizer_args"] = (
+                            kb_handles["titles_ref"], rw_ref,
+                            use_rw_shards,
+                        )
                     ds = ds.map_batches(
                         ShardRetriever,
                         fn_constructor_kwargs={
@@ -454,47 +471,34 @@ def run_epoch(
                             "rw_shard_ref": (
                                 rw_shards.refs[s_i] if use_rw_shards else None
                             ),
+                            **fin_kwargs,
                         },
                         batch_format="pyarrow",
                         batch_size=cfg.retrieve_batch,
                         concurrency=(min_actors, per_shard),
                         num_cpus=actor_cpus,
                     )
-                ds = ds.map_batches(
-                    ShardFinalizer,
-                    fn_constructor_kwargs={
-                        "titles_ref": kb_handles["titles_ref"],
-                        "rw_ref": rw_ref,
-                        "top_k": cfg.top_k,
-                        "rw_acc": use_rw_shards,
-                    },
-                    batch_format="pyarrow",
-                    batch_size=cfg.retrieve_batch,
-                    concurrency=(min(2, min_actors), 4),
-                    num_cpus=actor_cpus,
-                )
             else:
                 # task mode (default): stateless tasks + worker-local
                 # stage cache — no per-epoch pool ramp, full elasticity
                 # (measured: pools cost ~5 s/epoch on ~10 s epochs)
+                n_sh = len(kb_handles["shard_refs"])
                 for s_i, shard_ref in enumerate(kb_handles["shard_refs"]):
                     ds = ds.map_batches(
                         make_shard_stage_fn(
                             shard_ref, cfg.top_k, s_i == 0, cfg.ivf_nprobe,
                             rw_shards.refs[s_i] if use_rw_shards else None,
                             slot=s_i,
+                            # last stage carries the finalizer inline
+                            finalizer_args=(
+                                (kb_handles["titles_ref"], rw_ref,
+                                 use_rw_shards)
+                                if s_i == n_sh - 1 else None
+                            ),
                         ),
                         batch_format="pyarrow",
                         batch_size=cfg.retrieve_batch,
                     )
-                ds = ds.map_batches(
-                    make_finalizer_fn(
-                        kb_handles["titles_ref"], rw_ref, cfg.top_k,
-                        use_rw_shards,
-                    ),
-                    batch_format="pyarrow",
-                    batch_size=cfg.retrieve_batch,
-                )
             model = cfg.nil_model
             if rw_shards is not None:
                 rw_offsets = rw_shards.uri_offsets()
@@ -970,13 +974,11 @@ def run_epoch(
             if ctriples.num_rows:
                 triple_ds = triple_ds.union(rd.from_arrow(ctriples))
         elif n_clusters > 0:
-            # per-batch emission straight from the clusters partition
-            ctriple_ds = rd.read_parquet(
-                clusters_path, columns=["cluster_id", "title", "mention_ids"]
-            ).map_batches(
-                lambda t: cluster_triples(t, epoch), batch_format="pyarrow"
-            )
-            triple_ds = triple_ds.union(ctriple_ds)
+            # one raw worker task straight off the clusters partition —
+            # a full read_parquet plan paid ~0.3 s/epoch of planner
+            # fixed cost for a few hundred rows
+            ctr_ref = _cluster_triples_task.remote(clusters_path, epoch)
+            triple_ds = triple_ds.union(rd.from_arrow_refs([ctr_ref]))
         triples_dir = os.path.join(out_dir, "triples", f"epoch={epoch}")
         triple_ds.write_parquet(triples_dir)
         return time.time() - t_start

@@ -76,21 +76,27 @@ def _cached_stage(slot, key, build):
 
 
 def make_shard_stage_fn(shard_ref, top_k, is_first, nprobe, rw_shard_ref,
-                        slot: int):
+                        slot: int, finalizer_args=None):
     """Stateless-task wrapper around ShardRetriever with worker-local
-    stage reuse (see _SHARD_STAGE_CACHE)."""
+    stage reuse (see _SHARD_STAGE_CACHE). ``finalizer_args`` =
+    ``(titles_ref, rw_ref, rw_acc)`` fuses the ShardFinalizer into
+    this (last) stage — the accumulators go straight from numpy to the
+    compact candidate columns, skipping one stage hop and the last
+    _acc_*/_rw_* Arrow repack."""
     key = (
         _ref_key(shard_ref),
         _ref_key(rw_shard_ref) if rw_shard_ref is not None else None,
         top_k, is_first, nprobe,
+        _ref_key(finalizer_args[0]) if finalizer_args else None,
     )
 
+    def build():
+        return ShardRetriever(shard_ref, top_k=top_k, is_first=is_first,
+                              nprobe=nprobe, rw_shard_ref=rw_shard_ref,
+                              finalizer_args=finalizer_args)
+
     def stage_fn(batch: pa.Table) -> pa.Table:
-        stage = _cached_stage(
-            slot, key,
-            lambda: ShardRetriever(shard_ref, top_k=top_k, is_first=is_first,
-                                   nprobe=nprobe, rw_shard_ref=rw_shard_ref),
-        )
+        stage = _cached_stage(slot, key, build)
         return stage(batch)
 
     return stage_fn
@@ -174,7 +180,8 @@ class ShardRetriever:
     order and empty slices need no flags."""
 
     def __init__(self, shard_ref, top_k: int = TOP_K, is_first: bool = False,
-                 nprobe: int = 16, rw_shard_ref=None):
+                 nprobe: int = 16, rw_shard_ref=None, finalizer=None,
+                 finalizer_args=None):
         shard = (
             ray.get(shard_ref) if not isinstance(shard_ref, tuple) else shard_ref
         )
@@ -208,6 +215,17 @@ class ShardRetriever:
                 )
         self.top_k = top_k
         self.is_first = is_first
+        # fused LAST stage (round 5): the finalizer runs inline on the
+        # numpy accumulators, skipping the last stage's Arrow repack of
+        # the _acc_*/_rw_* columns and one whole stage hop.
+        # ``finalizer_args`` = (titles_ref, rw_ref, rw_acc) builds it
+        # HERE so the title array is resolved worker-side, never
+        # materialized on the driver.
+        if finalizer is None and finalizer_args is not None:
+            titles_ref, rw_ref, rw_acc = finalizer_args
+            finalizer = ShardFinalizer(titles_ref, rw_ref=rw_ref,
+                                       top_k=top_k, rw_acc=rw_acc)
+        self.finalizer = finalizer
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         queries = column_to_vectors(batch.column("encoding"))
@@ -259,17 +277,31 @@ class ShardRetriever:
                 ),
             )
 
+        rw_arrays = None
+        if self.rw_index is not None:
+            rw_arrays = self._rw_merge(batch, queries, m, k)
+        if self.finalizer is not None:
+            # fused last stage: hand the numpy accumulators straight to
+            # the finalizer — no _acc_*/_rw_* Arrow repack. If THIS
+            # stage's RW slice is empty but earlier stages accumulated
+            # one (gid%n_shards can leave a shard empty), grab theirs.
+            if rw_arrays is None and "_rw_ids" in batch.column_names:
+                rw_arrays = self._rw_grab(batch, m)
+            return self.finalizer.finalize_arrays(
+                batch, acc_raw.astype(np.float32),
+                acc_ids.astype(np.int64), acc_wikis.astype(np.int64),
+                acc_tomb.astype(bool), rw_arrays)
         batch = put("_acc_raw", acc_raw.astype(np.float32), pa.float32())
         batch = put("_acc_ids", acc_ids.astype(np.int64), pa.int64())
         batch = put("_acc_wikis", acc_wikis.astype(np.int64), pa.int64())
         batch = put("_acc_tomb", acc_tomb.astype(np.int8), pa.int8())
-        if self.rw_index is not None:
-            batch = self._rw_accumulate(batch, queries, m, k)
+        if rw_arrays is not None:
+            batch = self._rw_pack(batch, *rw_arrays)
         return batch
 
-    def _rw_accumulate(self, batch: pa.Table, queries, m: int,
-                       k: int) -> pa.Table:
-        """Fold this stage's RW slice into the ``_rw_*`` running top-k.
+    def _rw_merge(self, batch: pa.Table, queries, m: int, k: int):
+        """Fold this stage's RW slice into the ``_rw_*`` running top-k;
+        returns the merged ``(raw, gids, titles)`` numpy arrays.
 
         Merge rule (raw desc, gid asc) matches FlatIndex whole-RW
         search exactly (RW row position == ascending-gid position), so
@@ -313,7 +345,29 @@ class ShardRetriever:
             acc_raw = np.take_along_axis(acc_raw, order, axis=1)
             acc_ids = np.take_along_axis(acc_ids, order, axis=1)
             acc_tt = np.take_along_axis(acc_tt, order, axis=1)
+        return acc_raw, acc_ids, acc_tt
 
+    def _rw_grab(self, batch: pa.Table, m: int):
+        """Read the upstream ``_rw_*`` accumulator columns as numpy
+        (fused-finalizer path when this stage's own RW slice is
+        empty)."""
+
+        def grab(name, dtype):
+            col = batch.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return (col.values.to_numpy(zero_copy_only=False)
+                    .reshape(m, -1).astype(dtype))
+
+        col = batch.column("_rw_titles")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        tt = np.asarray(col.values.to_pylist(), dtype=object).reshape(m, -1)
+        return (grab("_rw_raw", np.float32), grab("_rw_ids", np.int64),
+                tt)
+
+    def _rw_pack(self, batch: pa.Table, acc_raw, acc_ids,
+                 acc_tt) -> pa.Table:
         batch = batch.drop_columns(
             [c for c in _RW_ACC_COLS if c in batch.column_names]
         )
@@ -387,14 +441,8 @@ class ShardFinalizer:
         gids = grab("_acc_ids", np.int64)
         wikis = grab("_acc_wikis", np.int64)
         tomb = grab("_acc_tomb", np.int8).astype(bool)
-        valid = gids >= 0
-        scores = np.where(tomb, np.float32(DUMMY_SCORE), raw)
-        indexers = np.full(scores.shape, INDEXER_KB, dtype=np.int32)
-        kb_width = scores.shape[1]
-        rw_titles_mat = None
-
-        use_rw_acc = self.rw_acc and "_rw_ids" in batch.column_names
-        if use_rw_acc:
+        rw_arrays = None
+        if self.rw_acc and "_rw_ids" in batch.column_names:
             rs = grab("_rw_raw", np.float32)
             rids = grab("_rw_ids", np.int64)
             col = batch.column("_rw_titles")
@@ -403,6 +451,24 @@ class ShardFinalizer:
             rw_titles_mat = np.asarray(
                 col.values.to_pylist(), dtype=object
             ).reshape(m, -1)
+            rw_arrays = (rs, rids, rw_titles_mat)
+        return self.finalize_arrays(batch, raw, gids, wikis, tomb,
+                                    rw_arrays)
+
+    def finalize_arrays(self, batch: pa.Table, raw, gids, wikis, tomb,
+                        rw_arrays) -> pa.Table:
+        """Array-level core, also called inline by a fused last
+        ShardRetriever stage (``rw_arrays`` = merged RW running top-k
+        ``(raw, gids, titles)`` or None)."""
+        m = batch.num_rows
+        valid = gids >= 0
+        scores = np.where(tomb, np.float32(DUMMY_SCORE), raw)
+        indexers = np.full(scores.shape, INDEXER_KB, dtype=np.int32)
+        kb_width = scores.shape[1]
+        rw_titles_mat = None
+
+        if rw_arrays is not None:
+            rs, rids, rw_titles_mat = rw_arrays
             rvalid = rids >= 0
         elif self.rw_index is not None and self.rw_index.ntotal:
             queries = column_to_vectors(batch.column("encoding"))
@@ -461,7 +527,7 @@ class ShardFinalizer:
                 top_title[r] = self.rw_index.titles[top_id[r]]
 
         batch = batch.drop_columns(
-            list(_ACC_COLS)
+            [c for c in _ACC_COLS if c in batch.column_names]
             + [c for c in _RW_ACC_COLS if c in batch.column_names]
         )
         batch = batch.append_column("cand_wikipedia_ids", wiki_col)
