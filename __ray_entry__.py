@@ -1366,6 +1366,40 @@ def _q_ivf_knn(sf_dir: str):
     return knn_ivf(assigned, centers, Q, qids, k=5, nprobe=4)
 
 
+def _q_hnsw_knn(sf_dir: str):
+    """Graph-index ANN over the embeddings table (raykg/index.py
+    HnswIndex — the reference's IndexHNSWFlat counterpart,
+    faiss_indexer.py:76-141): NSW graph built once driver-side (the
+    same offline/broadcast shape as the flagship KB index), beam
+    search for the 5 head queries, exact inner-product scores on the
+    visited set. Rows-only (recall gate lives in
+    tests/test_index.py)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from raykg.index import HnswIndex
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    V = np.stack([np.asarray(v, dtype=np.float32) for v in
+                  tbl.column("embedding").to_pylist()])
+    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    Q, qids = V[:5], ids[:5]
+    meta = HnswIndex.build_meta(V, m=12, ef_construction=48, seed=7)
+    h = HnswIndex(V, ids, [str(i) for i in ids], prebuilt=meta,
+                  ef_search=64)
+    scores, pos = h.search_knn(Q, 5)
+    rows = []
+    for qi in range(len(Q)):
+        for r in range(5):
+            if pos[qi, r] < 0:
+                continue
+            rows.append((int(qids[qi]), int(ids[pos[qi, r]]),
+                         float(scores[qi, r]), r + 1))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "score",
+                                       "rank"])
+
+
 def _q_quality(sf_dir: str):
     """Quality features with a FULL SQL ORACLE: every ratio is a
     quotient of regex-match counts, and the score a fixed IEEE-double
@@ -8547,6 +8581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn": _q_ivf_knn,
         "pq_knn": _q_pq_knn,
         "sq8_knn": _q_sq8_knn,
+        "hnsw_knn": _q_hnsw_knn,
         "text_fingerprints": _q_fingerprints,
         "media_frame_sample": _q_media_frames,
         "media_frame_sample_real": _q_media_frames_real,

@@ -527,6 +527,168 @@ class PqIndex(FlatIndex):
         return out_scores, out_ids
 
 
+class HnswIndex(FlatIndex):
+    """Graph-index family (``ann='hnsw'``): a navigable-small-world
+    neighbor graph searched by best-first beam, the counterpart of the
+    reference's production ``IndexHNSWFlat``
+    (``pipeline/biencoder/blink/indexer/faiss_indexer.py:76-141``,
+    ``DenseHNSWFlatIndexer``).
+
+    Metric semantics vs the reference: faiss HNSW is L2-only, so the
+    reference appends a ``sqrt(phi - ||v||²)`` auxiliary dimension at
+    index time (``faiss_indexer.py:102-125``) to turn max-inner-product
+    into min-L2, and the returned (distance-scale) scores are then
+    RECOMPUTED as raw inner products downstream
+    (``pipeline/indexer/main.py:138-152``). This index searches inner
+    product NATIVELY: every candidate visited during the beam is scored
+    by its exact dot product, so the emitted scores are exact on the
+    visited set and the aux-dim + recompute machinery has nothing left
+    to do — the same only-recall-is-approximate contract as IvfIndex /
+    PqIndex. Tie-break (score desc, id asc) matches FlatIndex.
+
+    Build: single-layer NSW, randomized insertion order, beam of
+    ``ef_construction`` per insert, best-``m`` bidirectional linking
+    with degree-capped (2m) pruning by score-to-node — deterministic
+    given ``seed``. Built ONCE on the driver via ``build_meta`` and
+    broadcast (adjacency is ``n × 2m`` int32 ≈ 0.13 kB/row at m=16 —
+    ~1/8 the vector payload at d=256), like the IVF/PQ metadata.
+
+    Scale shape: search touches O(ef · m) rows per query through the
+    shared object-store vector array — no per-query GEMM over the
+    whole KB. The Python-level beam loop makes per-query latency
+    higher than IvfIndex's batched per-list GEMMs on this host, which
+    is why IVF stays the bench headline; HNSW is the completeness/
+    parity member of the family (recall gate in tests/test_index.py,
+    flagship parity gate in tests/test_parity.py)."""
+
+    def __init__(self, vectors, wikipedia_ids, titles, types=None,
+                 tombstone=None, indexer_id=INDEXER_KB, prebuilt=None,
+                 ef_search: int = 96):
+        super().__init__(vectors, wikipedia_ids, titles, types, tombstone,
+                         indexer_id)
+        if prebuilt is None or prebuilt.get("kind") != "hnsw":
+            raise ValueError("HnswIndex needs HnswIndex.build_meta output")
+        self.neighbors = prebuilt["neighbors"]     # (n, 2m) int32, -1 pad
+        self.entry = int(prebuilt["entry"])
+        self.ef_search = max(int(ef_search), 1)
+
+    @staticmethod
+    def build_meta(vectors: np.ndarray, m: int = 16,
+                   ef_construction: int = 64, seed: int = 7) -> dict:
+        """-> {'kind': 'hnsw', 'neighbors', 'entry'}. Deterministic."""
+        n = len(vectors)
+        cap = 2 * m
+        nbrs = np.full((n, cap), -1, dtype=np.int32)
+        deg = np.zeros(n, dtype=np.int32)
+        if n == 0:
+            return {"kind": "hnsw", "neighbors": nbrs, "entry": -1}
+        V = np.ascontiguousarray(vectors, dtype=np.float32)
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(n)
+        entry = int(order[0])
+
+        def beam(q: np.ndarray, ef: int):
+            # best-first search over the partial graph; returns the ef
+            # best (score, id) found, score = exact dot product
+            import heapq
+
+            visited = np.zeros(n, dtype=bool)
+            s0 = float(V[entry] @ q)
+            visited[entry] = True
+            cand = [(-s0, entry)]                 # max-heap (expand)
+            best = [(s0, entry)]                  # min-heap (results)
+            while cand:
+                cs, ci = heapq.heappop(cand)
+                if -cs < best[0][0] and len(best) >= ef:
+                    break
+                nb = nbrs[ci, :deg[ci]]
+                nb = nb[~visited[nb]]
+                if not len(nb):
+                    continue
+                visited[nb] = True
+                ss = V[nb] @ q
+                for s, i in zip(ss, nb):
+                    s = float(s)
+                    if len(best) < ef or s > best[0][0]:
+                        heapq.heappush(cand, (-s, int(i)))
+                        heapq.heappush(best, (s, int(i)))
+                        if len(best) > ef:
+                            heapq.heappop(best)
+            return best
+
+        for v in order[1:]:
+            found = beam(V[v], ef_construction)
+            found.sort(key=lambda t: (-t[0], t[1]))
+            sel = [i for _, i in found[:m]]
+            d = len(sel)
+            nbrs[v, :d] = sel
+            deg[v] = d
+            for u in sel:
+                if deg[u] < nbrs.shape[1]:
+                    nbrs[u, deg[u]] = v
+                    deg[u] += 1
+                else:
+                    # temporarily extend then prune back to cap
+                    nb = np.append(nbrs[u, :deg[u]], v).astype(np.int32)
+                    ss = V[nb] @ V[u]
+                    keep = np.lexsort((nb, -ss))[:cap]
+                    nbrs[u, :cap] = nb[keep]
+                    deg[u] = cap
+        # truncate degrees into the stored array (deg column implied by
+        # -1 padding; store compact)
+        return {"kind": "hnsw", "neighbors": nbrs, "entry": entry}
+
+    def search_knn(self, queries: np.ndarray, top_k: int):
+        import heapq
+
+        m_q = len(queries)
+        n = self.ntotal
+        k = min(top_k, n)
+        if k == 0:
+            return (np.zeros((m_q, top_k), dtype=np.float32),
+                    -np.ones((m_q, top_k), dtype=np.int64))
+        Q = queries.astype(np.float32, copy=False)
+        ef = max(self.ef_search, top_k)
+        nbrs = self.neighbors
+        V = self.vectors
+        out_scores = np.zeros((m_q, top_k), dtype=np.float32)
+        out_ids = -np.ones((m_q, top_k), dtype=np.int64)
+        visited = np.zeros(n, dtype=bool)
+        for qi in range(m_q):
+            q = Q[qi]
+            visited[:] = False
+            s0 = float(V[self.entry] @ q)
+            visited[self.entry] = True
+            cand = [(-s0, self.entry)]
+            best = [(s0, self.entry)]
+            while cand:
+                cs, ci = heapq.heappop(cand)
+                if -cs < best[0][0] and len(best) >= ef:
+                    break
+                nb = nbrs[ci]
+                nb = nb[nb >= 0]
+                nb = nb[~visited[nb]]
+                if not len(nb):
+                    continue
+                visited[nb] = True
+                ss = V[nb] @ q
+                for s, i in zip(ss, nb):
+                    s = float(s)
+                    if len(best) < ef or s > best[0][0]:
+                        heapq.heappush(cand, (-s, int(i)))
+                        heapq.heappush(best, (s, int(i)))
+                        if len(best) > ef:
+                            heapq.heappop(best)
+            ids = np.fromiter((i for _, i in best), dtype=np.int64,
+                              count=len(best))
+            ss = V[ids] @ q            # exact scores (float32 GEMV)
+            sel = np.lexsort((ids, -ss))[:k]
+            kk = len(sel)              # < k only on a disconnected tail
+            out_ids[qi, :kk] = ids[sel]
+            out_scores[qi, :kk] = ss[sel]
+        return out_scores, out_ids
+
+
 def kb_index_from_table(tbl: pa.Table, indexer_id: int = INDEXER_KB) -> FlatIndex:
     """Build the RO KB index from a kb_entities Arrow table
     (fixtures.write_fixture layout, 'tombstone' column optional)."""
@@ -753,6 +915,12 @@ class Retriever:
                 self.indexes = [
                     PqIndex(vectors, wikipedia_ids, titles, types, tombstone,
                             INDEXER_KB, prebuilt=ann)
+                ]
+            elif isinstance(ann, dict) and ann.get("kind") == "hnsw":
+                self.indexes = [
+                    HnswIndex(vectors, wikipedia_ids, titles, types,
+                              tombstone, INDEXER_KB, prebuilt=ann,
+                              ef_search=ann.get("ef_search", 192))
                 ]
             else:
                 self.indexes = [

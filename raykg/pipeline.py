@@ -110,7 +110,12 @@ class PipelineConfig:
     # (≥0.95, tests/test_parity.py). Composes with kb_shards>1: each
     # shard trains codebooks on its own rows; the running-top-k merge
     # is unchanged because shortlist scores are exact.
-    ann: str = "exact"  # exact | ivf | pq
+    # "hnsw" is the graph-index family member (index.HnswIndex, the
+    # reference's production IndexHNSWFlat counterpart): NSW neighbor
+    # graph + best-first beam, exact scores on the visited set, recall
+    # gated like IVF/PQ. kb_shards=1 only (per-shard graphs would need
+    # their own build path; IVF/PQ cover the sharded regime).
+    ann: str = "exact"  # exact | ivf | pq | hnsw
     # encoder token budget (HashEncoder.max_seq_length): windowing /
     # truncation arithmetic threshold; None disables windowing
     max_seq_length: int | None = 128
@@ -118,6 +123,9 @@ class PipelineConfig:
     ivf_nprobe: int = 16
     pq_m: int = 8
     pq_rerank: int = 8
+    hnsw_m: int = 24
+    hnsw_ef_construction: int = 128
+    hnsw_ef_search: int = 192
     # multi-assignment: each KB row joins its ivf_spill nearest lists.
     # THE recall lever on hash-encoder (flat-similarity) KBs: an exact
     # re-rank pass would be a no-op here because IVF first-pass scores
@@ -203,6 +211,15 @@ def load_kb_handles(kb_path: str, cfg: "PipelineConfig") -> dict:
                 idx.vectors, m=cfg.pq_m, rerank=cfg.pq_rerank
             )
         )
+    elif cfg.ann == "hnsw":
+        from raykg.index import HnswIndex
+
+        meta = HnswIndex.build_meta(
+            idx.vectors, m=cfg.hnsw_m,
+            ef_construction=cfg.hnsw_ef_construction,
+        )
+        meta["ef_search"] = cfg.hnsw_ef_search
+        handles["ann_ref"] = ray.put(meta)
     if cfg.kb_shards > 1:
         from raykg.sharded import make_kb_shards
 
@@ -1240,8 +1257,13 @@ def run_pipeline(
         raise ValueError(f"unknown clustering strategy: {cfg.clusterer}")
     if cfg.blocking not in ("global", "surface"):
         raise ValueError(f"unknown blocking mode: {cfg.blocking}")
-    if cfg.ann not in ("exact", "ivf", "pq"):
+    if cfg.ann not in ("exact", "ivf", "pq", "hnsw"):
         raise ValueError(f"unknown ann mode: {cfg.ann}")
+    if cfg.ann == "hnsw" and cfg.kb_shards > 1:
+        raise ValueError(
+            "ann='hnsw' composes with kb_shards=1 only — per-shard "
+            "graph builds are not implemented; use ann='ivf' or 'pq' "
+            "for the sharded regime")
     epochs = epochs if epochs is not None else list_epochs(fixture_dir)
     if not incremental:
         os.makedirs(out_dir, exist_ok=True)

@@ -333,3 +333,53 @@ def test_pq_empty_and_underfill():
     s2, i2 = idx2.search_knn(X2[:1], 5)
     assert i2.shape == (1, 5)
     assert (i2[0, 3:] == -1).all() and i2[0, 0] == 0
+
+
+def test_hnsw_recall_gate_and_exact_scores():
+    """Graph-index family gate (the reference's IndexHNSWFlat
+    counterpart): NSW beam search must hold recall@10 >= 0.98 vs exact
+    on IID gaussian vectors — the WORST case for a neighbor graph (no
+    cluster structure to navigate); clustered encoder output is
+    strictly easier. Scores on returned ids must be the exact inner
+    products (the aux-dim/recompute contract, faiss_indexer.py:102-125
+    + indexer/main.py:138-152, satisfied natively)."""
+    import numpy as np
+
+    from raykg.index import FlatIndex, HnswIndex
+
+    rng = np.random.default_rng(3)
+    n, dim = 8000, 64
+    X = rng.normal(size=(n, dim)).astype(np.float32)
+    wiki = np.arange(n, dtype=np.int64)
+    titles = [str(i) for i in range(n)]
+    meta = HnswIndex.build_meta(X, m=24, ef_construction=128, seed=7)
+    h = HnswIndex(X, wiki, titles, prebuilt=meta, ef_search=192)
+    flat = FlatIndex(X, wiki, titles)
+    Q = rng.normal(size=(300, dim)).astype(np.float32)
+    hs, hi = h.search_knn(Q, 10)
+    _, fi = flat.search_knn(Q, 10)
+    recall = np.mean([len(set(hi[i]) & set(fi[i])) / 10
+                      for i in range(len(Q))])
+    assert recall >= 0.98, recall
+    for r in range(20):
+        mask = hi[r] >= 0
+        np.testing.assert_allclose(
+            hs[r][mask], X[hi[r][mask]] @ Q[r], rtol=1e-5)
+    # deterministic build
+    meta2 = HnswIndex.build_meta(X, m=24, ef_construction=128, seed=7)
+    assert (meta2["neighbors"] == meta["neighbors"]).all()
+    assert meta2["entry"] == meta["entry"]
+
+
+def test_hnsw_underfill_pads_with_minus_one():
+    import numpy as np
+
+    from raykg.index import HnswIndex
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(4, 8)).astype(np.float32)
+    meta = HnswIndex.build_meta(X, m=4, ef_construction=8, seed=1)
+    h = HnswIndex(X, np.arange(4), ["a", "b", "c", "d"], prebuilt=meta)
+    s, ids = h.search_knn(rng.normal(size=(2, 8)).astype(np.float32), 10)
+    assert ids.shape == (2, 10)
+    assert (ids[:, 4:] == -1).all()

@@ -221,3 +221,21 @@ def test_tiny_transformer_parity(tmp_path_factory):
     # the run must exercise BOTH outcomes or the gate is vacuous
     preds = {t[1] for t in pred}
     assert "kg:linksTo" in preds and "kg:hasMember" in preds, preds
+
+
+def test_hnsw_mode_parity(wp_fixture, tmp_path_factory, oracle_result):
+    """Graph-index (HNSW-family) retrieval mode: linked triples still
+    match the exact-search oracle at the P/R gate, like the IVF/PQ
+    modes — the beam's visited set carries exact scores, so only
+    recall is approximate (faiss_indexer.py:76-141 semantics)."""
+    out = str(tmp_path_factory.mktemp("parity_hnsw_out"))
+    run_pipeline(
+        wp_fixture, out,
+        PipelineConfig(ann="hnsw", hnsw_m=12, hnsw_ef_construction=48,
+                       hnsw_ef_search=96, encoder="hash-wp",
+                       max_seq_length=WP_MSL),
+    )
+    tri = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
+    pred = set(zip(tri.subj, tri.pred, tri.obj))
+    p, r = _pr(pred, oracle_result["triples"])
+    assert p >= 0.95 and r >= 0.95, (p, r)
