@@ -426,11 +426,18 @@ ENCODERS = {"hash": HashEncoder, "hash-wp": HashWordPieceEncoder,
 def make_encoder(spec: str = "hash", dim: int = DIM,
                  scale: float = VEC_SCALE,
                  max_seq_length: int | None = 128):
+    if spec == "hf":
+        # lazy: the transformers adapter imports torch only when built
+        # (raykg/hf.py; optional dependency, absent in this sandbox)
+        from raykg.hf import TransformersBiencoder
+
+        return TransformersBiencoder(dim=dim, scale=scale,
+                                     max_seq_length=max_seq_length)
     try:
         cls = ENCODERS[spec]
     except KeyError:
         raise ValueError(f"unknown encoder spec {spec!r}; "
-                         f"one of {sorted(ENCODERS)}") from None
+                         f"one of {sorted(ENCODERS) + ['hf']}") from None
     return cls(dim=dim, scale=scale, max_seq_length=max_seq_length)
 
 
