@@ -152,13 +152,20 @@ def _hierarchical_exchange(block_refs, bucket_col: str, coarse: int,
     import ray.data as rd
 
     n_blocks = len(block_refs)
-    n_super = min(coarse, HX_MAX_REFS // (2 * n_blocks))
-    if n_super < 2:
+    f_cap = min(coarse, HX_MAX_REFS // (2 * n_blocks))
+    if f_cap < 2:
         return None  # cannot fit the budget even hierarchically
+    # group size g: level-2 refs total ~ coarse * blocks/g <= budget/2
+    g = max(1, -(-2 * n_blocks * coarse // HX_MAX_REFS))
+    # super-bucket count F: SMALLEST that bounds a combine task's
+    # working set (~8 source blocks of data: g parts of ~1/F block
+    # each), capped by the ref budget (blocks x F <= budget/2).
+    # Level-2 task count is F x blocks/g, so small F keeps the task
+    # count near the unavoidable blocks/g floor instead of exploding
+    # toward blocks x coarse.
+    n_super = max(2, min(f_cap, -(-g // 8)))
     span = -(-coarse // n_super)            # final buckets per super
     n_super = -(-coarse // span)            # actual supers used
-    # group size g: level-2 refs total ~ coarse * blocks/g
-    g = max(1, -(-2 * n_blocks * coarse // HX_MAX_REFS))
 
     supers = [
         _hx_split_super.options(num_returns=n_super).remote(
