@@ -8594,6 +8594,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # kg_triples_summary's oracle reads the flagship's WRITTEN parquet
+    # at the correctness scale — ensure it exists even if the harness
+    # evaluates oracles before (or without) running the paired query.
+    # resume=True makes this a manifest no-op when the run exists.
+    try:
+        if not os.path.exists("/tmp/raykg_out_sf0.01/triples"):
+            _kg_out("/root/testdata/sf0.01")
+    except Exception:
+        pass  # standalone/duckdb-only callers still get the strings
     return {
         "kg_triples_summary": _SQL_KG_SUMMARY,
         "agg_pricing_summary": _SQL_PRICING,
