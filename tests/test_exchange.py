@@ -157,3 +157,52 @@ def test_single_bucket_coarse_one():
                                  adaptive=False))
     pd.testing.assert_frame_equal(out, _reference(df),
                                   check_dtype=False)
+
+
+def test_real_operators_under_forced_hierarchy(monkeypatch, tmp_path):
+    """End-to-end insurance: real operators built on hash_exchange
+    produce identical output when the two-level plan is forced (tiny
+    ref budget) — pins that their bucket fns rely only on bucket
+    co-location, which the hierarchy preserves exactly."""
+    from raykg.ops.dedup import exact_dedup
+    from raykg.ops.joins import asof_join
+
+    rng = np.random.default_rng(21)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(600, dtype=np.int64),
+        "text": [f"doc body {i % 37}" for i in range(600)],
+    })
+    dds = rd.from_pandas(docs).repartition(7)
+    want_dedup = (exact_dedup(dds, text_col="text", id_col="doc_id")
+                  .to_pandas().sort_values("doc_id")
+                  .reset_index(drop=True))
+
+    left = pd.DataFrame({
+        "k": rng.integers(0, 9, 400).astype(np.int64),
+        "t": rng.integers(0, 1000, 400).astype(np.int64),
+        "lv": np.arange(400, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 9, 300).astype(np.int64),
+        "t": rng.integers(0, 1000, 300).astype(np.int64),
+        "rv": np.arange(300, dtype=np.int64),
+    })
+
+    def run_asof():
+        return (asof_join(rd.from_pandas(left).repartition(5),
+                          rd.from_pandas(right).repartition(4),
+                          key="k", right_key="k", ts="t",
+                          right_ts="t", left_cols=["lv"],
+                          right_cols=["rv"])
+                .to_pandas().sort_values(["k", "t", "lv"])
+                .reset_index(drop=True))
+
+    want_asof = run_asof()
+
+    monkeypatch.setattr(exchange, "HX_MAX_REFS", 48)
+    got_dedup = (exact_dedup(dds, text_col="text", id_col="doc_id")
+                 .to_pandas().sort_values("doc_id")
+                 .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_dedup, want_dedup)
+    got_asof = run_asof()
+    pd.testing.assert_frame_equal(got_asof, want_asof)
