@@ -50,6 +50,11 @@ def exact_global_quantile(ds, col: str, q: float, id_col: str | None = None,
     if not (0.0 <= q <= 1.0):
         raise ValueError("q must be in [0, 1]")
 
+    # selection is multi-pass (extent + sample + count(s) + collect):
+    # pin the input blocks once so a lazy upstream read is not
+    # re-executed per pass (ref-copy no-op when already materialized)
+    ds = ds.materialize()
+
     # ---- total count + global min/max (one pass)
     def extent(t: pa.Table) -> pa.Table:
         x = _column(t, col)
@@ -184,6 +189,7 @@ def equi_depth_bins(ds, col: str, nbins: int, out_col: str = "bin",
     """
     if nbins < 2:
         raise ValueError("nbins must be >= 2")
+    ds = ds.materialize()   # nbins-1 selections share one read
     bounds = np.array([
         exact_global_quantile(ds, col, i / nbins, **quantile_kwargs)
         for i in range(1, nbins)
@@ -221,6 +227,7 @@ def winsorize(ds, col: str, q_lo: float = 0.125, q_hi: float = 0.875,
     """
     if not (0.0 <= q_lo < q_hi <= 1.0):
         raise ValueError("need 0 <= q_lo < q_hi <= 1")
+    ds = ds.materialize()   # both selections share one read
     lo = exact_global_quantile(ds, col, q_lo, **quantile_kwargs)
     hi = exact_global_quantile(ds, col, q_hi, **quantile_kwargs)
     out = out_col or (col + "_w")
