@@ -46,6 +46,7 @@ def build_dictionary(ds, col: str, n_ranges: int = DICT_RANGES,
     non-null value, ``code`` dense 0..n-1 in ascending value order."""
     import ray
 
+    from raykg.ops.exchange import hash_exchange
     from raykg.ops.sample import hash_spread_sample_rows
 
     def block_unique(t: pa.Table) -> pa.Table:
@@ -77,18 +78,20 @@ def build_dictionary(ds, col: str, n_ranges: int = DICT_RANGES,
              if len(sp) else np.zeros(len(v), dtype=np.int32))
         return t.append_column("_rb", pa.array(b))
 
-    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        vals = np.sort(pd.unique(g[col].to_numpy()))
-        return pd.DataFrame({col: vals,
-                             "_rb": np.full(len(vals), g["_rb"].iloc[0],
-                                            dtype=np.int32)})
-
-    distinct = (uniq.map_batches(assign_range, batch_format="pyarrow")
-                .groupby("_rb").map_groups(bucket_distinct,
-                                           batch_format="pandas")
-                ).materialize()
-
     n_buckets = len(splits) + 1
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        # fold-safe whole-bucket fn (a merge task may hold several
+        # folded _rb ranges): dedup on the value ALONE is still exact
+        # because assign_range maps each value to exactly one range
+        return g.drop_duplicates(col)[[col, "_rb"]]
+
+    # raw-task exchange instead of the groupby sort shuffle; a side
+    # effect the codes pass below exploits: each output BLOCK holds
+    # whole _rb ranges (one merge task per fold group)
+    distinct = hash_exchange(
+        uniq.map_batches(assign_range, batch_format="pyarrow"),
+        "_rb", n_buckets, bucket_distinct).materialize()
     counts = np.zeros(n_buckets, dtype=np.int64)
     part = distinct.map_batches(lambda t: pa.table({
         "b": pa.array(np.arange(n_buckets, dtype=np.int32)),
@@ -101,17 +104,24 @@ def build_dictionary(ds, col: str, n_ranges: int = DICT_RANGES,
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
     off_ref = ray.put(offsets)
 
-    def codes(g: pd.DataFrame) -> pd.DataFrame:
+    def codes(df: pd.DataFrame) -> pd.DataFrame:
+        # per-BLOCK, not a second shuffle: the exchange above already
+        # co-located every _rb range inside one block, so ranking
+        # within runs of _rb here is the global dense code
         off = ray.get(off_ref)
-        b = int(g["_rb"].iloc[0])
-        vals = np.sort(g[col].to_numpy())  # already distinct per bucket
-        return pd.DataFrame({
-            col: vals,
-            "code": off[b] + np.arange(len(vals), dtype=np.int64),
-        })
+        d = df.sort_values(["_rb", col], kind="mergesort")
+        b = d["_rb"].to_numpy().astype(np.int64)
+        idx = np.arange(len(b), dtype=np.int64)
+        if len(b):
+            newb = np.r_[True, b[1:] != b[:-1]]
+            local = idx - idx[newb][np.cumsum(newb) - 1]
+        else:
+            local = idx
+        return pd.DataFrame({col: d[col].to_numpy(),
+                             "code": off[b] + local})
 
-    return (distinct.groupby("_rb")
-            .map_groups(codes, batch_format="pandas")).materialize()
+    return distinct.map_batches(
+        codes, batch_format="pandas", batch_size=None).materialize()
 
 
 def dict_encode(ds, col: str, out_col: str = "code",
@@ -125,7 +135,7 @@ def dict_encode(ds, col: str, out_col: str = "code",
 
     d = build_dictionary(ds, col, n_ranges=n_ranges)
 
-    # rename AND re-block as Arrow: build_dictionary's map_groups
+    # rename AND re-block as Arrow: build_dictionary's codes pass
     # emits pandas blocks, which the broadcast-side assembler (and
     # Ray's Project op) reject
     def ren(t: pa.Table) -> pa.Table:

@@ -429,11 +429,16 @@ def _msf_tasks(ebuckets, vlabels, max_rounds: int, coarse: int):
         return t.append_column("_e", pa.array(
             _bucket(u * 1_000_003 + v, MST_BUCKETS)))
 
-    return (out.map_batches(edge_key, batch_format="pyarrow")
-            .groupby("_e")
-            .map_groups(lambda g: g.drop_duplicates(["u", "v"])
-                        .drop(columns="_e"),
-                        batch_format="pandas"))
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(
+        out.map_batches(edge_key, batch_format="pyarrow"),
+        "_e", MST_BUCKETS, _dedup_uv_whole_bucket)
+
+
+def _dedup_uv_whole_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    # fold-safe: dedup keys on (u, v) itself, not the bucket value
+    return g.drop_duplicates(["u", "v"]).drop(columns="_e")
 
 
 def _concat3_fn(*parts):
@@ -454,6 +459,7 @@ def _msf_dataset(edges_ds, src: str = "src", dst: str = "dst",
     fallback of minimum_spanning_forest (labels exceed
     ROOTS_INMEM_BYTES)."""
     from raykg.ops.cc import _bucket
+    from raykg.ops.exchange import hash_exchange
     from raykg.ops.joins import auto_join
 
     def norm(t: pa.Table) -> pa.Table:
@@ -475,11 +481,13 @@ def _msf_dataset(edges_ds, src: str = "src", dst: str = "dst",
                            coarse)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    edges = (edges_ds.map_batches(norm, batch_format="pyarrow")
-             .groupby("_b")
-             .map_groups(lambda g: g.groupby(["u", "v"], as_index=False)
-                         ["w"].min(),
-                         batch_format="pandas")).materialize()
+    def min_w_per_edge(g: pd.DataFrame) -> pd.DataFrame:
+        # fold-safe: re-groups by the real (u, v) key internally
+        return g.groupby(["u", "v"], as_index=False)["w"].min()
+
+    edges = hash_exchange(
+        edges_ds.map_batches(norm, batch_format="pyarrow"),
+        "_b", coarse, min_w_per_edge).materialize()
 
     def verts(t: pa.Table) -> pa.Table:
         ids = np.unique(np.concatenate([
@@ -489,11 +497,13 @@ def _msf_dataset(edges_ds, src: str = "src", dst: str = "dst",
                          "comp": pa.array(ids.astype(np.int64)),
                          "_b": pa.array(_bucket(ids, coarse))})
 
-    labels = (edges.map_batches(verts, batch_format="pyarrow")
-              .groupby("_b")
-              .map_groups(lambda g: g.drop_duplicates("vertex")
-                          .drop(columns="_b"),
-                          batch_format="pandas")).materialize()
+    def dedup_vertex(g: pd.DataFrame) -> pd.DataFrame:
+        # fold-safe: dedup keys on vertex itself, not the bucket value
+        return g.drop_duplicates("vertex").drop(columns="_b")
+
+    labels = hash_exchange(
+        edges.map_batches(verts, batch_format="pyarrow"),
+        "_b", coarse, dedup_vertex).materialize()
 
     i64 = pa.int64()
     forest_parts = []
@@ -552,13 +562,13 @@ def _msf_dataset(edges_ds, src: str = "src", dst: str = "dst",
             return pa.Table.from_pandas(rows, preserve_index=False)
 
         def fold_min(g: pd.DataFrame) -> pd.DataFrame:
+            # fold-safe: min-per-component keys on c itself
             return (g.sort_values(["c", "w", "u", "v"], kind="mergesort")
                     .drop_duplicates("c").drop(columns="_b"))
 
-        winners = (cross.map_batches(cand, batch_format="pyarrow")
-                   .groupby("_b")
-                   .map_groups(fold_min, batch_format="pandas")
-                   ).materialize()
+        winners = hash_exchange(
+            cross.map_batches(cand, batch_format="pyarrow"),
+            "_b", coarse, fold_min).materialize()
 
         # an edge chosen by both endpoints appears twice in winners —
         # contraction (pointer doubling) doesn't care, and the forest
@@ -614,11 +624,9 @@ def _msf_dataset(edges_ds, src: str = "src", dst: str = "dst",
         return t.append_column("_e", pa.array(
             _bucket(u * 1_000_003 + v, coarse)))
 
-    return (out.map_batches(edge_key, batch_format="pyarrow")
-            .groupby("_e")
-            .map_groups(lambda g: g.drop_duplicates(["u", "v"])
-                        .drop(columns="_e"),
-                        batch_format="pandas"))
+    return hash_exchange(
+        out.map_batches(edge_key, batch_format="pyarrow"),
+        "_e", coarse, _dedup_uv_whole_bucket)
 
 
 def mst_bruteforce(edges: pd.DataFrame, src: str = "src",
