@@ -147,27 +147,45 @@ class WordPieceTokenizer:
                 "ation", "ies", "s", "y", "e"]
     CHARS = "abcdefghijklmnopqrstuvwxyz0123456789.,-'&()/:"
 
+    # per-word memo cap: words are Zipf-distributed, so hit rates stay
+    # high far below this; the cap only bounds adversarial vocabularies
+    MEMO_MAX = 1 << 16
+
     def __init__(self):
         self.starts = sorted(
             set(self.STEMS) | set(self.CHARS), key=len, reverse=True)
         self.conts = sorted(
             set(self.SUFFIXES) | set(self.CHARS), key=len, reverse=True)
+        self._memo: dict[str, list[str]] = {}
+
+    def _tokenize_word(self, word: str) -> list[str]:
+        out: list[str] = []
+        pos, first = 0, True
+        while pos < len(word):
+            pieces = self.starts if first else self.conts
+            for p in pieces:
+                if word.startswith(p, pos):
+                    out.append(p if first else "##" + p)
+                    pos += len(p)
+                    first = False
+                    break
+            else:
+                out.append("[UNK]")
+                break
+        return out
 
     def tokenize(self, text: str) -> list[str]:
+        # greedy matching is per-word, so memoizing per word is exact
         out: list[str] = []
+        memo = self._memo
         for word in (text or "").lower().split():
-            pos, first = 0, True
-            while pos < len(word):
-                pieces = self.starts if first else self.conts
-                for p in pieces:
-                    if word.startswith(p, pos):
-                        out.append(p if first else "##" + p)
-                        pos += len(p)
-                        first = False
-                        break
-                else:
-                    out.append("[UNK]")
-                    break
+            pieces = memo.get(word)
+            if pieces is None:
+                if len(memo) >= self.MEMO_MAX:
+                    memo.clear()
+                pieces = self._tokenize_word(word)
+                memo[word] = pieces
+            out.extend(pieces)
         return out
 
 

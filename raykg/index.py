@@ -258,6 +258,7 @@ class IvfIndex(FlatIndex):
         seed: int = 7,
         train_sample: int = 8192,
         spill: int = 1,
+        balance: float | None = None,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """-> (centroids (L,d) f32, perm (n·spill,) i64 rows grouped by
         list with id asc inside, offsets (L+1,) i64, vecs_by_list
@@ -266,7 +267,24 @@ class IvfIndex(FlatIndex):
         ``spill`` > 1 assigns each vector to its ``spill`` nearest lists
         (multi-assignment): recall rises on flat-similarity corpora at
         the cost of spill× probed rows AND a spill× larger broadcast
-        layout; duplicate hits are collapsed in search_knn's merge."""
+        layout; duplicate hits are collapsed in search_knn's merge.
+
+        ``balance``: lists larger than ``balance ×`` the mean fill are
+        split into sub-lists by a seeded local k-means (the centroid is
+        replaced by sub-centroids, so probing stays one argpartition
+        over all centroids), then the spill assignment is re-derived
+        against the final centroid set. Skewed fills make queries probe
+        the BIGGEST lists preferentially — measured 2.3× the balanced
+        row count per query on the bench KB — and at cluster scale the
+        fat list is the straggler that sets a retrieval stage's tail
+        latency. Opt-in (default ``None``: the final list count equals
+        ``n_lists`` exactly) because the win is data-dependent: on
+        CLUSTERED corpora splitting holds recall at a fraction of the
+        probed rows (see ``test_ivf_balance_*``), while on
+        flat-similarity corpora the skewed spill≥2 fills are themselves
+        the recall mechanism (each vector reachable via several fat
+        region lists) and splitting trades recall for speed — the
+        flagship keeps spill=3/nprobe=8 unbalanced for that reason."""
         n = len(vectors)
         if n == 0:
             empty = np.zeros(
@@ -284,21 +302,39 @@ class IvfIndex(FlatIndex):
         sample = vectors[::step][:train_sample]
         centroids = _kmeans_gemm(sample, L, seed=seed).astype(np.float32)
         L = len(centroids)
-        A = max(1, min(spill, L))
-        # assign every row to its A nearest lists by min L2 (chunked GEMM)
-        half_c2 = 0.5 * (centroids.astype(np.float64) ** 2).sum(axis=1)
-        assign = np.empty((n, A), dtype=np.int64)
-        CH = 65536
-        for lo in range(0, n, CH):
-            chunk = vectors[lo : lo + CH].astype(np.float64)
-            d = chunk @ centroids.T.astype(np.float64) - half_c2[None, :]
-            if A == 1:
-                assign[lo : lo + CH, 0] = d.argmax(axis=1)
-            else:
-                top = np.argpartition(-d, A - 1, axis=1)[:, :A]
-                assign[lo : lo + CH] = top
-        flat_assign = assign.reshape(-1)
-        flat_rows = np.repeat(np.arange(n, dtype=np.int64), A)
+
+        def spill_assign(cents):
+            # every row to its A nearest lists by min L2 (chunked GEMM)
+            A = max(1, min(spill, len(cents)))
+            half_c2 = 0.5 * (cents.astype(np.float64) ** 2).sum(axis=1)
+            assign = np.empty((n, A), dtype=np.int64)
+            CH = 65536
+            for lo in range(0, n, CH):
+                chunk = vectors[lo : lo + CH].astype(np.float64)
+                d = chunk @ cents.T.astype(np.float64) - half_c2[None, :]
+                if A == 1:
+                    assign[lo : lo + CH, 0] = d.argmax(axis=1)
+                else:
+                    top = np.argpartition(-d, A - 1, axis=1)[:, :A]
+                    assign[lo : lo + CH] = top
+            return (assign.reshape(-1),
+                    np.repeat(np.arange(n, dtype=np.int64), A))
+
+        flat_assign, flat_rows = spill_assign(centroids)
+        if balance is not None and n > L:
+            centroids, flat_assign = IvfIndex._balance_lists(
+                vectors, centroids, flat_assign, flat_rows,
+                balance=balance, seed=seed, train_sample=train_sample,
+            )
+            if len(centroids) > L:
+                # something split: re-derive the multi-assignment
+                # against the FINAL centroid set, so "each vector in
+                # its `spill` nearest lists" holds for the lists the
+                # probe actually ranks — balancing alone leaves spill
+                # copies keyed to pre-split geometry, which costs
+                # recall exactly in the dense regions that split
+                flat_assign, flat_rows = spill_assign(centroids)
+        L = len(centroids)
         order = np.lexsort((flat_rows, flat_assign))
         perm = flat_rows[order]
         counts = np.bincount(flat_assign, minlength=L)
@@ -312,6 +348,53 @@ class IvfIndex(FlatIndex):
             else vectors.astype(np.float32, copy=False)
         )
         return centroids, perm, offsets, vecs_by_list
+
+    @staticmethod
+    def _balance_lists(vectors, centroids, flat_assign, flat_rows,
+                       balance: float, seed: int, train_sample: int,
+                       max_passes: int = 4):
+        """Split every list whose fill exceeds ``balance ×`` the mean
+        into ceil(fill/mean) sub-lists via a seeded k-means over its
+        members; the first sub-centroid keeps the list id, the rest
+        append. Runs on the driver once per build; a pass only touches
+        oversized lists' members. Deterministic (per-list seeds).
+        Mutates and returns (centroids, flat_assign)."""
+        target = max(1, -(-len(flat_assign) // len(centroids)))
+        cap = max(int(balance * target), target + 1)
+        for _ in range(max_passes):
+            counts = np.bincount(flat_assign, minlength=len(centroids))
+            big = np.flatnonzero(counts > cap)
+            if len(big) == 0:
+                break
+            grew = False
+            for l in big.tolist():
+                members = np.flatnonzero(flat_assign == l)
+                rows_l = flat_rows[members]
+                k = min(len(rows_l), -(-int(counts[l]) // target))
+                if k < 2:
+                    continue
+                step = max(1, len(rows_l) // train_sample)
+                sub = _kmeans_gemm(
+                    vectors[rows_l[::step][:train_sample]], k,
+                    seed=seed + 100_003 * (l + 1),
+                ).astype(np.float32)
+                if len(sub) < 2:
+                    continue
+                half = 0.5 * (sub.astype(np.float64) ** 2).sum(axis=1)
+                d = (vectors[rows_l].astype(np.float64)
+                     @ sub.T.astype(np.float64) - half[None, :])
+                a = d.argmax(axis=1)
+                base = len(centroids)
+                centroids[l] = sub[0]  # list l becomes sub-cluster 0
+                centroids = np.concatenate([centroids, sub[1:]])
+                new = np.where(a == 0, l, base + a - 1)
+                flat_assign[members] = new
+                grew = True
+            if not grew:
+                # stubborn lists (e.g. many identical vectors) cannot
+                # split further — stop instead of re-running k-means
+                break
+        return centroids, flat_assign
 
     # larger chunks than the exact path: the IVF intermediate is
     # (list_size × queries_probing_list), not (chunk × ntotal), so a big

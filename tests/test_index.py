@@ -383,3 +383,52 @@ def test_hnsw_underfill_pads_with_minus_one():
     s, ids = h.search_knn(rng.normal(size=(2, 8)).astype(np.float32), 10)
     assert ids.shape == (2, 10)
     assert (ids[:, 4:] == -1).all()
+
+
+def test_ivf_balance_splits_fat_lists_and_holds_recall_on_clustered():
+    """Opt-in list balancing (``build_meta(balance=...)``): on CLUSTERED
+    embeddings — where some natural clusters are much bigger than others
+    — splitting fat lists must cut the max fill (the tail-latency
+    straggler at cluster scale) while holding recall@10 >= 0.98 vs
+    exact, and stay deterministic."""
+    import numpy as np
+
+    from raykg.index import FlatIndex, IvfIndex
+
+    rng = np.random.default_rng(11)
+    dim, C = 48, 40
+    centers = rng.normal(size=(C, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # skewed cluster sizes: a few clusters hold most of the corpus
+    sizes = (rng.pareto(1.2, C) + 1.0)
+    sizes = (sizes / sizes.sum() * 24000).astype(int) + 50
+    lab = np.repeat(np.arange(C), sizes)
+    n = len(lab)
+    X = (centers[lab] + rng.normal(size=(n, dim)) * 0.3 / np.sqrt(dim)).astype(
+        np.float32
+    )
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    wiki = np.arange(n, dtype=np.int64)
+    titles = [str(i) for i in range(n)]
+    Q = (centers[rng.integers(0, C, 400)]
+         + rng.normal(size=(400, dim)) * 0.3 / np.sqrt(dim)).astype(np.float32)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    flat = FlatIndex(X, wiki, titles)
+    _, fe = flat.search_knn(Q, 10)
+
+    meta_u = IvfIndex.build_meta(X, n_lists=32, seed=5)
+    meta_b = IvfIndex.build_meta(X, n_lists=32, seed=5, balance=2.0)
+    fill_u = np.diff(meta_u[2]).max()
+    fill_b = np.diff(meta_b[2]).max()
+    assert len(meta_b[0]) > 32  # something split
+    assert fill_b < fill_u  # the straggler list shrank
+    # probe the same FRACTION of the partition as the unbalanced index
+    npb = -(-6 * len(meta_b[0]) // 32)
+    ivf = IvfIndex(X, wiki, titles, prebuilt=meta_b, nprobe=npb)
+    _, ia = ivf.search_knn(Q, 10)
+    recall = np.mean([len(set(fe[i]) & set(ia[i])) / 10 for i in range(400)])
+    assert recall >= 0.98, recall
+    # deterministic: same seed -> identical layout
+    meta_b2 = IvfIndex.build_meta(X, n_lists=32, seed=5, balance=2.0)
+    assert np.array_equal(meta_b[0], meta_b2[0])
+    assert np.array_equal(meta_b[1], meta_b2[1])
