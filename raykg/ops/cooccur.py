@@ -84,6 +84,11 @@ def cooccurrence_pairs(
             "_bk", _key_bucket(t.column(basket_col), coarse))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # fold-safe: baskets stay whole per bucket, counts are partial
+        if not len(g):
+            return pd.DataFrame({"item_a": g[item_col],
+                                 "item_b": g[item_col],
+                                 "cnt": pd.Series([], dtype="int64")})
         g = g.drop_duplicates([basket_col, item_col]).sort_values(
             [basket_col, item_col], kind="mergesort")
         if max_basket is not None:
@@ -108,6 +113,10 @@ def cooccurrence_pairs(
             "_pb", pa.array((h % np.uint64(coarse)).astype(np.int32)))
 
     def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # fold-safe: a pair's rows all share its _pb bucket, and a
+        # task-local head(k) still contains every global top-k row
+        if not len(g):
+            return g[["item_a", "item_b", "cnt"]]
         m = (g.groupby(["item_a", "item_b"], sort=False)["cnt"].sum()
              .reset_index())
         m = m[m["cnt"] >= min_count]
@@ -116,15 +125,14 @@ def cooccurrence_pairs(
                           kind="mergesort")
         return m.head(k)
 
-    parts = (
-        ds.map_batches(bucket_rows, batch_format="pyarrow")
-        .groupby("_bk")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .map_batches(pair_bucket, batch_format="pyarrow")
-        .groupby("_pb")
-        .map_groups(bucket_topk, batch_format="pandas")
-        .to_pandas()
-    )
+    from raykg.ops.exchange import hash_exchange
+
+    parts = hash_exchange(
+        hash_exchange(
+            ds.map_batches(bucket_rows, batch_format="pyarrow"),
+            "_bk", coarse, bucket_pairs)
+        .map_batches(pair_bucket, batch_format="pyarrow"),
+        "_pb", coarse, bucket_topk).to_pandas()
     parts = parts.sort_values(["cnt", "item_a", "item_b"],
                               ascending=[False, True, True],
                               kind="mergesort").head(k)
@@ -172,6 +180,14 @@ def association_rules(
             "_bk", _key_bucket(t.column(basket_col), coarse))
 
     def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        # fold-safe: baskets stay whole per bucket; pair/item partials
+        # sum downstream, and the single kind-2 row per task is a
+        # partial basket count (baskets never straddle buckets)
+        if not len(g):
+            return pd.DataFrame({"item_a": g[item_col],
+                                 "item_b": g[item_col],
+                                 "cnt": pd.Series([], dtype="int64"),
+                                 "kind": pd.Series([], dtype="int32")})
         g = g.drop_duplicates([basket_col, item_col]).sort_values(
             [basket_col, item_col], kind="mergesort")
         if max_basket is not None:
@@ -199,10 +215,11 @@ def association_rules(
         return pd.concat([pairs[cols], items[cols], nb[cols]],
                          ignore_index=True)
 
-    tagged = (ds.map_batches(bucket_rows, batch_format="pyarrow")
-              .groupby("_bk")
-              .map_groups(bucket_stats, batch_format="pandas")
-              ).materialize()
+    from raykg.ops.exchange import hash_exchange
+
+    tagged = hash_exchange(
+        ds.map_batches(bucket_rows, batch_format="pyarrow"),
+        "_bk", coarse, bucket_stats).materialize()
 
     # pairs: the cooccurrence_pairs tail (pair-key exchange, top-k);
     # string items hash through hash_strings, ints directly
@@ -225,6 +242,10 @@ def association_rules(
             "_pb", pa.array((h % np.uint64(coarse)).astype(np.int32)))
 
     def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # fold-safe: pair rows share their _pb bucket; task-local
+        # head(k) keeps every global top-k row
+        if not len(g):
+            return g[["item_a", "item_b", "cnt"]]
         m = (g.groupby(["item_a", "item_b"], sort=False)["cnt"].sum()
              .reset_index())
         m = m[m["cnt"] >= min_count]
@@ -233,10 +254,9 @@ def association_rules(
                           kind="mergesort")
         return m.head(k)
 
-    pairs = (tagged.map_batches(pair_bucket, batch_format="pyarrow")
-             .groupby("_pb")
-             .map_groups(bucket_topk, batch_format="pandas")
-             .to_pandas())
+    pairs = hash_exchange(
+        tagged.map_batches(pair_bucket, batch_format="pyarrow"),
+        "_pb", coarse, bucket_topk).to_pandas()
     out_cols = ["antecedent", "consequent", "pair_n", "ante_n",
                 "cons_n", "n_baskets", "confidence", "lift"]
     if len(pairs) == 0:  # every bucket filtered out below min_count
@@ -326,6 +346,10 @@ def cooccur_cosine(
     # consume the materialized per-bucket groups with whole-basket
     # block alignment, which Ray's re-blocking doesn't guarantee.
     def item_parts(g: pd.DataFrame) -> pd.DataFrame:
+        # fold-safe: dedup keys on (basket, item); partials sum below
+        if not len(g):
+            return pd.DataFrame({item_col: g[item_col],
+                                 "n": pd.Series([], dtype="int64")})
         g = g.drop_duplicates([basket_col, item_col])
         return (g.groupby(item_col, sort=False).size()
                 .rename("n").reset_index())
@@ -335,15 +359,22 @@ def cooccur_cosine(
         return t.append_column(
             "_bk", _key_bucket(t.column(basket_col), coarse))
 
+    from raykg.ops.exchange import hash_exchange
+
     item_counts = (
-        ds.map_batches(bucket_rows, batch_format="pyarrow")
-        .groupby("_bk").map_groups(item_parts, batch_format="pandas")
+        hash_exchange(ds.map_batches(bucket_rows, batch_format="pyarrow"),
+                      "_bk", coarse, item_parts)
         .to_pandas()
         .groupby(item_col, as_index=False)["n"].sum())
     counts_ref = ray.put(dict(zip(item_counts[item_col],
                                   item_counts["n"].astype(np.int64))))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # fold-safe: baskets stay whole per bucket, counts are partial
+        if not len(g):
+            return pd.DataFrame({"item_a": g[item_col],
+                                 "item_b": g[item_col],
+                                 "cnt": pd.Series([], dtype="int64")})
         g = g.drop_duplicates([basket_col, item_col]).sort_values(
             [basket_col, item_col], kind="mergesort")
         if max_basket is not None:
@@ -367,6 +398,8 @@ def cooccur_cosine(
             "_pb", pa.array((h % np.uint64(coarse)).astype(np.int32)))
 
     def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # fold-safe: pair rows share their _pb bucket; task-local
+        # head(k) keeps every global top-k row
         import ray as _r
         nmap = _r.get(counts_ref)
         m = (g.groupby(["item_a", "item_b"], sort=False)["cnt"].sum()
@@ -389,15 +422,12 @@ def cooccur_cosine(
                           kind="mergesort")
         return m.head(k)
 
-    parts = (
-        ds.map_batches(bucket_rows, batch_format="pyarrow")
-        .groupby("_bk")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .map_batches(pair_bucket, batch_format="pyarrow")
-        .groupby("_pb")
-        .map_groups(bucket_topk, batch_format="pandas")
-        .to_pandas()
-    )
+    parts = hash_exchange(
+        hash_exchange(
+            ds.map_batches(bucket_rows, batch_format="pyarrow"),
+            "_bk", coarse, bucket_pairs)
+        .map_batches(pair_bucket, batch_format="pyarrow"),
+        "_pb", coarse, bucket_topk).to_pandas()
     parts = parts.sort_values(["cosine", "item_a", "item_b"],
                               ascending=[False, True, True],
                               kind="mergesort").head(k)

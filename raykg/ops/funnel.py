@@ -62,16 +62,22 @@ def funnel_counts(ds, steps: list[str], key: str = "user_id",
         counts = [len(cur)]
         for s in steps[1:]:
             nxt = df[df[type_col] == s][[key, ts_col]]
-            nxt = nxt.merge(cur, left_on=key, right_index=True)
+            # merge on COLUMNS: a right_index merge propagates the
+            # named index, making `key` ambiguous in the next groupby
+            nxt = nxt.merge(cur.reset_index(), on=key)
             nxt = nxt[nxt[ts_col] > nxt["t"]]
             cur = nxt.groupby(key, sort=False)[ts_col].min().rename("t")
             counts.append(len(cur))
         return pd.DataFrame({"step": np.arange(len(steps)),
                              "n": np.asarray(counts, dtype=np.int64)})
 
-    parts = (ds.map_batches(pre, batch_format="pyarrow")
-             .groupby("_fk").map_groups(bucket_chain, batch_format="pandas")
-             .to_pandas())
+    from raykg.ops.exchange import hash_exchange
+
+    # fold-safe: bucket_chain re-groups by the key internally and its
+    # per-step counts are partials the driver sums below
+    parts = hash_exchange(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        "_fk", coarse, bucket_chain).to_pandas()
     agg = parts.groupby("step", as_index=False)["n"].sum()
     out = pd.DataFrame({
         "step": np.arange(1, len(steps) + 1, dtype=np.int64),
@@ -153,10 +159,13 @@ def cohort_retention(ds, key: str = "user_id", ts_col: str = "ts",
                .agg(n_active=(key, "nunique")))
         return out
 
-    parts = (ds.map_batches(pre, batch_format="pyarrow")
-             .groupby("_fk").map_groups(bucket_counts,
-                                        batch_format="pandas")
-             .to_pandas())
+    from raykg.ops.exchange import hash_exchange
+
+    # fold-safe: bucket_counts re-groups by the key internally and its
+    # (cohort, offset) counts are partials the driver sums below
+    parts = hash_exchange(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        "_fk", coarse, bucket_counts).to_pandas()
     out = (parts.groupby(["cohort", "offset"], as_index=False)
            ["n_active"].sum())
     for c in ("cohort", "offset", "n_active"):

@@ -198,23 +198,31 @@ def incremental_minhash_dedup(
         )
 
     def write_sigs(g: pd.DataFrame) -> pd.DataFrame:
-        b = int(g["_sb"].iloc[0])
-        ids = g[id_col].to_numpy(dtype=np.int64)
-        sig = np.stack(g["sig"].to_numpy()).astype(np.int64)
-        _write_delta(
-            os.path.join(sig_root, f"bucket={b}"), increment_id,
-            pa.table({
-                id_col: pa.array(ids),
-                "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(sig.reshape(-1)), num_perm
-                ),
-            }),
-        )
-        return pd.DataFrame({"bucket": [b], "n": [len(g)]})
+        # fold-safe: one delta write PER BUCKET VALUE in the task (the
+        # bucket-partitioned state layout keys on _sb, not on the task)
+        out_b, out_n = [], []
+        for b, sub in g.groupby("_sb", sort=True):
+            ids = sub[id_col].to_numpy(dtype=np.int64)
+            sig = np.stack(sub["sig"].to_numpy()).astype(np.int64)
+            _write_delta(
+                os.path.join(sig_root, f"bucket={int(b)}"), increment_id,
+                pa.table({
+                    id_col: pa.array(ids),
+                    "sig": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sig.reshape(-1)), num_perm
+                    ),
+                }),
+            )
+            out_b.append(int(b))
+            out_n.append(len(sub))
+        return pd.DataFrame({"bucket": pd.Series(out_b, dtype="int64"),
+                             "n": pd.Series(out_n, dtype="int64")})
 
     sig_ds = ds.map_batches(compute, batch_format="pyarrow").materialize()
     # eager: commit this increment's signatures before pair generation
-    sig_ds.groupby("_sb").map_groups(write_sigs, batch_format="pandas").materialize()
+    from raykg.ops.exchange import hash_exchange
+
+    hash_exchange(sig_ds, "_sb", buckets, write_sigs).materialize()
 
     def explode_bands(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)

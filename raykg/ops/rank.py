@@ -323,16 +323,32 @@ def pareto_coverage(ds, key_col: str, weight_col: str,
     off_ref = ray.put((suffix, threshold))
 
     def cut(df: pd.DataFrame) -> pd.DataFrame:
+        # fold-safe whole-bucket fn: several _rb ranges may share a
+        # merge task — sort (range, s desc, k) and compute each
+        # range's exclusive prefix from its own run boundary
         off, thr = ray.get(off_ref)
-        b = int(df["_rb"].iloc[0])
-        d = df.sort_values(["s", "k"], ascending=[False, True],
-                           kind="stable")
+        if not len(df):
+            return pd.DataFrame({
+                "k": df["k"],
+                "s": df["s"].astype(np.int64),
+                "cum_before": pd.Series([], dtype="int64")})
+        d = df.sort_values(["_rb", "s", "k"],
+                           ascending=[True, False, True], kind="stable")
+        rb = d["_rb"].to_numpy(dtype=np.int64)
         s = d["s"].to_numpy(dtype=np.int64)
-        cum_before = off[b] + np.concatenate(
-            [[0], np.cumsum(s)[:-1]]).astype(np.int64)
+        cum = np.cumsum(s)
+        newb = np.empty(len(rb), dtype=bool)
+        newb[0] = True
+        newb[1:] = rb[1:] != rb[:-1]
+        run_start = np.flatnonzero(newb)
+        base = np.where(run_start > 0, cum[run_start - 1], 0)
+        excl = cum - s - base[np.cumsum(newb) - 1]
+        cum_before = off[rb] + excl
         keep = cum_before < thr
         return pd.DataFrame({"k": d["k"].to_numpy()[keep],
                              "s": s[keep],
                              "cum_before": cum_before[keep]})
 
-    return assigned.groupby("_rb").map_groups(cut, batch_format="pandas")
+    from raykg.ops.exchange import hash_exchange
+
+    return hash_exchange(assigned, "_rb", nb, cut)

@@ -78,6 +78,12 @@ def duplicate_span_stats(ds, id_col: str = "doc_id",
         })
 
     def bucket_census(df: pd.DataFrame) -> pd.DataFrame:
+        # fold-safe whole-bucket fn: totals key on h itself, and every
+        # occurrence of an h lives in bucket h % coarse
+        if not len(df):
+            return pd.DataFrame({id_col: df[id_col],
+                                 "n_spans": df["n"],
+                                 "n_dup_spans": df["n"]})
         total = df.groupby("h")["n"].transform("sum")
         dup = df["n"].where(total >= min_count, 0)
         out = pd.DataFrame({
@@ -96,17 +102,19 @@ def duplicate_span_stats(ds, id_col: str = "doc_id",
              >> np.uint64(52)).astype(np.int32) % 64))
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df[[id_col, "n_spans", "n_dup_spans"]]
         return df.groupby(id_col, as_index=False)[
             ["n_spans", "n_dup_spans"]].sum()
 
-    return (
-        ds.map_batches(emit_spans, batch_format="pyarrow")
-        .groupby("_bk")
-        .map_groups(bucket_census, batch_format="pandas")
-        .map_batches(add_doc_bucket, batch_format="pyarrow")
-        .groupby("_dk")
-        .map_groups(final, batch_format="pandas")
-    )
+    from raykg.ops.exchange import hash_exchange
+
+    part = hash_exchange(
+        ds.map_batches(emit_spans, batch_format="pyarrow"),
+        "_bk", coarse, bucket_census)
+    return hash_exchange(
+        part.map_batches(add_doc_bucket, batch_format="pyarrow"),
+        "_dk", 64, final)
 
 
 def filter_span_duplicates(ds, max_dup_fraction: float = 0.5,
@@ -224,13 +232,18 @@ def remove_duplicate_spans(ds, id_col: str = "doc_id",
             "n": pa.array(cnt.astype(np.int64)),
         })
 
-    def bucket_dups(df: pd.DataFrame) -> pd.DataFrame:
+    def bucket_dups(df: pd.DataFrame) -> pa.Table:
+        # fold-safe: totals key on h itself
         tot = df.groupby("h", sort=False)["n"].sum()
-        return pd.DataFrame({"h": tot.index[tot >= min_count]})
+        return pa.table({"h": pa.array(
+            tot.index[tot >= min_count].to_numpy(dtype=np.uint64),
+            pa.uint64())})
+
+    from raykg.ops.exchange import hash_exchange
 
     dup_hashes = np.sort(
-        ds.map_batches(census, batch_format="pyarrow")
-        .groupby("_bk").map_groups(bucket_dups, batch_format="pandas")
+        hash_exchange(ds.map_batches(census, batch_format="pyarrow"),
+                      "_bk", coarse, bucket_dups)
         .to_pandas()["h"].to_numpy(dtype=np.uint64))
     dup_ref = ray.put(dup_hashes)
 
@@ -265,10 +278,9 @@ def remove_duplicate_spans(ds, id_col: str = "doc_id",
         sel = order[keep_mask]
         return pd.DataFrame({"doc": doc[sel], "pos": pos[sel]})
 
-    removals = (
-        ds.map_batches(occurrences, batch_format="pyarrow")
-        .groupby("_bk").map_groups(non_canonical, batch_format="pandas")
-    )
+    removals = hash_exchange(
+        ds.map_batches(occurrences, batch_format="pyarrow"),
+        "_bk", coarse, non_canonical)
 
     # ---- pass 3: tagged-union co-location by doc, per-doc rewrite
     def tag_docs(t: pa.Table) -> pa.Table:
@@ -320,7 +332,11 @@ def remove_duplicate_spans(ds, id_col: str = "doc_id",
             out_txt.append(" ".join(kept))
             out_n.append(len(words))
             out_rm.append(removed)
-        return pd.DataFrame({id_col: out_id, out_col: out_txt,
-                             "n_words": out_n, "n_removed": out_rm})
+        # typed Arrow output: the zero-row bucket case must carry the
+        # schema (an empty pandas object column would degrade to null)
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         out_col: pa.array(out_txt, pa.string()),
+                         "n_words": pa.array(out_n, pa.int64()),
+                         "n_removed": pa.array(out_rm, pa.int64())})
 
-    return union.groupby("_dk").map_groups(rewrite, batch_format="pandas")
+    return hash_exchange(union, "_dk", coarse, rewrite)
