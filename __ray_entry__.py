@@ -1400,6 +1400,70 @@ def _q_hnsw_knn(sf_dir: str):
                                        "rank"])
 
 
+class _CrossLinkStage:
+    """Fused full-candidate retrieve -> cross rerank -> NIL for the
+    kg_cross_rerank registry entry: all broadcast state (KB arrays,
+    descr table, scorer weights) built once per actor."""
+
+    def __init__(self, kb_ref, descr_ref, model):
+        from raykg.crossenc import CrossRerankStage
+        from raykg.index import Retriever
+        from raykg.nil import NilStage
+
+        self.retrieve = Retriever(kb_ref, None, top_k=10, compact=False)
+        self.cross = CrossRerankStage(descr_ref=descr_ref)
+        self.nil = NilStage(model)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.nil(self.cross(self.retrieve(batch)))
+
+
+def _q_kg_cross_rerank(sf_dir: str):
+    """Crossencoder rerank path over the flagship fixture's epoch-0
+    transcripts (raykg/crossenc.py): detect -> encode -> full-candidate
+    retrieval -> joint-sequence rerank (bi_score preserved) -> NIL with
+    a (max_bi, max_cross, secondiff) model — the reference's LATENT
+    cross path (pipeline/nilpredictor/__main__.py:25,56-58;
+    scripts/eval_kbp.py:310-322) made a first-class opt-in stage.
+    Rows-only: model scoring, not SQL-expressible."""
+    from raykg.crossenc import kb_descr_ref
+    from raykg.detect import detect_mentions
+    from raykg.encode import MentionEncoder
+    from raykg.fixtures import write_fixture
+    from raykg.nil import LogisticModel
+    from raykg.pipeline import load_kb_ref
+
+    name = _sf_name(sf_dir)
+    n_convs, n_kb, n_nil, n_tomb, n_epochs = _FIXTURE_SCALE[name]
+    fx = f"/tmp/raykg_fixture_{name}"
+    write_fixture(fx, n_convs=n_convs, n_kb=n_kb, n_nil=n_nil,
+                  n_tomb=n_tomb, n_epochs=n_epochs, seed=42)
+    kb_path = os.path.join(fx, "kb.parquet")
+    kb_ref = load_kb_ref(kb_path)
+    descr_ref = kb_descr_ref(kb_path)
+    model = LogisticModel(
+        features=("max_bi", "max_cross", "secondiff"),
+        coef=(0.5, 0.05, 0.02), intercept=-44.5,
+    )
+    ds = rd.read_parquet(
+        os.path.join(fx, "transcripts", "epoch=0"),
+        columns=["conv_id", "turn_idx", "text"],
+    )
+    ds = ds.map_batches(detect_mentions, batch_format="pyarrow",
+                        batch_size=1024)
+    ds = ds.map_batches(MentionEncoder(dim=64, spec="hash-wp"),
+                        batch_format="pyarrow", batch_size=1024)
+    ds = ds.map_batches(
+        _CrossLinkStage,
+        fn_constructor_kwargs={"kb_ref": kb_ref, "descr_ref": descr_ref,
+                               "model": model},
+        batch_format="pyarrow", batch_size=1024, concurrency=(1, 2),
+    )
+    return ds.select_columns(
+        ["mention_id", "mention", "is_nil", "nil_score",
+         "top_wikipedia_id"])
+
+
 def _q_quality(sf_dir: str):
     """Quality features with a FULL SQL ORACLE: every ratio is a
     quotient of regex-match counts, and the score a fixed IEEE-double
@@ -8582,6 +8646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_knn": _q_pq_knn,
         "sq8_knn": _q_sq8_knn,
         "hnsw_knn": _q_hnsw_knn,
+        "kg_cross_rerank": _q_kg_cross_rerank,
         "text_fingerprints": _q_fingerprints,
         "media_frame_sample": _q_media_frames,
         "media_frame_sample_real": _q_media_frames_real,

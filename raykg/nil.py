@@ -42,6 +42,7 @@ from raykg.text import batch_jaccard_sim, batch_levenshtein_token_sim
 
 FEATURE_NAMES = (
     "max_bi",
+    "max_cross",
     "secondiff",
     "jaccard",
     "levenshtein",
@@ -198,6 +199,17 @@ def nil_features_table(batch: pa.Table) -> dict[str, np.ndarray]:
     f = _segment_features(
         scores, offsets, batch.column("mention").to_pylist(), top_title
     )
+    if "bi_score" in {fl.name for fl in cands.type.value_type}:
+        # cross-reranked candidates (raykg.crossenc): ``score`` is the
+        # cross logit, the biencoder score was preserved — switch the
+        # features exactly like prepare_for_nil_prediction does
+        # (scripts/eval_kbp.py:310-322)
+        bi = (cands.values.field("bi_score")
+              .to_numpy(zero_copy_only=False).astype(np.float64))
+        if bi.size == 0:
+            bi = np.zeros(1)
+        f["max_cross"] = f["max_bi"]
+        f["max_bi"] = np.where(has, bi[first], 0.0)
     f["_top_title"] = np.asarray(top_title, dtype=object)
     f["_top_wikipedia_id"] = np.where(has, wikis[first], 0).astype(np.int64)
     f["_top_id"] = np.where(has, ids[first], -1).astype(np.int64)
