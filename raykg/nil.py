@@ -271,7 +271,10 @@ class NilStage:
         uris = np.where(is_nil, "", np.where(kb_top, kb_uris, rw_sel)).astype(object)
 
         out = batch
-        for name in FEATURE_NAMES:
+        # max_cross exists only for cross-reranked batches
+        # (raykg.crossenc); the non-cross schema stays unchanged
+        names = tuple(n for n in FEATURE_NAMES if n in f)
+        for name in names:
             out = out.append_column(name, pa.array(f[name], type=pa.float32()))
         out = out.append_column(
             "nil_score", pa.array(nil_score, type=pa.float32())

@@ -113,8 +113,9 @@ class PipelineConfig:
     # "hnsw" is the graph-index family member (index.HnswIndex, the
     # reference's production IndexHNSWFlat counterpart): NSW neighbor
     # graph + best-first beam, exact scores on the visited set, recall
-    # gated like IVF/PQ. kb_shards=1 only (per-shard graphs would need
-    # their own build path; IVF/PQ cover the sharded regime).
+    # gated like IVF/PQ. Composes with kb_shards>1: each shard builds
+    # its own NSW graph; the running-top-k merge is unchanged because
+    # beam scores are exact inner products.
     ann: str = "exact"  # exact | ivf | pq | hnsw
     # encoder token budget (HashEncoder.max_seq_length): windowing /
     # truncation arithmetic threshold; None disables windowing
@@ -229,6 +230,9 @@ def load_kb_handles(kb_path: str, cfg: "PipelineConfig") -> dict:
             ivf_spill=cfg.ivf_spill,
             pq_m=cfg.pq_m if cfg.ann == "pq" else None,
             pq_rerank=cfg.pq_rerank,
+            hnsw_m=cfg.hnsw_m if cfg.ann == "hnsw" else None,
+            hnsw_ef_construction=cfg.hnsw_ef_construction,
+            hnsw_ef_search=cfg.hnsw_ef_search,
         )
         handles["titles_ref"] = ray.put(list(idx.titles))
     return handles
@@ -1259,11 +1263,6 @@ def run_pipeline(
         raise ValueError(f"unknown blocking mode: {cfg.blocking}")
     if cfg.ann not in ("exact", "ivf", "pq", "hnsw"):
         raise ValueError(f"unknown ann mode: {cfg.ann}")
-    if cfg.ann == "hnsw" and cfg.kb_shards > 1:
-        raise ValueError(
-            "ann='hnsw' composes with kb_shards=1 only — per-shard "
-            "graph builds are not implemented; use ann='ivf' or 'pq' "
-            "for the sharded regime")
     epochs = epochs if epochs is not None else list_epochs(fixture_dir)
     if not incremental:
         os.makedirs(out_dir, exist_ok=True)

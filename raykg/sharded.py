@@ -123,7 +123,9 @@ def make_finalizer_fn(titles_ref, rw_ref, top_k, rw_acc):
 
 def make_kb_shards(kb_tuple, n_shards: int, ivf_lists: int | None = None,
                    ivf_spill: int = 1, pq_m: int | None = None,
-                   pq_rerank: int = 8):
+                   pq_rerank: int = 8, hnsw_m: int | None = None,
+                   hnsw_ef_construction: int = 128,
+                   hnsw_ef_search: int = 192):
     """(vectors, wikipedia_ids, titles, types, tombstone) -> list of
     ray.put refs of shard tuples (shard row offset kept so global ids
     stay stable). ``ivf_lists``: also build per-shard IVF metadata once
@@ -133,11 +135,15 @@ def make_kb_shards(kb_tuple, n_shards: int, ivf_lists: int | None = None,
     ``ivf_spill``: per-shard multi-assignment (see IvfIndex.build_meta).
     ``pq_m``: instead build per-shard PQ metadata (codebooks trained on
     the shard's own rows; exact shortlist re-rank keeps merged scores
-    exact — see PqIndex). ivf and pq are mutually exclusive."""
-    from raykg.index import IvfIndex, PqIndex
+    exact — see PqIndex). ``hnsw_m``: instead build a per-shard NSW
+    graph (each shard beam-searches its own graph; the running-top-k
+    merge is unchanged and scores stay exact — see HnswIndex). The
+    three ann choices are mutually exclusive."""
+    from raykg.index import HnswIndex, IvfIndex, PqIndex
 
-    if ivf_lists and pq_m:
-        raise ValueError("pick one of ivf_lists / pq_m per shard set")
+    if sum(bool(x) for x in (ivf_lists, pq_m, hnsw_m)) > 1:
+        raise ValueError(
+            "pick one of ivf_lists / pq_m / hnsw_m per shard set")
     vectors, wikipedia_ids, titles, types, tombstone = kb_tuple
     n = len(vectors)
     bounds = np.linspace(0, n, n_shards + 1).astype(int)
@@ -150,6 +156,11 @@ def make_kb_shards(kb_tuple, n_shards: int, ivf_lists: int | None = None,
         elif pq_m:
             meta = PqIndex.build_meta(vectors[lo:hi], m=pq_m,
                                       rerank=pq_rerank)
+        elif hnsw_m:
+            meta = HnswIndex.build_meta(
+                vectors[lo:hi], m=hnsw_m,
+                ef_construction=hnsw_ef_construction)
+            meta["ef_search"] = hnsw_ef_search
         else:
             meta = None
         refs.append(
@@ -193,6 +204,12 @@ class ShardRetriever:
 
             self.index = PqIndex(vectors, wikis, titles, types, tomb,
                                  INDEXER_KB, prebuilt=meta)
+        elif isinstance(meta, dict) and meta.get("kind") == "hnsw":
+            from raykg.index import HnswIndex
+
+            self.index = HnswIndex(vectors, wikis, titles, types, tomb,
+                                   INDEXER_KB, prebuilt=meta,
+                                   ef_search=meta.get("ef_search", 192))
         elif meta is not None:
             from raykg.index import IvfIndex
 

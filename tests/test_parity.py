@@ -239,3 +239,22 @@ def test_hnsw_mode_parity(wp_fixture, tmp_path_factory, oracle_result):
     pred = set(zip(tri.subj, tri.pred, tri.obj))
     p, r = _pr(pred, oracle_result["triples"])
     assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_hnsw_sharded_mode_parity(wp_fixture, tmp_path_factory,
+                                  oracle_result):
+    """Round-5 composition: ann='hnsw' with kb_shards>1 — each shard
+    beam-searches its OWN NSW graph and the running-top-k merge is
+    unchanged (beam scores are exact inner products), so the linked
+    triples still meet the P/R gate against the exact-search oracle."""
+    out = str(tmp_path_factory.mktemp("parity_hnsw_sh_out"))
+    run_pipeline(
+        wp_fixture, out,
+        PipelineConfig(ann="hnsw", hnsw_m=12, hnsw_ef_construction=48,
+                       hnsw_ef_search=96, kb_shards=2,
+                       encoder="hash-wp", max_seq_length=WP_MSL),
+    )
+    tri = rd.read_parquet(os.path.join(out, "triples")).to_pandas()
+    pred = set(zip(tri.subj, tri.pred, tri.obj))
+    p, r = _pr(pred, oracle_result["triples"])
+    assert p >= 0.95 and r >= 0.95, (p, r)
