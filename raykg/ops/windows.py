@@ -159,11 +159,29 @@ def sessionize(ds, key: str = "user_id", ts_col: str = "ts",
         return out[[key, "_salt", "session_id", "n_events", "start_ts",
                     "end_ts"]]
 
-    sessions = (
-        ds.map_batches(add_salt, batch_format="pandas")
-        .groupby([key, "_salt"])
-        .map_groups(per_group, batch_format="pandas")
-    )
+    def add_salt_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = add_salt(df)
+        h = pd.util.hash_array(df[key].to_numpy(object)).astype(np.int64)
+        return df.assign(_sb=(h + df["_salt"].to_numpy(np.int64))
+                         % SESSION_BUCKETS)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # fold-safe whole-bucket fn: re-group by the real (key, salt)
+        if not len(df):
+            return pd.DataFrame({
+                key: df[key], "_salt": df["_salt"],
+                "session_id": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "start_ts": df[ts_col], "end_ts": df[ts_col]})
+        parts = [per_group(g) for _, g in
+                 df.groupby([key, "_salt"], sort=False)]
+        return pd.concat(parts, ignore_index=True)
+
+    from raykg.ops.exchange import hash_exchange
+
+    sessions = hash_exchange(
+        ds.map_batches(add_salt_bucket, batch_format="pandas"),
+        "_sb", SESSION_BUCKETS, per_bucket)
 
     if not hot_map:
         # no hot keys: every _salt is 0, groups are exactly per-key
@@ -177,7 +195,7 @@ def sessionize(ds, key: str = "user_id", ts_col: str = "ts",
     # order; a boundary-straddling session fuses when the next range's
     # first session starts within `gap` of the previous range's last end
     # — the exact unsalted gap rule applied to summaries.
-    def merge_key(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_one(g: pd.DataFrame) -> pd.DataFrame:
         if g["_salt"].nunique() <= 1:
             out = g.sort_values("session_id")
         else:
@@ -198,8 +216,23 @@ def sessionize(ds, key: str = "user_id", ts_col: str = "ts",
             out["session_id"] = np.arange(1, len(out) + 1, dtype=np.int64)
         return out[_session_cols(key)]
 
-    return sessions.groupby(key).map_groups(merge_key, batch_format="pandas")
+    def add_merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df[key].to_numpy(object)).astype(np.int64)
+        return df.assign(_mb=h % SESSION_BUCKETS)
 
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # fold-safe whole-bucket fn: re-group by the real key
+        if not len(df):
+            return df[_session_cols(key)]
+        parts = [merge_one(g) for _, g in df.groupby(key, sort=False)]
+        return pd.concat(parts, ignore_index=True)
+
+    return hash_exchange(
+        sessions.map_batches(add_merge_bucket, batch_format="pandas"),
+        "_mb", SESSION_BUCKETS, merge_bucket)
+
+
+SESSION_BUCKETS = 256
 
 RESAMPLE_BUCKETS = 256
 
