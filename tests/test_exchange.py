@@ -206,3 +206,42 @@ def test_real_operators_under_forced_hierarchy(monkeypatch, tmp_path):
     pd.testing.assert_frame_equal(got_dedup, want_dedup)
     got_asof = run_asof()
     pd.testing.assert_frame_equal(got_asof, want_asof)
+
+
+@pytest.mark.parametrize("force_hier", [False, True])
+def test_exchange_property_sweep(monkeypatch, force_hier):
+    """Property sweep over the exchange contract: random shapes
+    (row counts incl. 0 and 1, key cardinalities, block counts,
+    coarse from 1 to far-above-cardinality, negative bucket hashes via
+    % coarse) must all reproduce the single-process aggregation, on
+    both the flat and the forced-two-level plan."""
+    if force_hier:
+        monkeypatch.setattr(exchange, "HX_MAX_REFS", 8)
+    rng = np.random.default_rng(123)
+    cases = [
+        (0, 5, 2, 4), (1, 1, 1, 1), (7, 3, 4, 2), (50, 50, 3, 64),
+        (500, 7, 16, 5), (1000, 999, 2, 1), (2048, 13, 32, 257),
+    ]
+    for n_rows, n_keys, n_blocks, coarse in cases:
+        k = (rng.integers(0, n_keys, n_rows).astype(np.int64)
+             if n_rows else np.array([], dtype=np.int64))
+        df = pd.DataFrame({
+            "k": k,
+            "v": rng.normal(size=n_rows),
+            "_b": k % max(coarse, 1),
+        })
+        ds = rd.from_pandas(df)
+        if n_blocks > 1 and n_rows:
+            ds = ds.repartition(n_blocks)
+        out = hash_exchange(ds, "_b", coarse, _per_bucket_stats)
+        if n_rows == 0:
+            # schema-less empty input routes through the groupby plan,
+            # whose contract is "omit empty groups" — rows only
+            assert out.count() == 0
+            continue
+        got = _collect(out)
+        want = _reference(df)
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=True,
+            obj=f"case n={n_rows} keys={n_keys} blocks={n_blocks} "
+                f"coarse={coarse} hier={force_hier}")
