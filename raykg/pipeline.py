@@ -137,6 +137,12 @@ class PipelineConfig:
     # 0.936 (spill=1) -> ~0.99 (spill=3) at nprobe=16/128, probing
     # ~0.38x of rows. Memory cost: perm array is spill x n int64.
     ivf_spill: int = 3
+    # opt-in IVF list balancing (IvfIndex.build_meta balance=): split
+    # lists fatter than this x the mean fill into sub-centroids. For
+    # CLUSTERED KBs only — on flat-similarity (hash-encoder) KBs the
+    # skewed spill fills are themselves the recall mechanism and
+    # balancing trades recall for speed (measured; see index.py).
+    ivf_balance: float | None = None
     # feature clusterer: fit the TF-IDF vectorizers ONCE on a
     # deterministic dev sample (first epoch's detected mentions) and
     # broadcast — the reference's pickled-vectorizer flow
@@ -201,7 +207,8 @@ def load_kb_handles(kb_path: str, cfg: "PipelineConfig") -> dict:
         # build once on the driver, broadcast; workers just wire arrays
         handles["ann_ref"] = ray.put(
             IvfIndex.build_meta(
-                idx.vectors, n_lists=cfg.ivf_lists, spill=cfg.ivf_spill
+                idx.vectors, n_lists=cfg.ivf_lists, spill=cfg.ivf_spill,
+                balance=cfg.ivf_balance,
             )
         )
     elif cfg.ann == "pq":
@@ -228,6 +235,7 @@ def load_kb_handles(kb_path: str, cfg: "PipelineConfig") -> dict:
             kb_tuple, cfg.kb_shards,
             ivf_lists=cfg.ivf_lists if cfg.ann == "ivf" else None,
             ivf_spill=cfg.ivf_spill,
+            ivf_balance=cfg.ivf_balance,
             pq_m=cfg.pq_m if cfg.ann == "pq" else None,
             pq_rerank=cfg.pq_rerank,
             hnsw_m=cfg.hnsw_m if cfg.ann == "hnsw" else None,

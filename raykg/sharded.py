@@ -122,7 +122,8 @@ def make_finalizer_fn(titles_ref, rw_ref, top_k, rw_acc):
 
 
 def make_kb_shards(kb_tuple, n_shards: int, ivf_lists: int | None = None,
-                   ivf_spill: int = 1, pq_m: int | None = None,
+                   ivf_spill: int = 1, ivf_balance: float | None = None,
+                   pq_m: int | None = None,
                    pq_rerank: int = 8, hnsw_m: int | None = None,
                    hnsw_ef_construction: int = 128,
                    hnsw_ef_search: int = 192):
@@ -152,7 +153,8 @@ def make_kb_shards(kb_tuple, n_shards: int, ivf_lists: int | None = None,
         lo, hi = int(bounds[s]), int(bounds[s + 1])
         if ivf_lists:
             meta = IvfIndex.build_meta(vectors[lo:hi], n_lists=ivf_lists,
-                                       spill=ivf_spill)
+                                       spill=ivf_spill,
+                                       balance=ivf_balance)
         elif pq_m:
             meta = PqIndex.build_meta(vectors[lo:hi], m=pq_m,
                                       rerank=pq_rerank)

@@ -256,3 +256,18 @@ def test_hot_bucket_salting_merges_back():
     assert got_ids == list(range(n))
     assert tbl.column("title")[0].as_py() == "Hotname Corp"
     assert tbl.column("nelements")[0].as_py() == n
+
+
+def test_ivf_balance_knob_end_to_end(small_fixture, tmp_path_factory):
+    """PipelineConfig(ivf_balance=...) threads through load_kb_handles
+    (and make_kb_shards for the sharded path) — the pipeline completes
+    and dedup holds. The recall/latency trade itself is pinned at the
+    index level (test_index.py::test_ivf_balance_*)."""
+    out = str(tmp_path_factory.mktemp("out_bal"))
+    res = run_pipeline(
+        small_fixture, out,
+        PipelineConfig(ann="ivf", ivf_balance=1.5))
+    assert res["epochs_run"] == [0, 1, 2]
+    tri = _triples(out)
+    assert len(tri) > 0
+    assert not tri.duplicated(["subj", "pred", "obj"]).any()
